@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The real implementation lives in ``depositaja_spark/`` (see SURVEY.md §2
+for the operator inventory); this module only adapts it to the driver's
+interface via the query registry (``depositaja_spark/registry.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """Settings our plans rely on, applied to a driver-provided session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    # sources/tables.py reads it as long nanos and converts explicitly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the whole reference
+    pipeline (validate → balance → windowed detector → flag fold → check
+    join) as one Catalyst-planned job returning
+    (wallet_id, balance, above_threshold) for every wallet."""
+    _ensure_confs(spark)
+    from depositaja_spark.plans import check_pipeline
+    from depositaja_spark.sources import deposits_from_events, load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return check_pipeline(deposits_from_events(events))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    LLM-pipeline extensions), each ``(spark, sf_dir) -> DataFrame``."""
+    from depositaja_spark import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_confs(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable SQL equivalent for each query (same column names;
+    doubles rounded identically on both sides)."""
+    from depositaja_spark import registry
+
+    return dict(registry.ORACLES)

@@ -1,0 +1,62 @@
+"""J1 + S7 — the read path: balance ⋈ flags with zero-value defaults
+(SURVEY.md §2.4).
+
+``GET /check/{wallet_id}`` looks up the balance table and the flag table
+and combines them; a wallet missing from either table gets zero-value
+defaults — including wallets that never deposited at all, which still
+return ``{balance: 0, above_threshold: false}`` (service/service.go:115-153).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_all(balances: DataFrame, flags: DataFrame) -> DataFrame:
+    """All-wallets check table: left-outer join balance←flags with
+    coalesce defaults → (wallet_id, balance, above_threshold).
+
+    The flags side is the output of a keyed aggregation (one row per
+    flagged wallet — small relative to the event volume), so Catalyst/AQE
+    picks a broadcast hash join at serving scale; both sides arrive already
+    hash-partitioned on wallet_id from their upstream aggs, so even the
+    sort-merge fallback reuses the exchange.
+    """
+    return (
+        balances.join(flags, "wallet_id", "left_outer")
+        .select(
+            "wallet_id",
+            F.coalesce(F.col("balance"), F.lit(0.0)).alias("balance"),
+            F.coalesce(F.col("flagged"), F.lit(False)).alias("above_threshold"),
+        )
+    )
+
+
+def check_one(balances: DataFrame, flags: DataFrame, wallet_id: str) -> DataFrame:
+    """Single-wallet check — the literal ``/check/{wallet_id}`` semantics,
+    INCLUDING the unknown-wallet case: always returns exactly one row, with
+    zero-value defaults when the wallet appears in neither table
+    (service/service.go:119-133).
+
+    Implemented as a probe-key DataFrame left-joined against both serving
+    tables; the probe side is one row, so both joins broadcast.
+    """
+    spark = balances.sparkSession
+    probe = spark.createDataFrame([(wallet_id,)], "wallet_id string")
+    return (
+        probe.join(F.broadcast(balances.filter(F.col("wallet_id") == wallet_id)), "wallet_id", "left_outer")
+        .join(F.broadcast(flags.filter(F.col("wallet_id") == wallet_id)), "wallet_id", "left_outer")
+        .select(
+            "wallet_id",
+            F.coalesce(F.col("balance"), F.lit(0.0)).alias("balance"),
+            F.coalesce(F.col("flagged"), F.lit(False)).alias("above_threshold"),
+        )
+    )
+
+
+def point_lookup(table: DataFrame, wallet_id: str) -> DataFrame:
+    """S7 — ``view.Get(key)`` analog (service/service.go:128,142): a keyed
+    filter against a materialized table.  On a parquet/Delta serving table
+    the predicate prunes files/row-groups via min-max stats."""
+    return table.filter(F.col("wallet_id") == wallet_id)

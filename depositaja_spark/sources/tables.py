@@ -1,0 +1,48 @@
+"""Parquet test-table loaders.
+
+The driver's tables (TESTDATA.md) are single parquet files per table.
+Reads are plain ``spark.read.parquet`` so Catalyst gets native pushdown,
+column pruning, and partition-splitting for free — at 100 TB these would be
+directory-partitioned datasets and the same code applies unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from depositaja_spark.schemas import TEST_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (``region nation customer supplier part orders
+    lineitem events documents embeddings``) from ``sf_dir``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as long nanos and
+    is converted here to a microsecond TimestampType (integer division, the
+    same ns→µs truncation DuckDB applies), keeping the published schema
+    stable for every consumer.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa,
+        # so float division can truncate to the wrong microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table into a dict."""
+    return {name: load_table(spark, sf_dir, name) for name in TEST_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for ``spark.sql`` use."""
+    for name in TEST_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
