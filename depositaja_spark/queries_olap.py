@@ -1,0 +1,456 @@
+"""Generic OLAP capability queries over the TPC-H-style tables.
+
+The reference's own surface is narrow (SURVEY.md §2.6 lists what it does
+NOT have); these queries pin the general relational surface the engine
+offers beyond it — multi-way joins, sort/limit, window ranking, set ops,
+distinct aggregation, rollup, pivot, scalar functions, sessionization —
+each oracle-checked against DuckDB.
+
+Determinism conventions (see functions/numeric.py): money aggregates are
+exact DECIMAL sums cast to double; LIMIT queries carry a total tie-broken
+ORDER BY; window ranks tie-break on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.numeric import dec, exact_avg, exact_sum
+from depositaja_spark.registry import query
+from depositaja_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_ONE = "CAST(1 AS DECIMAL(18,2))"
+_EP = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC = "CAST(l_discount AS DECIMAL(18,2))"
+_TAX = "CAST(l_tax AS DECIMAL(18,2))"
+_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+
+# --- TPC-H Q1: wide aggregation ------------------------------------------------
+
+
+@query(
+    "tpch_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_QTY}) AS DOUBLE) AS sum_qty,
+       CAST(sum({_EP}) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_EP} * ({_ONE} - {_DISC}) * ({_ONE} + {_TAX})) AS DOUBLE) AS sum_charge,
+       CAST(sum({_QTY}) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum({_EP}) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum({_DISC}) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide groupBy — one shuffle
+    with map-side partial aggregation over 8 measures; date predicate
+    pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(dec("l_quantity")).alias("sum_qty"),
+            exact_sum(dec("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg(dec("l_quantity")).alias("avg_qty"),
+            exact_avg(dec("l_extendedprice")).alias("avg_price"),
+            exact_avg(dec("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3: join + agg + deterministic top-k ---------------------------------
+
+
+@query(
+    "tpch_q3_topk",
+    f"""
+SELECT l_orderkey,
+       CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS revenue,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (customer) broadcast into the
+    fact join, aggregate, deterministic top-10 (total order with unique
+    tie-break, so LIMIT is engine-independent).  At scale: customer filter
+    first → broadcast; lineitem⋈orders shuffles on the order key once."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # parquet timestamp[ms] surfaces as TIMESTAMP_NTZ; cast to the
+            # session-TZ (UTC) timestamp before taking epoch millis
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: 5-way join ---------------------------------------------------
+
+
+@query(
+    "revenue_by_nation",
+    f"""
+SELECT n_name,
+       CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join (region→nation→customer, supplier)
+    with local-supplier condition.  All dimension sides are small →
+    broadcast; the single big shuffle is lineitem⋈orders."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(exact_sum(revenue).alias("revenue"))
+    )
+
+
+# --- window ranking: top-k per group ----------------------------------------------
+
+
+@query(
+    "top3_customers_per_segment",
+    """
+SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rank
+  FROM customer
+) WHERE rank <= 3
+""",
+)
+def q_top3_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window ranking (unique tie-break on c_custkey).
+    One shuffle on the partition key; rank filter applied before any
+    downstream consumer sees the rows."""
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# --- set operations -----------------------------------------------------------------
+
+
+@query(
+    "repeat_customers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+""",
+)
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering both before and after the split date."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    after = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return before.intersect(after)
+
+
+@query(
+    "lapsed_customers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+""",
+)
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered before the split date but never after."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    after = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    # subtract = EXCEPT (set) semantics; exceptAll would keep a key whose
+    # left multiplicity exceeds its right multiplicity
+    return before.subtract(after)
+
+
+# --- semi / anti joins ----------------------------------------------------------------
+
+
+@query(
+    "customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no row duplication, probe side streamed)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- distinct aggregation ----------------------------------------------------------------
+
+
+@query(
+    "distinct_parts_per_flag",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (expand + two-phase agg under the
+    hood; Catalyst plans the dedup per distinct column)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- rollup ---------------------------------------------------------------------------------
+
+
+@query(
+    "rollup_returns",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_QTY}) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotal + grand-total rows with NULL keys."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(exact_sum(dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- pivot ----------------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra pass to discover values
+    — required practice at scale) and stable output column names."""
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# --- scalar function surface -------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS INT) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       round(p_retailprice * 1.1, 2) AS marked_up,
+       CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       abs(p_size - 25) AS size_dist,
+       CAST(p_size % 5 AS INT) AS size_mod
+FROM part
+""",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math/conditional surface — all JVM-side built-ins
+    inside one whole-stage-codegen projection (no UDFs)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 5).alias("size_mod"),
+    )
+
+
+# --- date/time bucketing -------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series bucketing: hourly counts/sums per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(dec("value")).alias("total_value"),
+    )
+
+
+# --- sessionization -------------------------------------------------------------------------------
+
+
+@query(
+    "user_sessions",
+    """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session starts via lag() — the batch
+    analog of streaming session windows.  One shuffle on user_id shared by
+    the window and the aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

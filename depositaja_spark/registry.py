@@ -430,3 +430,9 @@ def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.from_json("props", EVENT_PROPS).getField("k").alias("k")
     )
+
+
+# --- register the extended query families (import side effect) ---------------
+# placed at module end so their `from depositaja_spark.registry import query`
+# sees the decorator above
+from depositaja_spark import queries_olap  # noqa: E402,F401
