@@ -70,19 +70,26 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def shingle_hashes(
+    docs: DataFrame, n: int = 3, text_col: str = "text", sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, h) with h = hash64(shingle) mod P — the integer universe
-    MinHash permutes."""
-    return shingles(docs, n, text_col).select(
-        "doc_id", (hash64(F.col("shingle")) % MINHASH_P).alias("h")
-    )
+    MinHash permutes.  ``sh`` lets callers reuse a precomputed (possibly
+    persisted) shingle DataFrame."""
+    if sh is None:
+        sh = shingles(docs, n, text_col)
+    return sh.select("doc_id", (hash64(F.col("shingle")) % MINHASH_P).alias("h"))
 
 
 # --- n-gram Jaccard ------------------------------------------------------------
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: inverted-index self-join on
     shingles, intersection counts, then |A∩B| / (|A|+|B|−|A∩B|) ≥ τ.
@@ -91,7 +98,8 @@ def jaccard_pairs(
     the skew risk, mitigated upstream by dropping ultra-frequent shingles
     (stop-shingle filtering) the same way stop-words are dropped; output
     pairs are a_id < b_id so each pair appears once."""
-    sh = shingles(docs, n, text_col)
+    if sh is None:
+        sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -121,13 +129,15 @@ def jaccard_pairs(
 # --- MinHash + LSH ---------------------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, text_col: str = "text", sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): k-permutation MinHash signature.
 
     One explode + one groupBy with k ``min`` aggregates — map-side partial
     mins make this a single cheap shuffle regardless of corpus size.
     E[J(A,B)] = P(mh_i(A)=mh_i(B)) is the textbook estimator."""
-    h = shingle_hashes(docs, n, text_col)
+    h = shingle_hashes(docs, n, text_col, sh=sh)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -170,9 +180,14 @@ def minhash_lsh_dedup(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ τ.
-    At 100 TB the verify join touches only candidate pairs, not all pairs."""
-    cand = lsh_candidate_pairs(minhash_signatures(docs, n, text_col))
-    exact = jaccard_pairs(docs, n, threshold=0.0, text_col=text_col)
+    At 100 TB the verify join touches only candidate pairs, not all pairs.
+
+    The shingle DataFrame feeds both the signature arm and the verify arm,
+    so it is computed once and persisted (shuffle-sized state, evicted by
+    the executor's LRU when the job ends)."""
+    sh = shingles(docs, n, text_col).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(docs, n, text_col, sh=sh))
+    exact = jaccard_pairs(docs, n, threshold=0.0, text_col=text_col, sh=sh)
     return (
         cand.join(exact, ["a_id", "b_id"])
         .filter(F.col("jaccard") >= threshold)
