@@ -500,3 +500,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("multimodal_features")
+
+
+# --- faithful stateful detector (streaming semantics, batch replay) -----------
+
+
+@query("exact_detector_replay")
+def q_exact_detector_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT processing-time detector semantics
+    (detector/detector.go:47-75: add, maybe-reset-swallowing-current,
+    flag-on-every-event) replayed deterministically with event time as the
+    clock.  Sequential per-key state machine — not SQL-expressible, driver
+    records rows-only; batch/stream equivalence is covered in
+    tests/test_streaming.py."""
+    from depositaja_spark.operators import valid_deposits
+    from depositaja_spark.sources import deposits_from_events
+    from depositaja_spark.streaming.detector_state import exact_detector_batch
+
+    deposits = valid_deposits(deposits_from_events(load_table(spark, sf_dir, "events")))
+    return exact_detector_batch(deposits)
+
+
+NO_ORACLE_OK.add("exact_detector_replay")

@@ -1,0 +1,235 @@
+"""Structured Streaming tests (SURVEY.md §5.3): batch/stream equivalence
+on deterministic inputs, exact detector semantics (reference quirks
+included), and the serving path."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark.operators import balance_per_wallet, valid_deposits, window_received
+from depositaja_spark.schemas import DEPOSIT
+from depositaja_spark.sources import deposits_from_events, load_table
+from depositaja_spark.streaming import (
+    ServingTables,
+    deposits_stream_from_dir,
+    exact_detector,
+    streaming_window_received,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-stream source dir containing only the events table."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _write_deposit_file(path, rows):
+    """Write (wallet_id, amount, epoch_s, seq) rows as ONE parquet file —
+    the file stream does not recurse into the directories
+    DataFrame.write.parquet produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "wallet_id": pa.array([r[0] for r in rows], pa.string()),
+            "amount": pa.array([r[1] for r in rows], pa.float64()),
+            "ts": pa.array(
+                [r[2] * 1_000_000 for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "seq": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_window_received_matches_batch(spark, events_dir):
+    """Watermarked streaming tumbling windows == batch A3 on the same data
+    (append mode emits every window once the stream is exhausted)."""
+    stream = streaming_window_received(deposits_stream_from_dir(spark, events_dir))
+    _run_to_memory(stream, "win_out")
+    got = {
+        (r.wallet_id, r.window_start_unix): round(r.received, 4)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = window_received(
+        valid_deposits(deposits_from_events(load_table(spark, SF, "events")))
+    )
+    want = {
+        (r.wallet_id, r.window_start_unix): round(r.received, 4)
+        for r in batch.collect()
+    }
+    # append mode only emits windows sealed by the watermark: every emitted
+    # window must match batch exactly, and the only missing ones are within
+    # the 10-minute watermark horizon of the stream's max event time
+    assert got.items() <= want.items()
+    max_ts = max(w for (_, w) in want)
+    for (wallet, win) in set(want) - set(got):
+        assert win > max_ts - 600, f"sealed window missing from stream: {wallet}/{win}"
+
+
+def test_exact_detector_reference_quirks(spark, tmp_path):
+    """Golden sequence through the faithful state machine: threshold
+    crossing flags, reset swallows the triggering deposit, unflag on every
+    quiet deposit, flag value carries the window anchor."""
+    base = 1_700_000_000
+    rows = [
+        # w1: 6000 at t0, 5000 at t+60 → second deposit crosses threshold
+        ("w1", 6000.0, base, 1),
+        ("w1", 5000.0, base + 60, 2),
+        # w1 at t+300: window expired (300-0 > 120) → reset swallows 70
+        ("w1", 70.0, base + 300, 3),
+        # w1 at t+310: fresh window opens with 30
+        ("w1", 30.0, base + 310, 4),
+        # w2: single big deposit flags immediately
+        ("w2", 10_000.0, base + 10, 5),
+    ]
+    src = tmp_path / "golden"
+    src.mkdir()
+    _write_deposit_file(str(src / "batch0.parquet"), rows)
+
+    stream = spark.readStream.schema(DEPOSIT).parquet(str(src))
+    out = exact_detector(stream)
+    _run_to_memory(out, "det_out")
+    got = {
+        r.seq: (r.flag_removed, r.rolling_period_start_unix, round(r.received, 4))
+        for r in spark.sql("SELECT * FROM det_out").collect()
+    }
+    assert got[1] == (True, 0, 6000.0)  # below threshold → unflag event
+    assert got[2] == (False, base, 11000.0)  # crossed → flag, anchored at window open
+    assert got[3] == (True, 0, 0.0)  # expired window: reset swallows the 70
+    assert got[4] == (True, 0, 30.0)  # fresh window reopens at this deposit
+    assert got[5] == (False, base + 10, 10000.0)  # single-deposit flag
+
+
+def test_exact_detector_state_survives_microbatches(spark, tmp_path):
+    """State carries across micro-batches: two deposits in separate
+    batches sum within the same rolling window (maxFilesPerTrigger=1)."""
+    base = 1_800_000_000
+    src = tmp_path / "mb"
+    src.mkdir()
+    for i, (amt, off, seq) in enumerate([(7000.0, 0, 1), (4000.0, 30, 2)]):
+        _write_deposit_file(
+            str(src / f"batch{i}.parquet"), [("w1", amt, base + off, seq)]
+        )
+
+    stream = (
+        spark.readStream.schema(DEPOSIT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = exact_detector(stream)
+    _run_to_memory(out, "mb_out")
+    got = {
+        r.seq: (r.flag_removed, round(r.received, 4))
+        for r in spark.sql("SELECT * FROM mb_out").collect()
+    }
+    assert got[1] == (True, 7000.0)
+    assert got[2] == (False, 11000.0)  # state persisted across batches
+
+
+def test_exact_detector_batch_equals_stream(spark, tmp_path):
+    """The applyInPandas batch replay and the applyInPandasWithState
+    streaming operator produce identical event streams on the same input."""
+    from depositaja_spark.streaming.detector_state import exact_detector_batch
+
+    base = 1_900_000_000
+    rows = [
+        ("w1", 6000.0, base, 1),
+        ("w1", 5000.0, base + 60, 2),
+        ("w1", 70.0, base + 300, 3),
+        ("w2", 10_000.0, base + 10, 4),
+        ("w2", 1.0, base + 20, 5),
+    ]
+    src = tmp_path / "eq"
+    src.mkdir()
+    _write_deposit_file(str(src / "b0.parquet"), rows)
+
+    stream = spark.readStream.schema(DEPOSIT).parquet(str(src))
+    _run_to_memory(exact_detector(stream), "eq_out")
+    got_stream = {
+        r.seq: (r.flag_removed, r.rolling_period_start_unix, round(r.received, 4))
+        for r in spark.sql("SELECT * FROM eq_out").collect()
+    }
+    batch_df = spark.read.parquet(str(src / "b0.parquet"))
+    got_batch = {
+        r.seq: (r.flag_removed, r.rolling_period_start_unix, round(r.received, 4))
+        for r in exact_detector_batch(batch_df).collect()
+    }
+    assert got_stream == got_batch
+
+
+def test_serving_tables_end_to_end(spark, events_dir, tmp_path):
+    """foreachBatch serving path: streaming deposits → balance table;
+    derived flag events → compacted flag table; check() answers with
+    defaults for unknown wallets (service/service.go:119-133)."""
+    serving = ServingTables(spark, str(tmp_path / "serving"))
+
+    deposits = deposits_stream_from_dir(spark, events_dir)
+    q1 = (
+        deposits.writeStream.foreachBatch(serving.balance_sink())
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bal"))
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    from depositaja_spark.streaming import streaming_flag_events
+
+    windowed = streaming_window_received(deposits_stream_from_dir(spark, events_dir))
+    flags_stream = streaming_flag_events(windowed)
+    q2 = (
+        flags_stream.writeStream.foreachBatch(serving.flags_sink())
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_flags"))
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    batch = balance_per_wallet(
+        valid_deposits(deposits_from_events(load_table(spark, SF, "events")))
+    )
+    want = {r.wallet_id: round(r.balance, 4) for r in batch.collect()}
+    for wallet_id, bal in list(want.items())[:5]:
+        got = serving.check(wallet_id)
+        assert round(got["balance"], 4) == bal
+        assert got["above_threshold"] is False  # nothing crosses 10k in sf0.001
+    assert serving.check("never-seen") == {
+        "wallet_id": "never-seen",
+        "balance": 0.0,
+        "above_threshold": False,
+    }
+
+
+def test_kafka_wiring_builds_plans(spark):
+    """Kafka source/sink builders must at least construct logical plans
+    (no broker here to execute them); gated codecs raise clearly."""
+    from py4j.protocol import Py4JJavaError
+
+    from depositaja_spark.streaming import kafka as K
+
+    try:
+        df = K.kafka_deposit_source(spark, "localhost:9092")
+        assert df.isStreaming
+        assert set(df.columns) == {"wallet_id", "amount", "ts", "seq"}
+    except Exception as e:  # kafka connector jar absent in this image
+        assert "kafka" in str(e).lower()
