@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4/§7 calls
+for, locked in as tests so a refactor that silently loses pushdown, a
+broadcast, or map-side partial aggregation fails here instead of at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from depositaja_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: plan_of(registry.QUERIES[name](spark, SF))
+        for name in [
+            "check_all",
+            "valid_deposits",
+            "balance_per_wallet",
+            "tpch_q1",
+            "tpch_q3_topk",
+            "revenue_by_nation",
+            "top3_customers_per_segment",
+            "latest_flag",
+        ]
+    }
+
+
+def test_filters_push_to_parquet_scan(plans):
+    """P1 validation + the event-type predicate must reach the scan."""
+    p = plans["valid_deposits"]
+    assert "PushedFilters:" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "GreaterThan(value,0.0)" in p
+
+
+def test_scan_prunes_columns(plans):
+    """The deposit mapping reads 4 of events' 6 columns — props and
+    nothing else must never be scanned."""
+    p = plans["valid_deposits"]
+    assert "props" not in p
+
+
+def test_check_all_broadcasts_flags_side(plans):
+    """J1: the folded flag table is small → broadcast hash join, and both
+    aggregations run with map-side partials."""
+    p = plans["check_all"]
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_tpch_q1_partial_aggregation(plans):
+    """Q1 is one shuffle with map-side combine: exactly one Exchange, with
+    partial aggregation below it."""
+    p = plans["tpch_q1"]
+    assert "partial_sum" in p
+    assert p.count("Exchange (") == 1
+
+
+def test_q3_broadcasts_dimensions(plans):
+    """Q3: filtered customer dimension broadcasts; date predicates reach
+    both fact scans."""
+    p = plans["tpch_q3_topk"]
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p
+    assert "c_mktsegment,BUILDING" in p.replace(" ", "")
+
+
+def test_q5_single_fact_shuffle(plans):
+    """Q5 shape: every dimension side broadcast — the only shuffle
+    exchanges are for the fact join/agg, so SortMergeJoin must not appear."""
+    p = plans["revenue_by_nation"]
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_single_shuffle(plans):
+    """Top-k per group: one exchange on the partition key, then the rank
+    filter — no second shuffle."""
+    p = plans["top3_customers_per_segment"]
+    assert p.count("Exchange (") == 1
+    # Spark's rank-limit pushdown pre-filters to k rows per partition
+    # BEFORE the shuffle — the property that makes top-k scale
+    assert "WindowGroupLimit" in p
+
+
+def test_latest_flag_partial_max_by(plans):
+    """A4 fold: max_by aggregates partially before the shuffle (the
+    latest-wins fold composes, so map-side combine applies)."""
+    p = plans["latest_flag"]
+    assert "partial_max_by" in p
