@@ -1,0 +1,160 @@
+"""Window-analytics queries: running totals, lag/lead deltas, ranking,
+moving averages, correlated-subquery shapes — the analytic surface over
+the wallet and TPC-H tables, each oracle-checked.
+
+Determinism: window frames are total-ordered (unique tie-breaks), running
+sums accumulate in frame order in both engines, and money values ride the
+exact-decimal rules from functions/numeric.py where magnitudes are large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from depositaja_spark.operators import valid_deposits
+from depositaja_spark.registry import DEPOSITS_CTE, query
+from depositaja_spark.sources import deposits_from_events, load_table
+
+
+def _deposits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return valid_deposits(deposits_from_events(load_table(spark, sf_dir, "events")))
+
+
+@query(
+    "running_balance",
+    DEPOSITS_CTE
+    + """
+SELECT wallet_id, seq,
+       round(sum(amount) OVER (PARTITION BY wallet_id ORDER BY seq
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_balance
+FROM deposits WHERE amount > 0
+""",
+)
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-wallet balance after every deposit — the event-sourced
+    view of A2 (what the reference's balance would read as of each event).
+    One shuffle on the wallet; the frame accumulates in seq order."""
+    w = W.partitionBy("wallet_id").orderBy("seq").rowsBetween(W.unboundedPreceding, 0)
+    return _deposits(spark, sf_dir).select(
+        "wallet_id", "seq", F.round(F.sum("amount").over(w), 4).alias("running_balance")
+    )
+
+
+@query(
+    "deposit_deltas",
+    DEPOSITS_CTE
+    + """
+SELECT wallet_id, seq,
+       round(amount - lag(amount) OVER (PARTITION BY wallet_id ORDER BY seq), 4)
+         AS delta_prev,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY wallet_id ORDER BY seq)
+         AS gap_seconds
+FROM deposits WHERE amount > 0
+""",
+)
+def q_deposit_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics: amount change and inter-deposit gap per wallet —
+    the raw features of velocity-based fraud signals (the detector's
+    rolling window is one such signal)."""
+    w = W.partitionBy("wallet_id").orderBy("seq")
+    d = _deposits(spark, sf_dir)
+    return d.select(
+        "wallet_id",
+        "seq",
+        F.round(F.col("amount") - F.lag("amount").over(w), 4).alias("delta_prev"),
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap_seconds"
+        ),
+    )
+
+
+@query(
+    "wallet_balance_ranks",
+    DEPOSITS_CTE
+    + """
+, bal AS (
+  SELECT wallet_id, round(sum(amount), 4) AS balance
+  FROM deposits WHERE amount > 0 GROUP BY wallet_id
+)
+SELECT wallet_id, balance,
+       CAST(rank()       OVER (ORDER BY balance DESC, wallet_id) AS INT) AS rnk,
+       CAST(dense_rank() OVER (ORDER BY balance DESC, wallet_id) AS INT) AS dense_rnk,
+       CAST(ntile(4)     OVER (ORDER BY balance DESC, wallet_id) AS INT) AS quartile
+FROM bal
+""",
+)
+def q_wallet_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking analytics over the balance table (rank/dense_rank/
+    ntile with a total tie-broken order).  Global windows single-partition
+    the data — fine for a post-aggregation table of wallets, never applied
+    to raw events."""
+    from depositaja_spark.operators import balance_per_wallet
+
+    bal = balance_per_wallet(_deposits(spark, sf_dir), round_to=4)
+    w = W.orderBy(F.desc("balance"), F.asc("wallet_id"))
+    return bal.select(
+        "wallet_id",
+        "balance",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "daily_revenue_moving_avg",
+    """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_unix,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day_unix, revenue,
+       round(avg(revenue) OVER (ORDER BY day_unix
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS ma7
+FROM daily
+""",
+)
+def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average over exact daily revenue — time-series
+    smoothing with a bounded frame (state = 7 rows regardless of scale)."""
+    from depositaja_spark.functions.numeric import dec, exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("day_unix")
+    ).agg(exact_sum(dec("o_totalprice")).alias("revenue"))
+    w = W.orderBy("day_unix").rowsBetween(-6, 0)
+    return daily.select(
+        "day_unix", "revenue", F.round(F.avg("revenue").over(w), 4).alias("ma7")
+    )
+
+
+@query(
+    "parts_above_brand_avg",
+    """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+""",
+)
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (price above own-brand average),
+    decorrelated into a window average — one shuffle on the brand instead
+    of a per-row subquery.  Comparison on raw doubles is safe: both
+    engines compute the same avg over the same small per-brand sets...
+    with the window average never re-ordered (single partition per brand).
+    """
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )

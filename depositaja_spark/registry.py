@@ -437,3 +437,4 @@ def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sees the decorator above
 from depositaja_spark import queries_olap  # noqa: E402,F401
 from depositaja_spark import queries_ext  # noqa: E402,F401
+from depositaja_spark import queries_window  # noqa: E402,F401

@@ -56,20 +56,24 @@ def from_protobuf_gated(value: Column, message_name: str, descriptor_path: str) 
     above is the drop-in test-path replacement with identical schemas."""
     try:
         from pyspark.sql.protobuf.functions import from_protobuf
-    except ImportError as e:  # pragma: no cover
+
+        # the Python wrapper exists even without the jar — constructing the
+        # column is what surfaces the missing artifact
+        return from_protobuf(value, message_name, descFilePath=descriptor_path)
+    except Exception as e:  # pragma: no cover
         raise NotImplementedError(
             "protobuf codec requires the org.apache.spark:spark-protobuf "
             "artifact on the classpath; use the JSON codec in tests"
         ) from e
-    return from_protobuf(value, message_name, descFilePath=descriptor_path)
 
 
 def to_protobuf_gated(data: Column, message_name: str, descriptor_path: str) -> Column:
     try:
         from pyspark.sql.protobuf.functions import to_protobuf
-    except ImportError as e:  # pragma: no cover
+
+        return to_protobuf(data, message_name, descFilePath=descriptor_path)
+    except Exception as e:  # pragma: no cover
         raise NotImplementedError(
             "protobuf codec requires the org.apache.spark:spark-protobuf "
             "artifact on the classpath; use the JSON codec in tests"
         ) from e
-    return to_protobuf(data, message_name, descFilePath=descriptor_path)

@@ -1,0 +1,157 @@
+"""Property-based tests (SURVEY.md §5.4) with hypothesis.
+
+The key one is detector parity: the engine's exact stateful detector must
+agree with an independent pure-Python simulation of the reference's
+transition (detector/detector.go:51-71) on arbitrary deposit sequences —
+including adversarial timing around the 120-second boundary.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from depositaja_spark.operators import (
+    balance_per_wallet,
+    deposit_history,
+    latest_flag,
+    valid_deposits,
+)
+from depositaja_spark.schemas import MAX_AMOUNT, ROLLING_PERIOD_SECONDS
+
+BASE_TS = 1_600_000_000
+
+# a deposit sequence: per-event (wallet ∈ 3, amount, gap seconds)
+deposit_seqs = st.lists(
+    st.tuples(
+        st.sampled_from(["wa", "wb", "wc"]),
+        st.floats(min_value=-100.0, max_value=9000.0, allow_nan=False, width=32),
+        st.integers(min_value=0, max_value=200),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def to_rows(seq):
+    """(wallet, amount, gap) → DEPOSIT-shaped rows with cumulative ts."""
+    t = BASE_TS
+    rows = []
+    for i, (w, amt, gap) in enumerate(seq):
+        t += gap
+        rows.append((w, float(round(amt, 2)), t, i + 1))
+    return rows
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(
+        [(w, a, s, q) for (w, a, s, q) in rows],
+        "wallet_id string, amount double, clock_s long, seq long",
+    ).select(
+        "wallet_id", "amount", F.timestamp_seconds("clock_s").alias("ts"), "seq"
+    )
+
+
+@given(deposit_seqs)
+@SETTINGS
+def test_balance_matches_python_fold(spark, seq):
+    rows = to_rows(seq)
+    got = {
+        r.wallet_id: r.balance
+        for r in balance_per_wallet(valid_deposits(make_df(spark, rows))).collect()
+    }
+    want: dict = defaultdict(float)
+    for w, a, _, _ in rows:
+        if a > 0:
+            want[w] += a
+    assert set(got) == set(want)
+    for w in want:
+        assert got[w] == pytest.approx(want[w], abs=1e-9)
+
+
+@given(deposit_seqs)
+@SETTINGS
+def test_history_length_and_order(spark, seq):
+    rows = to_rows(seq)
+    hist = {
+        r.wallet_id: [d["amount"] for d in r.deposits]
+        for r in deposit_history(valid_deposits(make_df(spark, rows))).collect()
+    }
+    want: dict = defaultdict(list)
+    for w, a, _, _ in rows:
+        if a > 0:
+            want[w].append(a)
+    assert {k: v for k, v in hist.items()} == dict(want)
+
+
+@given(deposit_seqs)
+@SETTINGS
+def test_exact_detector_matches_reference_simulation(spark, seq):
+    """Engine replay vs an independent simulation of
+    detector/detector.go:51-71 (add → maybe-reset-swallowing-current →
+    flag-on-every-event)."""
+    from depositaja_spark.streaming.detector_state import exact_detector_batch
+
+    rows = [r for r in to_rows(seq) if r[1] > 0]
+    if not rows:
+        return
+    got = {
+        r.seq: (r.flag_removed, r.rolling_period_start_unix, round(r.received, 4))
+        for r in exact_detector_batch(make_df(spark, rows)).collect()
+    }
+
+    state: dict = {}
+    want = {}
+    for w, amt, now, seqno in rows:  # already in global seq order
+        start, received = state.get(w, (0, 0.0))
+        received += amt
+        if start == 0:
+            start = now
+        elif now - start > ROLLING_PERIOD_SECONDS:
+            start, received = 0, 0.0
+        flagged = received >= MAX_AMOUNT and start != 0
+        state[w] = (start, received)
+        want[seqno] = (not flagged, start if flagged else 0, round(received, 4))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["wa", "wb"]),
+            st.booleans(),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_latest_flag_is_last_event_per_key(spark, events):
+    """A4 fold == python fold by max seq (ties impossible: seq unique)."""
+    rows = [
+        (w, removed, 0 if removed else start, i + 1)
+        for i, (w, removed, start) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "wallet_id string, flag_removed boolean, rolling_period_start_unix long, seq long",
+    )
+    got = {
+        r.wallet_id: (r.flagged, r.rolling_period_start_unix)
+        for r in latest_flag(df).collect()
+    }
+    last: dict = {}
+    for w, removed, start, seqno in rows:
+        last[w] = (not removed, 0 if removed else start)
+    assert got == last
