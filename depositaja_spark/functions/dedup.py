@@ -180,18 +180,41 @@ def minhash_lsh_dedup(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ τ.
-    At 100 TB the verify join touches only candidate pairs, not all pairs.
+
+    The verify arm touches ONLY candidate pairs: each doc's distinct
+    shingle set is collected once (sorted array, shuffle-sized), then the
+    candidate list joins it twice and computes
+    |A∩B| / (|A|+|B|−|A∩B|) with array_intersect — O(candidates), not the
+    all-pairs inverted-index join.  That is the property that keeps this
+    sub-quadratic at 100 TB: LSH bounds the candidate count, and nothing
+    downstream ever rebuilds the full pair space.
 
     The shingle DataFrame feeds both the signature arm and the verify arm,
     so it is computed once and persisted (shuffle-sized state, evicted by
     the executor's LRU when the job ends)."""
     sh = shingles(docs, n, text_col).persist()
-    cand = lsh_candidate_pairs(minhash_signatures(docs, n, text_col, sh=sh))
-    exact = jaccard_pairs(docs, n, threshold=0.0, text_col=text_col, sh=sh)
+    cand = lsh_candidate_pairs(minhash_signatures(docs, n, text_col, sh=sh)).persist()
+    cand_ids = (
+        cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id")).distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(cand_ids), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
     return (
-        cand.join(exact, ["a_id", "b_id"])
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
     )
 
 
