@@ -57,17 +57,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document → (doc_id, shingle).
-    Built array-side (sequence + slice + concat) then exploded, so the
-    expensive explode happens once and stays codegen'd."""
+    Built array-side (sequence + slice + concat), deduped array-side with
+    array_distinct (duplicates can only occur within one document, so no
+    row-level .distinct() shuffle is ever needed), then exploded — the
+    whole thing stays inside one codegen stage with zero exchanges."""
     toks = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def shingle_hashes(
@@ -97,9 +96,13 @@ def jaccard_pairs(
     Scale notes: the self-join shuffles on the shingle — hot shingles are
     the skew risk, mitigated upstream by dropping ultra-frequent shingles
     (stop-shingle filtering) the same way stop-words are dropped; output
-    pairs are a_id < b_id so each pair appears once."""
+    pairs are a_id < b_id so each pair appears once.
+
+    The shingle frame feeds three consumers (both self-join sides and the
+    per-doc sizes), so when built here it is persisted — shingling runs
+    once instead of three times."""
     if sh is None:
-        sh = shingles(docs, n, text_col)
+        sh = shingles(docs, n, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
