@@ -150,6 +150,111 @@ def ann_topk_lsh(
     )
 
 
+#: vec_ids whose embeddings serve as IVF coarse-quantizer centroids
+CENTROID_IDS = [10, 11, 12, 13, 14, 15, 16, 17]
+#: how many nearest cells a query probes
+NPROBE = 2
+
+
+def _centroid_literals(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, "Column"]]:
+    """Collect the centroid vectors (a handful of rows) as literal arrays.
+    Deterministic corpus rows stand in for k-means centroids so the DuckDB
+    oracle can reproduce the assignment exactly; swapping in trained
+    centroids (e.g. a sampled k-means fit) changes nothing downstream."""
+    rows = (
+        corpus.filter(F.col(id_col).isin(CENTROID_IDS))
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return [(r[0], F.array(*[F.lit(float(x)) for x in r[1]])) for r in rows]
+
+
+def _cell_scores(vec: Column, cents: list[tuple[int, Column]]) -> Column:
+    """array<struct<cos,double nid:long>> of (rounded cosine, −centroid_id)
+    per centroid — struct max/sort then gives best-cosine with
+    smallest-centroid-id tie-break, matching the oracle's ORDER BY."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, cvec), 6).alias("cos"),
+                F.lit(-cid).cast("long").alias("nid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse quantization: every vector assigned to its nearest
+    centroid cell (max cosine, ties → smallest centroid id).  The centroid
+    loop is compile-time (8 column expressions), so assignment is one
+    narrow codegen'd projection over the corpus — no shuffle, no UDF."""
+    cents = _centroid_literals(corpus, id_col, vec_col)
+    best = F.array_max(_cell_scores(F.col(vec_col), cents))
+    return corpus.withColumn("cell", (-best["nid"]).cast("long"))
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: queries probe their ``nprobe`` nearest cells and only
+    vectors assigned to those cells are scored.
+
+    The cell equi-join replaces the cross join: expected candidates per
+    query ≈ nprobe·N/C.  At 100 TB the corpus would be written
+    partitioned/bucketed BY cell so a probe touches only its cells'
+    files — the same pruning IVF indexes do in vector stores, expressed as
+    Spark partition pruning.  Recall vs the exact scan is measured in
+    tests (tests/test_extensions.py)."""
+    from pyspark.sql import Window as W
+
+    cents = _centroid_literals(corpus, id_col, vec_col)
+    assigned = ivf_assign(corpus, id_col, vec_col)
+
+    probes = (
+        assigned.filter(F.col(id_col).isin(QUERY_IDS))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.slice(
+                    F.sort_array(_cell_scores(F.col(vec_col), cents), asc=False),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", "qvec", (-F.col("probe.nid")).cast("long").alias("cell"))
+    )
+    c = assigned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )  # each candidate lives in exactly one cell → no dedup shuffle needed
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def unit_vectors(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1,0 +1,161 @@
+"""Temporal-join and IVF-ANN queries (north-star extension surface).
+
+* ``asof_last_click`` — purchase→click attribution: each purchase picks the
+  same user's most recent click at or before it (backward as-of join).
+  Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+* ``purchase_error_pairs`` — binned range join: purchase/error event pairs
+  of the same user within ±10 minutes, exact microsecond boundaries.
+* ``ann_topk_ivf`` — IVF-cell-pruned approximate nearest neighbors.
+
+Timestamps compare as integer microseconds (``unix_micros`` /
+``epoch_us``) on both sides, so the engines can never disagree at a
+window boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import similarity as sim
+from depositaja_spark.functions.temporal import asof_join, range_join_binned
+from depositaja_spark.registry import query
+from depositaja_spark.sources import load_table
+
+
+# --- as-of join ---------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS amount
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id AS click_event_id
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       p.p_event_id,
+       epoch_us(p.ts) AS p_ts_us,
+       round(p.amount, 4) AS amount,
+       c.click_event_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("asof_last_click", _ASOF_SQL)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union-merge formulation, one shuffle): every
+    purchase attributed to the user's latest click at or before it;
+    purchases with no prior click keep nulls (left semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("amount")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(purchases, clicks, on="user_id", right_cols=["click_event_id"])
+    return joined.select(
+        "user_id",
+        "p_event_id",
+        F.unix_micros(F.col("ts")).alias("p_ts_us"),
+        F.round("amount", 4).alias("amount"),
+        F.col("click_event_id_asof").alias("click_event_id"),
+        F.unix_micros(F.col("ts_asof")).alias("click_ts_us"),
+    )
+
+
+# --- range join ---------------------------------------------------------------
+
+_RANGE_S = 600
+
+_RANGE_SQL = f"""
+WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_event_id
+           FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts AS e_ts, event_id AS e_event_id
+           FROM events WHERE event_type = 'error')
+SELECT p.user_id, p.p_event_id, e.e_event_id,
+       epoch_us(e.e_ts) - epoch_us(p.p_ts) AS gap_us
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND epoch_us(e.e_ts) BETWEEN epoch_us(p.p_ts) - {_RANGE_S} * 1000000
+                          AND epoch_us(p.p_ts) + {_RANGE_S} * 1000000
+"""
+
+
+@query("purchase_error_pairs", _RANGE_SQL)
+def q_purchase_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: purchase/error pairs of the same user within
+    ±10 min.  The bin equi-join bounds candidates to overlapping bins
+    (fan-out ≤ 2 bins/row) instead of exploding per-key histories."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_event_id")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("e_event_id")
+    )
+    pairs = range_join_binned(
+        purchases, errors, on="user_id", left_ts="p_ts", right_ts="e_ts",
+        lower_s=-_RANGE_S, upper_s=_RANGE_S,
+    )
+    return pairs.select(
+        "user_id",
+        "p_event_id",
+        "e_event_id",
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))).alias("gap_us"),
+    )
+
+
+# --- IVF ANN ------------------------------------------------------------------
+
+_Q_IDS = ", ".join(str(i) for i in sim.QUERY_IDS)
+_C_IDS = ", ".join(str(i) for i in sim.CENTROID_IDS)
+
+_COS = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)
+"""
+
+_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id IN ({_C_IDS})),
+cell_scores AS (
+  SELECT e.vec_id, c.cid, {_COS.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM cell_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM cell_scores
+  WHERE vec_id IN ({_Q_IDS})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= {sim.NPROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id IN ({_Q_IDS})),
+c2 AS (SELECT e.vec_id AS cand_id, e.embedding AS cvec, a.cell
+       FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+scored AS (
+  SELECT p.query_id, c2.cand_id, {_COS.format(a='q.qvec', b='c2.cvec')} AS cos
+  FROM c2 JOIN probes p USING (cell) JOIN q ON q.query_id = p.query_id
+  WHERE c2.cand_id != p.query_id
+)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {sim.TOP_K}
+"""
+
+
+@query("ann_topk_ivf", _IVF_SQL)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus coarse-quantized to centroid cells (centroids =
+    corpus rows {sim.CENTROID_IDS}); queries probe their {sim.NPROBE}
+    nearest cells and score only those cells' members."""
+    return sim.ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))

@@ -438,3 +438,4 @@ def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 from depositaja_spark import queries_olap  # noqa: E402,F401
 from depositaja_spark import queries_ext  # noqa: E402,F401
 from depositaja_spark import queries_window  # noqa: E402,F401
+from depositaja_spark import queries_temporal  # noqa: E402,F401

@@ -1,0 +1,145 @@
+"""Behavioral tests for the temporal join operators (functions/temporal.py)
+and the IVF ANN tier: golden edge cases the oracle differential can't
+isolate (inclusive ties, tolerance, bin boundaries, recall floors)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import similarity as sim
+from depositaja_spark.functions.temporal import asof_join, range_join_binned
+from depositaja_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", _ts(10), 1), ("A", _ts(20), 2), ("B", _ts(5), 3), ("C", _ts(9), 4)],
+        "sym string, ts timestamp, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(10), 100), ("A", _ts(15), 101), ("B", _ts(6), 102)],
+        "sym string, ts timestamp, quote_id long",
+    )
+    return trades, quotes
+
+
+def test_asof_inclusive_backward_match(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.trade_id: r.quote_id_asof
+        for r in asof_join(trades, quotes, on="sym").collect()
+    }
+    assert out[1] == 100  # equal timestamp matches (inclusive)
+    assert out[2] == 101  # latest prior quote wins
+    assert out[3] is None  # quote arrives after the trade → no match
+    assert out[4] is None  # key with no quotes at all → left row kept, nulls
+
+
+def test_asof_tolerance_voids_stale_matches(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r.trade_id: r.quote_id_asof
+        for r in asof_join(trades, quotes, on="sym", tolerance_s=3).collect()
+    }
+    assert out[1] == 100  # age 0 ≤ 3s
+    assert out[2] is None  # age 5s > 3s → voided
+    assert len(out) == 4  # tolerance never drops left rows
+
+
+def test_asof_row_count_preserved_on_real_data(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_id")
+    )
+    joined = asof_join(purchases, clicks, on="user_id", right_cols=["c_id"])
+    assert joined.count() == purchases.count()  # exactly one row per left row
+    # every matched click is at-or-before its purchase
+    assert (
+        joined.filter(F.col("ts_asof") > F.col("ts")).count() == 0
+    )
+
+
+def test_range_join_binned_matches_naive(spark):
+    """Binned plan ≡ naive inequality join on real data (the physical
+    optimization must not change the answer)."""
+    events = load_table(spark, SF_SMALL, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
+    binned = {
+        (r.p_id, r.e_id)
+        for r in range_join_binned(
+            purchases, errors, on="user_id", left_ts="p_ts", right_ts="e_ts",
+            lower_s=-600, upper_s=600,
+        ).collect()
+    }
+    naive = {
+        (r.p_id, r.e_id)
+        for r in purchases.join(errors, "user_id")
+        .filter(
+            F.col("e_ts").cast("double").between(
+                F.col("p_ts").cast("double") - 600,
+                F.col("p_ts").cast("double") + 600,
+            )
+        )
+        .collect()
+    }
+    assert binned == naive and len(binned) > 0
+
+
+def test_range_join_bin_boundary_inclusive(spark):
+    left = spark.createDataFrame([("k", _ts(1000), 1)], "k string, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [("k", _ts(400), 10), ("k", _ts(1600), 11), ("k", _ts(399), 12), ("k", _ts(1601), 13)],
+        "k string, rts timestamp, rid long",
+    )
+    got = {
+        r.rid
+        for r in range_join_binned(
+            left, right, on="k",
+            left_ts="ts", right_ts="rts", lower_s=-600, upper_s=600,
+        ).collect()
+    }
+    assert got == {10, 11}  # exact ±600s endpoints included, 1s outside excluded
+
+
+def test_range_join_rejects_ambiguous_columns(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="rename overlapping"):
+        range_join_binned(trades, quotes, on="sym")
+
+
+def test_ivf_assign_is_total_and_single_cell(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assigned = sim.ivf_assign(emb)
+    assert assigned.count() == emb.count()
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(sim.CENTROID_IDS)
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    exact = {(r.query_id, r.cand_id) for r in sim.cosine_topk(emb, queries).collect()}
+    approx = {(r.query_id, r.cand_id) for r in sim.ann_topk_ivf(emb).collect()}
+    recall = len(exact & approx) / len(exact)
+    # The driver's synthetic embeddings are isotropic-random (no cluster
+    # structure), so recall is bounded near the scanned fraction
+    # nprobe/C = 2/8 = 0.25; beating it shows cell-locality works.  On
+    # clustered (real) corpora recall rises toward 1 at the same nprobe.
+    assert recall > 0.25, f"IVF recall no better than random scan: {recall}"
