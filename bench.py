@@ -39,7 +39,10 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "simhash_signatures",
     "ann_topk_brute",
+    "ann_topk_ivf",
     "embedding_near_dups",
+    "asof_last_click",
+    "purchase_error_pairs",
 ]
 
 

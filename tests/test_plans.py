@@ -102,3 +102,34 @@ def test_latest_flag_partial_max_by(plans):
     latest-wins fold composes, so map-side combine applies)."""
     p = plans["latest_flag"]
     assert "partial_max_by" in p
+
+
+@pytest.fixture(scope="module")
+def temporal_plans(spark):
+    return {
+        name: plan_of(registry.QUERIES[name](spark, SF))
+        for name in ["asof_last_click", "purchase_error_pairs", "ann_topk_ivf"]
+    }
+
+
+def test_asof_join_single_exchange(temporal_plans):
+    """The union-merge as-of join promises exactly ONE shuffle (on the key)
+    — the property that separates it from the explode-then-rank naive
+    formulation."""
+    p = temporal_plans["asof_last_click"]
+    assert p.count("Exchange (") == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_range_join_is_equi_join(temporal_plans):
+    """The binned range join must plan as a hash equi-join on (key, bin) —
+    never a nested-loop over the inequality."""
+    p = temporal_plans["purchase_error_pairs"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_ivf_ann_no_cartesian(temporal_plans):
+    """IVF probe join is keyed on cell: no cross join anywhere in the
+    candidate-generation plan (the whole point of the index)."""
+    p = temporal_plans["ann_topk_ivf"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
