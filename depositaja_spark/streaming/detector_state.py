@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 from depositaja_spark.schemas import MAX_AMOUNT, ROLLING_PERIOD_SECONDS
 
@@ -123,6 +124,46 @@ def exact_detector(deposits: DataFrame, clock_col: str = "ts") -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class DetectorProcessor(StatefulProcessor):
+    """The same detector transition on the Spark 4 ``transformWithState``
+    API (StatefulProcessor): typed per-key ValueState handles instead of a
+    single state tuple — the forward path for custom stateful operators
+    (timers, TTL, multiple state variables) that applyInPandasWithState
+    cannot express.  Both implementations share ``_replay``; the streaming
+    tests assert identical output on identical input.
+    """
+
+    def init(self, handle) -> None:
+        self._counter = handle.getValueState("counter", STATE_SCHEMA)
+
+    def handleInputRows(self, key: tuple, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (wallet_id,) = key
+        existing = self._counter.get()
+        start, received = (existing[0], existing[1]) if existing is not None else (0, 0.0)
+        out: list[tuple] = []
+        for pdf in rows:
+            emitted, start, received = _replay(wallet_id, pdf, start, received)
+            out.extend(emitted)
+        self._counter.update((start, received))
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def exact_detector_tws(deposits: DataFrame, clock_col: str = "ts") -> DataFrame:
+    """``exact_detector`` on the transformWithStateInPandas API (Spark ≥4.0).
+    Same semantics, same output schema; state is a named ValueState in the
+    RocksDB store, checkpoint-restored like the classic variant."""
+    prepared = deposits.withColumn("clock", F.col(clock_col).cast("long"))
+    return prepared.groupBy("wallet_id").transformWithStateInPandas(
+        statefulProcessor=DetectorProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 

@@ -233,3 +233,42 @@ def test_kafka_wiring_builds_plans(spark):
         assert set(df.columns) == {"wallet_id", "amount", "ts", "seq"}
     except Exception as e:  # kafka connector jar absent in this image
         assert "kafka" in str(e).lower()
+
+
+def test_exact_detector_tws_equals_classic(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API) and applyInPandasWithState
+    produce identical FlagEvent streams on the same input.
+
+    The TWS runtime talks to its state server over protobuf, so the test
+    skips where the google.protobuf wheel is absent (this container) —
+    the operator itself is plain Spark 4 API, exercised wherever the
+    dependency exists."""
+    pytest.importorskip("google.protobuf")
+    from depositaja_spark.streaming.detector_state import exact_detector_tws
+
+    base = 1_700_000_000
+    rows = [
+        ("w1", 6000.0, base, 1),
+        ("w1", 5000.0, base + 60, 2),
+        ("w1", 70.0, base + 300, 3),
+        ("w2", 10_000.0, base + 10, 4),
+        ("w3", 10_000.0, base + 121, 5),
+    ]
+    src = tmp_path / "tws"
+    src.mkdir()
+    _write_deposit_file(str(src / "batch0.parquet"), rows)
+
+    stream1 = spark.readStream.schema(DEPOSIT).parquet(str(src))
+    _run_to_memory(exact_detector(stream1), "tws_classic")
+    stream2 = spark.readStream.schema(DEPOSIT).parquet(str(src))
+    _run_to_memory(exact_detector_tws(stream2), "tws_new")
+
+    def rows_of(view):
+        return {
+            r.seq: (r.wallet_id, r.flag_removed, r.rolling_period_start_unix,
+                    round(r.received, 4))
+            for r in spark.sql(f"SELECT * FROM {view}").collect()
+        }
+
+    classic, new = rows_of("tws_classic"), rows_of("tws_new")
+    assert classic == new and len(classic) == len(rows)
