@@ -439,3 +439,4 @@ from depositaja_spark import queries_olap  # noqa: E402,F401
 from depositaja_spark import queries_ext  # noqa: E402,F401
 from depositaja_spark import queries_window  # noqa: E402,F401
 from depositaja_spark import queries_temporal  # noqa: E402,F401
+from depositaja_spark import queries_sketch  # noqa: E402,F401

@@ -1,0 +1,59 @@
+"""Accuracy and mergeability bounds for the sketch aggregates — the
+assertions that stand in for an oracle on implementation-defined
+estimates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from depositaja_spark import registry
+from depositaja_spark.sources import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_cardinality_sketches_within_error(spark):
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    got = registry.QUERIES["sketch_distinct_users"](spark, SF_ORACLE).collect()
+    for r in got:
+        for est in (r.approx_users, r.hll_users):
+            rel = abs(est - exact[r.event_type]) / exact[r.event_type]
+            assert rel < 0.05, f"{r.event_type}: {est} vs {exact[r.event_type]}"
+
+
+def test_quantile_sketch_within_error(spark):
+    events = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r.qs
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"))
+        .collect()
+    }
+    got = registry.QUERIES["quantile_sketch_values"](spark, SF_ORACLE).collect()
+    for r in got:
+        for est, true in zip((r.p50, r.p95, r.p99), exact[r.event_type]):
+            assert abs(est - true) / max(true, 1e-9) < 0.05
+
+
+def test_hll_sketches_merge(spark):
+    """Partial sketches union to the global sketch — the property that
+    makes them shuffle-light at scale (combine per partition, merge once)."""
+    events = load_table(spark, SF_ORACLE, "events")
+    merged = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = (
+        events.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == direct
