@@ -261,6 +261,50 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
 
 
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip().rstrip()},
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sz sa ON a_id = sa.doc_id
+  JOIN sz sb ON b_id = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+),
+sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id AS doc_id,
+       min(lbl) AS cluster_id,
+       (min(lbl) = id) AS is_keeper
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard near-dup pair graph: every
+    document labeled with its cluster representative (min reachable
+    doc_id) and keeper flag — the closure step that turns pair detection
+    into dedup groups.  Iterative min-label propagation (keyed shuffles
+    only, lineage kept flat by persist/unpersist per round); oracle =
+    recursive-CTE reachability."""
+    from depositaja_spark.functions.graph import dedup_clusters as _dc
+
+    docs = _docs(spark, sf_dir)
+    return _dc(docs, dd.jaccard_pairs(docs, n=3, threshold=0.1))
+
+
 def _minhash_sql() -> str:
     mins = ",\n       ".join(
         f"min(({a} * h + {b}) % {dd.MINHASH_P}) AS mh_{i}"

@@ -1,0 +1,34 @@
+"""Connected-components golden tests: topologies the oracle differential
+exercises only implicitly (chains spanning multiple propagation rounds,
+singletons, two separate components)."""
+
+from __future__ import annotations
+
+from depositaja_spark.functions.graph import connected_components, dedup_clusters
+
+
+def test_chain_and_singleton(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 5-4-3-2-1 (min label must travel 4 hops), pair 0-6? no: keep 0
+    # isolated and 6 in the chain via 6-5
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (6, 5)], "a_id long, b_id long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_two_components_and_keepers(spark):
+    docs = spark.createDataFrame([(i,) for i in [10, 11, 12, 20, 21, 30]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "a_id long, b_id long"
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+        30: (30, True),
+    }
