@@ -454,3 +454,67 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- grouping sets -------------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by-status, by-priority, grand total) with
+    grouping_id disambiguation — one pass, one shuffle; Spark expands the
+    sets map-side like rollup/cube."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- distribution window functions ---------------------------------------------------------------
+
+
+@query(
+    "customer_balance_quartiles",
+    """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS INT) AS quartile,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal), 6) AS cdist
+FROM customer
+""",
+)
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles + cume_dist per
+    market segment (deterministic tie-break on custkey for ntile; ties in
+    cume_dist share a value by definition)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wc = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.cume_dist().over(wc), 6).alias("cdist"),
+    )

@@ -158,3 +158,40 @@ def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") > F.col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
     )
+
+
+@query(
+    "sliding_window_values",
+    """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600 - j.j) * 600 AS window_start_unix,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN (VALUES (0), (1), (2)) j(j)
+GROUP BY 1, 2
+""",
+)
+def q_sliding_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 30-minute windows every 10 minutes via
+    the built-in F.window(size, slide) — each event lands in size/slide=3
+    windows, expanded map-side before one shuffle.  The streaming form is
+    the same expression under a watermark.  Oracle replicates the window
+    arithmetic with a 3-way offset cross join."""
+    from depositaja_spark.functions.numeric import dec, exact_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(dec("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_unix"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
