@@ -518,3 +518,50 @@ def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.cume_dist().over(wc), 6).alias("cdist"),
     )
+
+
+@query(
+    "session_window_stats",
+    """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_unix,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM ids GROUP BY user_id, sid
+""",
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session windows (F.session_window, 30-min gap): per-session
+    event counts and value sums per user.  Same single shuffle as the
+    manual lag/island formulation (`user_sessions`) but state-managed by
+    the engine — and the identical expression runs under a watermark in
+    Structured Streaming, where the island trick cannot (it needs the
+    whole history ordered).  Oracle: gap→island labeling."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(dec("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_unix"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -72,6 +72,71 @@ def streaming_window_received(
     )
 
 
+def events_stream_from_dir(
+    spark: SparkSession, events_dir: str, event_type: str
+) -> DataFrame:
+    """One event_type's rows as a typed stream (ts converted ns→µs)."""
+    events = spark.readStream.schema(EVENTS_RAW).parquet(events_dir)
+    return events.filter(F.col("event_type") == event_type).select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_id",
+        "value",
+    )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    range_s: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pairs with the same key whose event
+    times are within ±``range_s`` seconds.  Both sides watermarked; the
+    time-range condition lets Spark bound each side's join state to the
+    watermark + range horizon and evict behind it — the property that
+    makes a stream-stream join runnable forever.  Batch analog:
+    functions/temporal.py:range_join_binned (equivalence tested)."""
+    l = left.select(
+        F.col(on),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(on).alias(f"_r_{on}"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(on) == F.col(f"_r_{on}"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {range_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {range_s} SECONDS"))
+    )
+    return l.join(r, cond).select(
+        F.col(on), "l_id", "r_id",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias("gap_us"),
+    )
+
+
+def streaming_user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """Streaming session windows: the same F.session_window expression as
+    the batch query (queries_olap.session_window_stats) under a watermark —
+    sessions finalize when the watermark passes their close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_unix"),
+            "n_events",
+        )
+    )
+
+
 def streaming_flag_events(windowed: DataFrame, max_amount: float = MAX_AMOUNT) -> DataFrame:
     """P5 on the stream: flag/unflag event per finalized (wallet, window),
     seq = window anchor (monotone per wallet, so the serving fold's

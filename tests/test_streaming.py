@@ -272,3 +272,88 @@ def test_exact_detector_tws_equals_classic(spark, tmp_path):
 
     classic, new = rows_of("tws_classic"), rows_of("tws_new")
     assert classic == new and len(classic) == len(rows)
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, events_dir):
+    """Stream-stream interval join total output == the batch binned range
+    join on the same data (append mode emits each matched pair once)."""
+    from depositaja_spark.functions.temporal import range_join_binned
+    from depositaja_spark.streaming.pipeline import (
+        events_stream_from_dir,
+        streaming_interval_join,
+    )
+
+    purchases = events_stream_from_dir(spark, events_dir, "purchase")
+    errors = events_stream_from_dir(spark, events_dir, "error")
+    _run_to_memory(
+        streaming_interval_join(purchases, errors, range_s=600), "sj_out"
+    )
+    got = {
+        (r.user_id, r.l_id, r.r_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM sj_out").collect()
+    }
+
+    events = load_table(spark, SF, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
+    want = {
+        (r.user_id, r.p_id, r.e_id,
+         r.gap_us)
+        for r in range_join_binned(
+            p, e, on="user_id", left_ts="p_ts", right_ts="e_ts",
+            lower_s=-600, upper_s=600,
+        )
+        .select(
+            "user_id", "p_id", "e_id",
+            (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, events_dir):
+    """Streaming session_window (finalized sessions) ⊆ batch session_window
+    with identical per-session stats; all sessions closed before the final
+    watermark are present."""
+    from depositaja_spark.streaming.pipeline import (
+        EVENTS_RAW,
+        streaming_user_sessions,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW)
+        .parquet(events_dir)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        )
+    )
+    _run_to_memory(streaming_user_sessions(stream), "sess_out", mode="append")
+    got = {
+        (r.user_id, r.session_start_unix): r.n_events
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    events = load_table(spark, SF, "events")
+    batch = {
+        (r.user_id, r.session_start_unix): r.n_events
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_unix"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    # every finalized streaming session matches its batch twin exactly
+    for k, n in got.items():
+        assert batch[k] == n
