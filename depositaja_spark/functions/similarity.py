@@ -218,7 +218,10 @@ def ann_topk_ivf(
     from pyspark.sql import Window as W
 
     cents = _centroid_literals(corpus, id_col, vec_col)
-    assigned = ivf_assign(corpus, id_col, vec_col)
+    # both the probe arm and the candidate arm read the assignment; persist
+    # so the C-cosine projection runs once (the materialized analog of
+    # storing the corpus partitioned BY cell, which is the layout at scale)
+    assigned = ivf_assign(corpus, id_col, vec_col).persist()
 
     probes = (
         assigned.filter(F.col(id_col).isin(QUERY_IDS))

@@ -565,3 +565,65 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "value_props_correlation",
+    """
+WITH d AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,2)) AS x,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       AS corr
+FROM s
+""",
+)
+def q_value_props_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation with deterministic arithmetic: the
+    five moment sums accumulate in exact DECIMAL (order-independent under
+    any partitioning / AQE re-plan), the closed-form combines them in one
+    scalar expression at the end.  The built-in F.corr streams doubles and
+    is summation-order dependent — unfit for engine-differential testing
+    and for replay-stable results; this shape costs the same one shuffle."""
+    from depositaja_spark.schemas import EVENT_PROPS
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        dec("value").alias("x"),
+        F.from_json("props", EVENT_PROPS).getField("k").alias("y"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+    )

@@ -99,3 +99,22 @@ def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("quantile_sketch_values")
+
+
+@query("stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy with a fixed seed): per-event_type
+    Bernoulli fractions — the standard corpus-downsampling primitive
+    (e.g. rebalancing domains before training).  Scan-local, no shuffle.
+    Sampling is seed-and-partitioning dependent → rows-only for the
+    driver; fraction accuracy and determinism asserted in
+    tests/test_sketch.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.sampleBy(
+        "event_type",
+        fractions={"purchase": 0.5, "click": 0.1, "view": 0.1, "error": 1.0, "signup": 0.0},
+        seed=42,
+    ).select("event_id", "event_type", "user_id")
+
+
+NO_ORACLE_OK.add("stratified_sample")

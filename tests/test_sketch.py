@@ -57,3 +57,24 @@ def test_hll_sketches_merge(spark):
         .est
     )
     assert merged == direct
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from depositaja_spark import registry
+
+    q = registry.QUERIES["stratified_sample"]
+    a = q(spark, SF_ORACLE).groupBy("event_type").count().collect()
+    b = q(spark, SF_ORACLE).groupBy("event_type").count().collect()
+    assert {(r.event_type, r["count"]) for r in a} == {
+        (r.event_type, r["count"]) for r in b
+    }  # same seed + same input ⇒ identical sample
+    got = {r.event_type: r["count"] for r in a}
+    totals = {
+        r.event_type: r["count"]
+        for r in load_table(spark, SF_ORACLE, "events").groupBy("event_type").count().collect()
+    }
+    assert got["error"] == totals["error"]  # fraction 1.0 keeps everything
+    assert "signup" not in got  # fraction 0.0 drops everything
+    for etype, frac in (("purchase", 0.5), ("click", 0.1), ("view", 0.1)):
+        rel = got[etype] / totals[etype]
+        assert abs(rel - frac) < 0.05, f"{etype}: {rel} vs {frac}"
