@@ -55,6 +55,28 @@ def check_one(balances: DataFrame, flags: DataFrame, wallet_id: str) -> DataFram
     )
 
 
+def check_many(balances: DataFrame, flags: DataFrame, probes: DataFrame) -> DataFrame:
+    """Batch probe: ``/check`` for a SET of wallet ids — one row per probe,
+    zero-value defaults for unknown wallets, same semantics as check_one
+    row-by-row but one job.
+
+    The probe set is broadcast (requests are small relative to the serving
+    tables), so each serving table is scanned once with a broadcast hash
+    join — the shape that serves a 10⁴-key batch lookup against a 10⁹-row
+    serving table without shuffling the table.
+    """
+    p = F.broadcast(probes.select("wallet_id").distinct())
+    return (
+        p.join(balances.join(p, "wallet_id", "left_semi"), "wallet_id", "left_outer")
+        .join(flags.join(p, "wallet_id", "left_semi"), "wallet_id", "left_outer")
+        .select(
+            "wallet_id",
+            F.coalesce(F.col("balance"), F.lit(0.0)).alias("balance"),
+            F.coalesce(F.col("flagged"), F.lit(False)).alias("above_threshold"),
+        )
+    )
+
+
 def point_lookup(table: DataFrame, wallet_id: str) -> DataFrame:
     """S7 — ``view.Get(key)`` analog (service/service.go:128,142): a keyed
     filter against a materialized table.  On a parquet/Delta serving table

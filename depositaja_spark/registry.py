@@ -359,6 +359,37 @@ FROM bal b LEFT JOIN flags f USING (wallet_id)
 )
 
 
+_CHECK_MANY_SQL = (
+    _CHECK_ALL_SQL.replace(
+        "SELECT b.wallet_id,",
+        """SELECT p.wallet_id,""",
+    ).replace(
+        "FROM bal b LEFT JOIN flags f USING (wallet_id)",
+        """FROM (VALUES ('3'), ('7'), ('42'), ('wallet-that-never-deposited')) p(wallet_id)
+LEFT JOIN bal b USING (wallet_id)
+LEFT JOIN flags f USING (wallet_id)""",
+    )
+)
+
+
+@query("check_many", _CHECK_MANY_SQL)
+def q_check_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 scale path — /check for a probe SET in one job: the probe keys
+    broadcast against both serving tables (semi-join filter, then
+    broadcast outer join), unknown wallets answering {0, false}.  The
+    shape that batch-serves 10^4 lookups against a 10^9-row table without
+    shuffling the table."""
+    from depositaja_spark.operators.check import check_many
+
+    d = valid_deposits(_deposits(spark, sf_dir))
+    balances = balance_per_wallet(d, round_to=4)
+    flags = latest_flag(flag_events(window_received(d, round_to=4)))
+    probes = spark.createDataFrame(
+        [("3",), ("7",), ("42",), ("wallet-that-never-deposited",)], "wallet_id string"
+    )
+    return check_many(balances, flags, probes)
+
+
 @query("check_all", _CHECK_ALL_SQL)
 def q_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — the flagship: GET /check for every wallet
