@@ -566,3 +566,93 @@ def q_exact_detector_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("exact_detector_replay")
+
+
+# --- chunking & packing (training-data prep) ---------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@query(
+    "chunk_documents",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(toks[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ') AS chunk,
+       CAST(least(len(toks) - i * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS INT) AS n_tokens
+FROM toks
+CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+WHERE i < greatest(1, CAST(ceil((len(toks) - {_CHUNK_SIZE}) / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({_CHUNK_SIZE}-token chunks,
+    stride {_CHUNK_STRIDE}) — the RAG/pretraining segmentation step.
+    Chunk boundaries computed array-side (sequence + slice), exploded once;
+    no shuffle at all — chunking is embarrassingly row-local, which is why
+    it scales to any corpus."""
+    toks = tx.tokens("text")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(_CHUNK_SIZE)) / F.lit(_CHUNK_STRIDE) + 1).cast("int")
+    )
+    chunk_idx = F.sequence(F.lit(0), n_chunks - 1)
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(chunk_idx).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE),
+                " ",
+            ).alias("chunk"),
+            F.least(
+                F.size("toks") - F.col("chunk_id") * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+_PACK_TARGET = 512
+
+
+@query(
+    "pack_documents",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+),
+runs AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((cum - n_tokens) / {_PACK_TARGET}) AS BIGINT) AS pack_id
+FROM runs
+""",
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents concatenated per language into
+    ~{_PACK_TARGET}-token training bins (bin = cumulative-token prefix /
+    target — the streaming-greedy packing used to fill context windows).
+    One shuffle on lang; the running sum is a window over (lang, doc_id)
+    order, deterministic on both engines."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    n = F.size(tx.tokens("text"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    runs = docs.select("doc_id", "lang", n.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return runs.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_TARGET).alias("pack_id"),
+    )
