@@ -118,3 +118,28 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("stratified_sample")
+
+
+@query("kmeans_cluster_sizes")
+def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (functions/kmeans.py) trained 3 iterations over the
+    embedding corpus, reporting per-cluster membership — the iterative-
+    algorithm surface (IVF quantizer training, corpus clustering).
+    Iterative fixpoints are not SQL-expressible → rows-only for the
+    driver; objective monotonicity and blob recovery are asserted in
+    tests/test_kmeans.py."""
+    from pyspark.sql import functions as FF
+
+    from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    cents = kmeans_fit(emb, k=8, iterations=3)
+    return (
+        assign_clusters(emb, cents)
+        .groupBy("cluster")
+        .agg(FF.count(FF.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
+NO_ORACLE_OK.add("kmeans_cluster_sizes")

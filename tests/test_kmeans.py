@@ -1,0 +1,47 @@
+"""Lloyd's k-means convergence/behavior tests (iterative algorithms have
+no SQL oracle — the objective function IS the spec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.kmeans import assign_clusters, inertia, kmeans_fit
+from depositaja_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_inertia_monotone_and_total_assignment(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").persist()
+    n = emb.count()
+
+    seed = [[float(x) for x in r[0]] for r in emb.orderBy("vec_id").select("embedding").limit(8).collect()]
+    a0 = assign_clusters(emb, seed)
+    j0 = inertia(a0, seed)
+
+    trained = kmeans_fit(emb, k=8, iterations=3)
+    a1 = assign_clusters(emb, trained)
+    j1 = inertia(a1, trained)
+
+    assert a1.count() == n  # every vector assigned
+    assert a1.select("cluster").distinct().count() <= 8
+    assert j1 <= j0 * (1 + 1e-9), f"objective increased: {j0} -> {j1}"
+    # training actually moves the needle on random-seeded centroids
+    assert j1 < j0 * 0.999
+
+
+def test_separated_clusters_recovered(spark):
+    """Two well-separated blobs: k-means must put one centroid in each and
+    assignment must match the generating blob exactly."""
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 10.0]))
+    for i in range(20, 40):
+        rows.append((i, [-10.0, -10.0 - (i % 5) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=2, iterations=4)
+    got = {
+        r.vec_id: r.cluster for r in assign_clusters(emb, cents).collect()
+    }
+    blob0 = {got[i] for i in range(20)}
+    blob1 = {got[i] for i in range(20, 40)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
