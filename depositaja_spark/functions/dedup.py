@@ -100,14 +100,20 @@ def jaccard_pairs(
 
     The shingle frame feeds three consumers (both self-join sides and the
     per-doc sizes), so when built here it is persisted — shingling runs
-    once instead of three times."""
+    once instead of three times.  The join key is the 60-bit shingle hash,
+    not the shingle string: the exchange/sort then moves 8-byte longs
+    instead of ~30-byte strings (measurably faster, and at 100 TB it is
+    the difference between shuffling the corpus's n-gram text and
+    shuffling fixed-width keys).  Jaccard values are unchanged unless two
+    distinct shingles collide in 60 bits (~2⁻⁶⁰ per pair)."""
     if sh is None:
-        sh = shingles(docs, n, text_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        sh = shingles(docs, n, text_col)
+    shh = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).persist()
+    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shh.alias("a")
+    b = shh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -133,14 +139,26 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, text_col: str = "text", sh: DataFrame | None = None
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    sh: DataFrame | None = None,
+    hh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): k-permutation MinHash signature.
 
     One explode + one groupBy with k ``min`` aggregates — map-side partial
     mins make this a single cheap shuffle regardless of corpus size.
-    E[J(A,B)] = P(mh_i(A)=mh_i(B)) is the textbook estimator."""
-    h = shingle_hashes(docs, n, text_col, sh=sh)
+    E[J(A,B)] = P(mh_i(A)=mh_i(B)) is the textbook estimator.
+
+    ``hh`` lets callers feed a precomputed (doc_id, h=hash64(shingle))
+    frame; (a·(h mod P)+b) mod P ≡ (a·h+b) mod P, so reducing the 60-bit
+    hash mod P here yields bit-identical signatures (the pre-reduction is
+    required anyway: a·h would overflow int64 for 60-bit h)."""
+    if hh is not None:
+        h = hh.select("doc_id", (F.col("h") % MINHASH_P).alias("h"))
+    else:
+        h = shingle_hashes(docs, n, text_col, sh=sh)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -153,18 +171,25 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     documents sharing any band bucket become candidates.  The bucket join
     shuffles on (band, band_key) — sub-quadratic, the scale path that
     replaces the all-pairs join."""
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        key = F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
-        bands.append(
-            signatures.select(
-                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
-            )
-        )
-    exploded = bands[0]
-    for extra in bands[1:]:
-        exploded = exploded.unionByName(extra)
+    # one explode, not a LSH_BANDS-way union: each union branch would carry
+    # its own copy of the upstream signature aggregation subtree, so the
+    # groupBy would execute LSH_BANDS times.  The array-of-structs explode
+    # computes signatures once and fans out rows inside the same stage.
+    def _key(b: int) -> Column:
+        cols = [
+            F.col(f"mh_{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)
+        ]
+        return F.md5(F.concat_ws(":", *cols))
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _key(b).alias("band_key"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = signatures.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
     a = exploded.alias("a")
     b2 = exploded.alias("b")
     return (
@@ -192,18 +217,26 @@ def minhash_lsh_dedup(
     sub-quadratic at 100 TB: LSH bounds the candidate count, and nothing
     downstream ever rebuilds the full pair space.
 
-    The shingle DataFrame feeds both the signature arm and the verify arm,
-    so it is computed once and persisted (shuffle-sized state, evicted by
-    the executor's LRU when the job ends)."""
-    sh = shingles(docs, n, text_col).persist()
-    cand = lsh_candidate_pairs(minhash_signatures(docs, n, text_col, sh=sh)).persist()
+    The hashed-shingle DataFrame feeds both the signature arm and the
+    verify arm, so it is computed once and persisted (shuffle-sized state,
+    evicted by the executor's LRU when the job ends).  Both arms work on
+    the 60-bit shingle hash, never the shingle string: signatures reduce
+    it mod P (bit-identical, see minhash_signatures), and the verify
+    intersects long arrays instead of string arrays — smaller state,
+    cheaper compare, same Jaccard short of a ~2⁻⁶⁰ hash collision."""
+    shh = (
+        shingles(docs, n, text_col)
+        .select("doc_id", hash64(F.col("shingle")).alias("h"))
+        .persist()
+    )
+    cand = lsh_candidate_pairs(minhash_signatures(docs, hh=shh)).persist()
     cand_ids = (
         cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id")).distinct()
     )
     sets = (
-        sh.join(F.broadcast(cand_ids), "doc_id")
+        shh.join(F.broadcast(cand_ids), "doc_id")
         .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sset"))
+        .agg(F.collect_set("h").alias("sset"))
     )
     a = sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))
@@ -228,8 +261,13 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): SIMHASH_BITS-bit Charikar signature over token
     hashes (multiplicity-weighted).  Explode + one groupBy with one
     conditional-sum per bit; the bit loop is compile-time, not data-time."""
-    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
-    h = hash64(F.col("tok"))
+    # hash materialized as a column BEFORE the aggregate: each of the 32
+    # bit-aggregates references h, and inlining the md5 expression into
+    # every aggregate would evaluate it 32× per token
+    tok = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    ).select("doc_id", hash64(F.col("tok")).alias("h"))
+    h = F.col("h")
     per_bit = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

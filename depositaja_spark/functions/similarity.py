@@ -156,47 +156,71 @@ CENTROID_IDS = [10, 11, 12, 13, 14, 15, 16, 17]
 NPROBE = 2
 
 
-def _centroid_literals(
+def _centroid_matrix(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> list[tuple[int, "Column"]]:
-    """Collect the centroid vectors (a handful of rows) as literal arrays.
-    Deterministic corpus rows stand in for k-means centroids so the DuckDB
-    oracle can reproduce the assignment exactly; swapping in trained
-    centroids (e.g. a sampled k-means fit) changes nothing downstream."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, matrix) of the centroid vectors, ids ascending."""
     rows = (
         corpus.filter(F.col(id_col).isin(CENTROID_IDS))
         .orderBy(id_col)
         .select(id_col, vec_col)
         .collect()
     )
-    return [(r[0], F.array(*[F.lit(float(x)) for x in r[1]])) for r in rows]
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    return ids, mat
 
 
-def _cell_scores(vec: Column, cents: list[tuple[int, Column]]) -> Column:
-    """array<struct<cos,double nid:long>> of (rounded cosine, −centroid_id)
-    per centroid — struct max/sort then gives best-cosine with
-    smallest-centroid-id tie-break, matching the oracle's ORDER BY."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(cosine(vec, cvec), 6).alias("cos"),
-                F.lit(-cid).cast("long").alias("nid"),
-            )
-            for cid, cvec in cents
-        ]
-    )
+def _ranked_cells_udf(cids: np.ndarray, cents: np.ndarray):
+    """Arrow-batched ranking of centroid cells per vector: centroid ids
+    ordered by (cosine desc, centroid id asc).  The centroid matrix is a
+    handful of rows, closed over and shipped with the UDF (the broadcast
+    analog on a cluster); one numpy matmul scores a whole Arrow batch —
+    the vectorized replacement for C interpreted higher-order-function
+    cosines per row.  Cosines are rounded to 6 decimals BEFORE ranking so
+    the order matches the oracle's ORDER BY round(...) exactly."""
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<long>")
+    def ranked(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy()).astype("float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(mat @ cn.T, 6)
+        # stable argsort on -cos: ties keep ascending-centroid-id order
+        order = np.argsort(-cos, axis=1, kind="stable")
+        return pd.Series(list(cids[order]))
+
+    return ranked
+
+
+def pair_cos_udf():
+    """Arrow-batched row-wise cosine, rounded to 6 decimals — the
+    vectorized pair-scoring path shared by the ANN joins."""
+
+    @F.pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.to_numpy()).astype("float64")
+        bv = np.stack(b.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    return pair_cos
 
 
 def ivf_assign(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """IVF coarse quantization: every vector assigned to its nearest
-    centroid cell (max cosine, ties → smallest centroid id).  The centroid
-    loop is compile-time (8 column expressions), so assignment is one
-    narrow codegen'd projection over the corpus — no shuffle, no UDF."""
-    cents = _centroid_literals(corpus, id_col, vec_col)
-    best = F.array_max(_cell_scores(F.col(vec_col), cents))
-    return corpus.withColumn("cell", (-best["nid"]).cast("long"))
+    centroid cell (max cosine, ties → smallest centroid id).  One narrow
+    Arrow-batched projection over the corpus — no shuffle."""
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col)
+    ranked = _ranked_cells_udf(cids, cents)
+    return corpus.withColumn("cell", ranked(F.col(vec_col)).getItem(0))
 
 
 def ann_topk_ivf(
@@ -213,33 +237,30 @@ def ann_topk_ivf(
     query ≈ nprobe·N/C.  At 100 TB the corpus would be written
     partitioned/bucketed BY cell so a probe touches only its cells'
     files — the same pruning IVF indexes do in vector stores, expressed as
-    Spark partition pruning.  Recall vs the exact scan is measured in
-    tests (tests/test_extensions.py)."""
+    Spark partition pruning.  Cell ranking and pair scoring both run as
+    Arrow-batched numpy (one matmul per batch); recall vs the exact scan
+    is measured in tests (tests/test_extensions.py)."""
     from pyspark.sql import Window as W
 
-    cents = _centroid_literals(corpus, id_col, vec_col)
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col)
+    ranked = _ranked_cells_udf(cids, cents)
     # both the probe arm and the candidate arm read the assignment; persist
-    # so the C-cosine projection runs once (the materialized analog of
+    # so the ranking projection runs once (the materialized analog of
     # storing the corpus partitioned BY cell, which is the layout at scale)
-    assigned = ivf_assign(corpus, id_col, vec_col).persist()
+    assigned = corpus.withColumn("cells", ranked(F.col(vec_col))).persist()
 
     probes = (
         assigned.filter(F.col(id_col).isin(QUERY_IDS))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.explode(
-                F.slice(
-                    F.sort_array(_cell_scores(F.col(vec_col), cents), asc=False),
-                    1,
-                    nprobe,
-                )
-            ).alias("probe"),
+            F.explode(F.slice(F.col("cells"), 1, nprobe)).alias("cell"),
         )
-        .select("query_id", "qvec", (-F.col("probe.nid")).cast("long").alias("cell"))
     )
     c = assigned.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cell"
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("cells").getItem(0).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
@@ -247,7 +268,7 @@ def ann_topk_ivf(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            pair_cos_udf()(F.col("qvec"), F.col("cvec")).alias("cos"),
         )
     )  # each candidate lives in exactly one cell → no dedup shuffle needed
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))

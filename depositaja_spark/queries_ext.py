@@ -19,14 +19,18 @@ from depositaja_spark.functions import similarity as sim
 from depositaja_spark.functions import text as tx
 from depositaja_spark.registry import NO_ORACLE_OK, query
 from depositaja_spark.sources import load_table
+from depositaja_spark.sources.tables import spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: the per-row compute (shingling, hashing, tokenizing) in these
+    # queries dwarfs the scan, and the test file is a single row group →
+    # one task without an explicit rebalance (sources/tables.py:spread)
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 # DuckDB fragments mirroring functions/text.py

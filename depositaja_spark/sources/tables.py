@@ -37,6 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition to executor parallelism.
+
+    Scan parallelism follows file splits; the driver's tables are single
+    row-group parquet files, so a plain read plans ONE task no matter how
+    many cores exist.  For CPU-bound transforms over narrow inputs
+    (shingling, hashing, vector math) the input bytes are tiny but the
+    per-row compute dominates — an explicit round-robin exchange decouples
+    compute parallelism from input layout.  At 100 TB the inputs are
+    many-file datasets and the same call becomes a cheap rebalance (or a
+    no-op to remove); correctness never depends on partitioning.
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver table into a dict."""
     return {name: load_table(spark, sf_dir, name) for name in TEST_TABLES}
