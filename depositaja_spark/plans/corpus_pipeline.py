@@ -1,0 +1,99 @@
+"""End-to-end corpus cleaning pipeline — the canonical LLM training-data
+preprocessing flow, composed from the extension operators as one
+DataFrame job:
+
+    quality gate → language gate → exact dedup → near-dup clustering
+    → keeper selection
+
+Stage economics at 100 TB (cheapest-first so every stage shrinks the
+input of the next):
+
+* the quality + language gates are ONE narrow projection + filter — no
+  shuffle, evaluated inside the scan's codegen stage, so unusable
+  documents never reach an exchange;
+* exact dedup is one hash shuffle on the content fingerprint (window-min
+  over ``md5(text)``) and typically removes the bulk of duplicate bytes;
+* near-dup detection (3-gram Jaccard inverted-index join,
+  functions/dedup.py:jaccard_pairs) and the connected-components closure
+  (functions/graph.py:dedup_clusters) run LAST, on the smallest
+  surviving set — they are the only super-linear stages.
+
+The reference system (a wallet stream processor — see SURVEY.md) has no
+corpus operators; this pipeline is the north-star extension surface
+exercised end-to-end, oracle-checked as the ``clean_corpus`` query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import text as tx
+from depositaja_spark.functions.dedup import jaccard_pairs
+from depositaja_spark.functions.graph import dedup_clusters
+
+#: minimum whitespace-token count for the quality gate
+MIN_TOKENS = 20
+#: minimum a-z character ratio for the quality gate
+MIN_ALPHA = 0.8
+#: 3-gram Jaccard threshold for the near-dup stage
+NEAR_DUP_THRESHOLD = 0.1
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Surviving documents after the full cleaning pipeline:
+    (doc_id, predicted_lang, n_tokens), one row per kept document.
+
+    A document survives iff it (1) has ≥ ``min_tokens`` tokens and
+    ≥ ``min_alpha`` alphabetic ratio, (2) gets a confident language
+    prediction, (3) is the smallest doc_id of its exact-content group,
+    and (4) is the smallest doc_id reachable in its near-dup cluster
+    (3-gram Jaccard ≥ ``threshold``, closed transitively)."""
+    toks = tx.tokens("text")
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    alpha_ratio = F.round(n_alpha.cast("double") / F.length("text"), 6)
+
+    scored = docs.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        *tx.lang_scores(toks),
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in tx.LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(tx.LANG_ORDER):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    base = (
+        scored.withColumn("predicted_lang", pred)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha)
+            & (F.col("predicted_lang") != "und")
+        )
+        .select("doc_id", "text", "predicted_lang", "n_tokens")
+    )
+
+    # exact dedup: keep the min doc_id of each content-identical group —
+    # one hash shuffle on md5(text)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    exact = (
+        base.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+        .persist()  # feeds pair generation, the cluster vertex set, and the final join
+    )
+
+    pairs = jaccard_pairs(exact, n=3, threshold=threshold)
+    keepers = dedup_clusters(exact, pairs).filter(F.col("is_keeper"))
+    return exact.join(keepers.select("doc_id"), "doc_id").select(
+        "doc_id", "predicted_lang", "n_tokens"
+    )

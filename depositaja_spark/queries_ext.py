@@ -408,6 +408,87 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
+def _clean_corpus_sql() -> str:
+    from depositaja_spark.plans.corpus_pipeline import (
+        MIN_ALPHA,
+        MIN_TOKENS,
+        NEAR_DUP_THRESHOLD,
+    )
+
+    score_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({_sql_list(tx.LANG_PROFILES[lang])}, t))) AS INT) AS score_{lang}"
+        for lang in tx.LANG_ORDER
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in tx.LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in tx.LANG_ORDER:
+        case += f"WHEN score_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH RECURSIVE
+scored AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS alpha_ratio,
+         {score_cols}
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+),
+base AS (
+  SELECT doc_id, text, n_tokens, predicted_lang FROM (
+    SELECT *, {case} AS predicted_lang
+    FROM (SELECT *, {greatest} AS best FROM scored)
+  )
+  WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+    AND predicted_lang != 'und'
+),
+exact AS (
+  SELECT doc_id, text, predicted_lang, n_tokens FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM base
+  ) WHERE doc_id = rep
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM exact)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sz sa ON a_id = sa.doc_id
+  JOIN sz sb ON b_id = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NEAR_DUP_THRESHOLD}
+),
+sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM exact
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+),
+keepers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) = id)
+SELECT e.doc_id, e.predicted_lang, e.n_tokens
+FROM exact e JOIN keepers USING (doc_id)
+"""
+
+
+@query("clean_corpus", _clean_corpus_sql())
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-cleaning pipeline (quality gate → language gate →
+    exact dedup → near-dup clustering → keeper selection) — the composed
+    LLM-data preprocessing flow (plans/corpus_pipeline.py)."""
+    from depositaja_spark.plans.corpus_pipeline import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir))
+
+
 # --- similarity search --------------------------------------------------------
 
 _Q_IDS = ", ".join(str(i) for i in sim.QUERY_IDS)

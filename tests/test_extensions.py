@@ -110,3 +110,37 @@ def test_multimodal_stubs_raise(spark, docs):
         mm.frame_sample(payloads)
     with pytest.raises(NotImplementedError):
         mm.resize_images(payloads, 64, 64)
+
+
+def test_clean_corpus_pipeline(spark, docs):
+    """Pipeline invariants the oracle diff can't see: survivors are a
+    subset of the corpus, carry no residual near-dup pair, no residual
+    exact duplicate, and every survivor passes the gates."""
+    from depositaja_spark.plans.corpus_pipeline import (
+        MIN_ALPHA,
+        MIN_TOKENS,
+        NEAR_DUP_THRESHOLD,
+        clean_corpus,
+    )
+
+    kept = clean_corpus(docs)
+    rows = kept.collect()
+    assert rows, "pipeline should keep most of the corpus"
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept_ids = {r.doc_id for r in rows}
+    assert kept_ids <= all_ids
+    assert len(kept_ids) == len(rows), "one row per kept doc"
+
+    for r in rows:
+        assert r.n_tokens >= MIN_TOKENS
+        assert r.predicted_lang != "und"
+
+    survivors = docs.join(
+        kept.select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    # no two survivors share content
+    n_distinct = survivors.select(F.md5("text")).distinct().count()
+    assert n_distinct == len(rows)
+    # no near-dup pair survives intact (the closure keeps only cluster minima)
+    residual = dd.jaccard_pairs(survivors, threshold=NEAR_DUP_THRESHOLD).count()
+    assert residual == 0, f"{residual} near-dup pairs survived dedup"
