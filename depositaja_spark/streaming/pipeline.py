@@ -137,6 +137,28 @@ def streaming_user_sessions(
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication of an at-least-once source.
+
+    The reference's delivery contract is at-least-once (Goka default):
+    a broker redelivery double-counts every downstream aggregate.  This
+    operator drops redelivered rows by key BEFORE they reach any state —
+    ``dropDuplicatesWithinWatermark`` keeps one fingerprint per key in
+    the state store and evicts it once the watermark passes, so state is
+    bounded by the redelivery horizon (duplicates arriving within the
+    watermark of first delivery are caught; infinitely-late replays are a
+    checkpoint-recovery concern, not a dedup-state concern).  Batch
+    analog: ``dropDuplicates(keys)`` — equivalence is tested."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_flag_events(windowed: DataFrame, max_amount: float = MAX_AMOUNT) -> DataFrame:
     """P5 on the stream: flag/unflag event per finalized (wallet, window),
     seq = window anchor (monotone per wallet, so the serving fold's

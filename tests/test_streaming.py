@@ -357,3 +357,34 @@ def test_streaming_session_window_matches_batch(spark, events_dir):
     # every finalized streaming session matches its batch twin exactly
     for k, n in got.items():
         assert batch[k] == n
+
+
+def test_streaming_exact_dedup_drops_redelivery(spark, tmp_path):
+    """A redelivered (duplicated) source file deduped on event_id matches
+    batch dropDuplicates over the same rows: each event survives exactly
+    once despite arriving twice."""
+    import shutil as _sh
+
+    from depositaja_spark.streaming import streaming_exact_dedup
+    from depositaja_spark.streaming.pipeline import events_stream_from_dir
+
+    d = tmp_path / "redelivered"
+    d.mkdir()
+    _sh.copy(f"{SF}/events.parquet", d / "events_a.parquet")
+    _sh.copy(f"{SF}/events.parquet", d / "events_b.parquet")
+
+    stream = streaming_exact_dedup(
+        events_stream_from_dir(spark, str(d), "purchase")
+    ).select("event_id")
+    _run_to_memory(stream, "dedup_out")
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+
+    want = sorted(
+        r.event_id
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want
