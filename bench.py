@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_fingerprints",
     "jaccard_near_dups",
     "minhash_lsh_near_dups",
+    "clean_corpus",
     "simhash_signatures",
     "ann_topk_brute",
     "ann_topk_ivf",
