@@ -288,9 +288,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "t
     """Near-dup pairs by SimHash Hamming distance ≤ d.
 
     Demonstration form is the all-pairs join (fine at catalog sizes); the
-    scale path buckets on bit-slices of the signature first — same
-    banding trick as LSH — making expected work near-linear."""
-    s = simhash(docs, text_col)
+    scale path is ``simhash_near_pairs_banded`` — identical output,
+    sub-quadratic plan."""
+    # persisted: both join arms reference the signature frame, and a
+    # self-join otherwise duplicates the whole aggregation subtree
+    s = simhash(docs, text_col).persist()
     a = s.alias("a")
     b = s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -302,4 +304,64 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "t
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs_banded(
+    docs: DataFrame, max_hamming: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Hamming-≤d pairs via bit-slice banding — EXACTLY the all-pairs
+    result, without the all-pairs join.
+
+    The signature is sliced into ``max_hamming + 1`` bands; two
+    signatures within Hamming distance d differ in at most d bands, so by
+    pigeonhole at least one band is IDENTICAL — candidates are pairs
+    sharing any (band, slice-value) bucket, found with a keyed equi-join,
+    then verified with one xor/bit_count.  Recall is 1.0 by construction
+    (not probabilistic like MinHash-LSH), so the banded plan is a drop-in
+    replacement: the oracle for this operator is the all-pairs SQL.
+
+    Scale: the equi-join's per-bucket fan-in is N/2^width per band.  With
+    32-bit signatures the slices are 4–5 bits (coarse; right for catalog
+    scale); a 100 TB deployment widens SIMHASH_BITS to 64 so each of the
+    7 bands carries ~9 bits and buckets stay small — the code below
+    derives widths from the constants and needs no other change."""
+    bands = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, bands)
+    widths = [base + (1 if i < extra else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+
+    # persisted for the same self-join-subtree reason as simhash_near_pairs
+    s = simhash(docs, text_col).persist()
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    sliced = s.select("doc_id", "simhash", F.explode(entries).alias("e")).select(
+        "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    a = sliced.alias("a")
+    b = sliced.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match in several bands
     )

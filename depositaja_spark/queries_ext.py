@@ -408,6 +408,23 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
+@query(
+    "simhash_near_dups_banded",
+    f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def q_simhash_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Hamming-≤6 pair set as simhash_near_dups, produced by the
+    sub-quadratic bit-slice band join (recall 1.0 by pigeonhole — the
+    oracle is intentionally the all-pairs SQL)."""
+    return dd.simhash_near_pairs_banded(_docs(spark, sf_dir), max_hamming=6)
+
+
 def _clean_corpus_sql() -> str:
     from depositaja_spark.plans.corpus_pipeline import (
         MIN_ALPHA,

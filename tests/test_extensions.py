@@ -144,3 +144,19 @@ def test_clean_corpus_pipeline(spark, docs):
     # no near-dup pair survives intact (the closure keeps only cluster minima)
     residual = dd.jaccard_pairs(survivors, threshold=NEAR_DUP_THRESHOLD).count()
     assert residual == 0, f"{residual} near-dup pairs survived dedup"
+
+
+def test_simhash_banded_equals_all_pairs(spark, docs):
+    """Bit-slice banding with bands > max_hamming must reproduce the
+    all-pairs Hamming join exactly (pigeonhole guarantee, not an
+    approximation)."""
+    want = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in dd.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in dd.simhash_near_pairs_banded(docs, max_hamming=6).collect()
+    }
+    assert want, "corpus should contain simhash near-dups"
+    assert got == want
