@@ -279,6 +279,70 @@ def ann_topk_ivf(
     )
 
 
+def ivf_write_layout(corpus: DataFrame, path: str) -> None:
+    """Materialize the corpus PARTITIONED BY its IVF cell — the storage
+    layout that turns probing into partition pruning.  At 100 TB this is
+    the ingest-side investment (one assignment pass + one partitioned
+    write) that every subsequent ANN query amortizes: a probe touches
+    nprobe directories, not the corpus."""
+    from depositaja_spark.sources.formats import write_partitioned
+
+    write_partitioned(ivf_assign(corpus), path, partition_by=["cell"])
+
+
+def ann_topk_ivf_layout(
+    spark,
+    path: str,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k against a cell-partitioned layout
+    (``ivf_write_layout``): the probed cells are resolved on the driver
+    (Q·nprobe values) and applied as a static partition filter, so the
+    candidate scan reads ONLY those cells' directories —
+    ``PartitionFilters`` in the plan, file skipping on disk; the same
+    I/O shape a vector store's IVF index gives.  Results are identical
+    to ``ann_topk_ivf`` (tested)."""
+    from pyspark.sql import Window as W
+
+    corpus = spark.read.parquet(path)
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col)
+    ranked = _ranked_cells_udf(cids, cents)
+    probes = (
+        corpus.filter(F.col(id_col).isin(QUERY_IDS))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(F.slice(ranked(F.col(vec_col)), 1, nprobe)).alias("pcell"),
+        )
+    )
+    # Q·nprobe cells — driver-side by design: this is what makes the
+    # candidate filter STATIC and therefore prunable at plan time
+    cells = sorted({r.pcell for r in probes.select("pcell").collect()})
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cell")
+    )
+    scored = (
+        cand.join(F.broadcast(probes), cand["cell"] == probes["pcell"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            pair_cos_udf()(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def unit_vectors(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

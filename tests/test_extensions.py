@@ -160,3 +160,22 @@ def test_simhash_banded_equals_all_pairs(spark, docs):
     }
     assert want, "corpus should contain simhash near-dups"
     assert got == want
+
+
+def test_ivf_layout_prunes_partitions(spark, emb, tmp_path):
+    """The cell-partitioned layout must (a) return exactly the same
+    top-k as the in-memory IVF path and (b) scan only the probed cells
+    (static PartitionFilters in the parquet scan)."""
+    path = str(tmp_path / "ivf_layout")
+    sim.ivf_write_layout(emb, path)
+
+    got = sim.ann_topk_ivf_layout(spark, path)
+    want = sim.ann_topk_ivf(emb)
+    as_set = lambda df: {
+        (r.query_id, r.cand_id, r.cos, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell IN" in plan or "cell#" in plan
