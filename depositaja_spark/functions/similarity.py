@@ -343,6 +343,44 @@ def ann_topk_ivf_layout(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 scalar quantization: (id, scale, qvec) with
+    ``q_i = floor(127·x_i/scale + 0.5)`` and ``scale = max|x_i|`` — the
+    standard 4× compression of vector storage/IO at corpus scale (float32
+    → int8), entirely JVM-side array expressions.
+
+    ``floor(x + 0.5)`` instead of ``round``: one fixed rounding rule both
+    engines implement identically, so the DuckDB oracle reproduces every
+    quantized value bit-for-bit (the same integer-space trick as
+    functions/text.py:quality_score).  Cosine is scale-invariant, so
+    similarity search runs on the int8 vectors directly — no dequantize
+    pass — with only the quantization-noise recall loss (tested)."""
+    v = _dvec(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(F.lit(127.0) * x / scale + F.lit(0.5)).cast("int"))
+    return corpus.select(
+        F.col(id_col), scale.alias("scale"), q.alias("qvec")
+    )
+
+
+def ann_topk_quantized(
+    corpus: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over the int8-quantized corpus: same broadcast
+    cross-join + rank shape as ``cosine_topk``, but candidates and
+    queries are the quantized vectors — the plan a 100 TB deployment runs
+    against the compressed copy (4× less scan IO, int math in the dot
+    product)."""
+    qz = quantize_embeddings(corpus, id_col, vec_col)
+    queries = qz.filter(F.col(id_col).isin(QUERY_IDS))
+    return cosine_topk(qz, queries, k=k, id_col=id_col, vec_col="qvec")
+
+
 def unit_vectors(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

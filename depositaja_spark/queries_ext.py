@@ -597,6 +597,64 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_lsh(_emb(spark, sf_dir))
 
 
+_QUANT = """
+quant AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         list_transform(embedding,
+           x -> CAST(floor(127.0 * CAST(x AS DOUBLE)
+                / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                + 0.5) AS INT)) AS qvec
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "quantized_embeddings",
+    f"""
+WITH {_QUANT}
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(qvec, ',') AS qvec_csv
+FROM quant
+""",
+)
+def q_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (4× storage/IO
+    compression; scale per vector, values bit-exact vs the oracle).
+    The int8 vector is emitted CSV-flattened: the driver's value-hash
+    compare stringifies cells, and engines disagree on array formatting
+    even when elements are identical."""
+    return sim.quantize_embeddings(_emb(spark, sf_dir)).select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+    )
+
+
+@query(
+    "ann_topk_quantized",
+    f"""
+WITH {_QUANT},
+q AS (SELECT vec_id AS query_id, qvec AS q_qvec FROM quant
+      WHERE vec_id IN ({_Q_IDS})),
+c AS (SELECT vec_id AS cand_id, qvec AS c_qvec FROM quant),
+scored AS (
+  SELECT query_id, cand_id, {_COS.format(a='q_qvec', b='c_qvec')} AS cos
+  FROM c CROSS JOIN q WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {sim.TOP_K}
+""",
+)
+def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over the int8-quantized corpus (cosine is
+    scale-invariant, so the compressed copy is searched directly)."""
+    return sim.ann_topk_quantized(_emb(spark, sf_dir))
+
+
 @query(
     "embedding_near_dups",
     f"""

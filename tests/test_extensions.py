@@ -179,3 +179,18 @@ def test_ivf_layout_prunes_partitions(spark, emb, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell IN" in plan or "cell#" in plan
+
+
+def test_quantized_topk_recall(spark, emb):
+    """Int8 quantization must preserve nearly all top-k structure: recall
+    vs the exact float scan ≥ 0.8 over the demo query set."""
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in sim.cosine_topk(
+            emb, emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+        ).collect()
+    }
+    quant = {
+        (r.query_id, r.cand_id) for r in sim.ann_topk_quantized(emb).collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.8
