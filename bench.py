@@ -69,13 +69,14 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    # best-of-2: local-mode timings carry multi-second GC/scheduler noise;
-    # the min is the reproducible engine cost
+    # best-of-3: local-mode timings carry multi-second GC/scheduler noise
+    # (observed: a one-off 14s spike on a query that normally runs in
+    # 0.9s); the min across three runs is the reproducible engine cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
