@@ -521,6 +521,37 @@ def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_percentiles",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (`percentile`, the
+    sort-based aggregate — both engines use the same
+    (1−d)·lower + d·upper continuous interpolation).  Complement of the
+    sketch-based `quantile_sketch_values`: exact needs a per-group sort,
+    the sketch is one-pass mergeable — the scale trade-off pair."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.alias("pcts"))
+        .select(
+            "o_orderpriority",
+            F.round(F.element_at("pcts", 1), 4).alias("p50"),
+            F.round(F.element_at("pcts", 2), 4).alias("p90"),
+            F.round(F.element_at("pcts", 3), 4).alias("p99"),
+        )
+    )
+
+
+@query(
     "session_window_stats",
     """
 WITH gaps AS (
