@@ -20,6 +20,7 @@ from pyspark.sql.streaming import StreamingQuery
 from depositaja_spark.streaming.detector_state import exact_detector
 from depositaja_spark.streaming.pipeline import (
     deposits_stream_from_dir,
+    streaming_exact_dedup,
     streaming_flag_events,
     streaming_window_received,
 )
@@ -41,6 +42,11 @@ class Topology:
     detector: bool = True
     flagger: bool = True
     exact_semantics: bool = False
+    #: drop redelivered deposits (by seq = event id) before any state —
+    #: upgrades the reference's at-least-once contract (which double-counts
+    #: on broker redelivery, SURVEY.md §4.2) to effective exactly-once at
+    #: the operator level; watermark-bounded fingerprints
+    dedup_input: bool = False
     queries: list[StreamingQuery] = field(default_factory=list)
 
     def __post_init__(self):
@@ -55,6 +61,8 @@ class Topology:
         ``{"processingTime": "5 seconds"}`` for continuous operation."""
         trigger = trigger or {"availableNow": True}
         deposits = deposits_stream_from_dir(self.spark, self.events_dir)
+        if self.dedup_input:
+            deposits = streaming_exact_dedup(deposits, keys=("seq",))
 
         if self.collector:
             # collector group: maintain the balance serving table (the

@@ -388,3 +388,37 @@ def test_streaming_exact_dedup_drops_redelivery(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_topology_dedup_input_repairs_redelivery(spark, tmp_path):
+    """Full topology over a doubled (redelivered) source with
+    dedup_input=True: the balance serving table must equal the
+    single-copy batch balance — the exactly-once upgrade over the
+    reference's at-least-once contract."""
+    import shutil as _sh
+
+    from depositaja_spark.streaming.topology import Topology
+
+    src = tmp_path / "redelivered_events"
+    src.mkdir()
+    _sh.copy(f"{SF}/events.parquet", src / "events_a.parquet")
+    _sh.copy(f"{SF}/events.parquet", src / "events_b.parquet")
+
+    topo = Topology(
+        spark,
+        events_dir=str(src),
+        work_dir=str(tmp_path / "work"),
+        detector=False,
+        flagger=False,
+        dedup_input=True,
+    )
+    topo.start()
+    topo.await_all()
+
+    batch = balance_per_wallet(
+        valid_deposits(deposits_from_events(load_table(spark, SF, "events")))
+    )
+    want = {r.wallet_id: round(r.balance, 4) for r in batch.collect()}
+    for wallet_id, bal in list(want.items())[:5]:
+        assert round(topo.check(wallet_id)["balance"], 4) == bal
+    topo.stop()
