@@ -135,6 +135,42 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric n-gram containment: pairs where either document's
+    shingle set is mostly inside the other's —
+    ``c(A→B) = |A∩B| / |A|`` — with ``max(c(A→B), c(B→A)) ≥ τ``.
+
+    Jaccard misses subset relationships at unequal sizes (a paragraph
+    quoted inside a long article has tiny Jaccard but containment ≈ 1);
+    corpus dedup runs BOTH.  Same inverted-index join and hashed-shingle
+    shuffle as jaccard_pairs; only the normalization differs."""
+    sh = shingles(docs, n, text_col)
+    shh = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).persist()
+    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shh.alias("a")
+    b = shh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    c_ab = F.round(F.col("inter").cast("double") / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("inter").cast("double") / F.col("sz_b"), 6)
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", c_ab.alias("c_ab"), c_ba.alias("c_ba"))
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------------
 
 

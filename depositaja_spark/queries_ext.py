@@ -258,6 +258,33 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_SQL},
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / sa.sz, 6) AS c_ab,
+       round(CAST(inter AS DOUBLE) / sb.sz, 6) AS c_ba
+FROM inter
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE greatest(round(CAST(inter AS DOUBLE) / sa.sz, 6),
+               round(CAST(inter AS DOUBLE) / sb.sz, 6)) >= {{thr}}
+"""
+
+
+@query("containment_near_dups", _CONTAINMENT_SQL.format(thr=0.5))
+def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (max directional containment
+    ≥ 0.5) — catches subset/quotation duplicates Jaccard down-weights."""
+    return dd.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 @query("jaccard_near_dups", _JACCARD_SQL.format(thr=0.1))
 def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (τ=0.1; the corpus has
