@@ -70,6 +70,30 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, entropy, top_token_ratio): Shannon entropy (nats) of the
+    document's token distribution and the largest single-token share —
+    the standard degeneracy signals for corpus filtering (low entropy /
+    high top-token share = repetitive, boilerplate, or generated-loop
+    text).
+
+    Algebraic form ``H = ln n − (Σ c·ln c)/n`` needs only per-token
+    counts, so the whole operator is two keyed aggregations with map-side
+    partials — no per-token probability column, no second pass."""
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        F.max("c").alias("maxc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round(F.log("n") - F.col("clogc") / F.col("n"), 6).alias("entropy"),
+        F.round(F.col("maxc").cast("double") / F.col("n"), 6).alias("top_token_ratio"),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Scalar quality score in [0,1]: length saturation × stopword signal.
 

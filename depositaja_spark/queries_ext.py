@@ -89,6 +89,27 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_score(_docs(spark, sf_dir))
 
 
+@query(
+    "token_entropy",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clogc, max(c) AS maxc
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       round(ln(n) - clogc / n, 6) AS entropy,
+       round(CAST(maxc AS DOUBLE) / n, 6) AS top_token_ratio
+FROM per_doc
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy + top-token share per document
+    — the repetition/degeneracy filters of a corpus pipeline."""
+    return tx.token_entropy(_docs(spark, sf_dir))
+
+
 def _lang_id_sql() -> str:
     score_cols = ",\n       ".join(
         f"CAST(len(list_filter({_TOKS}, t -> list_contains({_sql_list(tx.LANG_PROFILES[lang])}, t))) AS INT) AS score_{lang}"
