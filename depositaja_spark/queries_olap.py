@@ -417,6 +417,34 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_histogram",
+    """
+SELECT event_type,
+       CAST(floor(value / 50.0) AS INT) AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (bin width 50): one
+    groupBy over derived bucket keys — the distributed histogram shape
+    (portable floor arithmetic rather than width_bucket so the oracle
+    mirrors the binning exactly; uniform bins make the two identical)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("int").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
 # --- sessionization -------------------------------------------------------------------------------
 
 
