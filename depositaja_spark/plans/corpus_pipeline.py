@@ -40,6 +40,46 @@ MIN_ALPHA = 0.8
 NEAR_DUP_THRESHOLD = 0.1
 
 
+def corpus_gate(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The quality + language gates as ONE stateless projection+filter —
+    (doc_id, text, predicted_lang, n_tokens) for documents passing both.
+    Stateless means the SAME function gates a batch DataFrame and a
+    stream (streaming/corpus.py) — one implementation, two runtimes."""
+    toks = tx.tokens("text")
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    alpha_ratio = F.round(n_alpha.cast("double") / F.length("text"), 6)
+
+    scored = docs.select(
+        "doc_id",
+        "text",
+        *extra_cols,
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        *tx.lang_scores(toks),
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in tx.LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(tx.LANG_ORDER):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha)
+            & (F.col("predicted_lang") != "und")
+        )
+        .select("doc_id", "text", *extra_cols, "predicted_lang", "n_tokens")
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     min_tokens: int = MIN_TOKENS,
@@ -54,33 +94,7 @@ def clean_corpus(
     prediction, (3) is the smallest doc_id of its exact-content group,
     and (4) is the smallest doc_id reachable in its near-dup cluster
     (3-gram Jaccard ≥ ``threshold``, closed transitively)."""
-    toks = tx.tokens("text")
-    n_tokens = F.size(toks)
-    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
-    alpha_ratio = F.round(n_alpha.cast("double") / F.length("text"), 6)
-
-    scored = docs.select(
-        "doc_id",
-        "text",
-        n_tokens.alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-        *tx.lang_scores(toks),
-    )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in tx.LANG_ORDER])
-    pred = F.lit("und")
-    for lang in reversed(tx.LANG_ORDER):
-        pred = F.when(
-            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(pred)
-    base = (
-        scored.withColumn("predicted_lang", pred)
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("alpha_ratio") >= min_alpha)
-            & (F.col("predicted_lang") != "und")
-        )
-        .select("doc_id", "text", "predicted_lang", "n_tokens")
-    )
+    base = corpus_gate(docs, min_tokens, min_alpha)
 
     # exact dedup: keep the min doc_id of each content-identical group —
     # one hash shuffle on md5(text)

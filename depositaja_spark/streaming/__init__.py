@@ -22,12 +22,14 @@ from depositaja_spark.streaming.pipeline import (
     streaming_window_received,
     streaming_flag_events,
 )
+from depositaja_spark.streaming.corpus import streaming_corpus_intake
 from depositaja_spark.streaming.detector_state import exact_detector
 from depositaja_spark.streaming.serving import ServingTables
 
 __all__ = [
     "deposits_stream_from_dir",
     "streaming_exact_dedup",
+    "streaming_corpus_intake",
     "streaming_window_received",
     "streaming_flag_events",
     "exact_detector",

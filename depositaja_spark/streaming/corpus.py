@@ -1,0 +1,51 @@
+"""Streaming corpus intake: the cleaning pipeline's front half on a
+document stream.
+
+The batch pipeline (plans/corpus_pipeline.py) orders its stages
+cheapest-first; the streaming intake runs the SAME first two stages —
+they are stateless, so `corpus_gate` is literally the same function —
+plus exact content dedup as the only stateful operator, with
+watermark-bounded fingerprints:
+
+    document stream → quality+language gate (stateless projection)
+                    → content-md5 dedup (dropDuplicatesWithinWatermark)
+                    → sink (the cleaned-intake table near-dup stages
+                      consume in batch)
+
+Near-dup detection and cluster closure stay batch jobs over the intake
+table: their pair joins need corpus-wide visibility that streaming state
+cannot bound.  This split — stateless + keyed-dedup online, quadratic-ish
+analytics offline over the materialized intake — is the standard shape of
+a continuously-fed training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from depositaja_spark.plans.corpus_pipeline import MIN_ALPHA, MIN_TOKENS, corpus_gate
+
+
+def streaming_corpus_intake(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+) -> DataFrame:
+    """Gated, exact-deduped document stream:
+    (doc_id, text, content_md5, predicted_lang, n_tokens, ts).
+
+    One row per distinct surviving CONTENT — a re-crawled or re-emitted
+    duplicate arriving within the watermark of its first copy is dropped
+    before it reaches the sink.  Which doc_id represents the content is
+    arrival-order-dependent (streams have no total order); the content
+    set itself is deterministic and equals the batch gate's distinct
+    contents (tested)."""
+    gated = corpus_gate(docs, min_tokens, min_alpha, extra_cols=(ts_col,))
+    return (
+        gated.withColumn("content_md5", F.md5(F.col("text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )

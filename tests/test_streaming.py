@@ -422,3 +422,54 @@ def test_topology_dedup_input_repairs_redelivery(spark, tmp_path):
     for wallet_id, bal in list(want.items())[:5]:
         assert round(topo.check(wallet_id)["balance"], 4) == bal
     topo.stop()
+
+
+def test_streaming_corpus_intake_matches_batch_gate(spark, tmp_path):
+    """Streaming intake (gate + content dedup) over a doubled document
+    source yields exactly the batch gate's distinct surviving contents,
+    each once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from depositaja_spark.plans.corpus_pipeline import corpus_gate
+    from depositaja_spark.streaming.corpus import streaming_corpus_intake
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    t = pa.table(
+        {
+            "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+            "text": pa.array([r.text for r in rows], pa.string()),
+            # +1 day offset: an event time of exactly epoch 0 is dropped
+            # as late against the stream's INITIAL watermark (also epoch 0)
+            "ts": pa.array(
+                [86_400_000_000 + r.doc_id * 1_000_000 for r in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+        }
+    )
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    pq.write_table(t, d / "docs_a.parquet")
+    pq.write_table(t, d / "docs_b.parquet")  # redelivered copy
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = streaming_corpus_intake(
+        spark.readStream.schema(schema).parquet(str(d))
+    ).select("content_md5")
+    _run_to_memory(stream, "intake_out")
+    got = [r.content_md5 for r in spark.sql("SELECT * FROM intake_out").collect()]
+    assert len(got) == len(set(got)), "dedup must emit each content once"
+
+    want = {
+        r.content_md5
+        for r in corpus_gate(docs).select(F.md5("text").alias("content_md5")).collect()
+    }
+    assert set(got) == want
