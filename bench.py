@@ -47,9 +47,30 @@ HEADLINE = [
 ]
 
 
+def _previous_bench() -> dict | None:
+    """Latest BENCH_r{N}.json in the repo root — the round-over-round
+    comparison target (None in round 1)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    benches = []
+    for f in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            benches.append((int(m.group(1)), os.path.join(root, f)))
+    if not benches:
+        return None
+    _, path = max(benches)
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+        return doc.get("parsed", doc)
+    except Exception:
+        return None
+
+
 def main() -> None:
     from depositaja_spark.session import get_spark
     from depositaja_spark import registry
+    from depositaja_spark.functions.cache import release_caches
 
     spark = get_spark(
         app_name="depositaja_spark_bench",
@@ -77,24 +98,37 @@ def main() -> None:
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(3):
+            # operator-internal persists are released between runs so each
+            # timing is a full cold execution, not a read of the previous
+            # run's cache
+            release_caches()
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        release_caches()
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # round-over-round visibility: per-query delta vs the latest recorded
+    # BENCH file so regressions stand out at a glance
+    prev = _previous_bench()
+    if prev and prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
+        pq = prev["queries"]
+        out["prev_total_sec"] = prev.get("value")
+        out["delta_vs_prev"] = {
+            n: round(t - pq[n], 3) for n, t in timings.items() if n in pq
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,53 @@
+"""Tracked persist: cache lifecycle for operator-internal intermediates.
+
+Several operators persist an intermediate frame that feeds multiple
+consumers inside ONE returned plan (shared shingle frames in dedup, the
+IVF assignment, connected-components frontiers).  The persist must outlive
+the function — the returned DataFrame is lazy and the cache is only read
+when the caller materializes it — so the functions themselves cannot
+unpersist.  Left alone, repeated invocations in a long session accumulate
+cached state until executor LRU eviction.
+
+``tracked_persist`` registers every such frame; ``release_caches()`` drops
+them all.  Callers that materialize a result and are done with it (bench
+loops, tests, batch jobs) call ``release_caches()`` between queries; a
+caller that wants to keep reusing a returned plan simply doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for a later bulk ``release_caches()``."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def untrack(df: DataFrame) -> None:
+    """Unpersist one frame eagerly (used by loops that retire a frontier
+    mid-algorithm) and forget it."""
+    try:
+        df.unpersist()
+    finally:
+        try:
+            _TRACKED.remove(df)
+        except ValueError:
+            pass
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

@@ -23,6 +23,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from depositaja_spark.functions.cache import tracked_persist
 from depositaja_spark.functions.text import hash64, tokens
 
 # --- constants shared with the oracle SQL -----------------------------------
@@ -108,7 +109,7 @@ def jaccard_pairs(
     distinct shingles collide in 60 bits (~2⁻⁶⁰ per pair)."""
     if sh is None:
         sh = shingles(docs, n, text_col)
-    shh = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).persist()
+    shh = tracked_persist(sh.select("doc_id", hash64(F.col("shingle")).alias("h")))
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.alias("a")
     b = shh.alias("b")
@@ -150,7 +151,7 @@ def containment_pairs(
     corpus dedup runs BOTH.  Same inverted-index join and hashed-shingle
     shuffle as jaccard_pairs; only the normalization differs."""
     sh = shingles(docs, n, text_col)
-    shh = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).persist()
+    shh = tracked_persist(sh.select("doc_id", hash64(F.col("shingle")).alias("h")))
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.alias("a")
     b = shh.alias("b")
@@ -260,12 +261,10 @@ def minhash_lsh_dedup(
     it mod P (bit-identical, see minhash_signatures), and the verify
     intersects long arrays instead of string arrays — smaller state,
     cheaper compare, same Jaccard short of a ~2⁻⁶⁰ hash collision."""
-    shh = (
-        shingles(docs, n, text_col)
-        .select("doc_id", hash64(F.col("shingle")).alias("h"))
-        .persist()
+    shh = tracked_persist(
+        shingles(docs, n, text_col).select("doc_id", hash64(F.col("shingle")).alias("h"))
     )
-    cand = lsh_candidate_pairs(minhash_signatures(docs, hh=shh)).persist()
+    cand = tracked_persist(lsh_candidate_pairs(minhash_signatures(docs, hh=shh)))
     cand_ids = (
         cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id")).distinct()
     )
@@ -328,7 +327,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "t
     sub-quadratic plan."""
     # persisted: both join arms reference the signature frame, and a
     # self-join otherwise duplicates the whole aggregation subtree
-    s = simhash(docs, text_col).persist()
+    s = tracked_persist(simhash(docs, text_col))
     a = s.alias("a")
     b = s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -368,7 +367,7 @@ def simhash_near_pairs_banded(
     offsets = [sum(widths[:i]) for i in range(bands)]
 
     # persisted for the same self-join-subtree reason as simhash_near_pairs
-    s = simhash(docs, text_col).persist()
+    s = tracked_persist(simhash(docs, text_col))
     entries = F.array(
         *[
             F.struct(

@@ -22,8 +22,12 @@ a recursive-CTE reachability query.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from depositaja_spark.functions.cache import tracked_persist, untrack
 
 
 def connected_components(
@@ -39,17 +43,24 @@ def connected_components(
 
     ``max_iterations`` bounds the propagation (components wider than that
     many hops would need more rounds — raise it for pathological chain
-    graphs; real near-dup graphs are dense and converge in a few)."""
+    graphs; real near-dup graphs are dense and converge in a few).  If the
+    bound is hit with labels still changing, the result is WRONG (some
+    vertices carry a non-minimal label), so a ``RuntimeWarning`` is issued
+    rather than returning silently-partial clusters."""
     # undirected: propagate both ways
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = fwd.unionByName(
+    sym = tracked_persist(fwd.unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).persist()
+    ))
 
-    labels = vertices.select(
+    labels = tracked_persist(vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).persist()
+    ))
 
+    # `prev` always points at the PERSISTED frame of the previous round —
+    # unpersist must target the cached plan itself, not a projection of it
+    prev = labels
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -65,15 +76,24 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
             )
-            .persist()
         )
+        updated = tracked_persist(updated)
         changed = updated.filter(F.col("_changed")).count()
-        labels.unpersist()
+        untrack(prev)
+        prev = updated
         labels = updated.drop("_changed")
         if changed == 0:
             break
 
-    sym.unpersist()
+    untrack(sym)
+    if changed > 0:
+        warnings.warn(
+            f"connected_components stopped after {max_iterations} iterations with "
+            f"{changed} labels still changing — cluster labels are NOT converged; "
+            "raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from depositaja_spark.functions.cache import tracked_persist
+
 #: vec_ids used as query vectors in the demo queries
 QUERY_IDS = [0, 1, 2, 3, 4]
 #: vec_ids whose embeddings serve as LSH anchor hyperplanes
@@ -247,7 +249,7 @@ def ann_topk_ivf(
     # both the probe arm and the candidate arm read the assignment; persist
     # so the ranking projection runs once (the materialized analog of
     # storing the corpus partitioned BY cell, which is the layout at scale)
-    assigned = corpus.withColumn("cells", ranked(F.col(vec_col))).persist()
+    assigned = tracked_persist(corpus.withColumn("cells", ranked(F.col(vec_col))))
 
     probes = (
         assigned.filter(F.col(id_col).isin(QUERY_IDS))
@@ -359,7 +361,11 @@ def quantize_embeddings(
     pass — with only the quantization-noise recall loss (tested)."""
     v = _dvec(F.col(vec_col))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.floor(F.lit(127.0) * x / scale + F.lit(0.5)).cast("int"))
+    # all-zero vectors have scale 0 — dividing by it would propagate nulls
+    # through every downstream cosine, so the divisor is floored at a tiny
+    # epsilon (an all-zero vector then quantizes to an all-zero qvec)
+    safe = F.greatest(scale, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.floor(F.lit(127.0) * x / safe + F.lit(0.5)).cast("int"))
     return corpus.select(
         F.col(id_col), scale.alias("scale"), q.alias("qvec")
     )

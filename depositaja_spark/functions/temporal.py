@@ -134,14 +134,19 @@ def range_join_binned(
     overlap = {c for c in left.columns if c != on} & {c for c in right.columns if c != on}
     if overlap:
         raise ValueError(f"rename overlapping non-key columns before joining: {sorted(overlap)}")
-    span = upper_s - lower_s
-    l_epoch = F.col(left_ts).cast("double")
-    r_epoch = F.col(right_ts).cast("double")
+    # all arithmetic in integer epoch microseconds — exact at the ±window
+    # boundary and identical to what a SQL oracle computes with epoch_us();
+    # a double-seconds cast could round differently on the two sides
+    span_us = (upper_s - lower_s) * 1_000_000
+    lower_us = lower_s * 1_000_000
+    upper_us = upper_s * 1_000_000
+    l_epoch = F.unix_micros(F.col(left_ts))
+    r_epoch = F.unix_micros(F.col(right_ts))
 
     r_binned = right.select(
         F.col(on),
         *[F.col(c) for c in right.columns if c != on],
-        F.floor(r_epoch / span).cast("long").alias("_bin"),
+        F.floor(r_epoch / span_us).cast("long").alias("_bin"),
     )
     # left probes the bin of (ts+lower) and of (ts+upper): every right bin
     # that can overlap [ts+lower, ts+upper]
@@ -151,16 +156,16 @@ def range_join_binned(
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.floor((l_epoch + lower_s) / span).cast("long"),
-                    F.floor((l_epoch + upper_s) / span).cast("long"),
+                    F.floor((l_epoch + lower_us) / span_us).cast("long"),
+                    F.floor((l_epoch + upper_us) / span_us).cast("long"),
                 )
             )
         ).alias("_bin"),
     )
-    lo = F.col(left_ts).cast("double") + lower_s
-    hi = F.col(left_ts).cast("double") + upper_s
+    lo = F.unix_micros(F.col(left_ts)) + lower_us
+    hi = F.unix_micros(F.col(left_ts)) + upper_us
     return (
         l_binned.join(r_binned, [on, "_bin"])
-        .filter(F.col(right_ts).cast("double").between(lo, hi))
+        .filter(F.unix_micros(F.col(right_ts)).between(lo, hi))
         .drop("_bin")
     )

@@ -651,7 +651,8 @@ quant AS (
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
          list_transform(embedding,
            x -> CAST(floor(127.0 * CAST(x AS DOUBLE)
-                / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+                           1e-30)
                 + 0.5) AS INT)) AS qvec
   FROM embeddings
 )

@@ -42,10 +42,15 @@ class ServingTables:
             return None
         return self.spark.read.parquet(path)
 
-    def upsert_latest(self, name: str, batch: DataFrame, key: str, order: str) -> None:
+    def upsert_latest(
+        self, name: str, batch: DataFrame, key: str, order: str, epoch_id: int | None = None
+    ) -> None:
         """Compact: keep the max-``order`` row per ``key`` across the old
         state and the new batch — the same last-write-wins fold Goka
-        applies when replaying a compacted table topic."""
+        applies when replaying a compacted table topic.  Idempotent by
+        construction (max_by re-applied to the same rows is a no-op), so
+        the epoch marker here only short-circuits replays, it isn't needed
+        for correctness."""
         current = self.read(name)
         merged = batch if current is None else current.unionByName(batch)
         value_cols = [c for c in merged.columns if c != key]
@@ -54,8 +59,29 @@ class ServingTables:
             .agg(F.max_by(F.struct(*value_cols), F.col(order)).alias("v"))
             .select(key, "v.*")
         )
+        self._swap_in(name, latest, epoch_id=epoch_id)
+
+    # --- foreachBatch hooks ---------------------------------------------
+
+    def _last_epoch(self, name: str) -> int:
+        """Epoch of the last successfully applied micro-batch, recorded
+        INSIDE the table directory (underscore-prefixed, so Spark's parquet
+        reader ignores it) — the marker and the data it describes swap in
+        one atomic rename, so they can never disagree."""
+        marker = os.path.join(self._path(name), "_epoch")
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def _swap_in(self, name: str, df: DataFrame, epoch_id: int | None = None) -> None:
+        """Write ``df`` to a temp dir (stamping the epoch marker) and
+        atomically rename it over the current table."""
         tmp = self._path(f".{name}.{uuid.uuid4().hex}")
-        latest.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if epoch_id is not None:
+            with open(os.path.join(tmp, "_epoch"), "w") as f:
+                f.write(str(epoch_id))
         final = self._path(name)
         old = self._path(f".{name}.old.{uuid.uuid4().hex}")
         if os.path.exists(final):
@@ -64,13 +90,21 @@ class ServingTables:
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    # --- foreachBatch hooks ---------------------------------------------
-
     def balance_sink(self):
         """Micro-batch of deposits → running balance table.  The batch is
-        pre-aggregated per key, then merged additively (sums compose)."""
+        pre-aggregated per key, then merged additively (sums compose).
+
+        Additive merge is NOT naturally idempotent, so sink-replay after a
+        failure (table write succeeded, checkpoint commit didn't) would
+        double-count the replayed batch.  foreachBatch epoch ids are
+        monotonically increasing and stable across restarts, so the sink
+        records the last applied epoch inside the table directory and
+        skips any epoch ≤ it — the transactional-sink pattern Spark's docs
+        prescribe for exactly-once foreachBatch."""
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_epoch("balance"):
+                return  # replayed micro-batch: already folded into the table
             delta = batch.groupBy("wallet_id").agg(
                 F.sum("amount").alias("balance"), F.max("seq").alias("seq")
             )
@@ -81,15 +115,7 @@ class ServingTables:
                     .groupBy("wallet_id")
                     .agg(F.sum("balance").alias("balance"), F.max("seq").alias("seq"))
                 )
-            tmp = self._path(f".balance.{uuid.uuid4().hex}")
-            delta.write.mode("overwrite").parquet(tmp)
-            final = self._path("balance")
-            old = self._path(f".balance.old.{uuid.uuid4().hex}")
-            if os.path.exists(final):
-                os.rename(final, old)
-            os.rename(tmp, final)
-            if os.path.exists(old):
-                shutil.rmtree(old)
+            self._swap_in("balance", delta, epoch_id=epoch_id)
 
         return sink
 
@@ -98,6 +124,8 @@ class ServingTables:
         reference flagger/flagger.go:40-57)."""
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_epoch("flags"):
+                return  # replay: fold is idempotent, skipping just saves IO
             folded = (
                 batch.groupBy("wallet_id")
                 .agg(
@@ -116,7 +144,7 @@ class ServingTables:
                     "seq",
                 )
             )
-            self.upsert_latest("flags", folded, key="wallet_id", order="seq")
+            self.upsert_latest("flags", folded, key="wallet_id", order="seq", epoch_id=epoch_id)
 
         return sink
 
