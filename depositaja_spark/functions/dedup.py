@@ -37,6 +37,14 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 32
+#: default stop-shingle document-frequency cap for the inverted-index
+#: joins: a shingle present in more documents than this is boilerplate
+#: (navigation chrome, license headers, templated text) and is dropped
+#: BEFORE the self-join.  One boilerplate shingle shared by D documents
+#: creates a D²/2-pair bucket, so an uncapped index is quadratic in the
+#: hottest shingle — the classic web-corpus scale-killer.  The cap keeps
+#: the worst bucket at DEDUP_MAX_DF²/2 regardless of corpus size.
+DEDUP_MAX_DF = 1000
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -84,20 +92,44 @@ def shingle_hashes(
 # --- n-gram Jaccard ------------------------------------------------------------
 
 
+def drop_stop_shingles(shh: DataFrame, max_df: int | None) -> DataFrame:
+    """Stop-shingle filter: remove shingles whose document frequency
+    exceeds ``max_df`` (None disables).
+
+    Shape matters at scale: hot shingles are FEW by definition (only so
+    many distinct values can each appear in >max_df documents), so the
+    hot set is aggregated (map-side partial counts) and then removed with
+    a **broadcast anti-join** — the big (doc_id, h) frame is never
+    re-shuffled for the filter.  Jaccard/containment are then computed
+    over the filtered shingle universe (sizes too), the same convention
+    as stop-word removal in IR."""
+    if max_df is None:
+        return shh
+    hot = (
+        shh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    return shh.join(F.broadcast(hot), "h", "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     sh: DataFrame | None = None,
+    max_df: int | None = DEDUP_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: inverted-index self-join on
     shingles, intersection counts, then |A∩B| / (|A|+|B|−|A∩B|) ≥ τ.
 
     Scale notes: the self-join shuffles on the shingle — hot shingles are
-    the skew risk, mitigated upstream by dropping ultra-frequent shingles
-    (stop-shingle filtering) the same way stop-words are dropped; output
-    pairs are a_id < b_id so each pair appears once.
+    the skew risk, so shingles with document frequency > ``max_df`` are
+    dropped first (``drop_stop_shingles``; sizes count the filtered
+    universe, so the score is Jaccard over non-boilerplate shingles);
+    output pairs are a_id < b_id so each pair appears once.
 
     The shingle frame feeds three consumers (both self-join sides and the
     per-doc sizes), so when built here it is persisted — shingling runs
@@ -109,7 +141,9 @@ def jaccard_pairs(
     distinct shingles collide in 60 bits (~2⁻⁶⁰ per pair)."""
     if sh is None:
         sh = shingles(docs, n, text_col)
-    shh = tracked_persist(sh.select("doc_id", hash64(F.col("shingle")).alias("h")))
+    shh = tracked_persist(
+        drop_stop_shingles(sh.select("doc_id", hash64(F.col("shingle")).alias("h")), max_df)
+    )
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.alias("a")
     b = shh.alias("b")
@@ -141,6 +175,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     text_col: str = "text",
+    max_df: int | None = DEDUP_MAX_DF,
 ) -> DataFrame:
     """Asymmetric n-gram containment: pairs where either document's
     shingle set is mostly inside the other's —
@@ -148,10 +183,13 @@ def containment_pairs(
 
     Jaccard misses subset relationships at unequal sizes (a paragraph
     quoted inside a long article has tiny Jaccard but containment ≈ 1);
-    corpus dedup runs BOTH.  Same inverted-index join and hashed-shingle
-    shuffle as jaccard_pairs; only the normalization differs."""
+    corpus dedup runs BOTH.  Same inverted-index join, hashed-shingle
+    shuffle, and stop-shingle df cap as jaccard_pairs; only the
+    normalization differs."""
     sh = shingles(docs, n, text_col)
-    shh = tracked_persist(sh.select("doc_id", hash64(F.col("shingle")).alias("h")))
+    shh = tracked_persist(
+        drop_stop_shingles(sh.select("doc_id", hash64(F.col("shingle")).alias("h")), max_df)
+    )
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.alias("a")
     b = shh.alias("b")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,11 +84,13 @@ def extract_features(payload_df: DataFrame, bins: int = FEATURE_BINS) -> DataFra
         for pdf in batches:
             feats = []
             for raw in pdf["payload"]:
-                counts = [0] * bins
-                for byte in raw:
-                    counts[byte % bins] += 1
-                total = max(1, len(raw))
-                feats.append([round(c / total, 6) for c in counts])
+                # byte histogram fully vectorized: frombuffer is zero-copy,
+                # bincount is one C pass — never iterate payload bytes in
+                # Python (this body is the template real decoders copy)
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                counts = np.bincount(arr % bins, minlength=bins)
+                total = max(1, len(arr))
+                feats.append([round(c / total, 6) for c in counts.tolist()])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return payload_df.select("doc_id", "payload").mapInPandas(per_batch, FEATURE_SCHEMA)

@@ -255,12 +255,23 @@ shingles AS (
 )
 """
 
+#: stop-shingle df cap mirrored from functions/dedup.py — shingles in
+#: more than DEDUP_MAX_DF documents are dropped before the pair join on
+#: BOTH engines (sizes count the filtered universe too)
+_FSH_SQL = f"""
+fsh AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {dd.DEDUP_MAX_DF}
+)
+"""
+
 _JACCARD_SQL = f"""
 WITH {_SHINGLES_SQL},
-sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+{_FSH_SQL},
+sz AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM shingles a JOIN shingles b
+  FROM fsh a JOIN fsh b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -281,10 +292,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAINMENT_SQL = f"""
 WITH {_SHINGLES_SQL},
-sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+{_FSH_SQL},
+sz AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM shingles a JOIN shingles b
+  FROM fsh a JOIN fsh b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -315,10 +327,11 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE {_SHINGLES_SQL.strip().rstrip()},
-sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+{_FSH_SQL.strip()},
+sz AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM shingles a JOIN shingles b
+  FROM fsh a JOIN fsh b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),

@@ -463,6 +463,59 @@ def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pb_roundtrip_deposits",
+    DEPOSITS_CTE + "SELECT wallet_id, amount FROM deposits",
+)
+def q_pb_roundtrip_deposits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the protobuf wire format itself (DepositCodec, depositaja.go:14-23;
+    proto/wallet.proto:14-17): every deposit is marshaled to canonical proto3
+    bytes and unmarshaled back on executors (streaming/proto_wire.py).  The
+    oracle is the plain projection — a hash match proves the codec round-trips
+    real data bit-exactly (doubles through fixed64 are lossless)."""
+    from depositaja_spark.streaming.codecs import decode_protobuf, encode_protobuf
+    from depositaja_spark.streaming.proto_wire import DEPOSIT
+
+    d = _deposits(spark, sf_dir)
+    enc = encode_protobuf(DEPOSIT)
+    dec = decode_protobuf(DEPOSIT)
+    return (
+        d.select(enc(F.struct("wallet_id", "amount")).alias("pb"))
+        .select(dec(F.col("pb")).alias("d"))
+        .select("d.wallet_id", "d.amount")
+    )
+
+
+@query(
+    "pb_roundtrip_history",
+    DEPOSITS_CTE
+    + """
+SELECT wallet_id,
+       CAST(row_number() OVER (PARTITION BY wallet_id ORDER BY seq) - 1 AS INT) AS pos,
+       amount
+FROM deposits WHERE amount > 0
+""",
+)
+def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — nested/repeated wire format (DepositListCodec, depositaja.go:25-34;
+    pb.DepositHistory, proto/wallet.proto:19-22): per-wallet histories are
+    marshaled as repeated embedded messages and unmarshaled back; the oracle is
+    the same flattening used by deposit_history_flat."""
+    from depositaja_spark.operators import deposit_history, valid_deposits
+    from depositaja_spark.streaming.codecs import decode_protobuf, encode_protobuf
+    from depositaja_spark.streaming.proto_wire import DEPOSIT_HISTORY
+
+    hist = deposit_history(valid_deposits(_deposits(spark, sf_dir)), ordered=True)
+    enc = encode_protobuf(DEPOSIT_HISTORY)
+    dec = decode_protobuf(DEPOSIT_HISTORY)
+    return (
+        hist.select(enc(F.struct("wallet_id", "deposits")).alias("pb"))
+        .select(dec(F.col("pb")).alias("h"))
+        .select("h.wallet_id", F.posexplode("h.deposits").alias("pos", "dep"))
+        .select("wallet_id", "pos", F.col("dep.amount").alias("amount"))
+    )
+
+
 # --- register the extended query families (import side effect) ---------------
 # placed at module end so their `from depositaja_spark.registry import query`
 # sees the decorator above

@@ -31,3 +31,78 @@ def test_salted_sum_on_hot_key(spark):
     df = spark.createDataFrame(rows, "wallet_id string, amount double")
     got = {r.wallet_id: r.balance for r in salted_sum(df, "wallet_id", "amount", "balance", buckets=8).collect()}
     assert got == {"hot": pytest.approx(900.0), "cold": pytest.approx(200.0)}
+
+
+# --- stop-shingle df cap (hot-shingle skew in the dedup inverted index) ------
+
+
+def _boilerplate_corpus(spark, n_docs: int = 60):
+    """Every document shares one boilerplate sentence (its shingles reach
+    df = n_docs — the synthetic hot shingle); docs 0 and 1 additionally
+    share a genuine near-duplicate body; every other body is unique."""
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = []
+    for i in range(n_docs):
+        if i in (0, 1):
+            body = f"the quick brown fox jumps over the lazy dog variant {i}"
+        else:
+            body = f"unique content body number {i} " + " ".join(
+                f"tok{i}x{j}" for j in range(8)
+            )
+        rows.append((i, body + " " + boiler))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stop_shingle_cap_kills_boilerplate_pairs(spark):
+    """Uncapped, the shared boilerplate makes EVERY doc pair a candidate
+    (quadratic bucket on the hot shingle); with the df cap the boilerplate
+    shingles are dropped and only the genuine near-dup pair survives."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import jaccard_pairs
+
+    docs = _boilerplate_corpus(spark)
+    uncapped = jaccard_pairs(docs, n=3, threshold=0.01, max_df=None)
+    n_uncapped = uncapped.count()
+    release_caches()
+    # every one of the 60*59/2 pairs shares the boilerplate shingles
+    assert n_uncapped == 60 * 59 // 2
+
+    capped = jaccard_pairs(docs, n=3, threshold=0.01, max_df=30)
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    release_caches()
+    assert got == {(0, 1)}  # only the genuine near-dup remains
+
+
+def test_stop_shingle_cap_scores_over_filtered_universe(spark):
+    """With the cap active, Jaccard is computed over the FILTERED shingle
+    sets (sizes exclude boilerplate) — doc 0 vs doc 1 differ only in the
+    trailing variant token, so filtered-universe Jaccard is high."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import jaccard_pairs, shingles
+
+    docs = _boilerplate_corpus(spark)
+    (pair,) = jaccard_pairs(docs, n=3, threshold=0.01, max_df=30).collect()
+    release_caches()
+    # hand-computed: bodies are 10-token sentences differing in the last
+    # token ("variant 0" vs "variant 1") plus the dropped boilerplate
+    sh0 = {r.shingle for r in shingles(docs.filter("doc_id = 0"), 3).collect()}
+    sh1 = {r.shingle for r in shingles(docs.filter("doc_id = 1"), 3).collect()}
+    boiler = {r.shingle for r in shingles(docs.filter("doc_id = 5"), 3).collect()}
+    # the boilerplate-only shingles common to >30 docs
+    hot = sh0 & sh1 & boiler
+    a, b = sh0 - hot, sh1 - hot
+    expected = len(a & b) / len(a | b)
+    assert pair.jaccard == pytest.approx(expected, abs=1e-6)
+
+
+def test_containment_cap_matches_jaccard_cap_semantics(spark):
+    """containment_pairs applies the same df cap: boilerplate alone
+    produces no containment pairs once capped."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import containment_pairs
+
+    docs = _boilerplate_corpus(spark)
+    capped = containment_pairs(docs, n=3, threshold=0.3, max_df=30)
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    release_caches()
+    assert got == {(0, 1)}
