@@ -1,72 +1,114 @@
 """Distributed k-means (Lloyd's algorithm) over an embedding column —
 the iterative-algorithm pattern (train IVF coarse quantizers, cluster
-corpora for curriculum/mixture design) expressed in pure DataFrame ops.
+corpora for curriculum/mixture design) expressed Spark-first.
 
-Each iteration is two keyed shuffles over N·d values:
+Shape per iteration (the MLlib KMeans rhythm, re-expressed):
 
-  1. assignment — centroids are a handful of rows → broadcast as literal
-     column expressions; arg-min distance is a compile-time loop of C
-     squared-distance expressions (no UDF, stays in codegen);
-  2. update — per-dimension mean via posexplode(vector) → groupBy
-     (cluster, dim) avg → array re-assembly with array_agg sorted by dim.
+  1. assignment — the C×d centroid matrix is broadcast inside an
+     Arrow-batched pandas UDF; each batch scores against ALL centroids
+     with one numpy matmul (‖x‖² − 2·X·Cᵀ + ‖c‖²) and takes the row-wise
+     argmin.  No per-centroid expression unrolling — compile time and
+     codegen size stay flat as C·d grows, unlike literal distance
+     expressions which explode past a few thousand terms.
+  2. update — per-partition partial sums inside mapInPandas (each Arrow
+     batch folds to ≤C rows of (cluster, sum-vector, count)), then a
+     final tiny shuffle of partials → per-cluster mean.  This is a
+     map-side combine done in numpy: the shuffle moves O(partitions × C
+     × d) values, NOT the O(N × d) a posexplode-per-element plan moves.
 
-The loop lives on the driver but holds only the C×d centroid matrix —
-data never leaves the cluster; lineage is cut per round by collecting
-the (tiny) centroids, so the plan does not grow with iterations.  This
-is the standard scale shape: Spark MLlib's KMeans does exactly this with
-the same broadcast-assign/aggregate-update rhythm.
+Seeding is **k-means++** (D²-weighted, Arthur & Vassilvitskii 2007) with
+no global sort and no driver-side data beyond C×d:
 
-Determinism: ties in assignment break to the smallest cluster id;
-iteration count is fixed (no data-dependent convergence test by default)
-so reruns produce identical results up to float-sum partitioning noise in
-the means — bounded by tolerance assertions in tests/test_kmeans.py, not
-an oracle (iterative fixpoints are not SQL-expressible; SURVEY.md §5).
+  * centroid 1 = min_by(vec, xxhash64(id)) — a deterministic
+    pseudo-random pick via one aggregation;
+  * centroid i = exponential-race sample ∝ D²(x): every row draws a
+    deterministic uniform u from xxhash64(id, round) and the winner is
+    max_by(vec, D²·weight) with weight = 1/−ln(u) — one aggregation per
+    round, equivalent to weighted sampling without ever materializing a
+    cumulative distribution (the A-Res / Gumbel-race trick).
+
+The driver loop holds only the C×d centroid matrix; lineage is cut per
+round by collecting the (tiny) centroids, so the plan does not grow with
+iterations.
+
+Determinism: hashes replace rand(), so reruns produce identical seeds;
+assignment ties break to the smallest cluster id (np.argmin returns the
+first minimum); iteration count is fixed (no data-dependent convergence
+test by default) so results are stable up to float-sum partitioning
+noise in the means — bounded by tolerance assertions in
+tests/test_kmeans.py, not an oracle (iterative fixpoints are not
+SQL-expressible; SURVEY.md §5).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec, centroid: list[float]):
-    """Σ (v_i − c_i)² with the centroid unrolled as literals — one flat
-    codegen'd expression per centroid."""
-    acc = F.lit(0.0)
-    for i, c in enumerate(centroid):
-        d = F.element_at(vec, i + 1).cast("double") - F.lit(c)
-        acc = acc + d * d
-    return acc
+def _dists_to(batch: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Full squared-distance matrix (rows × C) via one matmul."""
+    x2 = np.einsum("ij,ij->i", batch, batch)
+    c2 = np.einsum("ij,ij->i", cents, cents)
+    return np.maximum(x2[:, None] - 2.0 * (batch @ cents.T) + c2[None, :], 0.0)
 
 
 def assign_clusters(
     corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Attach ``cluster`` = arg-min squared distance (ties → smallest id).
-    C compile-time distance expressions; no shuffle."""
-    scores = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col(vec_col), c).alias("d"),
-                F.lit(k).cast("long").alias("k"),
-            )
-            for k, c in enumerate(centroids)
-        ]
-    )
-    best = F.array_min(scores)  # struct min: smallest distance, then smallest id
-    return corpus.withColumn("cluster", best["k"])
+    """Attach ``cluster`` = arg-min squared distance (ties → smallest id)
+    and ``dist2`` = that distance.  One Arrow-batched matmul per batch
+    against the broadcast C×d matrix; no shuffle."""
+    cents = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf("cluster long, dist2 double")
+    def nearest(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cluster": [], "dist2": []})
+        d2 = _dists_to(np.stack(v.to_numpy()).astype("float64"), cents)
+        k = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cluster": k, "dist2": d2[np.arange(len(k)), k]}
+        )
+
+    out = corpus.withColumn("_a", nearest(F.col(vec_col).cast("array<double>")))
+    return out.withColumn("cluster", F.col("_a.cluster")).withColumn(
+        "dist2", F.col("_a.dist2")
+    ).drop("_a")
 
 
 def update_centroids(assigned: DataFrame, dim: int, vec_col: str = "embedding") -> list[list[float]]:
-    """Per-cluster vector mean via posexplode → (cluster, dim) avg →
-    re-assembled driver-side (C×d values — the only data that ever reaches
-    the driver)."""
+    """Per-cluster vector mean.  Partial (cluster, Σvec, n) per Arrow
+    batch inside mapInPandas — the map-side combine — then the partials
+    (O(partitions × C) rows) shuffle once and reduce per dimension.  Only
+    the final C×d means reach the driver."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            out_c, out_s, out_n = [], [], []
+            for c in np.unique(pdf["cluster"].to_numpy()):
+                mask = (pdf["cluster"] == c).to_numpy()
+                out_c.append(int(c))
+                out_s.append(vecs[mask].sum(axis=0).tolist())
+                out_n.append(int(mask.sum()))
+            yield pd.DataFrame({"cluster": out_c, "vsum": out_s, "n": out_n})
+
+    part = assigned.select(
+        "cluster", F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(partials, "cluster long, vsum array<double>, n long")
     rows = (
-        assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        part.select("cluster", "n", F.posexplode("vsum").alias("dim", "x"))
         .groupBy("cluster", "dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(F.sum("x").alias("sx"), F.sum("n").alias("sn"))
         .groupBy("cluster")
-        .agg(F.array_agg(F.struct("dim", "m")).alias("dims"))
+        .agg(F.array_agg(F.struct("dim", (F.col("sx") / F.col("sn")).alias("m"))).alias("dims"))
         .collect()
     )
     out: dict[int, list[float]] = {}
@@ -78,6 +120,44 @@ def update_centroids(assigned: DataFrame, dim: int, vec_col: str = "embedding") 
     return [out[k] for k in sorted(out)]
 
 
+def _uniform_hash(id_col, round_no: int):
+    """Deterministic uniform in (0, 1): 52 mantissa-worth bits of
+    xxhash64(id, round).  Replaces rand() so seeding is reproducible."""
+    h = F.xxhash64(id_col, F.lit(round_no))
+    frac = (F.pmod(h, F.lit(1 << 40)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 40)
+    )
+    return frac
+
+
+def kmeanspp_seed(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """k-means++ D²-weighted seeding, one aggregation per centroid.
+
+    Sampling ∝ D² is done as an exponential race: row i wins iff
+    D²(i)/E_i is maximal, with E_i = −ln(u_i) a deterministic
+    hash-derived Exp(1) draw — no cumulative weights, no sort, no
+    collect beyond the k winning vectors."""
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    first = vecs.select(
+        F.min_by("_v", F.xxhash64(F.col("_id"))).alias("v")
+    ).collect()[0].v
+    centroids = [[float(x) for x in first]]
+    for rnd in range(1, k):
+        scored = assign_clusters(vecs, centroids, vec_col="_v")
+        u = _uniform_hash(F.col("_id"), rnd)
+        race_key = F.col("dist2") / (-F.log(u))
+        winner = scored.select(F.max_by("_v", race_key).alias("v")).collect()[0].v
+        centroids.append([float(x) for x in winner])
+    return centroids
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -85,13 +165,9 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Lloyd's iterations from a deterministic seed (the first k vectors by
-    id — swap for k-means++ sampling at real scale).  Returns the trained
-    C×d centroid list; feed to ``assign_clusters`` for the final model."""
-    seed_rows = (
-        corpus.orderBy(id_col).select(vec_col).limit(k).collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+    """k-means++ seeding + Lloyd's iterations.  Returns the trained C×d
+    centroid list; feed to ``assign_clusters`` for the final model."""
+    centroids = kmeanspp_seed(corpus, k, vec_col, id_col)
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = assign_clusters(corpus, centroids, vec_col)
@@ -117,10 +193,18 @@ def kmeans_fit(
 
 def inertia(assigned: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> float:
     """Σ min-distance² — the Lloyd's objective (monotone non-increasing
-    over iterations; asserted in tests)."""
-    per_row = None
-    for kk, c in enumerate(centroids):
-        d = _sq_dist(F.col(vec_col), c)
-        expr = F.when(F.col("cluster") == kk, d)
-        per_row = expr if per_row is None else F.coalesce(per_row, expr)
-    return assigned.select(F.sum(per_row).alias("s")).collect()[0].s
+    over iterations; asserted in tests).  Uses the same matmul scoring as
+    assignment so the objective and the assignment agree bit-for-bit."""
+    if "dist2" in assigned.columns:
+        return assigned.select(F.sum("dist2").alias("s")).collect()[0].s
+    rescored = assign_clusters(assigned.drop("cluster"), centroids, vec_col)
+    return rescored.select(F.sum("dist2").alias("s")).collect()[0].s
+
+
+__all__ = [
+    "assign_clusters",
+    "update_centroids",
+    "kmeanspp_seed",
+    "kmeans_fit",
+    "inertia",
+]

@@ -3,16 +3,37 @@
 The reference serves reads from full local replicas of the log-compacted
 group-table topics (balance view service/service.go:43-47, flagger view
 :49-53).  Spark has no queryable state primitive, so each streaming query
-maintains a compacted serving table via ``foreachBatch`` upsert:
+maintains a compacted serving table via ``foreachBatch`` upsert.
 
-    new_state = latest_by_key(old_state ∪ micro_batch)
+Layout — **hash-bucketed by key** so per-batch IO is bounded by the
+batch, not by total state: each table is a parquet directory partitioned
+by ``bkt = pmod(xxhash64(key), n_buckets)``.  A micro-batch merge
 
-written atomically (write-new-then-rename).  Reads are plain DataFrame
-lookups against the current version — eventually consistent with the
-stream exactly like the reference's asynchronously-tailed views.  On a
-real deployment the upsert target is a Delta/Iceberg table (MERGE INTO)
-partitioned by key range; the local-parquet swap here keeps identical
-semantics without those jars.
+  1. pre-aggregates the batch per key and computes each key's bucket;
+  2. collects the distinct dirty bucket ids (≤ n_buckets ints — the only
+     driver-side data);
+  3. reads ONLY the dirty buckets of the current table (static partition
+     pruning on ``bkt``), merges, and rewrites ONLY those bucket
+     directories, each swapped in with an atomic rename.
+
+At 100 TB of state with n_buckets sized so a bucket fits an executor,
+a micro-batch touching K keys rewrites O(K/n_buckets · state) bytes —
+the same dirty-partition shape a Delta/Iceberg MERGE produces — instead
+of the full table.  Point lookups (``check``) filter on the foldable
+bucket expression, so the scan prunes to one bucket directory.
+
+Exactly-once under sink replay: foreachBatch epoch ids are monotone and
+stable across restarts, so every bucket directory carries the epoch that
+last wrote it (``_epoch`` file, underscore-prefixed → invisible to the
+parquet reader) stamped BEFORE the atomic rename.  A replayed epoch
+skips buckets already at or past it; a crash mid-swap leaves some
+buckets applied and some not, and the replay completes exactly the
+missing ones — per-bucket idempotence, the transactional-sink pattern
+Spark's foreachBatch docs prescribe.
+
+On a real deployment the same code targets a Delta/Iceberg table with
+MERGE INTO; the local-parquet bucket swap keeps identical semantics
+without those jars.
 """
 
 from __future__ import annotations
@@ -24,98 +45,146 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: bucket count for the serving-table layout.  Sized so one bucket of
+#: state fits comfortably in an executor's memory at the target scale;
+#: local tests use the default.  Must stay constant for a table's
+#: lifetime (it defines the on-disk partitioning).
+N_BUCKETS = 32
+
+
+def _bucket(key_col, n_buckets: int):
+    """Foldable-for-literals bucket expression — the same function is
+    used at write time (partition column) and read time (pruning
+    predicate), so lookups of a literal key constant-fold to one
+    partition."""
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
 
 class ServingTables:
     """Compacted latest-per-key tables maintained from micro-batches."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = N_BUCKETS):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
     def read(self, name: str) -> DataFrame | None:
+        """Current table as a DataFrame (partition-discovered ``bkt``
+        column included).  None before the first micro-batch."""
         path = self._path(name)
-        if not os.path.exists(path):
+        if not os.path.exists(path) or not any(
+            e.startswith("bkt=") for e in os.listdir(path)
+        ):
             return None
         return self.spark.read.parquet(path)
 
-    def upsert_latest(
-        self, name: str, batch: DataFrame, key: str, order: str, epoch_id: int | None = None
-    ) -> None:
-        """Compact: keep the max-``order`` row per ``key`` across the old
-        state and the new batch — the same last-write-wins fold Goka
-        applies when replaying a compacted table topic.  Idempotent by
-        construction (max_by re-applied to the same rows is a no-op), so
-        the epoch marker here only short-circuits replays, it isn't needed
-        for correctness."""
-        current = self.read(name)
-        merged = batch if current is None else current.unionByName(batch)
-        value_cols = [c for c in merged.columns if c != key]
-        latest = (
-            merged.groupBy(key)
-            .agg(F.max_by(F.struct(*value_cols), F.col(order)).alias("v"))
-            .select(key, "v.*")
-        )
-        self._swap_in(name, latest, epoch_id=epoch_id)
+    # --- bucketed merge core ---------------------------------------------
 
-    # --- foreachBatch hooks ---------------------------------------------
-
-    def _last_epoch(self, name: str) -> int:
-        """Epoch of the last successfully applied micro-batch, recorded
-        INSIDE the table directory (underscore-prefixed, so Spark's parquet
-        reader ignores it) — the marker and the data it describes swap in
-        one atomic rename, so they can never disagree."""
-        marker = os.path.join(self._path(name), "_epoch")
+    def _bucket_epoch(self, name: str, bkt: int) -> int:
+        marker = os.path.join(self._path(name), f"bkt={bkt}", "_epoch")
         if not os.path.exists(marker):
             return -1
         with open(marker) as f:
             return int(f.read().strip())
 
-    def _swap_in(self, name: str, df: DataFrame, epoch_id: int | None = None) -> None:
-        """Write ``df`` to a temp dir (stamping the epoch marker) and
-        atomically rename it over the current table."""
-        tmp = self._path(f".{name}.{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+    def _merge_buckets(
+        self,
+        name: str,
+        delta: DataFrame,
+        key: str,
+        fold,
+        epoch_id: int | None,
+    ) -> None:
+        """Merge a per-key pre-aggregated ``delta`` into the table,
+        touching only the buckets the delta's keys hash to.
+
+        ``fold(frame)`` re-compacts the union of old bucket state and the
+        delta down to one row per key (it sees only dirty-bucket rows).
+        """
+        delta = delta.withColumn("bkt", _bucket(F.col(key), self.n_buckets))
+        dirty = sorted(
+            r.bkt for r in delta.select("bkt").distinct().collect()
+        )  # ≤ n_buckets ints — the only driver-side data
         if epoch_id is not None:
-            with open(os.path.join(tmp, "_epoch"), "w") as f:
-                f.write(str(epoch_id))
+            dirty = [b for b in dirty if self._bucket_epoch(name, b) < epoch_id]
+        if not dirty:
+            return  # fully replayed micro-batch
+        delta = delta.filter(F.col("bkt").isin(dirty))
+        current = self.read(name)
+        if current is not None:
+            # static partition pruning: only dirty bucket dirs are read
+            merged = current.filter(F.col("bkt").isin(dirty)).unionByName(delta)
+        else:
+            merged = delta
+        compacted = fold(merged)
+
+        # write dirty buckets to a tmp dir, then atomic-rename each one
+        tmp = self._path(f".{name}.{uuid.uuid4().hex}")
+        compacted.write.mode("overwrite").partitionBy("bkt").parquet(tmp)
         final = self._path(name)
-        old = self._path(f".{name}.old.{uuid.uuid4().hex}")
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        os.makedirs(final, exist_ok=True)
+        for b in dirty:
+            src = os.path.join(tmp, f"bkt={b}")
+            if not os.path.exists(src):
+                os.makedirs(src)  # a bucket can compact to zero rows
+            if epoch_id is not None:
+                with open(os.path.join(src, "_epoch"), "w") as f:
+                    f.write(str(epoch_id))
+            dst = os.path.join(final, f"bkt={b}")
+            old = os.path.join(final, f".bkt={b}.old.{uuid.uuid4().hex}")
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def upsert_latest(
+        self, name: str, batch: DataFrame, key: str, order: str, epoch_id: int | None = None
+    ) -> None:
+        """Compact: keep the max-``order`` row per ``key`` across the old
+        bucket state and the new batch — the same last-write-wins fold
+        Goka applies when replaying a compacted table topic.  Idempotent
+        by construction (max_by re-applied to the same rows is a no-op);
+        the per-bucket epoch markers short-circuit replays."""
+        value_cols = [c for c in batch.columns if c != key]
+
+        def fold(frame: DataFrame) -> DataFrame:
+            return (
+                frame.groupBy(key, "bkt")
+                .agg(F.max_by(F.struct(*value_cols), F.col(order)).alias("v"))
+                .select(key, "bkt", "v.*")
+            )
+
+        self._merge_buckets(name, batch, key, fold, epoch_id)
+
+    # --- foreachBatch hooks ---------------------------------------------
 
     def balance_sink(self):
         """Micro-batch of deposits → running balance table.  The batch is
-        pre-aggregated per key, then merged additively (sums compose).
+        pre-aggregated per key, then merged additively (sums compose)
+        into the dirty buckets only.
 
-        Additive merge is NOT naturally idempotent, so sink-replay after a
-        failure (table write succeeded, checkpoint commit didn't) would
-        double-count the replayed batch.  foreachBatch epoch ids are
-        monotonically increasing and stable across restarts, so the sink
-        records the last applied epoch inside the table directory and
-        skips any epoch ≤ it — the transactional-sink pattern Spark's docs
-        prescribe for exactly-once foreachBatch."""
+        Additive merge is NOT naturally idempotent, so sink-replay after
+        a failure (bucket write succeeded, checkpoint commit didn't)
+        would double-count — the per-bucket epoch markers make each
+        bucket exactly-once (see module docstring)."""
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            if epoch_id <= self._last_epoch("balance"):
-                return  # replayed micro-batch: already folded into the table
             delta = batch.groupBy("wallet_id").agg(
                 F.sum("amount").alias("balance"), F.max("seq").alias("seq")
             )
-            current = self.read("balance")
-            if current is not None:
-                delta = (
-                    current.unionByName(delta)
-                    .groupBy("wallet_id")
-                    .agg(F.sum("balance").alias("balance"), F.max("seq").alias("seq"))
+
+            def fold(frame: DataFrame) -> DataFrame:
+                return frame.groupBy("wallet_id", "bkt").agg(
+                    F.sum("balance").alias("balance"), F.max("seq").alias("seq")
                 )
-            self._swap_in("balance", delta, epoch_id=epoch_id)
+
+            self._merge_buckets("balance", delta, "wallet_id", fold, epoch_id)
 
         return sink
 
@@ -124,8 +193,6 @@ class ServingTables:
         reference flagger/flagger.go:40-57)."""
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            if epoch_id <= self._last_epoch("flags"):
-                return  # replay: fold is idempotent, skipping just saves IO
             folded = (
                 batch.groupBy("wallet_id")
                 .agg(
@@ -150,18 +217,22 @@ class ServingTables:
 
     # --- the read path (J1) ----------------------------------------------
 
+    def _lookup(self, name: str, wallet_id: str):
+        """Point lookup pruned to the key's single bucket directory."""
+        table = self.read(name)
+        if table is None:
+            return None
+        return table.filter(
+            (F.col("bkt") == _bucket(F.lit(wallet_id), self.n_buckets))
+            & (F.col("wallet_id") == wallet_id)
+        ).collect()
+
     def check(self, wallet_id: str) -> dict:
         """GET /check/{wallet_id} (reference service/service.go:115-153):
         balance ⋈ flags with zero-value defaults, always one answer —
         including for wallets never seen."""
-        balance = self.read("balance")
-        flags = self.read("flags")
-        bal_row = None
-        if balance is not None:
-            bal_row = balance.filter(F.col("wallet_id") == wallet_id).collect()
-        flag_row = None
-        if flags is not None:
-            flag_row = flags.filter(F.col("wallet_id") == wallet_id).collect()
+        bal_row = self._lookup("balance", wallet_id)
+        flag_row = self._lookup("flags", wallet_id)
         return {
             "wallet_id": wallet_id,
             "balance": float(bal_row[0]["balance"]) if bal_row else 0.0,

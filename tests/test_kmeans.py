@@ -45,3 +45,33 @@ def test_separated_clusters_recovered(spark):
     blob0 = {got[i] for i in range(20)}
     blob1 = {got[i] for i in range(20, 40)}
     assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+
+
+def test_assignment_has_no_shuffle_or_sort(spark):
+    """assign_clusters is a map-only Arrow matmul: the physical plan must
+    contain no Exchange and no Sort (the r1 global orderBy seeding is
+    gone)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = [[0.0] * 16 for _ in range(4)]
+    for i in range(4):
+        cents[i][i] = 1.0
+    plan = assign_clusters(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
+def test_kmeanspp_seed_deterministic_and_spread(spark):
+    """Hash-derived k-means++ seeding: reruns are identical, seeds are
+    distinct vectors, and on two well-separated blobs the two seeds land
+    in different blobs (that is the point of D^2 weighting)."""
+    from depositaja_spark.functions.kmeans import kmeanspp_seed
+
+    rows = [(i, [10.0 + (i % 5) * 0.01, 10.0]) for i in range(20)]
+    rows += [(i, [-10.0, -10.0 - (i % 5) * 0.01]) for i in range(20, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s1 = kmeanspp_seed(emb, 2)
+    s2 = kmeanspp_seed(emb, 2)
+    assert s1 == s2
+    assert s1[0] != s1[1]
+    # one seed per blob: signs of the x coordinate differ
+    assert (s1[0][0] > 0) != (s1[1][0] > 0)
