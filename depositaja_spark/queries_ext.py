@@ -878,3 +878,174 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_TARGET).alias("pack_id"),
     )
+
+
+# --- corpus curation (split / sample / decontaminate / passage dedup) --------
+
+#: train/val assignment threshold on the first two md5 hex chars —
+#: 'e5' keeps 230/256 ≈ 89.8% in train.  Lexicographic compare of the
+#: lowercase hex prefix is a uniform draw on BOTH engines (identical md5)
+_SPLIT_HEX = "e5"
+_SPLIT_SALT = "split-v1:"
+
+
+@query(
+    "train_val_split",
+    f"""
+SELECT doc_id,
+       CASE WHEN substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) <= '{_SPLIT_HEX}'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the reproducibility
+    primitive of every training pipeline: membership depends only on
+    (salt, doc_id), so re-runs, backfills, and incremental arrivals land
+    in the same split with no stored assignment table and no shuffle
+    (row-local projection; the salt versions the split)."""
+    d = _docs(spark, sf_dir)
+    frac = F.substring(F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(frac <= _SPLIT_HEX, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+#: per-language keep-rate for mixture sampling, as 4-hex-char thresholds
+#: (keep iff the doc's hash prefix sorts below the threshold): en is kept
+#: in full ('zzzz' sorts above every hex string), everything else at 50%
+_MIX_SALT = "mix-v1:"
+_MIX_THRESH = {"en": "zzzz"}
+_MIX_DEFAULT = "8000"
+
+
+@query(
+    "mixture_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang WHEN 'en' THEN '{_MIX_THRESH["en"]}' ELSE '{_MIX_DEFAULT}' END
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture/source-weighted sampling: keep each document with a
+    per-language rate (en 100%, others 50%) via the same salted-hash
+    uniform as train_val_split — deterministic, shuffle-free, and exact
+    on re-runs (unlike ``sampleBy``, whose Bernoulli draw depends on
+    partitioning).  This is how pretraining mixtures re-weight sources
+    at 100 TB: a row-local filter pushed to the scan, not a sample
+    collected and re-written."""
+    d = _docs(spark, sf_dir)
+    frac = F.substring(F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))), 1, 4)
+    thresh = F.when(F.col("lang") == "en", F.lit(_MIX_THRESH["en"])).otherwise(
+        F.lit(_MIX_DEFAULT)
+    )
+    return d.filter(frac < thresh).select("doc_id", "lang")
+
+
+#: decontamination: shingle-overlap against a benchmark set.  Benchmark =
+#: every 97th doc (stand-in for an eval suite); τ = 8 shared 3-gram
+#: shingles flags a doc as contaminated
+_BENCH_MOD = 97
+_CONTAM_TAU = 8
+
+
+@query(
+    "decontaminate",
+    f"""
+WITH {_SHINGLES_SQL},
+bench AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % {_BENCH_MOD} = 0)
+SELECT c.doc_id,
+       b.doc_id AS bench_id,
+       count(*) AS overlap,
+       count(*) >= {_CONTAM_TAU} AS contaminated
+FROM shingles c JOIN bench b ON c.shingle = b.shingle AND c.doc_id <> b.doc_id
+WHERE c.doc_id % {_BENCH_MOD} <> 0
+GROUP BY 1, 2
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage gate every training
+    corpus runs): per (corpus doc, benchmark doc), the count of shared
+    3-token shingles, flagged at τ={_CONTAM_TAU}.
+
+    Scale shape: the benchmark side is tiny by definition (an eval suite,
+    not a corpus), so its shingle set is **broadcast** — the 100 TB corpus
+    side is scanned once, never shuffled; the only exchange is the final
+    per-pair count aggregation on the (tiny) match set."""
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles(docs, 3).select("doc_id", "shingle")
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .select(
+            "doc_id",
+            "bench_id",
+            "overlap",
+            (F.col("overlap") >= _CONTAM_TAU).alias("contaminated"),
+        )
+    )
+
+
+_PASSAGE = 16  # tokens per non-overlapping passage
+
+
+@query(
+    "passage_dedup",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[i*{_PASSAGE}+1 : i*{_PASSAGE}+{_PASSAGE}], ' ') AS passage
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+  WHERE i*{_PASSAGE} < len(toks)
+),
+r AS (
+  SELECT doc_id, pos, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT doc_id, pos, substr(md5(passage), 1, 16) AS passage_key, rn = 1 AS keep
+FROM r
+""",
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact passage-level dedup (the RefinedWeb/C4 repeated-span
+    cut, exact tier): documents are segmented into non-overlapping
+    {_PASSAGE}-token passages and each distinct passage keeps only its
+    first occurrence by (doc_id, pos) — later copies are marked drop.
+
+    One hash shuffle on the passage (the window partition key); passage
+    text never moves twice because segmentation is row-local.  Hot
+    passages (the empty tail, boilerplate) are bounded: the window only
+    ranks, it does not pair — state per passage is one counter, unlike
+    the quadratic inverted-index joins this complements."""
+    from pyspark.sql import Window as W
+
+    toks = tx.tokens("text")
+    n_pass = F.ceil(F.size(toks) / F.lit(_PASSAGE)).cast("int")
+    docs = _docs(spark, sf_dir)
+    p = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("pos")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice(F.col("toks"), F.col("pos") * _PASSAGE + 1, _PASSAGE), " ").alias(
+            "passage"
+        ),
+    )
+    w = W.partitionBy("passage").orderBy("doc_id", "pos")
+    return p.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5("passage"), 1, 16).alias("passage_key"),
+        (F.col("rn") == 1).alias("keep"),
+    )

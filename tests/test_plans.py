@@ -133,3 +133,35 @@ def test_ivf_ann_no_cartesian(temporal_plans):
     candidate-generation plan (the whole point of the index)."""
     p = temporal_plans["ann_topk_ivf"]
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is tiny by definition → its side of the
+    contamination join must be a broadcast, so the corpus scan is never
+    shuffled on the shingle."""
+    p = plan_of(registry.QUERIES["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_passage_dedup_single_passage_shuffle(spark):
+    """Exact passage dedup is ONE hash exchange on the passage (the
+    window partition key) — segmentation is row-local, so no other
+    exchange may appear."""
+    p = plan_of(registry.QUERIES["passage_dedup"](spark, SF))
+    assert p.count("hashpartitioning(passage") == 1
+    # the only other exchange is the test-fixture round-robin rebalance
+    # (sources/tables.py:spread), never a second key shuffle
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_mixture_sample_is_scan_local(spark):
+    """Hash-threshold sampling is a row-local filter: no exchange at all,
+    and column pruning keeps text out of the scan."""
+    p = plan_of(registry.QUERIES["mixture_sample"](spark, SF))
+    assert "hashpartitioning(" not in p
+
+
+def test_train_val_split_no_shuffle(spark):
+    p = plan_of(registry.QUERIES["train_val_split"](spark, SF))
+    assert "hashpartitioning(" not in p
