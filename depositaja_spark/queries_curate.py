@@ -1,0 +1,410 @@
+"""Corpus-curation extension queries, batch 2: PII redaction, TF-IDF
+keyword extraction, boilerplate line removal with document reassembly,
+quality-ranked cluster dedup, winnowing fingerprints, mixture statistics.
+
+Same contract as queries_ext: every query couples a Spark DataFrame plan
+with a DuckDB oracle generated from the same module-level constants, and
+every computed column is aliased identically on both sides.  Portable
+hash and rounding conventions follow registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import dedup as dd
+from depositaja_spark.functions import text as tx
+from depositaja_spark.queries_ext import _H64, _TOKS, _docs
+from depositaja_spark.registry import query
+
+# --- PII redaction -----------------------------------------------------------
+#
+# The synthetic corpus carries no PII, so the operator first *plants*
+# deterministic PII derived from doc_id (same expression on both engines)
+# and then redacts it — the redaction path is what's under test.  On a
+# real corpus the enrichment step disappears and the redaction filters
+# run as-is: row-local regexp_replace, no shuffle, pushed to the scan.
+#
+# Patterns are written in the common Java-regex ∩ RE2 dialect (\d, \b,
+# bounded repetition — no lookaround), so Spark and DuckDB agree.
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_ACCT = "\\b\\d{13,19}\\b"
+
+_PII_DIRTY_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'"
+    " || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 97 AS VARCHAR) || ' acct 4'"
+    " || lpad(CAST(doc_id AS VARCHAR), 15, '0')"
+)
+
+
+@query(
+    "pii_redact",
+    f"""
+WITH dirty AS (SELECT doc_id, {_PII_DIRTY_SQL} AS dirty FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '{_PII_IPV4}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(
+         regexp_replace(dirty, '{_PII_IPV4}', '<IP>', 'g'), '{_PII_ACCT}')) AS INT) AS n_accts,
+       regexp_replace(regexp_replace(regexp_replace(dirty,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_ACCT}', '<ACCT>', 'g') AS redacted
+FROM dirty
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant deterministic email / IPv4 / account-number
+    strings per doc, then redact them with shared-dialect regexes and
+    count what was removed.  Entirely row-local (scan → project), so it
+    runs at corpus scan speed at any scale; account numbers are counted
+    *after* IP redaction so dotted quads never double-report."""
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" acct 4"),
+        F.lpad(F.col("doc_id").cast("string"), 15, "0"),
+    )
+    d = d.select("doc_id", dirty.alias("dirty"))
+    no_ip = F.regexp_replace("dirty", _PII_IPV4, "<IP>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("dirty", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("dirty", F.lit(_PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(_PII_ACCT), F.lit(0))).alias("n_accts"),
+        F.regexp_replace(
+            F.regexp_replace(no_ip, _PII_EMAIL, "<EMAIL>"), _PII_ACCT, "<ACCT>"
+        ).alias("redacted"),
+    )
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tfc.doc_id, tfc.term,
+         CAST(tfc.tf AS INT) AS tf, CAST(dfc.df AS INT) AS df,
+         round(tfc.tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) AS tfidf
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= {_TFIDF_TOPK}
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top {_TFIDF_TOPK} terms by
+    ``tf · ln(N/df)``, ties broken lexicographically).
+
+    Scale shape: two keyed aggregations (tf on (doc, term), df on term)
+    plus a broadcast of the 1-row corpus count; the df side is
+    vocabulary-sized, far smaller than the corpus, so the join back is
+    the only real shuffle.  Score is rounded at 6 places on both engines
+    before ranking so the hash — and the rank itself — can't wobble on
+    float noise."""
+    d = _docs(spark, sf_dir)
+    tf = d.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tfc = tf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tfc.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+    )
+
+
+# --- boilerplate line removal (C4-style) -------------------------------------
+#
+# The corpus has no newlines, so "lines" are non-overlapping 12-token
+# segments (same segmentation as passage_dedup, smaller unit).  A line
+# occurring in more than _LINE_DF_CAP distinct documents is boilerplate
+# (nav bars, licence footers, cookie banners at web scale) and is cut
+# from EVERY document; the document is then reassembled in order.
+
+_LINE = 12
+_LINE_DF_CAP = 2
+
+
+@query(
+    "line_dedup",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[i*{_LINE}+1 : i*{_LINE}+{_LINE}], ' ') AS line
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+  WHERE i*{_LINE} < len(toks)
+),
+ldf AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line, d.line_df
+  FROM lines l JOIN ldf d USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE line_df <= {_LINE_DF_CAP}) AS INT) AS n_kept,
+       CAST(count(*) FILTER (WHERE line_df > {_LINE_DF_CAP}) AS INT) AS n_dropped,
+       coalesce(string_agg(line, ' ' ORDER BY pos)
+                  FILTER (WHERE line_df <= {_LINE_DF_CAP}), '') AS clean_text
+FROM kept GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal: segment every document into
+    {_LINE}-token lines, measure each line's document frequency, drop
+    lines seen in more than {_LINE_DF_CAP} documents, and reassemble the
+    surviving text in original order.
+
+    Scale shape: the line-df aggregation shuffles *lines* (bounded by
+    corpus size), the join back is line-keyed, and reassembly is one
+    groupBy(doc_id) whose state per doc is its own lines — no global
+    structure.  Order is restored from the segment index, not from
+    collect order, so the rebuild is deterministic under any
+    parallelism."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    n_lines = F.ceil(F.size(toks) / F.lit(_LINE)).cast("int")
+    lines = d.select(
+        "doc_id", toks.alias("toks"), F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("pos")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice(F.col("toks"), F.col("pos") * _LINE + 1, _LINE), " ").alias("line"),
+    )
+    ldf = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("line_df"))
+    kept = lines.join(ldf, "line")
+    keep = F.col("line_df") <= _LINE_DF_CAP
+    ordered = F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "line"))))
+    return kept.groupBy("doc_id").agg(
+        F.sum(keep.cast("int")).cast("int").alias("n_kept"),
+        F.sum((~keep).cast("int")).cast("int").alias("n_dropped"),
+        F.array_join(F.transform(ordered, lambda s: s.line), " ").alias("clean_text"),
+    )
+
+
+# --- quality-ranked cluster dedup -------------------------------------------
+
+from depositaja_spark.queries_ext import _CLUSTERS_SQL, _STOP  # noqa: E402
+
+
+def _keep_best_sql() -> str:
+    quality = f"""
+CAST(floor(least(1000, len({_TOKS}) * 20)
+           * (1000 + least(1000, floor(len(list_filter({_TOKS},
+                         t -> list_contains({_STOP}, t))) * 5000 / len({_TOKS}))))
+           / 2) AS DOUBLE) / 1000000.0
+""".strip()
+    return f"""
+WITH clusters AS (
+{_CLUSTERS_SQL.strip()}
+),
+q AS (SELECT doc_id, {quality} AS quality FROM documents)
+SELECT c.doc_id, c.cluster_id, q.quality,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.doc_id) = 1 AS keep
+FROM clusters c JOIN q USING (doc_id)
+"""
+
+
+@query("dedup_keep_best", _keep_best_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup: within each near-duplicate cluster keep the
+    highest-quality document (ties → lowest doc_id) instead of the
+    arbitrary min-id representative — the curation policy real pipelines
+    use so boilerplate-free copies win over scraped mirrors.
+
+    Built from parts already proven separately: connected-components
+    cluster labels (keyed min-label propagation) joined with the integer
+    per-mille quality score, then one row_number per cluster.  The extra
+    cost over plain dedup_clusters is a single cluster-keyed window."""
+    from depositaja_spark.functions.graph import dedup_clusters as _dc
+
+    docs = _docs(spark, sf_dir)
+    clusters = _dc(docs, dd.jaccard_pairs(docs, n=3, threshold=0.1)).select(
+        "doc_id", "cluster_id"
+    )
+    quality = tx.quality_score(docs)
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+    )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+#
+# Robust winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+# k-gram, slide a window of w hashes, record the minimum of each window
+# (rightmost occurrence on ties).  Guarantees any shared substring of
+# length ≥ w+k-1 produces a shared fingerprint, with a ~2/(w+1) density.
+#
+# Tie-break is encoded arithmetically so a single window-min suffices:
+# e = h·M − pos (pos < M), so comparing e orders first by hash, then
+# prefers the LARGER position — the rightmost minimum.  Decode is exact
+# integer math on both engines.
+
+_WK = 4  # tokens per k-gram
+_WW = 5  # hashes per winnow window
+_WM = 100_000  # position space; docs are ≪ 1e5 tokens
+
+
+@query(
+    "winnow_fingerprints",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+kg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         {_H64.format(x=f"array_to_string(toks[i:i+{_WK - 1}], ' ')")} % {tx.FP_MOD} AS h,
+         len(toks) - {_WK} + 1 AS n_kg
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 1001)) AS i)
+  WHERE i + {_WK} - 1 <= len(toks)
+),
+enc AS (
+  SELECT doc_id, pos, n_kg, h * {_WM} - pos AS e FROM kg
+),
+win AS (
+  SELECT doc_id, pos AS win_start, n_kg,
+         min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WW - 1} FOLLOWING) AS me
+  FROM enc
+)
+SELECT DISTINCT doc_id,
+       CAST((me + {_WM} - 1) // {_WM} AS BIGINT) AS fp_hash,
+       CAST((me + {_WM} - 1) // {_WM} * {_WM} - me AS INT) AS fp_pos
+FROM win
+WHERE win_start <= n_kg - {_WW}
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS): the selected (hash, pos)
+    minima of every {_WW}-hash window over {_WK}-token k-gram hashes —
+    the fingerprint set that guarantees detection of any shared span of
+    ≥ {_WW + _WK - 1} tokens at ~2/(w+1) storage density.
+
+    Everything is row-local except one doc-keyed sort for the sliding
+    window-min — state per document is w hashes, the selected set is a
+    fraction of the token count, and no cross-document work happens at
+    all (pairing fingerprints is a downstream equi-join, as in the
+    near-dup tiers)."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    n_kg = (F.size(toks) - _WK + 1).alias("n_kg")
+    kg = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n_kg,
+        F.explode(F.sequence(F.lit(1), F.size(toks) - _WK + 1)).alias("i"),
+    ).select(
+        "doc_id",
+        (F.col("i") - 1).cast("int").alias("pos"),
+        (tx.hash64(F.array_join(F.slice("toks", F.col("i"), _WK), " ")) % tx.FP_MOD).alias("h"),
+        "n_kg",
+    )
+    enc = kg.select(
+        "doc_id", "pos", "n_kg", (F.col("h") * _WM - F.col("pos")).alias("e")
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WW - 1)
+    )
+    win = enc.select(
+        "doc_id",
+        F.col("pos").alias("win_start"),
+        "n_kg",
+        F.min("e").over(w).alias("me"),
+    ).filter(F.col("win_start") <= F.col("n_kg") - _WW)
+    # integer `div`, not float floor-divide: me ~ 1e14 and the decode must
+    # be exact integer math to mirror DuckDB's `//`
+    fp_hash = F.expr(f"(me + {_WM - 1}) div {_WM}")
+    return win.select(
+        "doc_id",
+        fp_hash.cast("long").alias("fp_hash"),
+        (fp_hash * _WM - F.col("me")).cast("int").alias("fp_pos"),
+    ).distinct()
+
+
+# --- corpus mixture statistics ----------------------------------------------
+
+
+@query(
+    "corpus_mixture_stats",
+    f"""
+WITH per AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         sum(len({_TOKS})) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source,
+       CAST(n_docs AS INT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+FROM per
+""",
+)
+def q_corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture bookkeeping: per (lang, source) bucket, the
+    document count, token count, and share of total corpus tokens — the
+    table a mixture_sample policy is tuned against.
+
+    One aggregation on a low-cardinality key; the global total is an
+    unpartitioned window over the *aggregated* frame (|langs|·|sources|
+    rows, not the corpus), which is the cheap and correct place to
+    normalize."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.size(tx.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    total = W.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    )

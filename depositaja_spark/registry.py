@@ -522,5 +522,6 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 from depositaja_spark import queries_olap  # noqa: E402,F401
 from depositaja_spark import queries_ext  # noqa: E402,F401
 from depositaja_spark import queries_window  # noqa: E402,F401
+from depositaja_spark import queries_curate  # noqa: E402,F401
 from depositaja_spark import queries_temporal  # noqa: E402,F401
 from depositaja_spark import queries_sketch  # noqa: E402,F401

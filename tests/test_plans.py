@@ -165,3 +165,25 @@ def test_mixture_sample_is_scan_local(spark):
 def test_train_val_split_no_shuffle(spark):
     p = plan_of(registry.QUERIES["train_val_split"](spark, SF))
     assert "hashpartitioning(" not in p
+
+
+def test_pii_redact_no_shuffle(spark):
+    """PII enrichment + redaction is a pure row-local projection — it must
+    compile to scan → project with no exchange anywhere."""
+    p = plan_of(registry.QUERIES["pii_redact"](spark, SF))
+    assert "hashpartitioning(" not in p
+
+
+def test_winnow_single_doc_exchange(spark):
+    """Winnowing needs exactly one doc-keyed exchange (the sliding
+    window-min); k-gram hashing and the encode/decode are row-local."""
+    p = plan_of(registry.QUERIES["winnow_fingerprints"](spark, SF))
+    assert p.count("hashpartitioning(doc_id") >= 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    """The 1-row corpus count joins by broadcast, never a shuffled cross
+    join."""
+    p = plan_of(registry.QUERIES["tfidf_top_terms"](spark, SF))
+    assert "CartesianProduct" not in p
