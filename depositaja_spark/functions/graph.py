@@ -15,6 +15,14 @@ persists each frontier and unpersists the previous one to keep lineage
 and memory flat; convergence is detected with a count of changed labels
 (one lightweight action per round).
 
+The iterative part runs ONLY on vertices incident to an edge: in a
+dedup workload the pair graph is orders of magnitude smaller than the
+corpus (most documents are unique), so iterating over the full vertex
+set would re-shuffle the whole corpus once per round for no reason.
+Non-incident vertices are singletons by construction and are unioned
+back as ``cluster_id = id`` after convergence — one anti-join, zero
+rounds.
+
 Determinism: labels are ids and min() is order-insensitive, so the result
 is independent of partitioning and join order — oracle-checkable against
 a recursive-CTE reachability query.
@@ -27,7 +35,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from depositaja_spark.functions.cache import tracked_persist, untrack
+from depositaja_spark.functions.cache import tracked_persist
 
 
 def connected_components(
@@ -47,19 +55,30 @@ def connected_components(
     bound is hit with labels still changing, the result is WRONG (some
     vertices carry a non-minimal label), so a ``RuntimeWarning`` is issued
     rather than returning silently-partial clusters."""
-    # undirected: propagate both ways
-    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = tracked_persist(fwd.unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ))
+    # pairs feed BOTH union branches of the symmetric edge set — persist
+    # first so the (possibly expensive) pair computation materializes
+    # once, not once per direction
+    edges = tracked_persist(edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
+    sym = tracked_persist(
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
 
-    labels = tracked_persist(vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ))
+    # iterate ONLY on edge-incident vertices (the dup graph); everything
+    # else is a singleton and skips the loop entirely
+    incident = sym.select(F.col("src").alias("id")).distinct()
 
-    # `prev` always points at the PERSISTED frame of the previous round —
-    # unpersist must target the cached plan itself, not a projection of it
-    prev = labels
+    # localCheckpoint TRUNCATES LINEAGE each round.  The round's plan
+    # references `labels` twice (neighbor join + left-outer merge), so
+    # without truncation the logical tree DOUBLES per iteration —
+    # Catalyst planning time, not execution, then dominates (measured: a
+    # 225 KB explain string with ~9000 cached-scan nodes after a handful
+    # of rounds).  Checkpointing pins the round's rows in executor
+    # storage and resets the plan to a leaf, keeping planning O(1) per
+    # round.  On a cluster with flaky executors use reliable
+    # ``checkpoint()`` (HDFS/object-store) instead — same shape, durable
+    # blocks; this is the same discipline GraphFrames' CC uses.
+    labels = incident.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+
     changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
@@ -67,25 +86,34 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        merged = labels.join(neighbor_min, "id", "left_outer").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("mlbl"),
+            F.col("cluster_id").alias("_old"),
+        )
+        # pointer jumping (path halving): follow the label one hop —
+        # mlbl is a vertex id, so its own current label is an equally
+        # valid (and ≤) component label.  Chain components then collapse
+        # in O(log diameter) rounds instead of O(diameter); every round
+        # saved is a full shuffle barrier saved at 100 TB.
+        hop = merged.select(F.col("id").alias("jid"), F.col("mlbl").alias("jlbl"))
+        new_lbl = F.least(F.col("mlbl"), F.coalesce(F.col("jlbl"), F.col("mlbl")))
         updated = (
-            labels.join(neighbor_min, "id", "left_outer")
+            merged.join(hop, merged["mlbl"] == hop["jid"], "left_outer")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+                new_lbl.alias("cluster_id"),
+                (new_lbl < F.col("_old")).alias("_changed"),
             )
+            .localCheckpoint()
         )
-        updated = tracked_persist(updated)
         changed = updated.filter(F.col("_changed")).count()
-        untrack(prev)
-        prev = updated
         labels = updated.drop("_changed")
         if changed == 0:
             break
 
-    untrack(sym)
     if changed > 0:
         warnings.warn(
             f"connected_components stopped after {max_iterations} iterations with "
@@ -94,7 +122,16 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+
+    # singletons: vertices that touch no edge keep their own id.  The
+    # incident set is small (it is the dup graph), so the anti-join
+    # broadcasts it against the corpus-sized vertex frame.
+    singles = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(incident), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return labels.unionByName(singles)
 
 
 def dedup_clusters(

@@ -408,3 +408,25 @@ def q_corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# --- product-quantization ANN tier ------------------------------------------
+
+from depositaja_spark.queries_ext import _emb  # noqa: E402
+from depositaja_spark.registry import NO_ORACLE_OK  # noqa: E402
+
+
+@query("ann_topk_pq")
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ+ADC approximate cosine top-k (functions/pq.py): codebook-
+    compressed vectors (m subspace codes per vector) scored by per-query
+    lookup tables inlined as literals.  k-means codebook training is
+    iterative (driver-coordinated like kmeans_cluster_sizes), so this is
+    a rows-only check; recall vs the exact scan is asserted in
+    tests/test_pq.py."""
+    from depositaja_spark.functions.pq import pq_ann_topk
+
+    return pq_ann_topk(_emb(spark, sf_dir))
+
+
+NO_ORACLE_OK.add("ann_topk_pq")
