@@ -1,0 +1,147 @@
+"""Distributed BPE tokenizer training (Sennrich, Haddow, Birch: "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016).
+
+The classic byte-pair-encoding trainer, Spark-shaped:
+
+  1. ONE corpus pass aggregates the word vocabulary with counts — the
+     corpus is never touched again; every merge round works on the
+     (much smaller) vocab table, exactly how production BPE trainers
+     scale (the corpus is 100 TB, the distinct-word table is not);
+  2. per round: explode adjacent symbol pairs weighted by word count,
+     aggregate pair frequencies (map-side combined), take the global
+     top-1 (a k=1 driver collect, like k-means centroids), and apply
+     the merge to every vocab word with a single-pass array fold —
+     no Python in any per-row path;
+  3. repeat for ``num_merges`` rounds; lineage is truncated per round
+     with localCheckpoint (same discipline as functions/graph.py — the
+     merge fold references the previous round's frame, so the plan
+     would otherwise grow round over round).
+
+Determinism: ties in pair frequency break on (left, right) lexicographic
+order, so the merge table is reproducible across partitionings/engines.
+
+The word-end marker ``</w>`` is appended as its own symbol, standard BPE:
+merges can then learn suffixes ("est</w>") distinct from mid-word pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.text import tokens
+
+END = "</w>"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcount) — the one corpus-sized aggregation."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _init_symbols(vocab: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols + the end marker."""
+    return vocab.select(
+        "word",
+        "wcount",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(END))).alias("syms"),
+    )
+
+
+def _merge_adjacent(syms, left: str, right: str):
+    """Single-pass fold that replaces every non-overlapping adjacent
+    (left, right) with left||right — the BPE merge, as a Catalyst
+    aggregate with a (out, pending) accumulator and a finish step, so it
+    runs inside codegen with no UDF."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        pend = acc["pend"]
+        hit = pend.eqNullSafe(F.lit(left)) & (x == F.lit(right))
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(F.lit(left + right))))
+            .when(pend.isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(pend)))
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(x).alias("pend"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+    return F.aggregate(syms, acc0, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame, num_merges: int = 8, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns [(left, right, freq), ...]
+    in merge order.  Each round is one vocab-sized aggregation + a k=1
+    collect; the corpus itself is read exactly once."""
+    vocab = _init_symbols(word_vocab(docs, text_col)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = (
+            vocab.select(
+                "wcount",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("freq"))
+        )
+        top = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        left, right, freq = top[0].l, top[0].r, int(top[0].freq)
+        merges.append((left, right, freq))
+        vocab = vocab.select(
+            "word", "wcount", _merge_adjacent(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_subwords) — tokenize with the learned merges.
+    Applies each merge as the same codegen'd fold over per-word symbol
+    arrays; a production deployment would bake the merge table into a
+    vocabulary file, but the counting semantics are identical."""
+    d = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    word_syms = F.transform(
+        F.col("toks"),
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(END))),
+    )
+    d = d.select(id_col, F.size("toks").alias("n_tokens"), word_syms.alias("ws"))
+    for left, right, _ in merges:
+        d = d.select(
+            id_col,
+            "n_tokens",
+            F.transform(F.col("ws"), lambda s: _merge_adjacent(s, left, right)).alias("ws"),
+        )
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.aggregate(
+            F.col("ws"), F.lit(0), lambda acc, s: acc + F.size(s)
+        ).alias("n_subwords"),
+    )

@@ -430,3 +430,82 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("ann_topk_pq")
+
+
+# --- distributed BPE tokenizer training --------------------------------------
+
+
+@query("bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned BPE merges over the corpus (functions/bpe.py):
+    one corpus pass builds the word-count vocab, then each round is a
+    vocab-sized pair aggregation + k=1 collect (driver-coordinated like
+    k-means), with the merge applied as a codegen'd array fold.
+    Iterative training is not SQL-expressible → rows-only; golden-merge
+    parity against an independent in-memory BPE is tested in
+    tests/test_bpe.py."""
+    from depositaja_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), num_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "step int, left string, right string, freq long",
+    )
+
+
+NO_ORACLE_OK.add("bpe_merges")
+
+
+@query("bpe_subword_counts")
+def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the learned BPE merges — the
+    token-budget accounting a training pipeline runs after fitting its
+    tokenizer.  Rows-only (depends on the iteratively trained merge
+    table); monotonicity and zero-merge identity are pytest-verified."""
+    from depositaja_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_apply(docs, bpe_train(docs, num_merges=8))
+
+
+NO_ORACLE_OK.add("bpe_subword_counts")
+
+
+# --- deterministic fixed-k per-stratum sampling ------------------------------
+
+_FIXK = 20
+_FIXK_SALT = "fixk-v1:"
+
+
+@query(
+    "stratified_fixed_k",
+    f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_FIXK_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_FIXK}
+""",
+)
+def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{_FIXK}-per-language sample, chosen by salted-hash order —
+    the deterministic replacement for reservoir sampling: membership
+    depends only on (salt, doc_id, lang), so re-runs and backfills pick
+    the same rows (unlike ``sample``/reservoirs, which depend on
+    partitioning).  One lang-keyed window; Spark plans the rank-filter
+    as a running top-k (WindowGroupLimit pushes the limit into the
+    sort), so per-stratum state is k rows, not the stratum."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit(_FIXK_SALT), F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FIXK)
+        .select("doc_id", "lang")
+    )
