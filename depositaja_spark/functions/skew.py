@@ -32,3 +32,31 @@ def salted_sum(
         .agg(F.sum(v).alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias(out))
+
+
+def skew_report(df: DataFrame, key: str) -> DataFrame:
+    """One-row distribution health report for a prospective shuffle key:
+    row/key counts, mean and max per-key sizes, the hot key and its share
+    of all rows, and ``skew_factor`` = max/mean — the number that says
+    how badly the largest shuffle partition will dominate a stage.
+
+    Two aggregations: per-key sizes (map-side combined), then a global
+    fold over the (distinct-key-sized) size table with ``max_by`` for
+    the hot key.  This is the measurement that decides whether a job
+    needs ``salted_sum``/AQE skew handling BEFORE it burns a stage on
+    one task at 100 TB."""
+    sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+        F.round(F.avg("n"), 4).alias("mean_rows_per_key"),
+        F.max("n").cast("long").alias("max_rows_per_key"),
+        # (n, key) tie-break encoded as a fixed-width sortable string —
+        # struct ordering in max_by is not portable to the oracle engine
+        F.max_by(
+            F.col(key).cast("string"),
+            F.concat(F.lpad(F.col("n").cast("string"), 12, "0"), F.lit("|"), F.col(key).cast("string")),
+        ).alias("hot_key"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("hot_key_share"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+    )

@@ -509,3 +509,34 @@ def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _FIXK)
         .select("doc_id", "lang")
     )
+
+
+# --- shuffle-key skew diagnostics --------------------------------------------
+
+from depositaja_spark.sources import load_table  # noqa: E402
+
+
+@query(
+    "skew_report_events",
+    """
+WITH sizes AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(count(*) AS BIGINT) AS distinct_keys,
+       round(avg(n), 4) AS mean_rows_per_key,
+       CAST(max(n) AS BIGINT) AS max_rows_per_key,
+       max_by(CAST(user_id AS VARCHAR),
+              lpad(CAST(n AS VARCHAR), 12, '0') || '|' || CAST(user_id AS VARCHAR)) AS hot_key,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS hot_key_share,
+       round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_factor
+FROM sizes
+""",
+)
+def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key health report for events.user_id (functions/skew.py:
+    skew_report): the pre-flight measurement that decides whether a
+    keyed aggregation needs salting or AQE skew splitting.  Ties on the
+    hot key break by the key string (max_by on a (count, key) struct),
+    identical on both engines."""
+    from depositaja_spark.functions.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id")

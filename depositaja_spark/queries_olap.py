@@ -686,3 +686,56 @@ def q_value_props_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+# --- TPC-H Q9 shape: profit by nation × year --------------------------------
+
+_COST = "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.60 AS DECIMAL(4,2))"
+
+
+@query(
+    "profit_by_nation_year",
+    f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum({_EP} * ({_ONE} - {_DISC}) - {_QTY} * ({_COST})) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (partsupp-free variant: unit cost = 60% of the
+    part's retail price): profit per supplier-nation × order-year over a
+    part-name substring filter.
+
+    Plan shape: the p_name LIKE filter prunes the part dimension BEFORE
+    its broadcast, so the big lineitem scan is filtered by the join
+    early; supplier/nation broadcast; the one real shuffle is
+    lineitem⋈orders followed by the (nation, year) aggregation.  Money
+    math is exact DECIMAL end-to-end, cast to double only at the end."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    cost = dec("p_retailprice") * F.lit(0.60).cast("decimal(4,2)")
+    profit = dec("l_extendedprice") * (one - dec("l_discount")) - dec("l_quantity") * cost
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(exact_sum(F.col("p")).alias("profit"))
+    )

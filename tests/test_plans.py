@@ -187,3 +187,11 @@ def test_tfidf_broadcasts_corpus_count(spark):
     join."""
     p = plan_of(registry.QUERIES["tfidf_top_terms"](spark, SF))
     assert "CartesianProduct" not in p
+
+
+def test_q9_broadcasts_dims_and_pushes_part_filter(spark):
+    """Q9 shape: part/supplier/nation are broadcast (no dim shuffle) and
+    the p_name LIKE filter reaches the part scan."""
+    p = plan_of(registry.QUERIES["profit_by_nation_year"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "widget" in p  # pushed into the part-side scan/filter
