@@ -6,14 +6,16 @@ representative (the minimum doc_id reachable through any chain of
 near-dup edges), so one keeper per cluster can be chosen and the rest
 dropped.  That closure is connected components.
 
-Implementation: iterative min-label propagation ("hash-to-min" style) —
-each round every vertex takes the min label among itself and its
-neighbors; converges in O(diameter) rounds.  Each round is one
-edge-label join + one groupBy min: all keyed shuffles, no driver-side
-graph state, so the same code runs on a 100 TB edge set.  The loop
-persists each frontier and unpersists the previous one to keep lineage
-and memory flat; convergence is detected with a count of changed labels
-(one lightweight action per round).
+Implementation: iterative min-label propagation ("hash-to-min" style)
+with pointer jumping — each round every vertex takes the min label among
+itself and its neighbors, then follows that label one hop (path
+halving), so convergence is O(log diameter) rounds.  Each round is one
+edge⋈label join + one groupBy min + one label⋈label hop: all keyed
+shuffles, no driver-side graph state, so the same code runs on a 100 TB
+edge set.  Each round ends in ONE job: the convergence metric rides the
+checkpoint-materializing action as an Observation, and the
+localCheckpoint truncates lineage so Catalyst planning stays O(1) per
+round.
 
 The iterative part runs ONLY on vertices incident to an edge: in a
 dedup workload the pair graph is orders of magnitude smaller than the
@@ -32,7 +34,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions.cache import tracked_persist
@@ -80,7 +82,7 @@ def connected_components(
     labels = incident.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
 
     changed = 0
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -100,16 +102,17 @@ def connected_components(
         # saved is a full shuffle barrier saved at 100 TB.
         hop = merged.select(F.col("id").alias("jid"), F.col("mlbl").alias("jlbl"))
         new_lbl = F.least(F.col("mlbl"), F.coalesce(F.col("jlbl"), F.col("mlbl")))
+        # the convergence metric rides on the SAME action that
+        # materializes the checkpoint (Observation ≈ an accumulator), so
+        # each round is ONE job, not a materialize + a count
+        obs = Observation(f"cc_round_{i}")
         updated = (
             merged.join(hop, merged["mlbl"] == hop["jid"], "left_outer")
-            .select(
-                "id",
-                new_lbl.alias("cluster_id"),
-                (new_lbl < F.col("_old")).alias("_changed"),
-            )
+            .select("id", new_lbl.alias("cluster_id"), (new_lbl < F.col("_old")).alias("_changed"))
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("changed"))
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("_changed")).count()
+        changed = int(obs.get["changed"] or 0)
         labels = updated.drop("_changed")
         if changed == 0:
             break

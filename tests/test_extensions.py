@@ -194,3 +194,81 @@ def test_quantized_topk_recall(spark, emb):
         (r.query_id, r.cand_id) for r in sim.ann_topk_quantized(emb).collect()
     }
     assert len(quant & exact) / len(exact) >= 0.8
+
+
+def test_line_dedup_identity_when_cap_infinite(spark):
+    """With an effectively infinite df cap nothing is boilerplate: the
+    reassembled clean_text must equal the original text (tokens joined
+    by single spaces — which IS the fixture text format)."""
+    from depositaja_spark.queries_curate import _LINE
+    from pyspark.sql import functions as F
+    from depositaja_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(_LINE)).cast("int")
+    lines = docs.select(
+        "doc_id", "text", toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("pos"),
+    ).select(
+        "doc_id", "text",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice(F.col("toks"), F.col("pos") * _LINE + 1, _LINE), " ").alias("line"),
+    )
+    rebuilt = (
+        lines.groupBy("doc_id", "text")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s.line
+                ),
+                " ",
+            ).alias("clean")
+        )
+    )
+    bad = rebuilt.filter(F.col("clean") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_winnow_guarantee_shared_span_shares_fingerprint(spark):
+    """Winnowing's core guarantee: two documents sharing a token span of
+    length ≥ w+k-1 share at least one fingerprint hash."""
+    from depositaja_spark.functions import text as tx
+    from depositaja_spark import registry
+    from pyspark.sql import functions as F
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    rows = [
+        (9001, f"one two three {span} four five six"),
+        (9002, f"seven eight {span} nine ten eleven twelve"),
+        (9003, "completely different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # replicate the registered query's operator body over this frame
+    import depositaja_spark.queries_curate as qc
+    from pyspark.sql import Window as W
+
+    toks = tx.tokens("text")
+    kg = df.select(
+        "doc_id", toks.alias("toks"),
+        (F.size(toks) - qc._WK + 1).alias("n_kg"),
+        F.explode(F.sequence(F.lit(1), F.size(toks) - qc._WK + 1)).alias("i"),
+    ).select(
+        "doc_id",
+        (F.col("i") - 1).cast("int").alias("pos"),
+        (tx.hash64(F.array_join(F.slice("toks", F.col("i"), qc._WK), " ")) % tx.FP_MOD).alias("h"),
+        "n_kg",
+    )
+    enc = kg.select("doc_id", "pos", "n_kg", (F.col("h") * qc._WM - F.col("pos")).alias("e"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, qc._WW - 1)
+    win = enc.select(
+        "doc_id", F.col("pos").alias("win_start"), "n_kg", F.min("e").over(w).alias("me")
+    ).filter(F.col("win_start") <= F.col("n_kg") - qc._WW)
+    fp = win.select(
+        "doc_id", F.expr(f"(me + {qc._WM - 1}) div {qc._WM}").alias("fp_hash")
+    ).distinct()
+    sets = {r.doc_id: set() for r in df.select("doc_id").collect()}
+    for r in fp.collect():
+        sets[r.doc_id].add(r.fp_hash)
+    assert sets[9001] & sets[9002], "shared span must share a fingerprint"
+    assert not (sets[9001] & sets[9003])
