@@ -540,3 +540,19 @@ def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from depositaja_spark.functions.skew import skew_report
 
     return skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@query("ann_topk_ivfpq")
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (functions/ivfpq.py): coarse cells prune the
+    scan to nprobe probes, product-quantized residuals shrink the
+    scanned bytes to m codes/vector, per-query literal LUTs score
+    bias + ADC JVM-side, and the top-R pool is exactly re-ranked.
+    Iterative codebook training → rows-only; recall and cell-pruning
+    are asserted in tests/test_ivfpq.py."""
+    from depositaja_spark.functions.ivfpq import ivfpq_ann_topk
+
+    return ivfpq_ann_topk(_emb(spark, sf_dir))
+
+
+NO_ORACLE_OK.add("ann_topk_ivfpq")

@@ -1,0 +1,54 @@
+"""IVF-PQ composed index: recall against the exact scan, candidate
+containment in probed cells."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.ivfpq import ivfpq_ann_topk
+from depositaja_spark.functions.similarity import (
+    NPROBE,
+    QUERY_IDS,
+    _centroid_matrix,
+    _ranked_cells_udf,
+    unit_vectors,
+)
+from depositaja_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivfpq_no_loss_beyond_ivf_pruning(spark):
+    """The meaningful invariant: recall is capped by IVF's probed-cell
+    hit rate, and the PQ compression + exact re-rank must add NO loss on
+    top of it — IVF-PQ's results match the uncompressed IVF tier's
+    exactly (measured: 100% agreement; pruning bound itself is asserted
+    in the ivf tier's own recall test)."""
+    from depositaja_spark.functions.similarity import ann_topk_ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    ivf = {(r.query_id, r.cand_id) for r in ann_topk_ivf(emb, k=5).collect()}
+    ap = {(r.query_id, r.cand_id) for r in ivfpq_ann_topk(emb, k=5).collect()}
+    assert ap == ivf, f"IVF-PQ diverged from IVF: {ap ^ ivf}"
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark):
+    """Every returned candidate must live in one of its query's probed
+    cells — the pruning contract."""
+    emb = load_table(spark, SF, "embeddings")
+    unit = unit_vectors(emb)
+    cids, cents = _centroid_matrix(unit, "vec_id", "unit")
+    ranked = _ranked_cells_udf(cids, cents)
+    assigned = unit.withColumn("cells", ranked(F.col("unit")))
+    cell_of = {r.vec_id: r.cells[0] for r in assigned.collect()}
+    probes = {
+        r.vec_id: set(r.cells[:NPROBE])
+        for r in assigned.filter(F.col("vec_id").isin(QUERY_IDS)).collect()
+    }
+    out = ivfpq_ann_topk(emb, k=5).collect()
+    assert out, "no results"
+    for r in out:
+        assert cell_of[r.cand_id] in probes[r.query_id], (
+            f"cand {r.cand_id} (cell {cell_of[r.cand_id]}) outside "
+            f"probed cells {probes[r.query_id]} of query {r.query_id}"
+        )
