@@ -447,3 +447,114 @@ def simhash_near_pairs_banded(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can match in several bands
     )
+
+
+# --- incremental dedup (new increment vs existing corpus) ---------------------
+
+
+def band_entries(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the exploded LSH band index of a
+    signature frame (one explode, shared stage; see lsh_candidate_pairs
+    for why not a per-band union)."""
+
+    def _key(b: int) -> Column:
+        cols = [F.col(f"mh_{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        return F.md5(F.concat_ws(":", *cols))
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _key(b).alias("band_key"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
+
+
+def incremental_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW increment against an EXISTING corpus without touching
+    old-vs-old pairs — the daily-ingest shape: at 100 TB the history is
+    re-scanned but never re-joined against itself, and everything keyed
+    by the (small) increment is broadcast.
+
+    Per new document: ``dup_exact`` (its content fingerprint exists in
+    the old corpus), ``near_dup_of`` (smallest old doc_id whose verified
+    Jaccard ≥ τ among LSH band-collision candidates, else null), and
+    ``keep`` (neither).  In production the old corpus's fingerprints,
+    signatures, and band index are precomputed at ingest (ivf_write_layout
+    analog); here they are derived inline from the old frame.
+
+    Candidate generation is the banded-LSH cross join (old bands ⋈
+    broadcast new bands — never old ⋈ old); the verify arm touches only
+    candidates, same as minhash_lsh_dedup."""
+    # exact tier: fingerprint semi-join, increment side broadcast
+    new_fp = new.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("fp"))
+    old_fp = old.select(F.md5(F.col(text_col)).alias("fp"))
+    exact_ids = (
+        old_fp.join(F.broadcast(new_fp), "fp").select("doc_id").distinct()
+    )
+
+    # near tier: cross-frame banded LSH
+    shh_old = tracked_persist(
+        shingles(old, n, text_col).select("doc_id", hash64(F.col("shingle")).alias("h"))
+    )
+    shh_new = tracked_persist(
+        shingles(new, n, text_col).select("doc_id", hash64(F.col("shingle")).alias("h"))
+    )
+    bands_old = band_entries(minhash_signatures(old, hh=shh_old))
+    bands_new = band_entries(minhash_signatures(new, hh=shh_new)).select(
+        F.col("doc_id").alias("new_id"), "band", "band_key"
+    )
+    cand = (
+        bands_old.join(F.broadcast(bands_new), ["band", "band_key"])
+        .select("new_id", F.col("doc_id").alias("old_id"))
+        .distinct()
+    )
+    cand = tracked_persist(cand)
+
+    # verify candidates only: Jaccard over 60-bit shingle-hash sets
+    old_ids = cand.select(F.col("old_id").alias("doc_id")).distinct()
+    sets_old = (
+        shh_old.join(F.broadcast(old_ids), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("set_o"))
+        .select(F.col("doc_id").alias("old_id"), "set_o")
+    )
+    sets_new = (
+        shh_new.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("set_n"))
+        .select(F.col("doc_id").alias("new_id"), "set_n")
+    )
+    inter = F.size(F.array_intersect(F.col("set_n"), F.col("set_o")))
+    union = F.size(F.col("set_n")) + F.size(F.col("set_o")) - inter
+    near = (
+        cand.join(sets_old, "old_id")
+        .join(F.broadcast(sets_new), "new_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("near_dup_of"))
+    )
+
+    return (
+        new.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(True)), "doc_id", "left_outer")
+        .join(near.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("dup_exact"),
+            "near_dup_of",
+            (F.col("_e").isNull() & F.col("near_dup_of").isNull()).alias("keep"),
+        )
+    )

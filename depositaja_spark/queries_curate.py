@@ -556,3 +556,75 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("ann_topk_ivfpq")
+
+
+# --- incremental dedup (daily-ingest shape) ----------------------------------
+
+_INC_MOD = 10  # doc_id % 10 == 0 → the "new increment"; rest = history
+
+
+def _inc_dedup_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {dd.MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_COEFFS)
+    )
+    band_selects = []
+    for b in range(dd.LSH_BANDS):
+        cols = [f"mh_{b * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
+        key = "md5(concat_ws(':', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols) + "))"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    bands = "\nUNION ALL\n".join(band_selects)
+    from depositaja_spark.queries_ext import _SHINGLES_SQL
+
+    return f"""
+WITH {_SHINGLES_SQL},
+h AS (SELECT doc_id, {_H64.format(x='shingle')} % {dd.MINHASH_P} AS h FROM shingles),
+sigs AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+  WHERE n.doc_id % {_INC_MOD} = 0 AND o.doc_id % {_INC_MOD} <> 0
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, count(*) AS inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.new_id
+  JOIN shingles b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT i.new_id, i.old_id
+  FROM inter i
+  JOIN sz sn ON sn.doc_id = i.new_id
+  JOIN sz so ON so.doc_id = i.old_id
+  WHERE round(CAST(i.inter AS DOUBLE) / (sn.sz + so.sz - i.inter), 6) >= 0.5
+),
+near AS (SELECT new_id, min(old_id) AS near_dup_of FROM ver GROUP BY 1),
+ex AS (
+  SELECT DISTINCT n.doc_id FROM documents n JOIN documents o
+    ON md5(n.text) = md5(o.text)
+   AND n.doc_id % {_INC_MOD} = 0 AND o.doc_id % {_INC_MOD} <> 0
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
+       near.near_dup_of,
+       (d.doc_id NOT IN (SELECT doc_id FROM ex) AND near.near_dup_of IS NULL) AS keep
+FROM documents d LEFT JOIN near ON near.new_id = d.doc_id
+WHERE d.doc_id % {_INC_MOD} = 0
+"""
+
+
+@query("incremental_dedup", _inc_dedup_sql())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a 10% increment against the other 90% as the
+    existing corpus (functions/dedup.py:incremental_dedup): exact
+    fingerprint semi-join + cross-frame banded LSH with candidate-only
+    Jaccard verify (τ=0.5).  The history is never self-joined and every
+    increment-keyed frame is broadcast — the daily-ingest shape at
+    100 TB."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+    new = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+    return dd.incremental_dedup(old, new, n=3, threshold=0.5)
