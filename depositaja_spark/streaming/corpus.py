@@ -49,3 +49,30 @@ def streaming_corpus_intake(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
+
+
+def streaming_incremental_intake(
+    docs: DataFrame,
+    history: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental intake: the gated, within-stream-deduped document
+    stream anti-joined against the EXISTING corpus's content
+    fingerprints — the streaming half of
+    functions/dedup.py:incremental_dedup's exact tier.
+
+    The history side is a **stream-static left-anti join**: Structured
+    Streaming re-evaluates the static side per micro-batch, so at scale
+    it should be the compact fingerprint table (16 B/doc), not the
+    corpus — the same precomputed-index economics as the batch
+    incremental path.  Near-dup checking against history stays batch
+    (same corpus-wide-visibility argument as streaming_corpus_intake's
+    docstring); this gate stops exact re-crawls from ever landing in
+    the intake table."""
+    intake = streaming_corpus_intake(docs, ts_col, watermark, min_tokens, min_alpha)
+    hist_fp = history.select(F.md5(F.col(text_col)).alias("content_md5")).distinct()
+    return intake.join(hist_fp, "content_md5", "left_anti")

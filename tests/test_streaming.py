@@ -473,3 +473,55 @@ def test_streaming_corpus_intake_matches_batch_gate(spark, tmp_path):
         for r in corpus_gate(docs).select(F.md5("text").alias("content_md5")).collect()
     }
     assert set(got) == want
+
+
+def test_streaming_incremental_intake_drops_history_contents(spark, tmp_path):
+    """Stream-static anti-join: contents already in the history table
+    never reach the intake sink; the rest match the batch incremental
+    exact tier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from depositaja_spark.plans.corpus_pipeline import corpus_gate
+    from depositaja_spark.streaming.corpus import streaming_incremental_intake
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    rows = docs.collect()
+    t = pa.table(
+        {
+            "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+            "text": pa.array([r.text for r in rows], pa.string()),
+            "ts": pa.array(
+                [86_400_000_000 + r.doc_id * 1_000_000 for r in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+        }
+    )
+    d = tmp_path / "inc_stream"
+    d.mkdir()
+    pq.write_table(t, d / "docs_a.parquet")
+    pq.write_table(t, d / "docs_b.parquet")  # redelivery
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = streaming_incremental_intake(
+        spark.readStream.schema(schema).parquet(str(d)), history
+    ).select("content_md5")
+    _run_to_memory(stream, "inc_intake_out")
+    got = [r.content_md5 for r in spark.sql("SELECT * FROM inc_intake_out").collect()]
+    assert len(got) == len(set(got)), "each surviving content exactly once"
+
+    hist_fp = {r[0] for r in history.select(F.md5("text")).collect()}
+    want = {
+        r.content_md5
+        for r in corpus_gate(docs).select(F.md5("text").alias("content_md5")).collect()
+    } - hist_fp
+    assert set(got) == want
+    assert want, "degenerate test: nothing survived"
