@@ -739,3 +739,36 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(exact_sum(F.col("p")).alias("profit"))
     )
+
+
+# --- UNPIVOT / melt ----------------------------------------------------------
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+SELECT l_returnflag, measure, round(avg(value), 4) AS avg_value
+FROM (
+  SELECT l_returnflag, measure, value
+  FROM lineitem
+  UNPIVOT (value FOR measure IN (l_extendedprice, l_discount, l_tax))
+)
+GROUP BY 1, 2
+""",
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the three lineitem money measures reshaped to
+    (measure, value) long form, averaged per return flag — the inverse
+    of the pivot query, completing the reshape pair.  Spark's `unpivot`
+    is a zero-shuffle Expand (each row fans out to 3), so the only
+    exchange is the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.avg("value"), 4).alias("avg_value")
+    )
