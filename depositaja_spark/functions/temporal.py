@@ -169,3 +169,61 @@ def range_join_binned(
         .filter(F.unix_micros(F.col(right_ts)).between(lo, hi))
         .drop("_bin")
     )
+
+
+# --- resampling / gap fill ----------------------------------------------------
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid with forward
+    fill: per key, one grid point per ``step`` from the first to the
+    last observation's bucket, carrying the latest observed value
+    forward across empty buckets.
+
+    Shape: per-key min/max (one aggregation) → grid rows built with
+    ``sequence`` + explode (array-side, no shuffle beyond the agg) →
+    left join of the per-bucket LAST observation (row_number over the
+    bucket, deterministic via the (ts, order_cols) tie-break) → one
+    key-ordered window for the fill (``last(value, ignorenulls)``).
+    Grid size is bounded by (time range / step) per key, and every
+    stage is key-partitioned — nothing global, so a 100 TB event table
+    resamples at shuffle cost, not at grid-cross-join cost."""
+    from pyspark.sql import Window as W
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    bounds = events.groupBy(key_col).agg(
+        F.min(hour).alias("mn"), F.max(hour).alias("mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("mn", "mx", F.expr(f"interval {step}"))).alias("bucket"),
+    )
+
+    obs = (
+        events.withColumn("rn", F.row_number().over(
+            W.partitionBy(key_col, hour).orderBy(F.desc(ts_col), *[F.desc(c) for c in order_cols])
+        ))
+        .filter(F.col("rn") == 1)
+        .select(key_col, hour.alias("bucket"), F.col(value_col).alias("obs_value"))
+    )
+
+    wfill = (
+        W.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket"], "left_outer")
+        .select(
+            key_col,
+            F.unix_millis("bucket").alias("bucket_ms"),
+            F.last("obs_value", ignorenulls=True).over(wfill).alias("value_ffill"),
+        )
+    )

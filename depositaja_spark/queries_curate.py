@@ -628,3 +628,44 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % _INC_MOD != 0)
     new = docs.filter(F.col("doc_id") % _INC_MOD == 0)
     return dd.incremental_dedup(old, new, n=3, threshold=0.5)
+
+
+# --- time-series resampling ---------------------------------------------------
+
+
+@query(
+    "resample_ffill_hourly",
+    """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+obs AS (
+  SELECT user_id, bucket, value AS obs_value
+  FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT g.user_id,
+       epoch_ms(g.bucket) AS bucket_ms,
+       last_value(o.obs_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+""",
+)
+def q_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling of each user's event series
+    (functions/temporal.py:resample_ffill): fixed grid from first to
+    last bucket, forward-filled with the bucket's LAST observation
+    (deterministic (ts, event_id) tie-break).  All stages key-local."""
+    from depositaja_spark.functions.temporal import resample_ffill
+
+    return resample_ffill(load_table(spark, sf_dir, "events"))
