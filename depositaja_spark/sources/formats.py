@@ -44,3 +44,27 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet table at ``path`` into
+    ``target_files`` files; returns the new file count.
+
+    Small files are the silent scan killer at 100 TB (per-file open cost,
+    tiny row groups, starved vectorized readers); streaming sinks and
+    over-parallel writes produce them constantly.  The rewrite is one
+    ``repartition(target_files)`` — a round-robin shuffle that also
+    rebalances skewed file sizes — staged through a temp dir and swapped
+    in atomically-enough for a maintenance window (a table format —
+    Delta/Iceberg — makes the swap transactional; this is the
+    plain-parquet maintenance job)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    )

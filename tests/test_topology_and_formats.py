@@ -97,3 +97,21 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert back.count() == events.filter(F.col("event_type") == "purchase").count()
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: 16 tiny files → 2, identical row multiset."""
+    import os
+
+    from depositaja_spark.sources.formats import compact
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS k")
+    df.repartition(16).write.parquet(p)
+    before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert before >= 8
+
+    n = compact(spark, p, 2)
+    assert n == 2
+    got = sorted(r.id for r in spark.read.parquet(p).collect())
+    assert got == list(range(1000))
