@@ -52,3 +52,28 @@ def test_ivfpq_candidates_only_from_probed_cells(spark):
             f"cand {r.cand_id} (cell {cell_of[r.cand_id]}) outside "
             f"probed cells {probes[r.query_id]} of query {r.query_id}"
         )
+
+
+def test_incremental_verified_pairs_subset_of_full_jaccard(spark):
+    """Consistency between the incremental and full dedup paths: every
+    (new, old) near-dup the incremental path reports must also appear in
+    the full-corpus Jaccard pair join at the same threshold (the
+    incremental path can only MISS pairs — LSH candidate recall — never
+    invent them)."""
+    import depositaja_spark.functions.dedup as dd
+    from depositaja_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = dd.incremental_dedup(old, new, n=3, threshold=0.5).filter(
+        F.col("near_dup_of").isNotNull()
+    )
+    got = {(r.doc_id, r.near_dup_of) for r in inc.collect()}
+    assert got, "degenerate: no near-dups found"
+
+    full = dd.jaccard_pairs(docs, n=3, threshold=0.5, max_df=None)
+    pairs = {(r.a_id, r.b_id) for r in full.collect()}
+    sym = pairs | {(b, a) for a, b in pairs}
+    for new_id, old_id in got:
+        assert (new_id, old_id) in sym, f"invented pair {(new_id, old_id)}"
