@@ -669,3 +669,92 @@ def q_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from depositaja_spark.functions.temporal import resample_ffill
 
     return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+# --- rolling anomaly detection on the resampled grid -------------------------
+
+_ANOM_WIN = 24  # trailing buckets in the rolling baseline
+_ANOM_Z = 2.0
+
+
+@query(
+    "resample_anomalies",
+    f"""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+obs AS (
+  SELECT user_id, bucket, value AS obs_value
+  FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+filled AS (
+  SELECT g.user_id, g.bucket,
+         last_value(o.obs_value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+),
+scored AS (
+  SELECT user_id, bucket, v,
+         avg(v)    OVER w AS mu,
+         stddev(v) OVER w AS sd,
+         count(*)  OVER w AS n
+  FROM filled
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, epoch_ms(bucket) AS bucket_ms, round(v, 4) AS value,
+       round((v - mu) / sd, 4) AS zscore
+FROM scored
+WHERE n >= {_ANOM_WIN} AND sd >= 1e-9 AND abs(round((v - mu) / sd, 4)) >= {_ANOM_Z}
+""",
+)
+def q_resample_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the gap-filled hourly
+    series: each bucket scored against the trailing {_ANOM_WIN}-bucket
+    baseline (strictly BEFORE the current bucket, so an anomaly never
+    contaminates its own baseline); flagged at |z| ≥ {_ANOM_Z} once the
+    baseline is full.
+
+    Composes resample_ffill with two key-ordered window aggregates —
+    per-key state is the {_ANOM_WIN}-row frame, nothing global."""
+    from depositaja_spark.functions.temporal import resample_ffill
+
+    filled = resample_ffill(load_table(spark, sf_dir, "events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket_ms")
+        .rowsBetween(-_ANOM_WIN, -1)
+    )
+    mu = F.avg("value_ffill").over(w)
+    sd = F.stddev("value_ffill").over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = (F.col("value_ffill") - mu) / sd
+    return (
+        filled.select(
+            "user_id",
+            "bucket_ms",
+            F.round(F.col("value_ffill"), 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+            n.alias("_n"),
+            sd.alias("_sd"),
+        )
+        # sd floor at 1e-9, not 0: a flat (forward-filled) baseline has
+        # true stddev 0, but single-pass variance can return ~1e-15 noise
+        # that would amplify into phantom z-scores; both engines share the
+        # floor, and the threshold compares the ROUNDED z for hash parity
+        .filter(
+            (F.col("_n") >= _ANOM_WIN) & (F.col("_sd") >= 1e-9) & (F.abs("zscore") >= _ANOM_Z)
+        )
+        .drop("_n", "_sd")
+    )
