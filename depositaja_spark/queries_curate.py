@@ -758,3 +758,61 @@ def q_resample_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_n", "_sd")
     )
+
+
+# --- weighted fixed-k sampling (exponential race) ----------------------------
+
+_WFIXK = 20
+_WFIXK_SALT = "wfix-v1:"
+#: hash-to-uniform denominator: top 12 md5 hex chars → uniform in (0,1]
+_WFIXK_DEN = 16**12
+
+
+@query(
+    "weighted_sample_fixed_k",
+    f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY -ln((CAST(('0x' || substr(md5('{_WFIXK_SALT}' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                        / CAST({_WFIXK_DEN} AS DOUBLE)) / n_chars,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_WFIXK}
+""",
+)
+def q_weighted_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted {_WFIXK}-per-language sample by the exponential race
+    (Efraimidis-Spirakis A-ES): each doc draws a deterministic uniform
+    u from a salted hash and competes with key ``-ln(u)/w`` (w =
+    n_chars, so longer documents win proportionally more often); the k
+    smallest keys per stratum are the sample.  This is how you take a
+    reproducible size-biased sample of a 100 TB corpus in ONE pass —
+    no total, no second scan, no rejection loop; the per-stratum state
+    is k rows (WindowGroupLimit), and membership is a pure function of
+    (salt, doc_id, weight)."""
+    d = _docs(spark, sf_dir)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_WFIXK_SALT), F.col("doc_id").cast("string"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        / F.lit(float(_WFIXK_DEN))
+    )
+    key = -F.log(u) / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(key.asc(), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WFIXK)
+        .select("doc_id", "lang")
+    )
