@@ -1,0 +1,69 @@
+"""Empty-input robustness: every composite operator must return an empty
+(or well-defined) result on a zero-row frame, never throw — the
+behavior a scheduled 100 TB pipeline needs on an empty partition day."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ])
+    )
+
+
+def test_jaccard_pairs_empty(spark, empty_docs):
+    import depositaja_spark.functions.dedup as dd
+
+    assert dd.jaccard_pairs(empty_docs, n=3, threshold=0.1).count() == 0
+
+
+def test_dedup_clusters_empty(spark, empty_docs):
+    import depositaja_spark.functions.dedup as dd
+    from depositaja_spark.functions.graph import dedup_clusters
+
+    pairs = dd.jaccard_pairs(empty_docs, n=3, threshold=0.1)
+    assert dedup_clusters(empty_docs, pairs).count() == 0
+
+
+def test_clean_corpus_empty(spark, empty_docs):
+    from depositaja_spark.plans.corpus_pipeline import clean_corpus
+
+    assert clean_corpus(empty_docs).count() == 0
+
+
+def test_incremental_dedup_empty_increment(spark, empty_docs):
+    import depositaja_spark.functions.dedup as dd
+    from depositaja_spark.sources import load_table
+
+    old = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert dd.incremental_dedup(old, empty_docs).count() == 0
+
+
+def test_resample_empty(spark):
+    from depositaja_spark.functions.temporal import resample_ffill
+
+    empty_events = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+    )
+    assert resample_ffill(empty_events).count() == 0
+
+
+def test_bpe_train_empty(spark, empty_docs):
+    from depositaja_spark.functions.bpe import bpe_train
+
+    assert bpe_train(empty_docs, num_merges=3) == []
