@@ -67,3 +67,20 @@ def test_bpe_train_empty(spark, empty_docs):
     from depositaja_spark.functions.bpe import bpe_train
 
     assert bpe_train(empty_docs, num_merges=3) == []
+
+
+def test_new_ops_deterministic_under_partitioning(spark):
+    """The round-2 operators must return identical results regardless of
+    input partitioning — no collect-order or partition-count dependence."""
+    from depositaja_spark import registry
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["winnow_fingerprints", "line_dedup", "tfidf_top_terms",
+                 "weighted_sample_fixed_k", "incremental_dedup"]:
+        a = {tuple(r) for r in registry.QUERIES[name](spark, sf).collect()}
+        b = {
+            tuple(r)
+            for r in registry.QUERIES[name](spark, sf).repartition(7).collect()
+        }
+        assert a == b, f"{name} not partition-stable"
