@@ -816,3 +816,64 @@ def q_weighted_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WFIXK)
         .select("doc_id", "lang")
     )
+
+
+# --- n-gram LM perplexity proxy ----------------------------------------------
+
+
+@query(
+    "bigram_logprob_scores",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         toks[i] AS a, toks[i+1] AS b
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 10000)) AS i)
+  WHERE i < len(toks)
+),
+uni AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+bi AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b)
+SELECT g.doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(ln(CAST(bi.cab AS DOUBLE) / uni.ca)), 4) AS avg_logprob
+FROM bg g JOIN bi ON g.a = bi.a AND g.b = bi.b
+JOIN uni ON g.a = uni.a
+GROUP BY g.doc_id
+""",
+)
+def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM perplexity proxy — the classic corpus quality filter
+    (documents whose token transitions are improbable under the
+    corpus-wide bigram model are noise): per doc, the mean
+    ``ln P(b|a)`` with ``P(b|a) = count(a,b)/count(a)`` estimated from
+    the corpus itself.
+
+    Scale shape: the bigram/unigram model tables are vocabulary-sized
+    (two aggregations), the scoring join is bigram-keyed, and the final
+    per-doc mean is one aggregation — a real KenLM-style filter swaps in
+    a pretrained table for `bi`/`uni` and keeps this exact plan."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    uni = bg.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    bi = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    return (
+        bg.join(bi, ["a", "b"])
+        .join(uni, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cab").cast("double") / F.col("ca"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -772,3 +772,34 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "measure").agg(
         F.round(F.avg("value"), 4).alias("avg_value")
     )
+
+
+# --- TPC-H Q4 shape: correlated EXISTS --------------------------------------
+
+
+@query(
+    "late_ship_priority_counts",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY 1
+""",
+)
+def q_late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped after the
+    order date, counted per priority.  The correlated EXISTS is
+    expressed as a LEFT SEMI join, which is also exactly what Catalyst
+    rewrites the subquery to — dedup happens inside the join, no
+    distinct pass."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
