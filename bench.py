@@ -90,24 +90,70 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    # best-of-3: local-mode timings carry multi-second GC/scheduler noise
-    # (observed: a one-off 14s spike on a query that normally runs in
-    # 0.9s); the min across three runs is the reproducible engine cost.
+    # Contention-hardened measurement (round-3, after BENCH_r02 recorded a
+    # 60% phantom regression taken on a loaded machine):
+    #   * 5 repeats per query; the reported value is the MIN across all
+    #     accepted samples — external contention only ever inflates local
+    #     timings, so min is the reproducible engine cost and stays on the
+    #     same warm-best-of basis rounds 1-2 compared against.
+    #   * 1-minute load average recorded immediately before each query's
+    #     block; if the machine is visibly busier than our own core count
+    #     the block is deferred briefly so a co-tenant burst can drain.
+    #   * spread = max/min within a block. A block whose spread exceeds
+    #     SPREAD_LIMIT is considered contaminated and re-run (up to 2 extra
+    #     blocks); all samples still feed the min.
+    #   * per-query median / spread / load1 / sample count are emitted so
+    #     the artifact itself shows whether the run was clean.
     # Caches are NOT cleared between a query's repeats (steady-state /
-    # warm measurement, the round-1 basis all deltas compare against) but
-    # ARE released between different queries, so no query's timing depends
-    # on which queries ran before it.
+    # warm measurement) but ARE released between different queries, so no
+    # query's timing depends on which queries ran before it.
+    REPEATS = 5
+    SPREAD_LIMIT = 2.0
+    MAX_BLOCKS = 3
+    own_cores = int(CPUS)
+
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    def _run_block(fn) -> list[float]:
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return samples
+
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         release_caches()
         spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # brief defer if the box is clearly running someone else's burst
+        for _ in range(6):
+            if _load1() <= own_cores * 1.5:
+                break
+            time.sleep(5)
+        load1 = _load1()
+        samples: list[float] = []
+        blocks = 0
+        while blocks < MAX_BLOCKS:
+            block = _run_block(fn)
+            samples.extend(block)
+            blocks += 1
+            if max(block) / max(min(block), 1e-9) <= SPREAD_LIMIT:
+                break
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        stats[name] = {
+            "med": round(samples[len(samples) // 2], 3),
+            "spread": round(samples[-1] / max(samples[0], 1e-9), 2),
+            "load1": load1,
+            "n": len(samples),
+        }
     release_caches()
     spark.catalog.clearCache()
 
@@ -119,10 +165,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # measurement basis: best-of-3 with warm operator caches within a
-        # query (cleared between queries) — identical to round 1, so
-        # delta_vs_prev compares like with like
-        "cache_policy": "warm-best-of-3, cleared between queries",
+        # measurement basis: best-of-5 (contention-retried) with warm
+        # operator caches within a query (cleared between queries) — same
+        # warm-best basis as rounds 1-2, so delta_vs_prev compares like
+        # with like; per-query median/spread/load1 expose contamination
+        "cache_policy": "warm-best-of-5 contention-retried, cleared between queries",
+        "stats": stats,
     }
     # round-over-round visibility: per-query delta vs the latest recorded
     # BENCH file so regressions stand out at a glance
