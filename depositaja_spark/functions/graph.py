@@ -79,7 +79,34 @@ def connected_components(
     # round.  On a cluster with flaky executors use reliable
     # ``checkpoint()`` (HDFS/object-store) instead — same shape, durable
     # blocks; this is the same discipline GraphFrames' CC uses.
+    # Each round's localCheckpoint pins its rows in executor storage; the
+    # PREVIOUS round's blocks become garbage the moment the new round is
+    # materialized, so they are unpersisted here — otherwise pinned
+    # storage grows linearly with rounds within one job (DataFrames give
+    # no handle on the checkpointed internal RDD, so retired blocks are
+    # found by diffing the context's persistent-RDD set around each
+    # checkpoint; rounds are driver-sequential, so the diff is exact).
+    sc = vertices.sparkSession.sparkContext
+
+    def _pinned_ids() -> set:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist_ids(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    # materialize the edge caches BEFORE the first storage snapshot —
+    # DataFrame caches register their RDD only on first execution, so
+    # without this the diff below would mistake them for round blocks
+    # and retire them after round 1 (recomputing pairs every round)
+    sym.count()
+
+    before = _pinned_ids()
     labels = incident.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    prev_ids = _pinned_ids() - before
 
     changed = 0
     for i in range(max_iterations):
@@ -106,6 +133,7 @@ def connected_components(
         # materializes the checkpoint (Observation ≈ an accumulator), so
         # each round is ONE job, not a materialize + a count
         obs = Observation(f"cc_round_{i}")
+        before = _pinned_ids()
         updated = (
             merged.join(hop, merged["mlbl"] == hop["jid"], "left_outer")
             .select("id", new_lbl.alias("cluster_id"), (new_lbl < F.col("_old")).alias("_changed"))
@@ -114,6 +142,10 @@ def connected_components(
         )
         changed = int(obs.get["changed"] or 0)
         labels = updated.drop("_changed")
+        # the new round is materialized (localCheckpoint is eager), so
+        # the previous round's pinned blocks are dead — release them
+        _unpersist_ids(prev_ids)
+        prev_ids = _pinned_ids() - before
         if changed == 0:
             break
 

@@ -80,15 +80,21 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train m per-subspace codebooks (each ksub × d/m) on a
     hash-deterministic sample.  The sample filter is a row-local
-    predicate pushed into the scan (no shuffle); rows are sorted by id
-    after collect, so the codebooks are bit-identical across re-runs
-    and partitionings."""
+    predicate pushed into the scan (no shuffle); the cut to exactly
+    ``sample`` rows keeps the smallest ``(xxhash64(id), id)`` pairs via
+    orderBy().limit() — Spark executes that as TakeOrdered (per-partition
+    top-k, no global sort) and the winners are a pure function of the
+    ids, so the codebooks are bit-identical across re-runs and
+    partitionings (an unordered .limit() here was partition-order
+    dependent whenever the filter passed more than ``sample`` rows)."""
     total = corpus.count()
     frac_mod = max(1, total // sample)
     rows = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
-        .select(id_col, vec_col)
+        .select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h", id_col)
         .limit(sample)
+        .drop("_h")
         .collect()
     )
     rows.sort(key=lambda r: r[0])

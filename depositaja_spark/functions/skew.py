@@ -52,10 +52,12 @@ def skew_report(df: DataFrame, key: str) -> DataFrame:
         F.round(F.avg("n"), 4).alias("mean_rows_per_key"),
         F.max("n").cast("long").alias("max_rows_per_key"),
         # (n, key) tie-break encoded as a fixed-width sortable string —
-        # struct ordering in max_by is not portable to the oracle engine
+        # struct ordering in max_by is not portable to the oracle engine.
+        # Width 19 covers the full long range (lpad TRUNCATES beyond the
+        # pad width, so 12 silently mis-ordered counts ≥ 10^12).
         F.max_by(
             F.col(key).cast("string"),
-            F.concat(F.lpad(F.col("n").cast("string"), 12, "0"), F.lit("|"), F.col(key).cast("string")),
+            F.concat(F.lpad(F.col("n").cast("string"), 19, "0"), F.lit("|"), F.col(key).cast("string")),
         ).alias("hot_key"),
         F.round(F.max("n") / F.sum("n"), 6).alias("hot_key_share"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),

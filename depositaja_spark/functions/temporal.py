@@ -173,6 +173,24 @@ def range_join_binned(
 
 # --- resampling / gap fill ----------------------------------------------------
 
+_STEP_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _step_seconds(step: str) -> int:
+    """Parse an interval string like '1 hour' / '30 minutes' into whole
+    seconds — the same value drives both the bucket truncation and the
+    grid stride, which is what keeps them aligned."""
+    parts = step.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _STEP_UNIT_S:
+        raise ValueError(f"unsupported resample step {step!r}")
+    return int(parts[0]) * _STEP_UNIT_S[parts[1].lower()]
+
 
 def resample_ffill(
     events: DataFrame,
@@ -194,10 +212,20 @@ def resample_ffill(
     key-ordered window for the fill (``last(value, ignorenulls)``).
     Grid size is bounded by (time range / step) per key, and every
     stage is key-partitioned — nothing global, so a 100 TB event table
-    resamples at shuffle cost, not at grid-cross-join cost."""
+    resamples at shuffle cost, not at grid-cross-join cost.
+
+    The bucket truncation is derived from ``step`` (epoch-aligned
+    ``floor(unix/step_s)*step_s``), so observation buckets and grid
+    points share one alignment at any step — sub-hour and multi-hour
+    grids included (a previous version hard-coded hourly truncation,
+    which misaligned every non-hourly grid)."""
     from pyspark.sql import Window as W
 
-    hour = F.date_trunc("hour", F.col(ts_col))
+    step_s = _step_seconds(step)
+    hour = F.timestamp_seconds(
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(1_000_000 * step_s))
+        * F.lit(step_s)
+    )
     bounds = events.groupBy(key_col).agg(
         F.min(hour).alias("mn"), F.max(hour).alias("mx")
     )

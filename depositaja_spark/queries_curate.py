@@ -525,7 +525,7 @@ SELECT CAST(sum(n) AS BIGINT) AS total_rows,
        round(avg(n), 4) AS mean_rows_per_key,
        CAST(max(n) AS BIGINT) AS max_rows_per_key,
        max_by(CAST(user_id AS VARCHAR),
-              lpad(CAST(n AS VARCHAR), 12, '0') || '|' || CAST(user_id AS VARCHAR)) AS hot_key,
+              lpad(CAST(n AS VARCHAR), 19, '0') || '|' || CAST(user_id AS VARCHAR)) AS hot_key,
        round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS hot_key_share,
        round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_factor
 FROM sizes

@@ -39,6 +39,7 @@ without those jars.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -75,12 +76,42 @@ class ServingTables:
     def read(self, name: str) -> DataFrame | None:
         """Current table as a DataFrame (partition-discovered ``bkt``
         column included).  None before the first micro-batch."""
+        self._recover(name)
         path = self._path(name)
         if not os.path.exists(path) or not any(
             e.startswith("bkt=") for e in os.listdir(path)
         ):
             return None
         return self.spark.read.parquet(path)
+
+    def _recover(self, name: str) -> None:
+        """Repair a crash mid-swap.  The swap is two renames
+        (dst→``.old``, then src→dst); a crash between them leaves the
+        bucket directory absent with its pre-crash state only in the
+        ``.old`` snapshot.  Restoring that snapshot here — before any
+        read or merge — makes the subsequent epoch replay merge the
+        delta against the true prior state, which is what the
+        exactly-once claim in the module docstring requires.  An
+        ``.old`` dir whose bucket DOES exist means the swap completed
+        and only the cleanup rmtree was lost; it is dropped."""
+        final = self._path(name)
+        if not os.path.isdir(final):
+            return
+        for entry in os.listdir(final):
+            m = re.match(r"\.bkt=(\d+)\.old\.", entry)
+            if not m:
+                continue
+            dst = os.path.join(final, f"bkt={m.group(1)}")
+            old = os.path.join(final, entry)
+            if os.path.exists(dst):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, dst)
+        # orphaned write-tmp dirs from a crashed merge (single writer per
+        # table, so anything matching the pattern is dead)
+        for entry in os.listdir(self.root):
+            if re.fullmatch(rf"\.{re.escape(name)}\.[0-9a-f]{{32}}", entry):
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
 
     # --- bucketed merge core ---------------------------------------------
 
@@ -105,6 +136,7 @@ class ServingTables:
         ``fold(frame)`` re-compacts the union of old bucket state and the
         delta down to one row per key (it sees only dirty-bucket rows).
         """
+        self._recover(name)  # restore any crash-orphaned .old buckets first
         delta = delta.withColumn("bkt", _bucket(F.col(key), self.n_buckets))
         dirty = sorted(
             r.bkt for r in delta.select("bkt").distinct().collect()

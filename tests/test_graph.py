@@ -32,3 +32,32 @@ def test_two_components_and_keepers(spark):
         20: (20, True), 21: (20, False),
         30: (30, True),
     }
+
+
+def test_cc_rounds_release_retired_checkpoints(spark):
+    """ADVICE r2: each round's localCheckpoint must unpersist the previous
+    round's blocks — pinned storage stays O(1) in rounds, not O(rounds).
+    A 24-vertex chain needs several pointer-jumping rounds; the pinned-RDD
+    count afterwards must not grow with the round count."""
+    from pyspark.sql import functions as F
+
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.graph import connected_components
+
+    release_caches()
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+
+    n = 24
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(verts, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    growth = sc._jsc.getPersistentRDDs().size() - before
+    # edges + sym caches + the final round's checkpoint (±1 for Spark's
+    # internal bookkeeping) — NOT one block set per round
+    assert growth <= 4, f"pinned RDDs grew by {growth} — retired rounds not released"
+    release_caches()

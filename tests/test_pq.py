@@ -32,6 +32,17 @@ def test_train_deterministic(spark, emb):
     assert a == b
 
 
+def test_train_partition_independent(spark, emb):
+    """ADVICE r2: with sample < rows passing the hash filter, the cut to
+    `sample` rows must not depend on partition/scan order — codebooks
+    from differently-partitioned inputs must be bit-identical."""
+    n = emb.count()
+    sample = max(8, n // 4)  # force the filter to pass more than `sample`
+    a = pq.pq_train(emb.repartition(1), m=4, ksub=8, iterations=2, sample=sample)
+    b = pq.pq_train(emb.repartition(13), m=4, ksub=8, iterations=2, sample=sample)
+    assert a == b
+
+
 def test_encode_deterministic_and_bounded(spark, emb):
     books = pq.pq_train(emb, m=4, ksub=8, iterations=2)
     a = {r.vec_id: list(r.codes) for r in pq.pq_encode(emb, books).collect()}

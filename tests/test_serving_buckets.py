@@ -106,6 +106,66 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert row.wallet_id == "w0"
 
 
+def test_crash_mid_swap_restores_old_bucket_before_replay(spark, tmp_path):
+    """A crash BETWEEN the swap's two renames leaves a bucket's state only
+    in its `.old` snapshot (dst dir absent).  The epoch replay must merge
+    against that pre-crash state, not against nothing — the exact failure
+    ADVICE r2 flagged as silently losing a bucket."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    serving = ServingTables(spark, str(tmp_path / "serving"))
+    sink = serving.balance_sink()
+    sink(_mk_batch(spark, [("a", 7.0, 1), ("b", 3.0, 2)]), 0)
+    sink(_mk_batch(spark, [("a", 5.0, 3)]), 1)  # a = 12.0
+
+    # find a's bucket dir, then simulate the torn swap: dst renamed away,
+    # crash before the new dir moved in (plus an orphaned write-tmp)
+    (bkt,) = [
+        r.bkt
+        for r in serving.read("balance").filter(F.col("wallet_id") == "a").select("bkt").collect()
+    ]
+    final = os.path.join(serving.root, "balance")
+    dst = os.path.join(final, f"bkt={bkt}")
+    os.rename(dst, os.path.join(final, f".bkt={bkt}.old.{_uuid.uuid4().hex}"))
+    orphan_tmp = os.path.join(serving.root, f".balance.{_uuid.uuid4().hex}")
+    os.makedirs(orphan_tmp)
+
+    # the replay of the crashed epoch must see the restored 12.0
+    sink(_mk_batch(spark, [("a", 1.0, 4)]), 2)
+    assert serving.check("a")["balance"] == pytest.approx(13.0)
+    assert serving.check("b")["balance"] == pytest.approx(3.0)
+    assert not os.path.exists(orphan_tmp)
+    assert not [e for e in os.listdir(final) if ".old." in e]
+
+
+def test_completed_swap_leftover_old_dir_is_dropped(spark, tmp_path):
+    """A crash AFTER the second rename (before cleanup) leaves a stale
+    `.old` beside a live bucket — recovery must keep the live bucket and
+    drop the leftover, never resurrect the stale state."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    serving = ServingTables(spark, str(tmp_path / "serving"))
+    sink = serving.balance_sink()
+    sink(_mk_batch(spark, [("a", 7.0, 1)]), 0)
+    (bkt,) = [
+        r.bkt
+        for r in serving.read("balance").filter(F.col("wallet_id") == "a").select("bkt").collect()
+    ]
+    final = os.path.join(serving.root, "balance")
+    dst = os.path.join(final, f"bkt={bkt}")
+    stale = os.path.join(final, f".bkt={bkt}.old.{_uuid.uuid4().hex}")
+    shutil.copytree(dst, stale)
+    sink(_mk_batch(spark, [("a", 2.0, 2)]), 1)
+    assert serving.check("a")["balance"] == pytest.approx(9.0)
+    assert not os.path.exists(stale)
+
+
 def test_flags_sink_bucketed_latest_fold(spark, tmp_path):
     """flags upsert keeps last-write-wins semantics on the bucketed
     layout, including the flag→unflag transition."""

@@ -143,3 +143,43 @@ def test_ann_ivf_recall_vs_brute(spark):
     # nprobe/C = 2/8 = 0.25; beating it shows cell-locality works.  On
     # clustered (real) corpora recall rises toward 1 at the same nprobe.
     assert recall > 0.25, f"IVF recall no better than random scan: {recall}"
+
+
+def test_resample_ffill_non_hourly_steps(spark):
+    """ADVICE r2: the bucket truncation must follow `step`.  With a
+    30-minute grid, an observation at :40 must land in the :30 bucket
+    (hourly truncation would park it at :00 and the :30 grid point could
+    never receive an observation); with a 2-hour grid, hours 0-1 collapse
+    into one bucket."""
+    from depositaja_spark.functions.temporal import resample_ffill
+
+    def ts(minutes):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [("u", ts(5), 1.0, 1), ("u", ts(40), 2.0, 2), ("u", ts(130), 3.0, 3)],
+        "user_id string, ts timestamp, value double, event_id long",
+    )
+
+    half_hour = {
+        r.bucket_ms: r.value_ffill
+        for r in resample_ffill(events, step="30 minutes").collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    m30 = 30 * 60 * 1000
+    # grid :00 :30 1:00 1:30 2:00 — obs at :05→:00 bucket, :40→:30, 2:10→2:00
+    assert half_hour == {
+        base + 0 * m30: 1.0,
+        base + 1 * m30: 2.0,
+        base + 2 * m30: 2.0,
+        base + 3 * m30: 2.0,
+        base + 4 * m30: 3.0,
+    }
+
+    two_hour = {
+        r.bucket_ms: r.value_ffill
+        for r in resample_ffill(events, step="2 hours").collect()
+    }
+    h2 = 2 * 3600 * 1000
+    # one grid point per 2h: [0,2h) last obs = 2.0, [2h,4h) last obs = 3.0
+    assert two_hour == {base: 2.0, base + h2: 3.0}
