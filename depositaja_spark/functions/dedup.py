@@ -116,7 +116,48 @@ def drop_stop_shingles(shh: DataFrame, max_df: int | None) -> DataFrame:
         .filter(F.col("df") > max_df)
         .select("h")
     )
+    # clean corpora often have NO hot shingle at all — short-circuit so
+    # every consumer (sizes + both self-join sides) skips the anti-join
+    # stage and its per-consumer broadcast build.  isEmpty materializes
+    # the (cached) hot aggregation it would need anyway; only one boolean
+    # reaches the driver.
+    if hot.isEmpty():
+        return shh
     return shh.join(F.broadcast(hot), "h", "left_anti")
+
+
+def _shingle_df_frame(
+    docs: DataFrame, n: int, text_col: str, sh: DataFrame | None
+) -> DataFrame:
+    """Persisted (doc_id, h, df) — every hashed shingle annotated with its
+    document frequency via ONE window over ``h``.
+
+    This fuses what used to be a separate hot-set aggregation into the
+    shingle pass itself, and it is what makes the downstream self-join
+    cheap twice over:
+
+    * rows with ``df == 1`` (the vast majority of any real corpus — most
+      shingles are unique to one document) can be pruned BEFORE the
+      self-join: they cannot contribute an intersection, so the join
+      input shrinks by roughly the unique-shingle fraction;
+    * the window's shuffle leaves the frame hash-partitioned on ``h``,
+      and the cached frame keeps that output partitioning — the
+      self-join on ``h`` then reuses it instead of exchanging both
+      sides again.
+
+    The join key is the 60-bit shingle hash, not the shingle string: the
+    exchange/sort moves 8-byte longs instead of ~30-byte strings.
+    Persisting BEFORE any filter matters: sizes and both join sides
+    replay the cached rows instead of re-running the shingle explode
+    (persisting a filtered result forces repeated shingling passes —
+    measured 3.5× slower at sf0.1)."""
+    from pyspark.sql import Window
+
+    if sh is None:
+        sh = shingles(docs, n, text_col)
+    hashed = sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
+    w = Window.partitionBy("h")
+    return tracked_persist(hashed.withColumn("df", F.count(F.lit(1)).over(w)))
 
 
 def jaccard_pairs(
@@ -132,30 +173,18 @@ def jaccard_pairs(
 
     Scale notes: the self-join shuffles on the shingle — hot shingles are
     the skew risk, so shingles with document frequency > ``max_df`` are
-    dropped first (``drop_stop_shingles``; sizes count the filtered
-    universe, so the score is Jaccard over non-boilerplate shingles);
-    output pairs are a_id < b_id so each pair appears once.
-
-    The shingle frame feeds three consumers (both self-join sides and the
-    per-doc sizes), so when built here it is persisted — shingling runs
-    once instead of three times.  The join key is the 60-bit shingle hash,
-    not the shingle string: the exchange/sort then moves 8-byte longs
-    instead of ~30-byte strings (measurably faster, and at 100 TB it is
-    the difference between shuffling the corpus's n-gram text and
-    shuffling fixed-width keys).  Jaccard values are unchanged unless two
-    distinct shingles collide in 60 bits (~2⁻⁶⁰ per pair)."""
-    if sh is None:
-        sh = shingles(docs, n, text_col)
-    # persist the RAW hashed frame, then filter from cache: the hot-set
-    # aggregation and every anti-join probe replay the cached 8-byte rows
-    # instead of re-running the shingle explode (persisting only the
-    # filtered result forces two full shingling passes — measured 3.5×
-    # slower at sf0.1)
-    raw = tracked_persist(sh.select("doc_id", hash64(F.col("shingle")).alias("h")))
-    shh = drop_stop_shingles(raw, max_df)
-    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shh.alias("a")
-    b = shh.alias("b")
+    dropped first (df computed in-pass, see ``_shingle_df_frame``; sizes
+    count the filtered universe, so the score is Jaccard over
+    non-boilerplate shingles); ``df == 1`` shingles are additionally
+    pruned from the join input (they cannot intersect; they still count
+    toward sizes).  Output pairs are a_id < b_id so each pair appears
+    once."""
+    dfc = _shingle_df_frame(docs, n, text_col, sh)
+    universe = dfc if max_df is None else dfc.filter(F.col("df") <= max_df)
+    sizes = universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairable = universe.filter(F.col("df") >= 2).select("doc_id", "h")
+    a = pairable.alias("a")
+    b = pairable.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -192,16 +221,15 @@ def containment_pairs(
 
     Jaccard misses subset relationships at unequal sizes (a paragraph
     quoted inside a long article has tiny Jaccard but containment ≈ 1);
-    corpus dedup runs BOTH.  Same inverted-index join, hashed-shingle
-    shuffle, and stop-shingle df cap as jaccard_pairs; only the
+    corpus dedup runs BOTH.  Same in-pass df annotation, df-capped and
+    df==1-pruned inverted-index join as jaccard_pairs; only the
     normalization differs."""
-    sh = shingles(docs, n, text_col)
-    # persist raw, filter from cache — see jaccard_pairs
-    raw = tracked_persist(sh.select("doc_id", hash64(F.col("shingle")).alias("h")))
-    shh = drop_stop_shingles(raw, max_df)
-    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shh.alias("a")
-    b = shh.alias("b")
+    dfc = _shingle_df_frame(docs, n, text_col, None)
+    universe = dfc if max_df is None else dfc.filter(F.col("df") <= max_df)
+    sizes = universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairable = universe.filter(F.col("df") >= 2).select("doc_id", "h")
+    a = pairable.alias("a")
+    b = pairable.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

@@ -6,16 +6,23 @@ representative (the minimum doc_id reachable through any chain of
 near-dup edges), so one keeper per cluster can be chosen and the rest
 dropped.  That closure is connected components.
 
-Implementation: iterative min-label propagation ("hash-to-min" style)
-with pointer jumping — each round every vertex takes the min label among
-itself and its neighbors, then follows that label one hop (path
-halving), so convergence is O(log diameter) rounds.  Each round is one
-edge⋈label join + one groupBy min + one label⋈label hop: all keyed
-shuffles, no driver-side graph state, so the same code runs on a 100 TB
-edge set.  Each round ends in ONE job: the convergence metric rides the
-checkpoint-materializing action as an Observation, and the
-localCheckpoint truncates lineage so Catalyst planning stays O(1) per
-round.
+Two execution tiers, gated on the materialized edge count:
+
+* **small graphs** (the overwhelmingly common case — a df-capped dup
+  graph is orders of magnitude smaller than its corpus): collect the
+  edge list and union-find on the driver.  One job instead of
+  one-per-round; the fixed per-round scheduling cost is what dominates
+  tiny graphs.
+* **large graphs**: iterative min-label propagation ("hash-to-min"
+  style) with pointer jumping — each round every vertex takes the min
+  label among itself and its neighbors, then follows that label one hop
+  (path halving), so convergence is O(log diameter) rounds.  Each round
+  is one edge⋈label join + one groupBy min + one label⋈label hop: all
+  keyed shuffles, no driver-side graph state, so the same code runs on
+  a 100 TB edge set.  Each round ends in ONE job: the convergence
+  metric rides the checkpoint-materializing action as an Observation,
+  and the localCheckpoint truncates lineage so Catalyst planning stays
+  O(1) per round.
 
 The iterative part runs ONLY on vertices incident to an edge: in a
 dedup workload the pair graph is orders of magnitude smaller than the
@@ -40,27 +47,53 @@ from pyspark.sql import functions as F
 from depositaja_spark.functions.cache import tracked_persist
 
 
-def connected_components(
-    vertices: DataFrame,
-    edges: DataFrame,
-    id_col: str = "doc_id",
-    src_col: str = "a_id",
-    dst_col: str = "b_id",
-    max_iterations: int = 20,
-) -> DataFrame:
-    """(id, cluster_id) for every vertex; cluster_id = min vertex id in the
-    component.  Vertices absent from ``edges`` become singletons.
+#: edge-count gate for the driver union-find fast path.  1M edges is
+#: tens of MB on the driver — far below local collect limits — while a
+#: dup graph that large implies a corpus of hundreds of millions of
+#: documents, for which the distributed loop takes over.
+SMALL_GRAPH_EDGES = 1_000_000
 
-    ``max_iterations`` bounds the propagation (components wider than that
-    many hops would need more rounds — raise it for pathological chain
-    graphs; real near-dup graphs are dense and converge in a few).  If the
-    bound is hit with labels still changing, the result is WRONG (some
-    vertices carry a non-minimal label), so a ``RuntimeWarning`` is issued
-    rather than returning silently-partial clusters."""
-    # pairs feed BOTH union branches of the symmetric edge set — persist
-    # first so the (possibly expensive) pair computation materializes
-    # once, not once per direction
-    edges = tracked_persist(edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
+
+def _labels_driver(spark, edges: DataFrame, id_type):
+    """Incident-vertex labels via driver-side union-find on a collected
+    edge list — union-by-min keeps every root the minimum id of its
+    component, matching the distributed path's semantics exactly."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in edges.collect():
+        a, b = r.src, r.dst
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    pdf = pd.DataFrame(
+        sorted((x, find(x)) for x in nodes), columns=["id", "cluster_id"]
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type, False), StructField("cluster_id", id_type, False)]
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
+def _labels_distributed(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Incident-vertex labels via pointer-jumping min-label propagation —
+    the 100 TB tier.  See the module docstring for the round shape."""
+    spark = edges.sparkSession
     sym = tracked_persist(
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
@@ -86,7 +119,7 @@ def connected_components(
     # no handle on the checkpointed internal RDD, so retired blocks are
     # found by diffing the context's persistent-RDD set around each
     # checkpoint; rounds are driver-sequential, so the diff is exact).
-    sc = vertices.sparkSession.sparkContext
+    sc = spark.sparkContext
 
     def _pinned_ids() -> set:
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
@@ -157,16 +190,78 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    return labels
+
+
+def _incident_labels(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+    small_graph_edges: int,
+) -> DataFrame:
+    """(id, cluster_id) for every EDGE-INCIDENT vertex, tier-gated on the
+    materialized edge count.  The returned frame is small relative to the
+    corpus by the dup-graph argument — callers may broadcast it."""
+    # pairs feed every downstream consumer (and both union branches of
+    # the symmetric edge set in the distributed tier) — persist first so
+    # the (possibly expensive) pair computation materializes once
+    edges = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    # the count is the tier gate AND the cache materialization the
+    # distributed tier's storage-diff bookkeeping requires
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        return _labels_driver(edges.sparkSession, edges, edges.schema["src"].dataType)
+    return _labels_distributed(edges, max_iterations)
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    max_iterations: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
+    """(id, cluster_id) for every vertex; cluster_id = min vertex id in the
+    component.  Vertices absent from ``edges`` become singletons.
+
+    ``max_iterations`` bounds the distributed tier's propagation.  If the
+    bound is hit with labels still changing, the result is WRONG (some
+    vertices carry a non-minimal label), so a ``RuntimeWarning`` is
+    issued rather than returning silently-partial clusters."""
+    labels = _incident_labels(edges, src_col, dst_col, max_iterations, small_graph_edges)
 
     # singletons: vertices that touch no edge keep their own id.  The
     # incident set is small (it is the dup graph), so the anti-join
     # broadcasts it against the corpus-sized vertex frame.
     singles = (
         vertices.select(F.col(id_col).alias("id"))
-        .join(F.broadcast(incident), "id", "left_anti")
+        .join(F.broadcast(labels.select("id")), "id", "left_anti")
         .select("id", F.col("id").alias("cluster_id"))
     )
     return labels.unionByName(singles)
+
+
+def duplicate_ids(
+    edges: DataFrame,
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    max_iterations: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
+    """One-column frame of the ids dedup DROPS: every vertex that is NOT
+    its component's minimum.  Only edge-incident vertices can be
+    non-keepers, so this never touches the corpus — the result is a
+    strict subset of the (small) dup graph and is the cheap side of a
+    broadcast anti-join against the full document set.  Keeping a corpus
+    is then ONE stage (`docs ⋈ₐₙₜᵢ duplicate_ids(pairs)`) instead of
+    labels ∪ singles followed by a corpus-sized shuffle join."""
+    labels = _incident_labels(edges, src_col, dst_col, max_iterations, small_graph_edges)
+    return labels.filter(F.col("id") != F.col("cluster_id")).select("id")
 
 
 def dedup_clusters(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from depositaja_spark.functions import text as tx
 from depositaja_spark.functions.dedup import jaccard_pairs
-from depositaja_spark.functions.graph import dedup_clusters
+from depositaja_spark.functions.graph import duplicate_ids
 
 #: minimum whitespace-token count for the quality gate
 MIN_TOKENS = 20
@@ -106,8 +106,14 @@ def clean_corpus(
         .persist()  # feeds pair generation, the cluster vertex set, and the final join
     )
 
+    # near-dup removal as ONE broadcast anti-join: duplicate_ids labels
+    # only the (small) dup graph and returns the ids to drop, so the
+    # corpus-sized frame is never shuffled again — keeper selection costs
+    # a broadcast probe per row instead of labels ∪ singles plus a
+    # corpus-sized equi-join
     pairs = jaccard_pairs(exact, n=3, threshold=threshold)
-    keepers = dedup_clusters(exact, pairs).filter(F.col("is_keeper"))
-    return exact.join(keepers.select("doc_id"), "doc_id").select(
-        "doc_id", "predicted_lang", "n_tokens"
+    dupes = duplicate_ids(pairs)
+    return (
+        exact.join(F.broadcast(dupes.withColumnRenamed("id", "doc_id")), "doc_id", "left_anti")
+        .select("doc_id", "predicted_lang", "n_tokens")
     )

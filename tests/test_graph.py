@@ -53,7 +53,10 @@ def test_cc_rounds_release_retired_checkpoints(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
     )
-    got = {r.id: r.cluster_id for r in connected_components(verts, edges).collect()}
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(verts, edges, small_graph_edges=0).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
     growth = sc._jsc.getPersistentRDDs().size() - before
@@ -61,3 +64,26 @@ def test_cc_rounds_release_retired_checkpoints(spark):
     # internal bookkeeping) — NOT one block set per round
     assert growth <= 4, f"pinned RDDs grew by {growth} — retired rounds not released"
     release_caches()
+
+
+def test_driver_and_distributed_tiers_agree(spark):
+    """The small-graph union-find fast path and the distributed
+    pointer-jumping loop must label identically on the same graph —
+    chains (multi-round propagation), a dense triangle, and singletons."""
+    verts = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 7-8-9 (redundant edge), isolated 0,6,10,11
+        [(5, 4), (4, 3), (3, 2), (2, 1), (7, 8), (8, 9), (7, 9)],
+        "a_id long, b_id long",
+    )
+    fast = {
+        r.id: r.cluster_id for r in connected_components(verts, edges).collect()
+    }
+    dist = {
+        r.id: r.cluster_id
+        for r in connected_components(verts, edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist == {
+        0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6,
+        7: 7, 8: 7, 9: 7, 10: 10, 11: 11,
+    }
