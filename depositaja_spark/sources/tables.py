@@ -28,12 +28,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is converted here to a microsecond TimestampType (integer division, the
     same ns→µs truncation DuckDB applies), keeping the published schema
     stable for every consumer.
+
+    Timestamps written WITHOUT ``isAdjustedToUTC`` surface as
+    TIMESTAMP_NTZ on Spark 4; those are normalized to TimestampType here.
+    The session timezone is UTC (session.py), so the cast keeps the
+    stored micros bit-identical — the same as-if-UTC reading DuckDB
+    applies to naive parquet timestamps, and the same values the driver's
+    UTC-adjusted generations produce.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa,
         # so float division can truncate to the wrong microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
