@@ -41,9 +41,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa,
         # so float division can truncate to the wrong microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    # NTZ→LTZ is bit-identical only under a UTC session zone; a non-UTC
+    # session would silently shift wall-clock values, so fail loudly.
+    # Top-level fields only by design: no nested timestamp columns exist in
+    # the driver's tables (TESTDATA.md), and nested normalization would need
+    # a recursive rebuild this loader deliberately avoids.
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"load_table requires a UTC session timezone for NTZ "
+                f"normalization; got {tz!r} (use session.get_spark())"
+            )
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                # concrete type, not cast("timestamp"): the string alias
+                # resolves via spark.sql.timestampType and would no-op if a
+                # caller overrides that conf to TIMESTAMP_NTZ
+                df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 

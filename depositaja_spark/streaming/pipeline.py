@@ -7,6 +7,9 @@ The file source here is the broker-free stand-in for the Kafka source
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -14,33 +17,84 @@ from pyspark.sql import types as T
 
 from depositaja_spark.schemas import MAX_AMOUNT, ROLLING_PERIOD_SECONDS
 
-#: the driver's events.parquet stores ts as TIMESTAMP(NANOS); with
-#: spark.sql.legacy.parquet.nanosAsLong the physical type is INT64, so the
-#: stream schema declares long and converts explicitly (same ns→µs
-#: truncation as sources/tables.py)
-EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+
+def _events_raw_schema(events_dir: str) -> tuple[T.StructType, bool]:
+    """Probe ONE parquet footer in ``events_dir`` to pick the ``ts``
+    representation, mirroring the batch loader's dual-format handling
+    (sources/tables.py:40-46):
+
+    - TIMESTAMP(NANOS) parquet → Spark (with
+      ``spark.sql.legacy.parquet.nanosAsLong``) surfaces ``ts`` as raw long
+      nanos → declare LongType and convert ns→µs explicitly.
+    - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) → Spark 4 surfaces
+      TIMESTAMP_NTZ → declare TimestampNTZType and cast under the UTC
+      session zone (bit-identical micros, same as-if-UTC reading DuckDB
+      applies to naive parquet timestamps).
+
+    File streams never infer schemas, so this one-time driver-side footer
+    read (a few KB) replaces inference; at 100 TB the probe cost is
+    unchanged — one footer, not a scan.  Returns ``(schema, ts_is_nanos)``.
+
+    Reference: the Kafka deposit stream (service/service.go:98-103) has no
+    file format at all; this file source is the broker-free stand-in.
+    """
+    ts_is_nanos = False  # current testdata format: µs TIMESTAMP_NTZ
+    ts_type: T.DataType = T.TimestampNTZType()
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if not files and os.path.isfile(events_dir):
+        files = [events_dir]
+    if files:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(t) and t.unit != "ns":
+            ts_type = (
+                T.TimestampType() if t.tz is not None else T.TimestampNTZType()
+            )
+        else:
+            # plain int64 or nanosecond timestamp: surfaces as long nanos
+            ts_is_nanos = True
+            ts_type = T.LongType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    return schema, ts_is_nanos
+
+
+def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Raw events file-stream with ``ts`` normalized to TimestampType
+    regardless of on-disk representation (see ``_events_raw_schema``)."""
+    schema, ts_is_nanos = _events_raw_schema(events_dir)
+    events = spark.readStream.schema(schema).parquet(events_dir)
+    if ts_is_nanos:
+        # integer `div`, not `/`: epoch-nanos exceed double's 53-bit
+        # mantissa (same conversion as sources/tables.py)
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast(T.TimestampType())
+    return events.withColumn("ts", ts)
 
 
 def deposits_stream_from_dir(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming analog of sources/deposits.py: a parquet-file stream of
     events rows → validated deposit stream.  Explicit schema (file streams
     never infer), filter + projection push into the scan."""
-    events = spark.readStream.schema(EVENTS_RAW).parquet(events_dir)
+    events = _events_stream(spark, events_dir)
     return (
         events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").cast("string").alias("wallet_id"),
             F.col("value").alias("amount"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("ts"),
             F.col("event_id").alias("seq"),
         )
         .filter(F.col("amount") > 0)
@@ -75,13 +129,10 @@ def streaming_window_received(
 def events_stream_from_dir(
     spark: SparkSession, events_dir: str, event_type: str
 ) -> DataFrame:
-    """One event_type's rows as a typed stream (ts converted ns→µs)."""
-    events = spark.readStream.schema(EVENTS_RAW).parquet(events_dir)
+    """One event_type's rows as a typed stream (ts format-normalized)."""
+    events = _events_stream(spark, events_dir)
     return events.filter(F.col("event_type") == event_type).select(
-        "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "event_id",
-        "value",
+        "user_id", "ts", "event_id", "value"
     )
 
 

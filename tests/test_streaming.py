@@ -321,18 +321,11 @@ def test_streaming_session_window_matches_batch(spark, events_dir):
     with identical per-session stats; all sessions closed before the final
     watermark are present."""
     from depositaja_spark.streaming.pipeline import (
-        EVENTS_RAW,
+        _events_stream,
         streaming_user_sessions,
     )
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW)
-        .parquet(events_dir)
-        .select(
-            "user_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        )
-    )
+    stream = _events_stream(spark, events_dir).select("user_id", "ts")
     _run_to_memory(streaming_user_sessions(stream), "sess_out", mode="append")
     got = {
         (r.user_id, r.session_start_unix): r.n_events
