@@ -45,6 +45,17 @@ SIMHASH_BITS = 32
 #: hottest shingle — the classic web-corpus scale-killer.  The cap keeps
 #: the worst bucket at DEDUP_MAX_DF²/2 regardless of corpus size.
 DEDUP_MAX_DF = 1000
+#: per-document cap on the MinHash verify arm's collected shingle set.
+#: Normal documents sit far below it (a 10k-word doc has <10k 3-gram
+#: shingles), so verification stays EXACT for them; a pathological giant
+#: document keeps only its ``cap`` smallest hashes — a bottom-k sketch
+#: (the hash is uniform, so smallest-k is an unbiased sample of the
+#: shingle universe).  Above the cap the verified Jaccard becomes a
+#: sketch estimate: recall/precision degrade gracefully (identical
+#: giants still score 1.0 — identical sets have identical bottom-k) and
+#: executor aggregation state stays bounded instead of growing with the
+#: largest document in the corpus.
+VERIFY_MAX_SHINGLES = 8192
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -92,72 +103,71 @@ def shingle_hashes(
 # --- n-gram Jaccard ------------------------------------------------------------
 
 
-def drop_stop_shingles(shh: DataFrame, max_df: int | None) -> DataFrame:
-    """Stop-shingle filter: remove shingles whose document frequency
-    exceeds ``max_df`` (None disables).
+def _shingle_universe(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    sh: DataFrame | None,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Df-capped shingle universe for the inverted-index joins:
+    ``(sizes, pairable)`` where ``sizes`` = (doc_id, sz) counts each
+    document's shingles with df ≤ max_df, and ``pairable`` = (doc_id, h)
+    keeps only rows whose shingle has 2 ≤ df ≤ max_df — the self-join
+    input.
 
-    Shape matters at scale: hot shingles are FEW by definition (only so
-    many distinct values can each appear in >max_df documents), so the
-    hot set is aggregated (map-side partial counts) and then removed with
-    a **broadcast anti-join** — the big (doc_id, h) frame is never
-    re-shuffled for the filter.  Jaccard/containment are then computed
-    over the filtered shingle universe (sizes too), the same convention
-    as stop-word removal in IR."""
-    if max_df is None:
-        return shh
-    # the hot set is persisted: the filtered frame has several consumers
-    # (sizes + both self-join sides), and each broadcast build would
-    # otherwise re-run the full df aggregation.  Partial (map-side)
-    # aggregation collapses hot keys before the shuffle, so the very skew
-    # being filtered never skews the filter itself.
-    hot = tracked_persist(
-        shh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("h")
-    )
-    # clean corpora often have NO hot shingle at all — short-circuit so
-    # every consumer (sizes + both self-join sides) skips the anti-join
-    # stage and its per-consumer broadcast build.  isEmpty materializes
-    # the (cached) hot aggregation it would need anyway; only one boolean
-    # reaches the driver.
-    if hot.isEmpty():
-        return shh
-    return shh.join(F.broadcast(hot), "h", "left_anti")
+    Skew-safe by construction (replaces a ``Window.partitionBy("h")``
+    variant that put every row of a hot shingle into ONE task — a
+    single-task sort straggler when a boilerplate shingle has df in the
+    millions):
 
+    * df comes from a map-side-combined ``groupBy("h").count()`` — a hot
+      key reaches the shuffle as one partial row per map task, never as
+      its full row set;
+    * hot shingles (df > max_df) are FEW by definition (only so many
+      distinct values can each appear in >max_df documents), so they are
+      removed from the big frame with a **broadcast anti-join** — the
+      (doc_id, h) frame is never hash-partitioned while hot keys are
+      still in it;
+    * after the hot cut every surviving key has ≤ max_df rows, so the
+      semi-join building ``pairable`` (and the self-join consuming it)
+      have a per-key row bound — no partition can straggle.
 
-def _shingle_df_frame(
-    docs: DataFrame, n: int, text_col: str, sh: DataFrame | None
-) -> DataFrame:
-    """Persisted (doc_id, h, df) — every hashed shingle annotated with its
-    document frequency via ONE window over ``h``.
+    df == 1 rows (the vast majority of any real corpus — most shingles
+    are unique to one document) still count toward ``sizes`` but are
+    pruned from ``pairable``: they cannot contribute an intersection.
 
-    This fuses what used to be a separate hot-set aggregation into the
-    shingle pass itself, and it is what makes the downstream self-join
-    cheap twice over:
-
-    * rows with ``df == 1`` (the vast majority of any real corpus — most
-      shingles are unique to one document) can be pruned BEFORE the
-      self-join: they cannot contribute an intersection, so the join
-      input shrinks by roughly the unique-shingle fraction;
-    * the window's shuffle leaves the frame hash-partitioned on ``h``,
-      and the cached frame keeps that output partitioning — the
-      self-join on ``h`` then reuses it instead of exchanging both
-      sides again.
-
-    The join key is the 60-bit shingle hash, not the shingle string: the
-    exchange/sort moves 8-byte longs instead of ~30-byte strings.
-    Persisting BEFORE any filter matters: sizes and both join sides
-    replay the cached rows instead of re-running the shingle explode
-    (persisting a filtered result forces repeated shingling passes —
-    measured 3.5× slower at sf0.1)."""
-    from pyspark.sql import Window
-
+    The hashed frame is persisted BEFORE any filter: sizes and the join
+    input replay the cached rows instead of re-running the shingle
+    explode (persisting a filtered result forces repeated shingling
+    passes — measured 3.5× slower at sf0.1).  The join key is the 60-bit
+    shingle hash, not the shingle string: exchanges move 8-byte longs
+    instead of ~30-byte strings.  ``max_df=None`` disables the cap (df
+    stats still drive the df==1 prune)."""
     if sh is None:
         sh = shingles(docs, n, text_col)
-    hashed = sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
-    w = Window.partitionBy("h")
-    return tracked_persist(hashed.withColumn("df", F.count(F.lit(1)).over(w)))
+    hashed = tracked_persist(
+        sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
+    )
+    counts = tracked_persist(
+        hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    )
+    universe = hashed
+    if max_df is not None:
+        hot = counts.filter(F.col("df") > max_df).select("h")
+        # clean corpora often have NO hot shingle — isEmpty materializes
+        # the (persisted) count aggregation the joins need anyway, and
+        # only one boolean reaches the driver
+        if not hot.isEmpty():
+            universe = hashed.join(F.broadcast(hot), "h", "left_anti")
+    sizes = universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    mid = counts.filter(F.col("df") >= 2)
+    if max_df is not None:
+        mid = mid.filter(F.col("df") <= max_df)
+    pairable = tracked_persist(
+        universe.join(mid.select("h"), "h", "left_semi")
+    )
+    return sizes, pairable
 
 
 def jaccard_pairs(
@@ -173,16 +183,13 @@ def jaccard_pairs(
 
     Scale notes: the self-join shuffles on the shingle — hot shingles are
     the skew risk, so shingles with document frequency > ``max_df`` are
-    dropped first (df computed in-pass, see ``_shingle_df_frame``; sizes
+    dropped first (skew-safe df pass, see ``_shingle_universe``; sizes
     count the filtered universe, so the score is Jaccard over
     non-boilerplate shingles); ``df == 1`` shingles are additionally
     pruned from the join input (they cannot intersect; they still count
     toward sizes).  Output pairs are a_id < b_id so each pair appears
     once."""
-    dfc = _shingle_df_frame(docs, n, text_col, sh)
-    universe = dfc if max_df is None else dfc.filter(F.col("df") <= max_df)
-    sizes = universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairable = universe.filter(F.col("df") >= 2).select("doc_id", "h")
+    sizes, pairable = _shingle_universe(docs, n, text_col, sh, max_df)
     a = pairable.alias("a")
     b = pairable.alias("b")
     inter = (
@@ -221,13 +228,10 @@ def containment_pairs(
 
     Jaccard misses subset relationships at unequal sizes (a paragraph
     quoted inside a long article has tiny Jaccard but containment ≈ 1);
-    corpus dedup runs BOTH.  Same in-pass df annotation, df-capped and
+    corpus dedup runs BOTH.  Same skew-safe df pass, df-capped and
     df==1-pruned inverted-index join as jaccard_pairs; only the
     normalization differs."""
-    dfc = _shingle_df_frame(docs, n, text_col, None)
-    universe = dfc if max_df is None else dfc.filter(F.col("df") <= max_df)
-    sizes = universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairable = universe.filter(F.col("df") >= 2).select("doc_id", "h")
+    sizes, pairable = _shingle_universe(docs, n, text_col, None, max_df)
     a = pairable.alias("a")
     b = pairable.alias("b")
     inter = (
@@ -317,7 +321,11 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    verify_max_shingles: int = VERIFY_MAX_SHINGLES,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ τ.
 
@@ -343,10 +351,16 @@ def minhash_lsh_dedup(
     cand_ids = (
         cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id")).distinct()
     )
+    # per-doc set capped at the k smallest hashes (bottom-k sketch, see
+    # VERIFY_MAX_SHINGLES): exact below the cap, bounded state above it
     sets = (
         shh.join(F.broadcast(cand_ids), "doc_id")
         .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("sset"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("h")), 1, verify_max_shingles
+            ).alias("sset")
+        )
     )
     a = sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))

@@ -95,6 +95,47 @@ def test_stop_shingle_cap_scores_over_filtered_universe(spark):
     assert pair.jaccard == pytest.approx(expected, abs=1e-6)
 
 
+def test_shingle_df_pass_is_not_a_window(spark):
+    """The df annotation must come from a map-side-combined aggregation,
+    never a Window.partitionBy("h"): a window puts every row of a hot
+    shingle into ONE task (single-task sort straggler at web scale),
+    while a groupBy collapses hot keys map-side.  Guard the physical
+    plan so the skew-safe shape can't regress."""
+    import contextlib
+    import io
+
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import jaccard_pairs
+
+    docs = _boilerplate_corpus(spark)
+    df = jaccard_pairs(docs, n=3, threshold=0.01, max_df=30)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    release_caches()
+    assert "Window" not in buf.getvalue()
+
+
+def test_minhash_verify_cap_bounds_giant_doc_sets(spark):
+    """The MinHash verify arm caps each doc's collected shingle set
+    (bottom-k sketch).  Two identical giant documents — shingle count far
+    above a deliberately tiny cap — still verify at jaccard 1.0
+    (identical sets have identical bottom-k), and the unrelated doc
+    produces no spurious pair."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import minhash_lsh_dedup
+
+    big = " ".join(f"w{i}" for i in range(3000))  # ≈3000 shingles ≫ cap
+    rows = [(0, big), (1, big), (2, " ".join(f"z{i}" for i in range(200)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_dedup(
+        docs, n=3, threshold=0.5, verify_max_shingles=256
+    ).collect()
+    release_caches()
+    assert {(r.a_id, r.b_id) for r in got} == {(0, 1)}
+    assert got[0].jaccard == 1.0
+
+
 def test_containment_cap_matches_jaccard_cap_semantics(spark):
     """containment_pairs applies the same df cap: boilerplate alone
     produces no containment pairs once capped."""
