@@ -135,26 +135,76 @@ def kmeanspp_seed(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    oversample: int = 4,
 ) -> list[list[float]]:
-    """k-means++ D²-weighted seeding, one aggregation per centroid.
+    """D²-weighted seeding in TWO Spark jobs total, any k (the k-means‖
+    shape, Bahmani et al. 2012, collapsed to one oversampling round).
 
-    Sampling ∝ D² is done as an exponential race: row i wins iff
-    D²(i)/E_i is maximal, with E_i = −ln(u_i) a deterministic
-    hash-derived Exp(1) draw — no cumulative weights, no sort, no
-    collect beyond the k winning vectors."""
+    The sequential k-means++ chain (centroid i's D² depends on centroids
+    1..i−1) costs k jobs; at k=256 IVF-training scale that is 256
+    cluster-wide barriers.  Instead:
+
+    1. centroid 1 = min_by(vec, xxhash64(id)) — one aggregation;
+    2. ONE aggregation runs ``oversample·(k−1)`` INDEPENDENT exponential
+       races against centroid 1: race r's winner is max_by(vec,
+       D²/E_r) with E_r = −ln(u_r) a deterministic Exp(1) draw from
+       xxhash64(id, r) — each winner is an independent D²-weighted
+       sample (A-Res / Gumbel-race, no cumulative weights, no sort);
+    3. the ≤ oversample·(k−1) distinct winners (a few KB) are refined
+       DRIVER-side by greedy farthest-point traversal — the
+       deterministic analog of the sequential k-means++ chain, exact
+       over the candidate pool, O(pool²·d) numpy on the driver.
+
+    All races share one scan/aggregation (map-side combined), so cost is
+    flat in k where the old loop was linear; quality matches k-means‖
+    with a single round of l = oversample·k oversampling."""
     vecs = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     first = vecs.select(
         F.min_by("_v", F.xxhash64(F.col("_id"))).alias("v")
     ).collect()[0].v
-    centroids = [[float(x) for x in first]]
-    for rnd in range(1, k):
-        scored = assign_clusters(vecs, centroids, vec_col="_v")
-        u = _uniform_hash(F.col("_id"), rnd)
-        race_key = F.col("dist2") / (-F.log(u))
-        winner = scored.select(F.max_by("_v", race_key).alias("v")).collect()[0].v
-        centroids.append([float(x) for x in winner])
+    c0 = [float(x) for x in first]
+    if k == 1:
+        return [c0]
+
+    n_races = oversample * (k - 1)
+    scored = assign_clusters(vecs, [c0], vec_col="_v")
+    races = [
+        F.max_by(
+            "_v", F.col("dist2") / (-F.log(_uniform_hash(F.col("_id"), r)))
+        ).alias(f"w{r}")
+        for r in range(1, n_races + 1)
+    ]
+    row = scored.select(*races).collect()[0]
+
+    pool: list[list[float]] = []
+    seen = {tuple(c0)}
+    for r in range(1, n_races + 1):
+        v = row[f"w{r}"]
+        if v is None:
+            continue
+        tv = tuple(float(x) for x in v)
+        if tv not in seen:
+            seen.add(tv)
+            pool.append(list(tv))
+
+    centroids = [c0]
+    if pool:
+        pts = np.asarray(pool, dtype="float64")
+        d2 = ((pts - np.asarray(c0, dtype="float64")) ** 2).sum(axis=1)
+        while len(centroids) < k:
+            i = int(np.argmax(d2))
+            if d2[i] <= 0.0:
+                break  # pool exhausted of distinct points
+            centroids.append(pts[i].tolist())
+            d2 = np.minimum(d2, ((pts - pts[i]) ** 2).sum(axis=1))
+    # degenerate corpora (< k distinct vectors): cycle existing seeds so
+    # the contract (len == k) holds, matching the old loop's duplicates
+    base, j = len(centroids), 0
+    while len(centroids) < k:
+        centroids.append(list(centroids[j % base]))
+        j += 1
     return centroids
 
 
