@@ -62,7 +62,19 @@ def _previous_bench() -> dict | None:
     try:
         with open(path) as fh:
             doc = json.load(fh)
-        return doc.get("parsed", doc)
+        # driver artifacts wrap the bench line under "parsed"; that key is
+        # null when the driver's tail capture missed the line (BENCH_r03),
+        # in which case fall through to the raw doc / local detail file
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict):
+            return parsed
+        if "queries" in doc:
+            return doc
+        local = os.path.join(os.path.dirname(path), "BENCH_LOCAL.json")
+        if os.path.exists(local):
+            with open(local) as fh:
+                return json.load(fh)
+        return None
     except Exception:
         return None
 
@@ -159,15 +171,16 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    out = {
-        "metric": "headline_total_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
+    # The driver captures the LAST stdout line(s) with a bounded tail
+    # window — BENCH_r03's line outgrew it once `stats` was added and the
+    # artifact recorded "parsed": null.  So the headline line printed
+    # LAST stays compact (metric/value/unit/queries/sf only); the full
+    # diagnostics (per-query median/spread/load1, round-over-round
+    # deltas, cache policy) go to BENCH_LOCAL.json and a preceding line.
+    detail = {
         # measurement basis: best-of-5 (contention-retried) with warm
         # operator caches within a query (cleared between queries) — same
-        # warm-best basis as rounds 1-2, so delta_vs_prev compares like
+        # warm-best basis as rounds 1-3, so delta_vs_prev compares like
         # with like; per-query median/spread/load1 expose contamination
         "cache_policy": "warm-best-of-5 contention-retried, cleared between queries",
         "stats": stats,
@@ -177,10 +190,26 @@ def main() -> None:
     prev = _previous_bench()
     if prev and prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
         pq = prev["queries"]
-        out["prev_total_sec"] = prev.get("value")
-        out["delta_vs_prev"] = {
+        detail["prev_total_sec"] = prev.get("value")
+        detail["delta_vs_prev"] = {
             n: round(t - pq[n], 3) for n, t in timings.items() if n in pq
         }
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**out, **detail}, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(json.dumps(out))
     spark.stop()
 
