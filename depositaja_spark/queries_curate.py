@@ -877,3 +877,155 @@ def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Gopher-style repetition metrics -----------------------------------------
+#
+# The repetition family of quality filters (Rae et al. 2021 "Gopher"
+# §A1.1): documents dominated by a repeated n-gram or with low lexical
+# diversity are machine-generated/boilerplate and get dropped before
+# training.  The corpus has no newlines, so the line-based variants are
+# replaced by their token-based analogs over the same whitespace
+# tokenization every other text query uses.
+
+_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+g AS (SELECT doc_id,
+        list_transform(generate_series(1, len(ts)-1),
+                       i -> ts[i] || ' ' || ts[i+1]) AS g2,
+        list_transform(generate_series(1, len(ts)-2),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g3,
+        len(ts) AS n_tokens,
+        len(list_distinct(ts)) AS n_distinct
+      FROM toks),
+c2 AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+a2 AS (SELECT doc_id, max(c) AS top2 FROM c2 GROUP BY 1),
+c3 AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2),
+a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+       FROM c3 GROUP BY 1)
+SELECT g.doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(CAST(coalesce(a2.top2, 0) AS DOUBLE)
+             / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+       round(CAST(coalesce(a3.dup3, 0) AS DOUBLE)
+             / greatest(n_tokens - 2, 1), 6) AS dup_trigram_frac,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_token_ratio
+FROM g LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+#: filter thresholds (chosen non-degenerate on the synthetic corpus: a
+#: handful of docs trip each n-gram gate, diversity trips more)
+_REP_TOP_BIGRAM = 0.10
+_REP_DUP_TRIGRAM = 0.05
+_REP_MIN_DIVERSITY = 0.35
+
+
+def _ngram_multiset(n: int) -> F.Column:
+    """Word n-grams WITH multiplicity (the repetition signal — unlike
+    dedup shingles, which are deduped per doc)."""
+    toks = tx.tokens("text")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    # both gram sizes ride ONE explode, tagged with n, so the per-doc
+    # count aggregation is a single map-side-combined shuffle keyed by
+    # (doc_id, n, gram) — keys are per-document, so no global hot key
+    # exists by construction and the whole pass is JVM codegen
+    tag = lambda n, arr: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(tag(2, _ngram_multiset(2)), tag(3, _ngram_multiset(3)))
+        ).alias("e"),
+    ).select("doc_id", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    cnt = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c")).otherwise(0)
+        ).alias("dup3"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.coalesce(F.col("top2"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("dup3"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens") - 2, F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("distinct_token_ratio"),
+    )
+
+
+@query("repetition_metrics", _REPETITION_SQL)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: most-frequent-bigram
+    coverage, duplicated-trigram coverage, distinct-token ratio.
+
+    Scale shape: one explode over tagged 2/3-gram multisets, one
+    (doc_id, n, gram)-keyed count with map-side combine, one per-doc
+    fold, broadcast-joinable back to the metadata row.  All keys carry
+    doc_id so corpus-wide hot keys cannot exist; everything is built-in
+    expressions (zero Python)."""
+    return _repetition_metrics(spark, sf_dir)
+
+
+@query(
+    "repetition_filter",
+    f"""
+SELECT doc_id,
+       top_bigram_frac > {_REP_TOP_BIGRAM} AS flag_top_bigram,
+       dup_trigram_frac > {_REP_DUP_TRIGRAM} AS flag_dup_trigram,
+       distinct_token_ratio < {_REP_MIN_DIVERSITY} AS flag_low_diversity
+FROM ({_REPETITION_SQL})
+WHERE top_bigram_frac > {_REP_TOP_BIGRAM}
+   OR dup_trigram_frac > {_REP_DUP_TRIGRAM}
+   OR distinct_token_ratio < {_REP_MIN_DIVERSITY}
+""",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition gates as a filter: documents tripping any of the
+    three Gopher-style thresholds, with per-gate flags (the audit trail a
+    curation pipeline keeps next to every drop decision)."""
+    m = _repetition_metrics(spark, sf_dir)
+    f_tb = F.col("top_bigram_frac") > _REP_TOP_BIGRAM
+    f_dt = F.col("dup_trigram_frac") > _REP_DUP_TRIGRAM
+    f_ld = F.col("distinct_token_ratio") < _REP_MIN_DIVERSITY
+    return (
+        m.select(
+            "doc_id",
+            f_tb.alias("flag_top_bigram"),
+            f_dt.alias("flag_dup_trigram"),
+            f_ld.alias("flag_low_diversity"),
+        )
+        .filter(
+            F.col("flag_top_bigram")
+            | F.col("flag_dup_trigram")
+            | F.col("flag_low_diversity")
+        )
+    )
