@@ -12,7 +12,6 @@ can overwrite a manual flag.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def manual_flag_events(

@@ -1029,3 +1029,60 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("flag_low_diversity")
         )
     )
+
+
+# --- temperature-scaled mixture weights --------------------------------------
+
+#: sampling temperature (mT5 / multilingual-pretraining convention:
+#: p_s^alpha renormalized — alpha < 1 upsamples small sources)
+_MIX_ALPHA = 0.3
+
+
+@query(
+    "mixture_weights_temperature",
+    f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, sum(pow(n_tokens / (SELECT sum(n_tokens) FROM per), {_MIX_ALPHA})) AS z FROM per)
+SELECT source,
+       CAST(n_docs AS INT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / t, 6) AS natural_share,
+       round(pow(n_tokens / t, {_MIX_ALPHA}) / z, 6) AS sample_share,
+       round((pow(n_tokens / t, {_MIX_ALPHA}) / z) / (n_tokens / t), 6) AS upsample_factor
+FROM per CROSS JOIN tot
+""",
+)
+def q_mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (p^α renormalized,
+    α={alpha}): the standard recipe for upsampling small sources in a
+    pretraining mixture (mT5 §3.2 convention).  Outputs natural token
+    share, temperature-adjusted sample share, and the implied
+    upsample factor per source.
+
+    Scale shape: one map-side-combined aggregation on the low-cardinality
+    source key, then unpartitioned windows over the AGGREGATED frame
+    (|sources| rows, not the corpus) for both normalizations — the same
+    cheap-place-to-normalize pattern as corpus_mixture_stats.""".format(
+        alpha=_MIX_ALPHA
+    )
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.size(tx.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    total = W.partitionBy()
+    natural = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total)
+    scaled = F.pow(natural, F.lit(_MIX_ALPHA))
+    sample = scaled / F.sum(scaled).over(total)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(natural, 6).alias("natural_share"),
+        F.round(sample, 6).alias("sample_share"),
+        F.round(sample / natural, 6).alias("upsample_factor"),
+    )
