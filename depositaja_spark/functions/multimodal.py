@@ -6,13 +6,14 @@ metadata; decode / feature-extraction run as Arrow-batched Pandas
 functions over ``mapInPandas`` so bytes never round-trip through Python
 row objects.
 
-Image decode is REAL for the two formats a pure-numpy decoder can cover
-byte-exactly — binary PPM/PGM (P6/P5) and uncompressed BMP (24/32-bit
-BI_RGB) — so ``decode_media`` and ``resize_images`` execute end-to-end
-with no external codec.  Compressed formats (JPEG/PNG/video) need
+Decode is REAL for every format a pure-numpy/pure-Python codec can cover
+byte-exactly: binary PPM/PGM (P6/P5) and uncompressed BMP (24/32-bit
+BI_RGB) images (``decode_media`` / ``resize_images``), PCM WAV audio
+(``audio_features``), and YUV4MPEG2 uncompressed video
+(``frame_sample``).  Compressed formats (JPEG/PNG/mp4/mkv) need
 PIL/pyav, which are not installed here: those payloads raise a
-clearly-marked NotImplementedError, and ``frame_sample`` (container
-demuxing) remains the one stubbed operator.
+clearly-marked NotImplementedError from the same code paths a real
+codec would slot into.
 """
 
 from __future__ import annotations
@@ -263,14 +264,86 @@ def audio_features(payload_df: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample(payload_df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Sample every Nth frame from video payloads.
+#: bytes per pixel numerator/denominator for y4m colorspaces
+_Y4M_SUBSAMPLING = {"420": (3, 2), "422": (2, 1), "444": (3, 1), "mono": (1, 1)}
 
-    STUB: needs a container demuxer (pyav).  Production shape: mapInPandas
-    yielding one row per sampled frame — (doc_id, frame_idx, frame_payload)
-    — i.e. a flatMap over payloads, which mapInPandas supports natively
-    (output row count is free to differ from input)."""
-    raise NotImplementedError("frame sampling requires pyav; plumbing mirrors extract_features")
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def _demux_y4m(raw: bytes, step: int = 1):
+    """Yield (frame_idx, width, height, frame_bytes) for every ``step``-th
+    frame of a YUV4MPEG2 stream — the standard UNCOMPRESSED video
+    container (mjpegtools / ffmpeg `-f yuv4mpeg`): an ASCII stream
+    header, then `FRAME\\n` + fixed-size planar YUV per frame.  Pure
+    offset arithmetic: unsampled frames are skipped without copying
+    their bytes.  Compressed containers (mp4/mkv) would need pyav."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            f"only YUV4MPEG2 demuxes without pyav; got {raw[:9]!r}"
+        )
+    nl = raw.index(b"\n")
+    w = h = None
+    cs = "420"
+    for tok in raw[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            # C420 / C420jpeg / C420mpeg2 / C420paldv / C422 / C444 / Cmono
+            cs = next((k for k in _Y4M_SUBSAMPLING if t[1:].startswith(k)), t[1:])
+    if w is None or h is None or cs not in _Y4M_SUBSAMPLING:
+        raise NotImplementedError(f"unsupported y4m header {raw[:nl]!r}")
+    num, den = _Y4M_SUBSAMPLING[cs]
+    frame_bytes = w * h * num // den
+    pos, idx = nl + 1, 0
+    while pos < len(raw):
+        eol = raw.index(b"\n", pos)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError(f"bad frame marker at byte {pos}")
+        if eol + 1 + frame_bytes > len(raw):
+            break  # truncated tail frame
+        if idx % step == 0:
+            yield idx, w, h, raw[eol + 1 : eol + 1 + frame_bytes]
+        pos = eol + 1 + frame_bytes
+        idx += 1
+
+
+def frame_sample(payload_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample every Nth frame from y4m (YUV4MPEG2) video payloads.
+
+    flatMap shape: mapInPandas yields one row per SAMPLED frame —
+    (doc_id, frame_idx, width, height, frame bytes) — output row count
+    free to differ from input, no intermediate list of all frames (the
+    generator walks the byte stream and skips unsampled frames by
+    offset arithmetic, so a 10k-frame payload with every_n=30 touches
+    ~330 frames' bytes).  Compressed containers swap in pyav with the
+    same Spark plumbing."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, w, h, data in _demux_y4m(bytes(raw), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(data)
+            yield pd.DataFrame(out)
+
+    return payload_df.select("doc_id", "payload").mapInPandas(per_batch, FRAME_SCHEMA)
 
 
 #: resize output: payload in / payload out with refreshed metadata

@@ -193,15 +193,32 @@ def test_audio_features_wav(spark):
     assert row.peak == pytest.approx(amp, rel=0.01)
 
 
-def test_multimodal_remaining_stubs(spark, docs):
-    """frame_sample (container demux) is the one remaining stub; an
-    unsupported image format raises a clear NotImplementedError."""
+def test_frame_sample_y4m(spark):
+    """YUV4MPEG2 demux: a 5-frame 4×2 C420 stream sampled every 2nd frame
+    yields frames 0, 2, 4 with exact bytes."""
+    w, h = 4, 2
+    fb = w * h * 3 // 2  # C420: 12 bytes/frame
+    frames = [bytes([i * 10 + j for j in range(fb)]) for i in range(5)]
+    y4m = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    df = spark.createDataFrame([(3, bytearray(y4m))], "doc_id long, payload binary")
+    rows = {r.frame_idx: r for r in mm.frame_sample(df, every_n=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for i in (0, 2, 4):
+        assert (rows[i].width, rows[i].height) == (w, h)
+        assert bytes(rows[i].frame) == frames[i]
+
+
+def test_multimodal_unsupported_formats_raise(spark, docs):
+    """Compressed/unknown formats raise a clear NotImplementedError from
+    the executor (the PIL/pyav slot-in points)."""
     payloads = mm.attach_payload(docs.limit(1))
-    with pytest.raises(NotImplementedError):
-        mm.frame_sample(payloads)
-    # text payloads are not a supported image format — executor-side error
+    # text payloads are neither a supported image nor a y4m stream
     with pytest.raises(Exception, match="NotImplementedError|only PPM"):
         mm.decode_media(payloads).collect()
+    with pytest.raises(Exception, match="NotImplementedError|YUV4MPEG2"):
+        mm.frame_sample(payloads).collect()
 
 
 def test_clean_corpus_pipeline(spark, docs):
