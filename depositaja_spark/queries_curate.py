@@ -1086,3 +1086,123 @@ def q_mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(sample, 6).alias("sample_share"),
         F.round(sample / natural, 6).alias("upsample_factor"),
     )
+
+
+# --- deterministic corpus shuffle-shard --------------------------------------
+
+_N_SHARDS = 8
+#: portable 60-bit hash of an expression (top 15 hex chars of md5) — the
+#: same convention as queries_ext._H64, applied to derived strings here
+_SHARD_H = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15)) AS BIGINT)"
+_ORDER_H = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "shuffle_shards",
+    f"""
+SELECT doc_id,
+       CAST({_SHARD_H} % {_N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {_SHARD_H} % {_N_SHARDS}
+           ORDER BY {_ORDER_H}, doc_id) AS INT) AS pos
+FROM documents
+""",
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random corpus shuffle into N shards — the
+    write-side op that materializes pretraining data in randomized order
+    (sequential readers then see an unbiased stream without a training-
+    time shuffle buffer holding the corpus).
+
+    shard = hash(doc_id) mod N; position = rank of an independent hash
+    within the shard.  Both hashes are the portable md5-derived
+    convention, so reruns and engines agree bit-for-bit.  Scale shape:
+    the window partitions by shard (each ≈ corpus/N rows) — exactly the
+    per-output-file sort a sharded writer performs anyway
+    (repartition(N) + sortWithinPartitions on a cluster)."""
+    d = _docs(spark, sf_dir)
+    sh = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 15), 16, 10)
+        .cast("long") % _N_SHARDS
+    )
+    ok = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":order"))), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = W.partitionBy(sh).orderBy(ok, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        sh.cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+# --- token-budget subset selection -------------------------------------------
+
+_TOKEN_BUDGET = 20_000
+
+
+@query(
+    "token_budget_select",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS score
+  FROM documents
+)
+SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM (
+  SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM m
+)
+WHERE cum_tokens <= {_TOKEN_BUDGET}
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first subset under a token budget: take documents
+    in (score DESC, doc_id) order while the running token total stays
+    within budget — "give me the best N-billion-token subset" from a
+    curation sweep.
+
+    The oracle states the spec as ONE global cumulative window; the Spark
+    plan computes the identical set WITHOUT a global single-partition
+    sort (the 100 TB scale-killer):
+
+      1. per-score-bucket token totals (map-side-combined aggregation —
+         the bucket frame is tiny);
+      2. cumulative totals over the AGGREGATED frame only (cheap
+         single-partition window over |buckets| rows, the same
+         normalize-at-the-top pattern as corpus_mixture_stats);
+      3. broadcast-join bucket offsets back and finish with a window
+         PARTITIONED BY score (each partition = one bucket, bounded),
+         so cum(doc) = bucket_offset + within-bucket running sum.
+
+    Equality with the flat window holds because the global order
+    (score DESC, doc_id) is exactly (bucket order, within-bucket
+    order)."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("score"),
+    )
+    bkt = m.groupBy("score").agg(F.sum("n_tokens").alias("bt"))
+    wb = W.orderBy(F.col("score").desc())
+    bkt = bkt.select(
+        "score", (F.sum("bt").over(wb) - F.col("bt")).alias("cum_before")
+    )
+    win_doc = W.partitionBy("score").orderBy("doc_id")
+    return (
+        m.join(F.broadcast(bkt), "score")
+        .withColumn(
+            "cum_tokens", F.col("cum_before") + F.sum("n_tokens").over(win_doc)
+        )
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "score", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
