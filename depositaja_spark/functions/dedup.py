@@ -160,7 +160,13 @@ def _shingle_universe(
         # only one boolean reaches the driver
         if not hot.isEmpty():
             universe = hashed.join(F.broadcast(hot), "h", "left_anti")
-    sizes = universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes is consumed TWICE (once per self-join side) and Spark does
+    # not dedupe the aggregation subtree across join branches — persist
+    # the (tiny, one row per doc) frame so the universe scan+agg runs
+    # once (measured −11% on jaccard_pairs at sf0.1)
+    sizes = tracked_persist(
+        universe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    )
     mid = counts.filter(F.col("df") >= 2)
     if max_df is not None:
         mid = mid.filter(F.col("df") <= max_df)
