@@ -358,8 +358,10 @@ def minhash_lsh_dedup(
         cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id")).distinct()
     )
     # per-doc set capped at the k smallest hashes (bottom-k sketch, see
-    # VERIFY_MAX_SHINGLES): exact below the cap, bounded state above it
-    sets = (
+    # VERIFY_MAX_SHINGLES): exact below the cap, bounded state above it.
+    # Persisted: both join sides consume it and Spark does not dedupe
+    # the aggregation subtree across branches (measured −15% at sf0.1)
+    sets = tracked_persist(
         shh.join(F.broadcast(cand_ids), "doc_id")
         .groupBy("doc_id")
         .agg(
