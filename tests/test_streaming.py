@@ -518,3 +518,69 @@ def test_streaming_incremental_intake_drops_history_contents(spark, tmp_path):
     } - hist_fp
     assert set(got) == want
     assert want, "degenerate test: nothing survived"
+
+
+def test_events_raw_schema_probe_both_formats(tmp_path):
+    """The stream source's footer probe picks the right ts representation
+    for BOTH on-disk formats: µs TIMESTAMP_NTZ (current testdata) →
+    TimestampNTZType, nanosecond timestamps / plain int64 (legacy) →
+    LongType + explicit ns→µs conversion."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from depositaja_spark.streaming.pipeline import _events_raw_schema
+
+    base = dict(
+        event_id=[1], user_id=[2], event_type=["purchase"], value=[1.0],
+        props=["{}"],
+    )
+    us_dir = tmp_path / "us"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1704194640000000], pa.timestamp("us"))}),
+        us_dir / "events.parquet",
+    )
+    schema, is_nanos = _events_raw_schema(str(us_dir))
+    assert not is_nanos
+    assert isinstance(schema["ts"].dataType, T.TimestampNTZType)
+
+    ns_dir = tmp_path / "ns"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1704194640_000_000_000], pa.timestamp("ns"))}),
+        ns_dir / "events.parquet",
+    )
+    schema, is_nanos = _events_raw_schema(str(ns_dir))
+    assert is_nanos
+    assert isinstance(schema["ts"].dataType, T.LongType)
+
+    int_dir = tmp_path / "int"
+    int_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1704194640_000_000_000], pa.int64())}),
+        int_dir / "events.parquet",
+    )
+    schema, is_nanos = _events_raw_schema(str(int_dir))
+    assert is_nanos and isinstance(schema["ts"].dataType, T.LongType)
+
+    # empty dir → current-format default
+    empty = tmp_path / "none"
+    empty.mkdir()
+    schema, is_nanos = _events_raw_schema(str(empty))
+    assert not is_nanos
+    assert isinstance(schema["ts"].dataType, T.TimestampNTZType)
+
+
+def test_load_table_requires_utc_for_ntz(spark):
+    """NTZ normalization silently shifts wall-clock values under a
+    non-UTC session zone — the loader must refuse instead."""
+    from depositaja_spark.sources import load_table
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session timezone"):
+            load_table(spark, SF, "events").schema  # schema resolution is enough
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
