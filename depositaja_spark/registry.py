@@ -139,6 +139,52 @@ def q_negate_withdrawals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("wallet_id", "amount", "seq")
 
 
+@query(
+    "net_balance",
+    """
+WITH deposits AS (
+  SELECT CAST(user_id AS VARCHAR) AS wallet_id, value AS amount
+  FROM events WHERE event_type = 'purchase' AND value > 0
+),
+withdrawals AS (
+  SELECT CAST(user_id AS VARCHAR) AS wallet_id, -value AS amount
+  FROM events WHERE event_type = 'error' AND value > 0
+),
+moves AS (
+  SELECT * FROM deposits UNION ALL SELECT * FROM withdrawals
+)
+SELECT wallet_id, round(sum(amount), 4) AS net_balance
+FROM moves GROUP BY wallet_id
+""",
+)
+def q_net_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 exercised end-to-end: the reference's withdraw scaffold is the
+    SAME emitter handed a non-deposit stream constant, which negates the
+    amount before emit (service/service.go:98-103; dead code in practice
+    since cmd/service/main.go:16 always passes DepositStream).  Here a
+    second event type plays the withdraw stream: both streams pass the
+    same P1 validation (amount > 0 pre-negation, service/service.go:87-91),
+    the withdraw side flows through negate_withdrawals, and one A2 fold
+    nets them per wallet."""
+    from depositaja_spark.operators.validate import project_deposit
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("string").alias("wallet_id"),
+        F.col("value").alias("amount"),
+        "event_type",
+    ).filter(F.col("amount") > 0)
+    deposits = project_deposit(base.filter(F.col("event_type") == "purchase"))
+    withdrawals = negate_withdrawals(
+        base.filter(F.col("event_type") == "error"), is_deposit_stream=False
+    ).select("wallet_id", "amount")
+    return (
+        deposits.unionByName(withdrawals)
+        .groupBy("wallet_id")
+        .agg(F.round(F.sum("amount"), 4).alias("net_balance"))
+    )
+
+
 # --- A1: collector ------------------------------------------------------------
 
 
