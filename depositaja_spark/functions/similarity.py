@@ -89,6 +89,52 @@ def cosine_topk(
     )
 
 
+def cosine_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered exact top-k: each query ranks only candidates
+    sharing its ``filter_col`` value (same-language retrieval, same-split
+    dedup probes, tenant isolation — the standard "filtered ANN" shape).
+
+    The predicate becomes the JOIN KEY of a broadcast hash join instead
+    of a post-filter on the cross product: candidates with non-matching
+    metadata are dropped before any vector math, and at scale Catalyst
+    additionally pushes the broadcast-side value set toward the scan.
+    Ranking/tie-break conventions are identical to cosine_topk."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(filter_col).alias("_f"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(filter_col).alias("_f"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_f")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def srp_bucket(vec: Column, anchors: list[Column]) -> Column:
     """Sign-random-projection bucket id: bit i = [dot(vec, anchor_i) > 0]."""
     bucket = F.lit(0)

@@ -606,6 +606,33 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, queries)
 
 
+@query(
+    "ann_topk_filtered",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label FROM embeddings
+           WHERE vec_id IN ({_Q_IDS})),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec, label FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, {_COS.format(a='qvec', b='cvec')} AS cos
+  FROM c JOIN q USING (label) WHERE cand_id != query_id
+)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {sim.TOP_K}
+""",
+)
+def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: top-k per query among candidates sharing the query's
+    label (same-language retrieval / tenant isolation — the standard
+    metadata-filtered retrieval shape).  The predicate is the JOIN KEY of
+    a broadcast hash join, so non-matching candidates are dropped before
+    any vector math instead of being scored and post-filtered."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    return sim.cosine_topk_filtered(emb, queries, "label")
+
+
 _COS_DOT = """
 round(list_sum(list_transform(range(1, len({a}) + 1),
       i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), 6)
