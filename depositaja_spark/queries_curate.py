@@ -1206,3 +1206,144 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
         .select("doc_id", "n_tokens", "score", F.col("cum_tokens").cast("long").alias("cum_tokens"))
     )
+
+
+# --- end-to-end training export ----------------------------------------------
+#
+# The flagship composition of the curation surface: clean_corpus
+# survivors → overlapping chunking → per-language sequence packing →
+# deterministic shard assignment.  One registry entry proves the stages
+# COMPOSE (each is individually oracle-checked already), and the oracle
+# is built by textually extending the clean_corpus SQL with the
+# chunk/pack/shard CTEs so both engines state the same spec end-to-end.
+
+from depositaja_spark.queries_ext import (  # noqa: E402
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    _clean_corpus_sql,
+)
+
+_EXPORT_PACK_TARGET = 512
+
+
+def _training_export_sql() -> str:
+    clean = _clean_corpus_sql().rstrip()
+    final = (
+        "SELECT e.doc_id, e.predicted_lang, e.n_tokens"
+        "\nFROM exact e JOIN keepers USING (doc_id)"
+    )
+    assert clean.endswith(final), "clean_corpus SQL shape changed"
+    prologue = clean[: -len(final)]
+    return (
+        prologue.rstrip()
+        + f""",
+survivors AS (
+  {final}
+),
+sdocs AS (
+  SELECT d.doc_id, s.predicted_lang, string_split(d.text, ' ') AS toks
+  FROM documents d JOIN survivors s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, predicted_lang, CAST(i AS INT) AS chunk_id,
+         CAST(least(len(toks) - i * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS INT) AS n_tokens
+  FROM sdocs
+  CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+  WHERE i < greatest(1, CAST(ceil((len(toks) - {_CHUNK_SIZE})
+                                  / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
+),
+runs AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY predicted_lang
+                                ORDER BY doc_id, chunk_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM chunks
+),
+packed AS (
+  SELECT doc_id, chunk_id, predicted_lang, n_tokens,
+         CAST(floor((cum - n_tokens) / {_EXPORT_PACK_TARGET}) AS BIGINT) AS pack_id
+  FROM runs
+)
+SELECT doc_id, chunk_id, predicted_lang, n_tokens, pack_id,
+       CAST(CAST(('0x' || substr(md5(predicted_lang || ':' ||
+                 CAST(pack_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % {_N_SHARDS} AS INT) AS shard
+FROM packed
+"""
+    )
+
+
+@query("training_export", _training_export_sql())
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data export: clean_corpus survivors, chunked
+    into overlapping {size}-token windows (stride {stride}), packed into
+    ~{target}-token bins per predicted language, each bin assigned a
+    deterministic output shard.
+
+    Scale shape: cleaning is the already-audited corpus pipeline;
+    chunking is row-local (no shuffle); packing is one window per
+    language partition (the packing order IS the spec); shard assignment
+    is a row-local hash.  The expensive stages all come from audited
+    building blocks — the query exists to pin their COMPOSITION under
+    one oracle.""".format(
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE, target=_EXPORT_PACK_TARGET
+    )
+    from depositaja_spark.plans.corpus_pipeline import clean_corpus
+
+    docs = _docs(spark, sf_dir)
+    survivors = clean_corpus(docs).select("doc_id", "predicted_lang")
+    toks = tx.tokens("text")
+    n = F.size(F.col("toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_SIZE)) / F.lit(_CHUNK_STRIDE) + 1).cast("int"),
+    )
+    sdocs = docs.select("doc_id", toks.alias("toks")).join(survivors, "doc_id")
+    chunks = sdocs.select(
+        "doc_id",
+        "predicted_lang",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "predicted_lang",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(
+            F.size("toks") - F.col("chunk_id") * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)
+        ).cast("int").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("predicted_lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = chunks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "chunk_id",
+        "predicted_lang",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / _EXPORT_PACK_TARGET)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("predicted_lang"),
+                        F.lit(":"),
+                        F.col("pack_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "predicted_lang", "n_tokens", "pack_id",
+        shard.cast("int").alias("shard"),
+    )
