@@ -381,3 +381,89 @@ def test_winnow_guarantee_shared_span_shares_fingerprint(spark):
         sets[r.doc_id].add(r.fp_hash)
     assert sets[9001] & sets[9002], "shared span must share a fingerprint"
     assert not (sets[9001] & sets[9003])
+
+
+def test_decode_bmp_variants(spark):
+    """32-bpp (BGRA, alpha dropped) and top-down (negative height) BMPs
+    decode to the same RGB raster as the canonical bottom-up 24-bpp."""
+    import struct as _st
+
+    def bmp(data, w, h, bpp):
+        return (
+            b"BM"
+            + _st.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+            + _st.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(data), 0, 0, 0, 0)
+            + data
+        )
+
+    # 2×2 pixels: top row [red, green], bottom row [blue, white]
+    want = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    # 32bpp bottom-up: BGRA rows, no padding needed (8 bytes/row)
+    rows32 = (
+        bytes([255, 0, 0, 7]) + bytes([255, 255, 255, 7])  # bottom: blue, white
+        + bytes([0, 0, 255, 7]) + bytes([0, 255, 0, 7])    # top: red, green
+    )
+    # 24bpp top-down (negative height): rows in display order, padded to 8
+    rows24td = (
+        bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+        + bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(bmp(rows32, 2, 2, 32))), (1, bytearray(bmp(rows24td, 2, -2, 24)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in mm.decode_media(df).collect()}
+    for i in (0, 1):
+        assert (got[i].height, got[i].width, got[i].channels) == (2, 2, 3)
+        assert got[i].pixels == want
+
+
+def test_audio_features_8bit_stereo(spark):
+    """8-bit unsigned stereo WAV: channels recovered, mono mix averages
+    them (L = +A sine, R = -A sine → mix ≈ silence; L alone has RMS)."""
+    import struct as _st
+
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    wave = np.sin(2 * np.pi * 200.0 * t)
+    left = (128 + 100 * wave).astype("u1")
+    right = (128 - 100 * wave).astype("u1")
+    inter = np.empty(2 * len(left), dtype="u1")
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    wav = (
+        b"RIFF" + _st.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + _st.pack("<IHHIIHH", 16, 1, 2, rate, rate * 2, 2, 8)
+        + b"data" + _st.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    (row,) = mm.audio_features(df).collect()
+    assert row.channels == 2 and row.sample_rate == rate
+    # perfectly anti-phase channels cancel in the mono mix (u8 rounding
+    # leaves a sub-1% floor)
+    assert row.rms < 0.01
+    assert row.duration_s == pytest.approx(0.25, abs=1e-6)
+
+
+def test_frame_sample_c444_and_mono(spark):
+    """Colorspace-dependent frame sizes: C444 = 3·w·h, Cmono = w·h."""
+    def y4m(cs, frame_bytes, n=3):
+        frames = [bytes([i] * frame_bytes) for i in range(n)]
+        return b"YUV4MPEG2 W2 H2 " + cs + b"\n" + b"".join(
+            b"FRAME\n" + f for f in frames
+        )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(y4m(b"C444", 12))), (1, bytearray(y4m(b"Cmono", 4)))],
+        "doc_id long, payload binary",
+    )
+    rows = mm.frame_sample(df, every_n=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 3 and len(by_doc[1]) == 3
+    assert all(len(bytes(r.frame)) == 12 for r in by_doc[0])
+    assert all(len(bytes(r.frame)) == 4 for r in by_doc[1])
+    assert bytes(by_doc[1][2].frame) == bytes([2] * 4)
