@@ -837,3 +837,132 @@ def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+# --- TPC-H Q10 shape: returned-item revenue per customer, top 20 -------------
+
+
+@query(
+    "returned_item_revenue",
+    f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20.  The returnflag filter pushes into the lineitem scan; nation
+    broadcasts; the ranking is a TakeOrdered top-k (no global sort
+    materialization), tie-broken on the unique customer key."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders ------------------------------------
+
+_LARGE_ORDER_QTY = 250
+
+
+@query(
+    "large_volume_orders",
+    f"""
+WITH big AS (
+  SELECT l_orderkey, sum({_QTY}) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum({_QTY}) > {_LARGE_ORDER_QTY}
+)
+SELECT c_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to order/customer detail.  The group-then-
+    HAVING aggregation is map-side combined; the qualifying-key set is
+    small by construction (HAVING prunes hard) so the join back to
+    orders broadcasts it at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share ------------------------------------
+
+
+@query(
+    "promo_revenue_share",
+    f"""
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN {_EP} * ({_ONE} - {_DISC})
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / sum({_EP} * ({_ONE} - {_DISC})), 4) AS DOUBLE) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of revenue from promotional parts in a
+    date window — conditional aggregation over a broadcast dimension
+    join, the date predicate pushed into the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).alias("p"),
+            F.sum(rev).alias("t"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("p") / F.col("t"), 4)
+        .cast("double")
+        .alias("promo_share_pct")
+    )
