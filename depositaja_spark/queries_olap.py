@@ -966,3 +966,45 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_share_pct")
     )
+
+
+# --- TPC-H Q19 shape: disjunctive-predicate revenue --------------------------
+
+
+@query(
+    "disjunctive_brand_revenue",
+    f"""
+SELECT CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 50)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    fact and dimension columns.  The optimizer-relevant property: the
+    common-factor conjuncts Catalyst can extract (p_brand IN (...),
+    l_quantity range hull) push into BOTH scans before the join, so the
+    disjunction is evaluated on pre-filtered rows, not the raw product."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 30))
+        | ((b == "Brand#3") & s.between(10, 30) & q.between(10, 50))
+        | ((b == "Brand#5") & s.between(20, 50) & q.between(20, 40))
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return j.filter(pred).agg(
+        exact_sum(rev).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
