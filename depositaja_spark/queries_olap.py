@@ -98,10 +98,13 @@ LIMIT 10
 """,
 )
 def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dimension (customer) broadcast into the
-    fact join, aggregate, deterministic top-10 (total order with unique
-    tie-break, so LIMIT is engine-independent).  At scale: customer filter
-    first → broadcast; lineitem⋈orders shuffles on the order key once."""
+    """TPC-H Q3 shape: selective dimension filter (customer) joined into
+    the fact join, aggregate, deterministic top-10 (total order with unique
+    tie-break, so LIMIT is engine-independent).  At scale: customer grows
+    linearly with sf, so no forced broadcast hint — AQE picks broadcast
+    from runtime statistics when the filtered side fits, and falls back to
+    a shuffle join when it doesn't; lineitem⋈orders shuffles on the order
+    key once."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -113,7 +116,7 @@ def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(exact_sum(revenue).alias("revenue"))
         .select(
@@ -149,8 +152,11 @@ GROUP BY n_name
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake join (region→nation→customer, supplier)
-    with local-supplier condition.  All dimension sides are small →
-    broadcast; the single big shuffle is lineitem⋈orders."""
+    with local-supplier condition.  nation/region are fixed-size (25/5
+    rows at ANY sf) → forced broadcast is always safe; customer and
+    supplier grow linearly with sf, so their joins carry no hint — AQE
+    broadcasts them while they fit and shuffles above that.  The single
+    unavoidable big shuffle is lineitem⋈orders."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -163,9 +169,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -714,10 +720,13 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-name substring filter.
 
     Plan shape: the p_name LIKE filter prunes the part dimension BEFORE
-    its broadcast, so the big lineitem scan is filtered by the join
-    early; supplier/nation broadcast; the one real shuffle is
-    lineitem⋈orders followed by the (nation, year) aggregation.  Money
-    math is exact DECIMAL end-to-end, cast to double only at the end."""
+    its join, so the big lineitem scan is filtered by the join early;
+    nation (25 rows at any sf) keeps its forced broadcast, while part and
+    supplier scale with sf and carry no hint — AQE broadcasts the
+    filtered part side from runtime statistics while it fits.  The one
+    real shuffle is lineitem⋈orders followed by the (nation, year)
+    aggregation.  Money math is exact DECIMAL end-to-end, cast to double
+    only at the end."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -727,8 +736,8 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = dec("p_retailprice") * F.lit(0.60).cast("decimal(4,2)")
     profit = dec("l_extendedprice") * (one - dec("l_discount")) - dec("l_quantity") * cost
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -860,8 +869,10 @@ LIMIT 20
 def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer,
     top 20.  The returnflag filter pushes into the lineitem scan; nation
-    broadcasts; the ranking is a TakeOrdered top-k (no global sort
-    materialization), tie-broken on the unique customer key."""
+    (fixed 25 rows) keeps its forced broadcast while customer — linear in
+    sf — carries no hint and is left to AQE; the ranking is a TakeOrdered
+    top-k (no global sort materialization), tie-broken on the unique
+    customer key."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
@@ -870,7 +881,7 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(exact_sum(revenue).alias("revenue"))
@@ -904,8 +915,9 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total line quantity exceeds a
     threshold, joined back to order/customer detail.  The group-then-
     HAVING aggregation is map-side combined; the qualifying-key set is
-    small by construction (HAVING prunes hard) so the join back to
-    orders broadcasts it at scale."""
+    small by construction (HAVING prunes hard), so THAT side carries the
+    broadcast hint — it stays bounded at any sf, unlike customer, whose
+    join is left to AQE to broadcast-or-shuffle from runtime statistics."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -915,8 +927,8 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
     )
     return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        F.broadcast(big).join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -942,8 +954,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-0
 )
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percentage of revenue from promotional parts in a
-    date window — conditional aggregation over a broadcast dimension
-    join, the date predicate pushed into the lineitem scan."""
+    date window — conditional aggregation over a dimension join, the date
+    predicate pushed into the lineitem scan.  part grows linearly with
+    sf, so no forced broadcast hint; AQE broadcasts it while it fits."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -955,7 +968,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(promo).alias("p"),
             F.sum(rev).alias("t"),
@@ -990,10 +1003,11 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact and dimension columns.  The optimizer-relevant property: the
     common-factor conjuncts Catalyst can extract (p_brand IN (...),
     l_quantity range hull) push into BOTH scans before the join, so the
-    disjunction is evaluated on pre-filtered rows, not the raw product."""
+    disjunction is evaluated on pre-filtered rows, not the raw product.
+    part scales with sf → no forced broadcast; AQE decides from stats."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     s = F.col("p_size")
     b = F.col("p_brand")
