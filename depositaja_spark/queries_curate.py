@@ -1176,13 +1176,19 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. cumulative totals over the AGGREGATED frame only (cheap
          single-partition window over |buckets| rows, the same
          normalize-at-the-top pattern as corpus_mixture_stats);
-      3. broadcast-join bucket offsets back and finish with a window
-         PARTITIONED BY score (each partition = one bucket, bounded),
-         so cum(doc) = bucket_offset + within-bucket running sum.
+      3. broadcast-join score offsets back and finish with the two-level
+         bucket-offset running sum WITHIN each score
+         (functions/windows.py), so cum(doc) = score_offset +
+         within-score bucketed running sum.  The inner sum partitions by
+         (score, doc-range bucket), not score alone — a degenerate
+         corpus where every short document rounds to score=1.0 would
+         otherwise recreate the single hot partition in miniature.
 
     Equality with the flat window holds because the global order
     (score DESC, doc_id) is exactly (bucket order, within-bucket
     order)."""
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
     d = _docs(spark, sf_dir)
     toks = tx.tokens("text")
     m = d.select(
@@ -1197,12 +1203,10 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = bkt.select(
         "score", (F.sum("bt").over(wb) - F.col("bt")).alias("cum_before")
     )
-    win_doc = W.partitionBy("score").orderBy("doc_id")
+    inner = bucketed_running_sum(m, ["score"], "doc_id", "n_tokens", out_col="in_cum")
     return (
-        m.join(F.broadcast(bkt), "score")
-        .withColumn(
-            "cum_tokens", F.col("cum_before") + F.sum("n_tokens").over(win_doc)
-        )
+        inner.join(F.broadcast(bkt), "score")
+        .withColumn("cum_tokens", F.col("cum_before") + F.col("in_cum"))
         .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
         .select("doc_id", "n_tokens", "score", F.col("cum_tokens").cast("long").alias("cum_tokens"))
     )
@@ -1220,6 +1224,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 from depositaja_spark.queries_ext import (  # noqa: E402
     _CHUNK_SIZE,
     _CHUNK_STRIDE,
+    ORACLE_CHUNK_CAP,
     _clean_corpus_sql,
 )
 
@@ -1248,7 +1253,7 @@ chunks AS (
   SELECT doc_id, predicted_lang, CAST(i AS INT) AS chunk_id,
          CAST(least(len(toks) - i * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS INT) AS n_tokens
   FROM sdocs
-  CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+  CROSS JOIN (SELECT unnest(range(0, {ORACLE_CHUNK_CAP})) AS i)
   WHERE i < greatest(1, CAST(ceil((len(toks) - {_CHUNK_SIZE})
                                   / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
 ),
@@ -1280,11 +1285,12 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic output shard.
 
     Scale shape: cleaning is the already-audited corpus pipeline;
-    chunking is row-local (no shuffle); packing is one window per
-    language partition (the packing order IS the spec); shard assignment
-    is a row-local hash.  The expensive stages all come from audited
-    building blocks — the query exists to pin their COMPOSITION under
-    one oracle.""".format(
+    chunking is row-local (no shuffle); packing states its spec as one
+    window per language but is COMPUTED with the two-level bucket-offset
+    decomposition (functions/windows.py), so the dominant language never
+    collapses onto a single task; shard assignment is a row-local hash.
+    The expensive stages all come from audited building blocks — the
+    query exists to pin their COMPOSITION under one oracle.""".format(
         size=_CHUNK_SIZE, stride=_CHUNK_STRIDE, target=_EXPORT_PACK_TARGET
     )
     from depositaja_spark.plans.corpus_pipeline import clean_corpus
@@ -1311,12 +1317,15 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") - F.col("chunk_id") * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)
         ).cast("int").alias("n_tokens"),
     )
-    w = (
-        W.partitionBy("predicted_lang")
-        .orderBy("doc_id", "chunk_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    packed = chunks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    packed = bucketed_running_sum(
+        chunks,
+        ["predicted_lang"],
+        "doc_id",
+        "n_tokens",
+        extra_order_cols=["chunk_id"],
+    ).select(
         "doc_id",
         "chunk_id",
         "predicted_lang",

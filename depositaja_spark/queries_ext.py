@@ -822,6 +822,16 @@ NO_ORACLE_OK.add("exact_detector_replay")
 _CHUNK_SIZE = 64
 _CHUNK_STRIDE = 48  # 16-token overlap
 
+#: hard ceiling on chunks per document, shared by the Spark-side guard
+#: and the DuckDB oracles (the oracle generates chunk ids from
+#: range(0, CAP), so it materializes CAP rows per doc pre-filter — keep
+#: it small enough that the oracle stays cheap).  A document would need
+#: > (CAP-1) * _CHUNK_STRIDE + _CHUNK_SIZE ≈ 48k tokens to hit it;
+#: tests/test_extensions.py asserts the test corpora stay far below, so
+#: both engines agree by construction rather than silently diverging on
+#: a mega-document.
+ORACLE_CHUNK_CAP = 1000
+
 
 @query(
     "chunk_documents",
@@ -889,21 +899,27 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: documents concatenated per language into
     ~{_PACK_TARGET}-token training bins (bin = cumulative-token prefix /
     target — the streaming-greedy packing used to fill context windows).
-    One shuffle on lang; the running sum is a window over (lang, doc_id)
-    order, deterministic on both engines."""
+
+    The oracle states the spec as one window per language; the Spark plan
+    computes the identical running sum with the two-level bucket-offset
+    decomposition (functions/windows.py) — a per-language window would
+    put ~half of any web corpus (English) into ONE task's sort at scale,
+    while here no task sorts more than a bucket's worth of rows."""
     docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window as W
+    from depositaja_spark.functions.windows import bucketed_running_sum, pack_ids
 
     n = F.size(tx.tokens("text"))
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    runs = docs.select("doc_id", "lang", n.alias("n_tokens")).withColumn(
-        "cum", F.sum("n_tokens").over(w)
+    runs = bucketed_running_sum(
+        docs.select("doc_id", "lang", n.alias("n_tokens")),
+        ["lang"],
+        "doc_id",
+        "n_tokens",
     )
     return runs.select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_TARGET).alias("pack_id"),
+        pack_ids(F.col("cum"), F.col("n_tokens"), _PACK_TARGET).alias("pack_id"),
     )
 
 

@@ -467,3 +467,33 @@ def test_frame_sample_c444_and_mono(spark):
     assert all(len(bytes(r.frame)) == 12 for r in by_doc[0])
     assert all(len(bytes(r.frame)) == 4 for r in by_doc[1])
     assert bytes(by_doc[1][2].frame) == bytes([2] * 4)
+
+
+def test_chunk_count_stays_below_oracle_cap(spark):
+    """The training_export oracle enumerates chunk ids from
+    range(0, ORACLE_CHUNK_CAP); the Spark side is unbounded.  Assert the
+    test corpus sits far below the shared cap so the two engines cannot
+    silently diverge on a long document (ADVICE r4: the cap must be a
+    shared constant, not a magic 1000 in the SQL)."""
+    from depositaja_spark.queries_ext import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        ORACLE_CHUNK_CAP,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = F.size(F.split(F.col("text"), " "))
+    max_chunks = (
+        docs.select(
+            F.greatest(
+                F.lit(1),
+                F.ceil((n - F.lit(_CHUNK_SIZE)) / F.lit(_CHUNK_STRIDE) + 1),
+            ).alias("nc")
+        )
+        .agg(F.max("nc"))
+        .first()[0]
+    )
+    assert max_chunks < ORACLE_CHUNK_CAP / 10, (
+        f"corpus max chunks/doc {max_chunks} is within 10x of the oracle "
+        f"cap {ORACLE_CHUNK_CAP} — raise the cap or chunk coarser"
+    )

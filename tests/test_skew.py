@@ -147,3 +147,95 @@ def test_containment_cap_matches_jaccard_cap_semantics(spark):
     got = {(r.a_id, r.b_id) for r in capped.collect()}
     release_caches()
     assert got == {(0, 1)}
+
+
+# --- two-level bucket-offset running sum (sequence packing at scale) ---------
+
+
+def _skewed_lang_corpus(spark, n_docs: int = 400):
+    """90% of documents in one language — the English-dominance shape
+    that makes a per-lang window a single-task sort at corpus scale."""
+    rows = [
+        (i, "en" if i % 10 else f"l{i % 4}", (i * 37) % 90 + 10)
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+
+
+def test_bucketed_running_sum_equals_flat_window(spark):
+    """Row-for-row equality with the naive PARTITION BY lang window, on a
+    corpus where one language dominates and doc_ids are non-contiguous
+    per language (buckets cut mid-language everywhere)."""
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    df = _skewed_lang_corpus(spark)
+    flat_w = (
+        W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    flat = {
+        (r.lang, r.doc_id): r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(flat_w)).collect()
+    }
+    for width in (7, 64, 1000):  # 1000 > n_docs: degenerate single bucket
+        got = {
+            (r.lang, r.doc_id): r.cum
+            for r in bucketed_running_sum(
+                df, ["lang"], "doc_id", "n_tokens", bucket_width=width
+            ).collect()
+        }
+        assert got == flat, f"divergence at bucket_width={width}"
+
+
+def test_bucketed_running_sum_extra_order_cols(spark):
+    """Tie-breaker columns (chunk_id within doc_id) sort inside a bucket
+    and never affect offsets — the training_export shape."""
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    rows = [
+        (d, c, "en" if d % 3 else "fr", 10 + c) for d in range(50) for c in range(d % 4 + 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id int, lang string, n_tokens int")
+    flat_w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flat = {
+        (r.lang, r.doc_id, r.chunk_id): r.cum
+        for r in df.withColumn("cum", F.sum("n_tokens").over(flat_w)).collect()
+    }
+    got = {
+        (r.lang, r.doc_id, r.chunk_id): r.cum
+        for r in bucketed_running_sum(
+            df, ["lang"], "doc_id", "n_tokens",
+            extra_order_cols=["chunk_id"], bucket_width=16,
+        ).collect()
+    }
+    assert got == flat
+
+
+def test_bucketed_running_sum_no_per_lang_window(spark):
+    """The physical plan's corpus-touching windows partition by
+    (lang, bucket), never lang alone — the dominant language is spread
+    over N/width sort tasks (the offsets window partitions by lang but
+    runs over the aggregated per-bucket frame)."""
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    df = _skewed_lang_corpus(spark)
+    plan = (
+        bucketed_running_sum(df, ["lang"], "doc_id", "n_tokens", bucket_width=7)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[.*?\], \[([^\]]*)\], \[", plan):
+        part_cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        if part_cols == {"lang"}:
+            # must be the offsets window — its child chain aggregates first
+            assert "Aggregate" in plan[m.end():] or "HashAggregate" in plan
