@@ -54,3 +54,206 @@ def test_no_cartesian_no_rowwise_python(spark, name):
     # BatchEvalPython = row-at-a-time Python UDF; ArrowEvalPython (pandas
     # UDFs) is the only Python allowed in any plan
     assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
+
+
+# --- 100×-design regression net ----------------------------------------------
+#
+# Two bug classes that are invisible at sf0.1 but fatal at cluster scale,
+# caught statically from the ANALYZED logical plan (no execution needed):
+#
+#   (a) a forced broadcast hint whose subtree scans a table that grows
+#       with the scale factor, with nothing (Aggregate / Limit /
+#       Deduplicate / equality filter on a key) bounding its cardinality
+#       — at 100× the hint overrides AQE's size check and OOMs;
+#   (b) a running window partitioned ONLY by a low-cardinality column
+#       (lang / predicted_lang / score) directly over a corpus-sized
+#       frame — the dominant partition (English ≈ half of any web
+#       corpus) lands on ONE task's sort.
+
+#: signature column that appears in a relation's schema iff it is that
+#: sf-scaling table (fixed-size nation/region are deliberately absent)
+_SCALING_TABLE_SIGS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "event_id",
+    "documents": "n_chars",
+    "embeddings": "embedding",
+}
+
+#: nodes that bound a subtree's cardinality regardless of input size
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+
+_LOW_CARD_COLS = {"lang", "predicted_lang", "score"}
+
+
+def _tree(plan_str: str) -> list[tuple[int, str]]:
+    """Parse a Spark tree string into (depth, node_text) rows."""
+    out = []
+    for line in plan_str.splitlines():
+        if not line.strip():
+            continue
+        i = 0
+        while i < len(line) and line[i] in ":+- ":
+            i += 1
+        out.append((i // 3, line[i:] if i < len(line) else line))
+    return out
+
+
+def _subtree(rows: list[tuple[int, str]], i: int) -> list[str]:
+    d = rows[i][0]
+    out = []
+    for j in range(i + 1, len(rows)):
+        if rows[j][0] <= d:
+            break
+        out.append(rows[j][1])
+    return out
+
+
+def _window_partition_cols(node: str) -> set[str]:
+    """Column names of a Window node's partition spec (2nd top-level
+    bracket group in `Window [exprs], [partition], [order]`)."""
+    groups, depth, start = [], 0, None
+    for k, ch in enumerate(node):
+        if ch == "[":
+            if depth == 0:
+                start = k
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(node[start + 1 : k])
+    if len(groups) < 3:
+        return set()
+    import re
+
+    return {m.group(1) for m in re.finditer(r"(\w+)#\d+", groups[-2])}
+
+
+def _analyzed(df) -> list[tuple[int, str]]:
+    return _tree(df._jdf.queryExecution().analyzed().toString())
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(registry.QUERIES) - _SLOW_TO_PLAN)
+)
+def test_no_unbounded_forced_broadcast(spark, name):
+    """Every broadcast HINT must cover a provably bounded frame: either
+    it scans no sf-scaling table at all (nation/region/inline values), or
+    something in its subtree (Aggregate, Limit, Deduplicate, a key-
+    equality Filter) bounds the cardinality before the hint."""
+    rows = _analyzed(registry.QUERIES[name](spark, SF))
+    for i, (_, node) in enumerate(rows):
+        if not node.startswith("ResolvedHint") or "broadcast" not in node.lower():
+            continue
+        sub = _subtree(rows, i)
+        scans_scaling = any(
+            sig in n
+            for n in sub
+            if n.startswith("Relation")
+            for sig in _SCALING_TABLE_SIGS.values()
+        )
+        if not scans_scaling:
+            continue
+        bounded = any(n.startswith(_BOUNDING_NODES) for n in sub) or any(
+            # point / fixed-probe-set filter on a key column (check_one's
+            # probe slice, the ANN query-vector IN-list)
+            n.startswith("Filter") and ("=" in n or " IN (" in n)
+            for n in sub
+        )
+        assert bounded, (
+            f"{name}: forced broadcast over an unbounded sf-scaling scan:\n"
+            + "\n".join(sub[:6])
+        )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(registry.QUERIES) - _SLOW_TO_PLAN)
+)
+def test_no_low_cardinality_window_over_corpus(spark, name):
+    """No window may partition ONLY by low-cardinality columns directly
+    over a corpus-sized frame — running sums over (lang, ...) must go
+    through the two-level bucket-offset pattern (functions/windows.py).
+
+    Checked on the PHYSICAL plan so legitimate reductions below the
+    window are visible: an Aggregate (the frame is already reduced) or a
+    partial WindowGroupLimit (Spark's own two-phase top-k — rank filters
+    prune each stratum to k rows BEFORE the per-key shuffle, so the
+    dominant value never ships its whole partition to one task)."""
+    rows = _tree(
+        registry.QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    for i, (_, node) in enumerate(rows):
+        if not node.startswith("Window"):
+            continue
+        part = _window_partition_cols(node)
+        if not part or not part <= _LOW_CARD_COLS:
+            continue
+        sub = _subtree(rows, i)
+        if any("Aggregate" in n or n.startswith("WindowGroupLimit") for n in sub):
+            continue
+        scans_corpus = any(
+            "Scan parquet" in n and ("n_chars" in n or "embedding" in n)
+            for n in sub
+        )
+        assert not scans_corpus, (
+            f"{name}: window partitioned only by {sorted(part)} over a "
+            "corpus-sized frame — single-task sort for the dominant value"
+        )
+
+
+def test_audit_catches_naive_low_card_window(spark):
+    """Self-test of the net: the PRE-round-5 pack_documents shape (flat
+    running sum partitioned by lang over the raw corpus) must be flagged
+    — proves the checker actually detects the bug class it exists for."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    bad = docs.withColumn("cum", F.sum("n_chars").over(w))
+    rows = _tree(bad._jdf.queryExecution().sparkPlan().toString())
+    flagged = False
+    for i, (_, node) in enumerate(rows):
+        if not node.startswith("Window"):
+            continue
+        part = _window_partition_cols(node)
+        if part and part <= _LOW_CARD_COLS:
+            sub = _subtree(rows, i)
+            if not any(
+                "Aggregate" in n or n.startswith("WindowGroupLimit") for n in sub
+            ) and any("Scan parquet" in n and "n_chars" in n for n in sub):
+                flagged = True
+    assert flagged, "checker failed to flag the naive per-lang window"
+
+
+def test_audit_catches_forced_broadcast_of_scaling_table(spark):
+    """Self-test: a forced broadcast of raw `customer` (the pre-round-5
+    TPC-H shape) must be flagged."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    rows = _tree(bad._jdf.queryExecution().analyzed().toString())
+    flagged = False
+    for i, (_, node) in enumerate(rows):
+        if node.startswith("ResolvedHint") and "broadcast" in node.lower():
+            sub = _subtree(rows, i)
+            scans = any(
+                sig in n
+                for n in sub
+                if n.startswith("Relation")
+                for sig in _SCALING_TABLE_SIGS.values()
+            )
+            bounded = any(n.startswith(_BOUNDING_NODES) for n in sub) or any(
+                n.startswith("Filter") and ("=" in n or " IN (" in n) for n in sub
+            )
+            if scans and not bounded:
+                flagged = True
+    assert flagged, "checker failed to flag the forced customer broadcast"
