@@ -341,12 +341,14 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ τ.
 
     The verify arm touches ONLY candidate pairs: each doc's distinct
-    shingle set is collected once (sorted array, shuffle-sized), then the
-    candidate list joins it twice and computes
-    |A∩B| / (|A|+|B|−|A∩B|) with array_intersect — O(candidates), not the
-    all-pairs inverted-index join.  That is the property that keeps this
-    sub-quadratic at 100 TB: LSH bounds the candidate count, and nothing
-    downstream ever rebuilds the full pair space.
+    shingle set is collected once (bottom-k sorted array, shuffle-sized),
+    then the candidate list joins it twice and computes the bottom-k
+    Jaccard estimator over the union's k smallest hashes with
+    array_intersect — O(candidates), not the all-pairs inverted-index
+    join, and exact whenever both docs sit below the cap.  That is the
+    property that keeps this sub-quadratic at 100 TB: LSH bounds the
+    candidate count, and nothing downstream ever rebuilds the full pair
+    space.
 
     The hashed-shingle DataFrame feeds both the signature arm and the
     verify arm, so it is computed once and persisted (shuffle-sized state,
@@ -377,15 +379,30 @@ def minhash_lsh_dedup(
     )
     a = sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    # Unbiased bottom-k Jaccard: restrict to the k smallest hashes of the
+    # UNION, then count how many of those sit in both sets.  Membership in
+    # A among the union's bottom-k is decidable from A's own bottom-k
+    # sketch (anything in the union's bottom-k that belongs to A is also
+    # in A's bottom-k), so the estimator is exact over the sampled slots —
+    # unlike |A_k∩B_k| / |A_k∪B_k|, which systematically underestimates
+    # near-threshold pairs when one doc exceeds the cap (ADVICE r4).
+    # Below the cap uk IS the full union, so the result is exact Jaccard
+    # and the DuckDB oracle equality is unchanged.
+    uk = F.slice(
+        F.array_sort(F.array_union(F.col("set_a"), F.col("set_b"))),
+        1,
+        verify_max_shingles,
+    )
+    inter_k = F.size(
+        F.array_intersect(uk, F.array_intersect(F.col("set_a"), F.col("set_b")))
+    )
     return (
         cand.join(a, "a_id")
         .join(b, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.round(inter_k.cast("double") / F.size(uk), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

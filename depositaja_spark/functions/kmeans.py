@@ -130,6 +130,12 @@ def _uniform_hash(id_col, round_no: int):
     return frac
 
 
+#: max max_by aggregate expressions per select during seeding — far below
+#: Spark's codegen/expression-width cliffs, and small enough that the
+#: generated aggregation still whole-stage-compiles
+_RACE_CHUNK = 128
+
+
 def kmeanspp_seed(
     corpus: DataFrame,
     k: int,
@@ -137,8 +143,10 @@ def kmeanspp_seed(
     id_col: str = "vec_id",
     oversample: int = 4,
 ) -> list[list[float]]:
-    """D²-weighted seeding in TWO Spark jobs total, any k (the k-means‖
-    shape, Bahmani et al. 2012, collapsed to one oversampling round).
+    """D²-weighted seeding in 1 + ⌈oversample·(k−1)/_RACE_CHUNK⌉ Spark
+    jobs (2 jobs up to k≈33, 9 at k=256 — flat in N either way; the
+    k-means‖ shape, Bahmani et al. 2012, collapsed to one oversampling
+    round).
 
     The sequential k-means++ chain (centroid i's D² depends on centroids
     1..i−1) costs k jobs; at k=256 IVF-training scale that is 256
@@ -155,9 +163,18 @@ def kmeanspp_seed(
        deterministic analog of the sequential k-means++ chain, exact
        over the candidate pool, O(pool²·d) numpy on the driver.
 
-    All races share one scan/aggregation (map-side combined), so cost is
-    flat in k where the old loop was linear; quality matches k-means‖
-    with a single round of l = oversample·k oversampling."""
+    Races run in chunks of ≤ _RACE_CHUNK aggregates per select — a single
+    select with oversample·(k−1) max_by expressions (1020 at k=256) risks
+    Spark's codegen/expression-width limits; the scored frame is
+    persisted across chunks so each extra chunk costs one aggregation
+    over cached partitions, not a rescan (ADVICE r4).
+
+    Quality tradeoff, stated plainly: one oversampling round weights D²
+    against centroid 1 only — weaker than multi-round k-means‖ (which
+    re-weights against the growing seed set each round); the driver-side
+    farthest-point refinement over the winner pool restores most of the
+    spread at O(pool²·d) numpy cost, and tests/test_kmeans.py pins the
+    resulting inertia against sequential k-means++ on reference data."""
     vecs = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -170,18 +187,28 @@ def kmeanspp_seed(
 
     n_races = oversample * (k - 1)
     scored = assign_clusters(vecs, [c0], vec_col="_v")
-    races = [
-        F.max_by(
-            "_v", F.col("dist2") / (-F.log(_uniform_hash(F.col("_id"), r)))
-        ).alias(f"w{r}")
-        for r in range(1, n_races + 1)
-    ]
-    row = scored.select(*races).collect()[0]
+    chunked = n_races > _RACE_CHUNK
+    if chunked:
+        scored = scored.persist()
+    winners: list = []
+    try:
+        for lo in range(1, n_races + 1, _RACE_CHUNK):
+            rs = range(lo, min(lo + _RACE_CHUNK, n_races + 1))
+            races = [
+                F.max_by(
+                    "_v", F.col("dist2") / (-F.log(_uniform_hash(F.col("_id"), r)))
+                ).alias(f"w{r}")
+                for r in rs
+            ]
+            row = scored.select(*races).collect()[0]
+            winners.extend(row[f"w{r}"] for r in rs)
+    finally:
+        if chunked:
+            scored.unpersist()
 
     pool: list[list[float]] = []
     seen = {tuple(c0)}
-    for r in range(1, n_races + 1):
-        v = row[f"w{r}"]
+    for v in winners:
         if v is None:
             continue
         tv = tuple(float(x) for x in v)

@@ -38,25 +38,35 @@ def _events_raw_schema(events_dir: str) -> tuple[T.StructType, bool]:
     Reference: the Kafka deposit stream (service/service.go:98-103) has no
     file format at all; this file source is the broker-free stand-in.
     """
-    ts_is_nanos = False  # current testdata format: µs TIMESTAMP_NTZ
-    ts_type: T.DataType = T.TimestampNTZType()
     files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
     if not files and os.path.isfile(events_dir):
         files = [events_dir]
-    if files:
-        import pyarrow.parquet as pq
+    if not files:
+        # Fail loudly rather than guess (ADVICE r4): a stream declared
+        # with a defaulted schema would silently misread ts if the first
+        # file to arrive used the other representation (long nanos read
+        # as NTZ micros = timestamps 1000× off).  File-stream schemas are
+        # fixed at declaration, so the directory must hold at least one
+        # representative file before the stream starts.
+        raise FileNotFoundError(
+            f"no parquet file in {events_dir!r} to probe the ts format from; "
+            "write at least one representative events file before declaring "
+            "the stream (schemas cannot be re-probed once the query starts)"
+        )
+    import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
-        import pyarrow as pa
+    t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
+    import pyarrow as pa
 
-        if pa.types.is_timestamp(t) and t.unit != "ns":
-            ts_type = (
-                T.TimestampType() if t.tz is not None else T.TimestampNTZType()
-            )
-        else:
-            # plain int64 or nanosecond timestamp: surfaces as long nanos
-            ts_is_nanos = True
-            ts_type = T.LongType()
+    ts_is_nanos = False
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        ts_type: T.DataType = (
+            T.TimestampType() if t.tz is not None else T.TimestampNTZType()
+        )
+    else:
+        # plain int64 or nanosecond timestamp: surfaces as long nanos
+        ts_is_nanos = True
+        ts_type = T.LongType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),

@@ -75,3 +75,22 @@ def test_kmeanspp_seed_deterministic_and_spread(spark):
     assert s1[0] != s1[1]
     # one seed per blob: signs of the x coordinate differ
     assert (s1[0][0] > 0) != (s1[1][0] > 0)
+
+
+def test_seeding_chunked_races_match_unchunked(spark):
+    """Race chunking (_RACE_CHUNK) must not change seeding: each race's
+    winner depends only on its own hash draw, so chunk boundaries are
+    invisible.  Force multi-chunk by shrinking the chunk size and compare
+    against the same call at one-chunk size."""
+    import depositaja_spark.functions.kmeans as km
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(200)
+    orig = km._RACE_CHUNK
+    try:
+        km._RACE_CHUNK = 8  # 28 races at k=8/oversample=4 -> 4 chunks
+        chunked = km.kmeanspp_seed(emb, k=8)
+        km._RACE_CHUNK = 10_000  # single select
+        flat = km.kmeanspp_seed(emb, k=8)
+    finally:
+        km._RACE_CHUNK = orig
+    assert chunked == flat

@@ -239,3 +239,25 @@ def test_bucketed_running_sum_no_per_lang_window(spark):
         if part_cols == {"lang"}:
             # must be the offsets window — its child chain aggregates first
             assert "Aggregate" in plan[m.end():] or "HashAggregate" in plan
+
+
+def test_capped_verify_unbiased_near_threshold(spark):
+    """Bottom-k Jaccard over the UNION's k smallest hashes (ADVICE r4):
+    a true-J≈0.6 pair where BOTH docs exceed the cap must survive a 0.5
+    threshold.  The old |A_k∩B_k|/|A_k∪B_k| estimator scored this shape
+    ≈0.43 and silently dropped it."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import minhash_lsh_dedup
+
+    a = " ".join(f"w{i}" for i in range(2000))  # 1998 shingles ≫ cap
+    b = " ".join(f"w{i}" for i in range(1200))  # prefix: J = 1198/1998 ≈ 0.60
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, " ".join(f"z{i}" for i in range(300)))],
+        "doc_id long, text string",
+    )
+    got = minhash_lsh_dedup(
+        docs, n=3, threshold=0.5, verify_max_shingles=256
+    ).collect()
+    release_caches()
+    assert {(r.a_id, r.b_id) for r in got} == {(0, 1)}
+    assert abs(got[0].jaccard - 0.5996) < 0.1  # union-sampled estimate

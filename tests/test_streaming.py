@@ -564,12 +564,14 @@ def test_events_raw_schema_probe_both_formats(tmp_path):
     schema, is_nanos = _events_raw_schema(str(int_dir))
     assert is_nanos and isinstance(schema["ts"].dataType, T.LongType)
 
-    # empty dir → current-format default
+    # empty dir → loud failure (no guessing; see
+    # test_empty_events_dir_fails_loudly)
+    import pytest as _pytest
+
     empty = tmp_path / "none"
     empty.mkdir()
-    schema, is_nanos = _events_raw_schema(str(empty))
-    assert not is_nanos
-    assert isinstance(schema["ts"].dataType, T.TimestampNTZType)
+    with _pytest.raises(FileNotFoundError):
+        _events_raw_schema(str(empty))
 
 
 def test_load_table_requires_utc_for_ntz(spark):
@@ -584,3 +586,15 @@ def test_load_table_requires_utc_for_ntz(spark):
             load_table(spark, SF, "events").schema  # schema resolution is enough
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_empty_events_dir_fails_loudly(tmp_path, spark):
+    """Declaring a stream over a directory with no representative file
+    must raise instead of guessing the ts representation (a defaulted
+    schema silently misreads late-arriving nanosecond files)."""
+    import pytest as _pytest
+
+    from depositaja_spark.streaming.pipeline import _events_raw_schema
+
+    with _pytest.raises(FileNotFoundError, match="probe the ts format"):
+        _events_raw_schema(str(tmp_path))
