@@ -77,16 +77,38 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE_OK.add("sketch_distinct_users")
 
 
-@query("quantile_sketch_values")
+#: the GK sketch stores ≤ accuracy values, so results are EXACT while a
+#: group holds fewer rows — pinning the exact regime under the DuckDB
+#: oracle (quantile_disc agrees value-for-value there).  Above it the
+#: sketch degrades gracefully to its ±1/accuracy rank guarantee, which
+#: tests/test_sketch.py bounds against exact quantiles at a deliberately
+#: tiny accuracy (the sketch regime the driver data never reaches).
+_QUANTILE_ACCURACY = 1_000_000
+
+
+@query(
+    "quantile_sketch_values",
+    """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-quantile sketch per event_type: percentile_approx
     (Greenwald-Khanna) for p50/p95/p99 of the value column — fixed-memory,
-    mergeable; rows-only for the driver, error-bounded in tests."""
+    mergeable.  Oracle-checked against DuckDB's exact discrete quantiles:
+    both return an OBSERVED value at the target rank, and the sketch is
+    exact below _QUANTILE_ACCURACY rows per group (see constant)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("quantiles")
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], _QUANTILE_ACCURACY
+            ).alias("quantiles")
         )
         .select(
             "event_type",
@@ -98,26 +120,55 @@ def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NO_ORACLE_OK.add("quantile_sketch_values")
+#: per-stratum keep thresholds on the first 4 hex chars of a salted md5:
+#: keep iff prefix < threshold, so the kept fraction is thresh/0x10000
+#: ('zzzz' sorts above every hex string = keep all; '0000' = keep none)
+_STRAT_SALT = "strat-v1:"
+_STRAT_THRESH = {
+    "purchase": "8000",  # 0.500
+    "click": "199a",     # ≈0.100
+    "view": "199a",      # ≈0.100
+    "error": "zzzz",     # 1.000
+    "signup": "0000",    # 0.000
+}
 
 
-@query("stratified_sample")
+@query(
+    "stratified_sample",
+    f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE substr(md5('{_STRAT_SALT}' || CAST(event_id AS VARCHAR)), 1, 4)
+      < CASE event_type
+          WHEN 'purchase' THEN '{_STRAT_THRESH["purchase"]}'
+          WHEN 'click'    THEN '{_STRAT_THRESH["click"]}'
+          WHEN 'view'     THEN '{_STRAT_THRESH["view"]}'
+          WHEN 'error'    THEN '{_STRAT_THRESH["error"]}'
+          ELSE '{_STRAT_THRESH["signup"]}'
+        END
+""",
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy with a fixed seed): per-event_type
-    Bernoulli fractions — the standard corpus-downsampling primitive
-    (e.g. rebalancing domains before training).  Scan-local, no shuffle.
-    Sampling is seed-and-partitioning dependent → rows-only for the
-    driver; fraction accuracy and determinism asserted in
-    tests/test_sketch.py."""
+    """Stratified Bernoulli sampling by salted hash: per-event_type keep
+    fractions decided by md5(salt, event_id) — the corpus-downsampling
+    primitive (rebalancing domains before training), made DETERMINISTIC:
+    membership depends only on (salt, key), never on partitioning or an
+    RNG stream, so re-runs, backfills and engine changes keep identical
+    rows (the same property train_val_split/mixture_sample rely on —
+    sampleBy's seeded RNG is partitioning-dependent and can't be
+    oracle-checked).  Scan-local projection + filter, no shuffle."""
     events = load_table(spark, sf_dir, "events")
-    return events.sampleBy(
-        "event_type",
-        fractions={"purchase": 0.5, "click": 0.1, "view": 0.1, "error": 1.0, "signup": 0.0},
-        seed=42,
-    ).select("event_id", "event_type", "user_id")
-
-
-NO_ORACLE_OK.add("stratified_sample")
+    frac = F.substring(
+        F.md5(F.concat(F.lit(_STRAT_SALT), F.col("event_id").cast("string"))), 1, 4
+    )
+    thresh = F.when(
+        F.col("event_type") == "purchase", _STRAT_THRESH["purchase"]
+    ).when(F.col("event_type") == "click", _STRAT_THRESH["click"]).when(
+        F.col("event_type") == "view", _STRAT_THRESH["view"]
+    ).when(F.col("event_type") == "error", _STRAT_THRESH["error"]).otherwise(
+        _STRAT_THRESH["signup"]
+    )
+    return events.filter(frac < thresh).select("event_id", "event_type", "user_id")
 
 
 @query("kmeans_cluster_sizes")

@@ -76,3 +76,73 @@ def streaming_incremental_intake(
     intake = streaming_corpus_intake(docs, ts_col, watermark, min_tokens, min_alpha)
     hist_fp = history.select(F.md5(F.col(text_col)).alias("content_md5")).distinct()
     return intake.join(hist_fp, "content_md5", "left_anti")
+
+
+def streaming_incremental_dedup(
+    docs_stream: DataFrame,
+    history_dir: str,
+    decisions_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+):
+    """The near-dup (MinHash+LSH) tier of incremental dedup on a stream:
+    a ``foreachBatch`` loop where every micro-batch of new documents is
+    deduped against the history of previously ACCEPTED documents with
+    the exact same batch operator (functions/dedup.py:incremental_dedup
+    — exact-fingerprint tier + banded-LSH near tier + capped verify),
+    then the batch's keepers are appended to the history.
+
+    Per batch b:  decisions(b) = incremental_dedup(history, b)
+                  history     += b.filter(keep)
+
+    so a replayed stream produces bit-identical decisions to running the
+    batch operator over the same splits in the same order (tested).
+    Pair joins inside a batch are (history × increment) with the
+    increment side broadcast — never history × history — which is what
+    keeps per-batch cost linear in the history scan.  At 100 TB the
+    history's fingerprints / signatures / band index would be maintained
+    as materialized tables instead of derived per batch (see
+    incremental_dedup's docstring); the loop structure is unchanged.
+
+    Within-batch duplicates are NOT paired against each other (same
+    contract as the batch operator: an increment is assumed internally
+    deduped by the upstream intake — streaming_corpus_intake drops
+    exact in-stream copies).
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint:
+
+        streaming_incremental_dedup(stream, hist, out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+    """
+    import glob as _glob
+    import os as _os
+
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import incremental_dedup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        schema = "doc_id long, text string"
+        if _glob.glob(_os.path.join(history_dir, "*.parquet")):
+            old = spark.read.schema(schema).parquet(history_dir)
+        else:
+            old = spark.createDataFrame([], schema)
+        new = batch.select("doc_id", F.col(text_col).alias("text"))
+        res = incremental_dedup(old, new, n=n, threshold=threshold).persist()
+        try:
+            res.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(decisions_dir)
+            # append keepers AFTER decisions are durable: on retry after a
+            # crash between the writes, decisions are idempotent per
+            # batch_id and keepers re-derive from them
+            new.join(
+                res.filter(F.col("keep")), "doc_id", "left_semi"
+            ).write.mode("append").parquet(history_dir)
+        finally:
+            res.unpersist()
+            release_caches()
+
+    return docs_stream.writeStream.foreachBatch(_process)

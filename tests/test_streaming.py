@@ -598,3 +598,82 @@ def test_empty_events_dir_fails_loudly(tmp_path, spark):
 
     with _pytest.raises(FileNotFoundError, match="probe the ts format"):
         _events_raw_schema(str(tmp_path))
+
+
+def test_streaming_incremental_dedup_matches_batch_replay(spark, tmp_path):
+    """The foreachBatch incremental MinHash loop over a 3-file stream
+    (one file per micro-batch, in mtime order) produces the SAME per-doc
+    decisions as sequentially applying the batch incremental_dedup
+    operator to the same splits with an accumulating history."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import incremental_dedup
+    from depositaja_spark.streaming.corpus import streaming_incremental_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    splits = [
+        [r for r in docs if r.doc_id % 3 == m] for m in range(3)
+    ]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    for m, rows in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+                    "text": pa.array([r.text for r in rows], pa.string()),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        # FileStreamSource orders by modification time — make it explicit
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    hist_dir = str(tmp_path / "history")
+    dec_dir = str(tmp_path / "decisions")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_incremental_dedup(stream, hist_dir, dec_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.dup_exact, r.near_dup_of, r.keep, r.batch_id)
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+
+    # batch replay: same splits, accumulating history of keepers
+    history = spark.createDataFrame([], "doc_id long, text string")
+    want = {}
+    for m, rows in enumerate(splits):
+        new = spark.createDataFrame(
+            [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+        )
+        res = incremental_dedup(history, new).collect()
+        release_caches()
+        for r in res:
+            want[r.doc_id] = (r.dup_exact, r.near_dup_of, r.keep, m)
+        kept = {r.doc_id for r in res if r.keep}
+        history = history.unionByName(
+            new.filter(F.col("doc_id").isin(list(kept)))
+        )
+
+    assert len(got) == len(docs)
+    assert got == want
+    # sanity: the replay must actually exercise both tiers
+    assert any(v[0] for v in want.values()) or any(
+        v[1] is not None for v in want.values()
+    ), "degenerate corpus: no cross-batch duplicates at all"
