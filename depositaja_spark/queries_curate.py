@@ -1356,3 +1356,109 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_id", "predicted_lang", "n_tokens", "pack_id",
         shard.cast("int").alias("shard"),
     )
+
+
+# --- per-source frequency cap -------------------------------------------------
+#
+# Web corpora are dominated by a few mega-domains; capping documents per
+# source is the standard counter (the "domain cap" in every pretraining
+# data recipe).  Deterministic: the ≤K keepers per source are the K
+# smallest salted hashes, so re-runs and backfills keep the same docs.
+
+_SOURCE_CAP = 10
+_SOURCE_CAP_SALT = "srccap-v1:"
+
+
+@query(
+    "source_cap_sample",
+    f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('{_SOURCE_CAP_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_SOURCE_CAP}
+""",
+)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain cap: at most {_SOURCE_CAP} documents per source, chosen by
+    salted-hash order.  The rank filter compiles to Spark's two-phase
+    WindowGroupLimit (per input partition, each source keeps ≤K rows
+    BEFORE the shuffle), so a mega-domain holding half the corpus ships
+    K rows per map task, never its whole partition — the same plan
+    property test_plan_audit.py enforces for every low-cardinality
+    window."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_SOURCE_CAP_SALT), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SOURCE_CAP)
+        .select("doc_id", "source")
+    )
+
+
+# --- per-language token-length outlier pruning --------------------------------
+#
+# Truncated/garbage fragments and concatenation blobs sit in the tails of
+# the per-language length distribution; pruning to [p05, p95] per lang is
+# the classic length filter, with thresholds LEARNED from the corpus
+# instead of hand-set.
+
+_LEN_LO, _LEN_HI = 0.05, 0.95
+
+
+@query(
+    "token_length_outliers",
+    f"""
+WITH m AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT lang,
+         CAST(quantile_disc(n_tokens, {_LEN_LO}) AS INT) AS lo,
+         CAST(quantile_disc(n_tokens, {_LEN_HI}) AS INT) AS hi
+  FROM m GROUP BY lang
+)
+SELECT doc_id, m.lang, n_tokens, lo, hi
+FROM m JOIN b ON m.lang = b.lang
+WHERE n_tokens >= lo AND n_tokens <= hi
+""",
+)
+def q_token_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier pruning: keep documents whose token
+    count lies within that language's [p{lo}, p{hi}] band.
+
+    Scale shape: the per-language bounds are ONE mergeable
+    percentile_approx aggregation (map-side partial sketches — exact
+    below {acc:,} rows per language and value-identical to DuckDB's
+    quantile_disc there, the same exact-regime pin as
+    quantile_sketch_values); the bounds frame (one row per language)
+    broadcasts back onto the corpus for a scan-local filter.  No window,
+    no corpus shuffle — the whole query is two scans + one tiny agg.""".format(
+        lo=int(_LEN_LO * 100), hi=int(_LEN_HI * 100), acc=1_000_000
+    )
+    d = _docs(spark, sf_dir)
+    m = d.select("doc_id", "lang", F.size(tx.tokens("text")).cast("int").alias("n_tokens"))
+    b = (
+        m.groupBy("lang")
+        .agg(
+            F.percentile_approx("n_tokens", [_LEN_LO, _LEN_HI], 1_000_000).alias("q")
+        )
+        .select(
+            "lang",
+            F.col("q")[0].cast("int").alias("lo"),
+            F.col("q")[1].cast("int").alias("hi"),
+        )
+    )
+    return (
+        m.join(F.broadcast(b), "lang")
+        .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .select("doc_id", "lang", "n_tokens", "lo", "hi")
+    )

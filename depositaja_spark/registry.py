@@ -614,6 +614,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "pack_documents",
     "minhash_lsh_near_dups",
+    # -- new in round 5 --------------------------------------------------
+    "source_cap_sample",
+    "token_length_outliers",
 )
 
 
