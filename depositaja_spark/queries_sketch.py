@@ -2,12 +2,17 @@
 
 Sketches are the 100 TB workhorses for cardinality and quantiles: fixed
 memory per group, mergeable across partitions (map-side partial → one
-small shuffle), rerunnable over any data volume.  Their estimates are
-implementation-defined, so the driver records rows-only for them; accuracy
-(relative error vs exact) and mergeability are asserted in
-tests/test_sketch.py instead.
+small shuffle), rerunnable over any data volume.
 
-``cube_order_stats`` (CUBE) is deterministic and oracle-checked.
+Checking strategy: HLL cardinality estimates are implementation-defined
+→ rows-only for the driver, with error bounds + the merge law asserted
+in tests/test_sketch.py.  The GK quantile sketch is EXACT while a group
+holds fewer rows than its accuracy parameter, so quantile_sketch_values
+runs at an accuracy that pins it value-for-value against DuckDB's
+quantile_disc (full oracle); the approximate regime's rank-error bound
+is separately pinned in tests at a deliberately tiny accuracy.
+``cube_order_stats`` (CUBE) and ``stratified_sample`` (salted-hash
+Bernoulli) are deterministic and oracle-checked.
 """
 
 from __future__ import annotations

@@ -78,3 +78,29 @@ def test_stratified_sample_fractions_and_determinism(spark):
     for etype, frac in (("purchase", 0.5), ("click", 0.1), ("view", 0.1)):
         rel = got[etype] / totals[etype]
         assert abs(rel - frac) < 0.05, f"{etype}: {rel} vs {frac}"
+
+
+def test_quantile_sketch_regime_error_bound(spark):
+    """The GK sketch's approximate regime (accuracy ≪ group size): rank
+    error is bounded by N/accuracy.  The registry query runs in the
+    exact regime (oracle-checked); this pins the degradation path the
+    100 TB deployment would actually be in."""
+    events = load_table(spark, SF_ORACLE, "events")
+    acc = 50  # rank error ≤ N/50 = 2% of ranks
+    got = {
+        r.event_type: r.q
+        for r in events.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5, acc).alias("q"))
+        .collect()
+    }
+    for etype, est in got.items():
+        vals = sorted(
+            r.value for r in events.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        import bisect
+
+        rank = bisect.bisect_left(vals, est)
+        assert abs(rank - 0.5 * n) <= n / acc + 1, (
+            f"{etype}: median estimate at rank {rank}/{n} exceeds GK bound"
+        )
