@@ -1038,6 +1038,72 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic decontamination (embedding-cosine complement) -------------------
+#
+# N-gram overlap misses paraphrased eval leakage; the semantic tier flags
+# corpus vectors whose cosine against any benchmark vector clears τ.
+# Candidate generation is the SRP bucket join (same deterministic anchor
+# planes as ann_topk_lsh — oracle-expressible, recall measured in
+# tests/test_extensions.py for the ANN path), so the corpus is never
+# cross-joined against the benchmark at scale.
+
+_SEM_TAU = 0.35
+
+
+def _decontaminate_semantic_sql() -> str:
+    return f"""
+WITH anch AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings
+              WHERE vec_id IN ({_ANCHOR_IDS_SQL})),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_COS_DOT.format(a='e.embedding', b='a.avec')} > 0
+                       THEN {_anchor_bit_case()} ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN anch a
+  GROUP BY e.vec_id
+),
+be AS (
+  SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
+),
+bench AS (SELECT vec_id AS bench_id, embedding AS bvec, bucket
+          FROM be WHERE vec_id % {_BENCH_MOD} = 0),
+c AS (SELECT vec_id, embedding, bucket FROM be WHERE vec_id % {_BENCH_MOD} <> 0)
+SELECT vec_id, bench_id, cos FROM (
+  SELECT c.vec_id, bench_id,
+         {_COS.format(a='c.embedding', b='bench.bvec')} AS cos
+  FROM c JOIN bench USING (bucket)
+) WHERE cos >= {_SEM_TAU}
+"""
+
+
+@query("decontaminate_semantic", _decontaminate_semantic_sql())
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus embeddings whose cosine against a
+    benchmark vector (vec_id % {_BENCH_MOD} == 0 plays the eval suite)
+    reaches τ={_SEM_TAU}, candidates pruned to shared SRP buckets.
+
+    Scale shape: bucket computation is one scan (anchor dots are
+    row-local against 3 broadcast literals); the candidate join is a
+    keyed equi-join on the bucket — per-bucket fan-in N/2^bits, tunable
+    by adding anchors — never corpus × benchmark.  No forced broadcast:
+    the benchmark frame here is carved from the corpus and scales with
+    it, so the join strategy is left to AQE (a real eval suite is a
+    fixed small table and would broadcast on statistics)."""
+    emb = _emb(spark, sf_dir)
+    bucketed = sim.with_srp_buckets(emb)
+    bench = bucketed.filter(F.col("vec_id") % _BENCH_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bvec"),
+        "bucket",
+    )
+    corpus = bucketed.filter(F.col("vec_id") % _BENCH_MOD != 0)
+    cos = F.round(sim.cosine(F.col("embedding"), F.col("bvec")), 6)
+    return (
+        corpus.join(bench, "bucket")
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+    )
+
+
 _PASSAGE = 16  # tokens per non-overlapping passage
 
 

@@ -617,6 +617,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new in round 5 --------------------------------------------------
     "source_cap_sample",
     "token_length_outliers",
+    "decontaminate_semantic",
 )
 
 
