@@ -1158,3 +1158,51 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("passage"), 1, 16).alias("passage_key"),
         (F.col("rn") == 1).alias("keep"),
     )
+
+
+@query(
+    "pack_manifest",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+),
+runs AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((cum - n_tokens) / {_PACK_TARGET}) AS BIGINT) AS pack_id
+  FROM runs
+)
+SELECT lang, pack_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM packed GROUP BY lang, pack_id
+""",
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack manifest — the writer-facing output of sequence packing: one
+    row per (lang, pack_id) bin with its member documents in
+    concatenation order, sizes, and token total.  This is the row a
+    shard writer consumes to assemble one context window.
+
+    Scale shape: reuses the bucket-offset packing plan (pack_documents),
+    then ONE aggregation keyed by (lang, pack_id).  The collect per bin
+    is bounded by construction — a bin holds ~target/avg_doc_tokens
+    documents regardless of corpus size — so per-group state never
+    scales with the corpus, unlike a per-lang collect."""
+    packed = q_pack_documents(spark, sf_dir)
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))), ","
+            ).alias("doc_ids"),
+        )
+    )

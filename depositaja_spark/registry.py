@@ -618,6 +618,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "source_cap_sample",
     "token_length_outliers",
     "decontaminate_semantic",
+    "pack_manifest",
 )
 
 

@@ -84,3 +84,24 @@ def test_new_ops_deterministic_under_partitioning(spark):
             for r in registry.QUERIES[name](spark, sf).repartition(7).collect()
         }
         assert a == b, f"{name} not partition-stable"
+
+
+def test_bucketed_running_sum_empty(spark):
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    df = spark.createDataFrame([], "doc_id long, lang string, n_tokens int")
+    assert bucketed_running_sum(df, ["lang"], "doc_id", "n_tokens").count() == 0
+
+
+def test_incremental_dedup_empty_increment(spark, empty_docs):
+    """Empty increment against a non-empty history: no decisions, no
+    throw — the empty-partition-day contract for the streaming loop."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.dedup import incremental_dedup
+
+    old = spark.createDataFrame(
+        [(1, "some history document text here")], "doc_id long, text string"
+    )
+    new = empty_docs.select("doc_id", "text")
+    assert incremental_dedup(old, new).count() == 0
+    release_caches()
