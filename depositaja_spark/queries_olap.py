@@ -1022,3 +1022,522 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(rev).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- TPC-H Q6: single-scan filtered aggregate --------------------------------
+
+
+@query(
+    "forecast_revenue_change",
+    f"""
+SELECT CAST(sum({_EP} * {_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue delta if small-quantity discounts were dropped.
+    The whole query is one scan + one scalar aggregate: every predicate
+    (date range, discount band, quantity cap) pushes into the parquet
+    scan as PushedFilters, so at 100 TB only row groups whose min/max
+    stats overlap the year survive I/O.  No joins, no shuffle beyond the
+    final single-row combine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(exact_sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
+
+
+# --- TPC-H Q7: volume shipping between a nation pair -------------------------
+
+
+@query(
+    "nation_pair_volume",
+    f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations, per direction per
+    year.  nation is fixed-size (25 rows at any sf) so BOTH nation
+    predicates are resolved to key sets driver-side-free via broadcast
+    joins and the pair disjunction is applied after; supplier/customer
+    scale with sf and carry no hint.  The date predicate pushes into the
+    lineitem scan; the only big shuffle is lineitem⋈orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(exact_sum(rev).alias("revenue"))
+    )
+
+
+# --- TPC-H Q8: market share of one nation in a region ------------------------
+
+
+@query(
+    "nation_market_share",
+    f"""
+WITH all_nations AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         {_EP} * ({_ONE} - {_DISC}) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = nc.n_regionkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN volume
+                                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                  / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_12's share of PROMO-part revenue sold into ASIA,
+    per order year.  The p_type filter prunes part before its join and
+    the region filter collapses the customer side to 5 of 25 nations —
+    both applied pre-join.  nation/region are fixed-size → broadcast;
+    part/customer/supplier scale with sf → left to AQE.  Numerator and
+    denominator are exact DECIMAL sums, so the final double division is
+    bit-identical across engines and partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    base = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"), "left_semi")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_12", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+# --- TPC-H Q13: customer order-count distribution ----------------------------
+
+
+@query(
+    "customer_order_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed exactly k orders, including
+    k=0 (the LEFT OUTER join keeps order-less customers; count(col)
+    skips their nulls).  Two aggregations: the first shuffles on
+    c_custkey (high cardinality, well distributed), the second on
+    c_count (tiny domain — but its input is already one row per
+    customer, so the hot-key concern is an aggregated frame, not the
+    corpus).  No dimension is broadcast-hinted; both sides scale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q15: top supplier (ties kept, scalar-max semi join) ---------------
+
+
+@query(
+    "top_supplier_revenue",
+    f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+""",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue over a quarter.
+    The view is one map-side-combined aggregation over the date-pruned
+    lineitem scan; the scalar max is re-aggregated from that SMALL
+    per-supplier frame (cost ∝ #suppliers, not #lines) and broadcast
+    back as a single-row cross join — no global sort, no second scan of
+    lineitem.  Ties are kept, exactly like the spec's WHERE = (SELECT
+    max...).  Revenue equality is safe: both sides are the same exact
+    DECIMAL sum cast to double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(rev).alias("total_revenue")
+    )
+    best = revenue0.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        revenue0.join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- TPC-H Q11 shape (partsupp-free): important supply value -----------------
+
+
+@query(
+    "important_part_value",
+    f"""
+WITH supply AS (
+  SELECT l_partkey,
+         sum({_EP} * ({_ONE} - {_DISC})) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM supply
+WHERE CAST(value_dec AS DOUBLE)
+      > (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM supply)
+""",
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem flow standing in for partsupp stock):
+    parts whose EUROPE-supplied line value exceeds 0.1% of the total.
+    The HAVING-against-a-global-scalar is the optimizer-relevant bit:
+    the global total is re-aggregated from the SMALL per-part frame
+    (persisted so the subtree isn't executed twice) and broadcast back
+    as a one-row join — lineitem is scanned once.  nation/region are
+    fixed-size broadcasts; supplier scales → AQE decides."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = supp.join(
+        F.broadcast(
+            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    val = dec("l_extendedprice") * (one - dec("l_discount"))
+    per_part = (
+        li.join(euro_supp, li.l_suppkey == euro_supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+        .persist()
+    )
+    threshold = per_part.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.001)).alias("cutoff")
+    )
+    return (
+        per_part.join(
+            F.broadcast(threshold),
+            F.col("value_dec").cast("double") > F.col("cutoff"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+# --- TPC-H Q21 shape: suppliers who kept orders waiting ----------------------
+
+_LATE_DAYS = 60
+
+
+@query(
+    "waiting_suppliers",
+    f"""
+WITH l1 AS (
+  SELECT DISTINCT l_suppkey, l_orderkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.l_shipdate > o3.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+""",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late = shipped >60 days after the order date,
+    standing in for the missing receipt/commit dates): suppliers who
+    were the SOLE late shipper on finished multi-supplier orders.
+
+    The EXISTS / NOT EXISTS pair is expressed as left-semi and left-anti
+    joins against two derived frames keyed on l_orderkey:
+      • multi  — orders touched by ≥2 suppliers (distinct-supplier
+        count > 1, aggregated, small);
+      • late   — distinct (orderkey, suppkey) late pairs.
+    "No OTHER supplier late" becomes an anti join of l1 against late
+    pairs from a different supplier — Catalyst plans both as single
+    hash joins on orderkey, the same physical strategy it would pick
+    for the correlated subqueries.  All frames shrink monotonically
+    from lineitem; nothing is force-broadcast.  Top-10 is a
+    TakeOrdered, tie-broken on s_suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAY")
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    l1 = late.join(multi, "l_orderkey", "left_semi")
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("other_supp")
+    )
+    sole = l1.join(
+        other_late,
+        (l1.l_orderkey == other_late.o_key) & (l1.l_suppkey != other_late.other_supp),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q22 shape: wealthy order-less customers per nation ----------------
+
+
+@query(
+    "global_sales_opportunity",
+    """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cutoff
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (SELECT cutoff FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+)
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation standing in for the missing phone
+    country code): customers richer than the global positive-balance
+    average who never ordered, counted per nation.  The global average
+    is exact-sum-over-count (deterministic double), computed in one
+    scalar aggregation and broadcast as a one-row join; the NOT EXISTS
+    is a left-anti join on o_custkey (Catalyst's own rewrite).  The
+    anti join's build side is orders' custkey column only — pruned at
+    the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    cutoff = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("cutoff")
+        )
+    )
+    return (
+        cust.join(F.broadcast(cutoff), F.col("c_acctbal") > F.col("cutoff"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum(dec("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# --- TPC-H Q2 shape (partsupp-free): cheapest supplier per part --------------
+
+
+@query(
+    "min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DOUBLE) / l_quantity) AS unit_price
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+), small AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_size <= 10
+), best AS (
+  SELECT l_partkey, l_suppkey, unit_price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price, l_suppkey) AS rn
+  FROM offers JOIN small ON p_partkey = l_partkey
+)
+SELECT p_partkey, p_brand, s_name AS supplier, n_name AS nation,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal, unit_price
+FROM best
+JOIN small    ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE rn = 1
+ORDER BY s_acctbal DESC, p_partkey
+LIMIT 100
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (observed lineitem unit price standing in for the
+    missing partsupp supplycost): for each small part, the supplier with
+    the lowest observed unit price, ranked by supplier balance.
+
+    Scale shape: the (part, supplier) offer aggregation map-side
+    combines before its shuffle; the p_size predicate prunes the part
+    dimension and a LEFT SEMI join applies it to offers BEFORE the
+    argmin window, so the per-part rank runs over the filtered set
+    (window partitions by high-cardinality l_partkey — never a hot
+    key).  The double division is IEEE-deterministic on both engines;
+    rn tie-breaks on l_suppkey; final order tie-breaks on the unique
+    p_partkey; top-100 is a TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("double") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    small_offers = offers.join(part, offers.l_partkey == part.p_partkey, "left_semi")
+    w = W.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        small_offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "unit_price",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(100)
+    )

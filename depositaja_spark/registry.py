@@ -619,6 +619,17 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "token_length_outliers",
     "decontaminate_semantic",
     "pack_manifest",
+    # -- new in round 5: TPC-H completion (Q6/Q7/Q8/Q13/Q15 + adapted
+    #    Q2/Q11/Q21/Q22 — the fixture has no partsupp/receiptdate/phone)
+    "forecast_revenue_change",
+    "nation_pair_volume",
+    "nation_market_share",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "important_part_value",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "min_cost_supplier",
 )
 
 

@@ -27,6 +27,10 @@ CARTESIAN_OK = {
     # 1-row broadcast scalar joins (corpus count / thresholds) plan as
     # BroadcastNestedLoopJoin with a single-row build side
     "tfidf_top_terms",
+    # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
+    # a single-row broadcast join by construction
+    "important_part_value",
+    "global_sales_opportunity",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run
