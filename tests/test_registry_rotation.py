@@ -42,7 +42,9 @@ def test_order_is_deterministic_no_artifact_dependence():
     # source-level guard: the module must not read driver artifacts
     src = open(R.__file__).read()
     assert "CORRECTNESS_r" not in src.replace("test_registry", "")
-    assert "glob" not in src
+    # filesystem-scanning imports, not the substring (query names like
+    # global_sales_opportunity legitimately contain "glob")
+    assert "import glob" not in src and "glob.glob" not in src and "glob(" not in src
 
     # behavioral guard: a fresh import produces the identical order
     saved = {m: sys.modules.pop(m) for m in list(sys.modules)
