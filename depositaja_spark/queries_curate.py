@@ -1462,3 +1462,167 @@ def q_token_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
         .select("doc_id", "lang", "n_tokens", "lo", "hi")
     )
+
+
+# --- corpus analytics: Zipf-law fit ------------------------------------------
+#
+# Whether a corpus's term-frequency distribution follows Zipf's law
+# (log-freq ≈ intercept + slope·log-rank, slope ≈ −1) is a standard
+# pretraining-data health check: heavily templated / machine-generated
+# corpora bend the curve.  The fit is closed-form OLS over the top-K
+# terms, computed from distributed sums — no driver-side math beyond the
+# final 1-row combine.
+
+_ZIPF_TOP = 1000
+
+
+@query(
+    "zipf_law_fit",
+    f"""
+WITH freq AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok ORDER BY n DESC, tok LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM freq
+),
+pts AS (SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
+        FROM ranked)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x*y) - sum(x) * sum(y))
+             / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS slope,
+       round((sum(y) - ((count(*) * sum(x*y) - sum(x) * sum(y))
+                        / (count(*) * sum(x*x) - sum(x) * sum(x))) * sum(x))
+             / count(*), 6) AS intercept,
+       round(pow(count(*) * sum(x*y) - sum(x) * sum(y), 2)
+             / ((count(*) * sum(x*x) - sum(x) * sum(x))
+                * (count(*) * sum(y*y) - sum(y) * sum(y))), 6) AS r2
+FROM pts
+""",
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of log10(freq) on log10(rank) over the top-1000 corpus
+    terms.  Scale shape: the term-frequency aggregation map-side
+    combines (vocabulary-sized output, not corpus-sized); top-K is a
+    TakeOrdered, so only K rows ever reach the ranking window — its
+    single partition holds exactly 1000 rows at ANY corpus size, which
+    is the bounded-window exception the plan audit allows.  The five
+    OLS sums reduce those K rows to one; rounding to 6 decimals absorbs
+    the sub-ulp summation-order difference between engines."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    pts = freq.select(
+        F.log10(F.row_number().over(w).cast("double")).alias("x"),
+        F.log10(F.col("n").cast("double")).alias("y"),
+    )
+    cnt = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    slope_num = cnt * sxy - sx * sy
+    slope_den = cnt * sxx - sx * sx
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope_num / slope_den, 6).alias("slope"),
+        F.round((sy - (slope_num / slope_den) * sx) / cnt, 6).alias("intercept"),
+        F.round(
+            F.pow(slope_num, F.lit(2)) / (slope_den * (cnt * syy - sy * sy)), 6
+        ).alias("r2"),
+    )
+
+
+# --- pipeline observability: dedup rate by source ----------------------------
+
+
+@query(
+    "dedup_rate_by_source",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*), 2)
+         AS avg_chars
+FROM documents
+GROUP BY source
+""",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the observability row a curation
+    run emits before choosing per-source dedup budgets.  count(DISTINCT
+    md5) shuffles (source, hash) pairs once with map-side partial
+    dedup; the integer char sum is exact, so only the final divisions
+    are doubles (deterministic numerator/denominator → bit-stable)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.md5("text")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.col("n_chars").cast("bigint")).cast("double") / F.count(F.lit(1)),
+            2,
+        ).alias("avg_chars"),
+    )
+
+
+# --- embedding hygiene: per-label norm statistics ----------------------------
+#
+# Zero / degenerate / wildly-scaled vectors poison cosine ANN and
+# near-dup thresholds; this is the standard pre-index sanity scan.
+
+_NORM = """
+sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+"""
+
+
+@query(
+    "embedding_norm_stats",
+    f"""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(min({_NORM}), 6) AS min_norm,
+       round(max({_NORM}), 6) AS max_norm,
+       round(sum({_NORM}) / count(*), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution over the embedding table.  The
+    norm is a row-local JVM fold (aggregate over the array — no UDF, no
+    shuffle); the group aggregation is the only exchange.  min/max are
+    exact value selections; the mean's summation-order noise is
+    absorbed by round-6, same convention as the cosine oracles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm"),
+        )
+    )

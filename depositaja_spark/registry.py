@@ -630,6 +630,10 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "waiting_suppliers",
     "global_sales_opportunity",
     "min_cost_supplier",
+    # -- new in round 5: corpus/embedding observability -------------------
+    "zipf_law_fit",
+    "dedup_rate_by_source",
+    "embedding_norm_stats",
 )
 
 
