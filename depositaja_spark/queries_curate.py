@@ -1626,3 +1626,157 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm"),
         )
     )
+
+
+# --- CCNet-style perplexity bucketing ----------------------------------------
+#
+# CCNet (Wenzek et al. 2020) splits each language's corpus into
+# head/middle/tail by LM perplexity terciles; training recipes then
+# keep head+middle or reweight by bucket.  The LM here is the corpus
+# bigram model bigram_logprob_scores already pins; on a real pipeline a
+# pretrained KenLM table is swapped in and the plan is unchanged.
+
+_PPL_ACCURACY = 1_000_000  # exact-regime pin, same as quantile_sketch_values
+
+_BIGRAM_SCORES_SQL = f"""
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 10000)) AS i)
+  WHERE i < len(toks)
+),
+uni AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+bi AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+scores AS (
+  SELECT g.doc_id, round(avg(ln(CAST(bi.cab AS DOUBLE) / uni.ca)), 4) AS avg_logprob
+  FROM bg g JOIN bi ON g.a = bi.a AND g.b = bi.b
+  JOIN uni ON g.a = uni.a
+  GROUP BY g.doc_id
+)"""
+
+
+@query(
+    "perplexity_buckets",
+    f"""
+WITH {_BIGRAM_SCORES_SQL},
+langed AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+),
+bounds AS (
+  SELECT lang,
+         quantile_disc(avg_logprob, CAST(1 AS DOUBLE)/3) AS q33,
+         quantile_disc(avg_logprob, CAST(2 AS DOUBLE)/3) AS q67
+  FROM langed GROUP BY lang
+)
+SELECT doc_id, l.lang, avg_logprob,
+       CASE WHEN avg_logprob >= q67 THEN 'head'
+            WHEN avg_logprob >= q33 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM langed l JOIN bounds b ON l.lang = b.lang
+""",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail split by bigram-LM score terciles
+    (higher mean logprob = lower perplexity = head).
+
+    Scale shape: scores come from the vocabulary-sized bigram model
+    (see bigram_logprob_scores); the tercile bounds are a per-language
+    percentile_approx over the ALREADY-AGGREGATED one-row-per-doc score
+    frame — GK sketch state, no sort, exact below _PPL_ACCURACY rows
+    per language and value-identical to DuckDB's quantile_disc there
+    (both return an observed value at the target rank; the rank is
+    exact because scores are pre-rounded to 4 decimals, so both engines
+    quantile the identical multiset).  The bounds frame (one row per
+    language) broadcasts back for a scan-local CASE — no window, no
+    corpus shuffle on the low-cardinality lang key."""
+    scores = q_bigram_logprob_scores(spark, sf_dir).select("doc_id", "avg_logprob")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    langed = scores.join(d, "doc_id")
+    bounds = (
+        langed.groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "avg_logprob", [1.0 / 3.0, 2.0 / 3.0], _PPL_ACCURACY
+            ).alias("q")
+        )
+        .select("lang", F.col("q")[0].alias("q33"), F.col("q")[1].alias("q67"))
+    )
+    return langed.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("q67"), "head")
+        .when(F.col("avg_logprob") >= F.col("q33"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# --- mixture planning: per-source epochs under a token budget ----------------
+#
+# The data-mixing recipe behind LLaMA/Gopher-style training runs:
+# temperature-weight the sources, scale to the training token budget,
+# and cap repetition at MAX_EPOCHS passes over any single source
+# (repeating data beyond ~4 epochs measurably degrades models —
+# Muennighoff et al. 2023).  Everything is computed from exact integer
+# token sums; the frame never exceeds one row per source.
+
+_EPOCH_ALPHA = 0.7     # mixture temperature (same recipe as mixture_weights)
+_BUDGET_MULT = 2.0     # training budget = 2x total corpus tokens
+_MAX_EPOCHS = 4.0
+
+
+@query(
+    "source_epoch_plan",
+    f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_src),
+pw AS (
+  SELECT source, n_tokens, pow(n_tokens / total, {_EPOCH_ALPHA}) AS pa, total
+  FROM per_src CROSS JOIN tot
+),
+z AS (SELECT sum(pa) AS zsum FROM pw)
+SELECT source, n_tokens,
+       round(pa / zsum, 6) AS weight,
+       round(least(pa / zsum * {_BUDGET_MULT} * total / n_tokens,
+                   {_MAX_EPOCHS}), 4) AS epochs,
+       round(least(pa / zsum * {_BUDGET_MULT} * total,
+                   {_MAX_EPOCHS} * n_tokens), 2) AS effective_tokens
+FROM pw CROSS JOIN z
+""",
+)
+def q_source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan: temperature-weighted share of a
+    {_BUDGET_MULT}x-corpus token budget, repetition capped at
+    {_MAX_EPOCHS} epochs.  One corpus aggregation produces the
+    source-sized frame; the total and the normalizer are 1-row
+    re-aggregations of THAT frame broadcast back (the scalar-cutoff
+    pattern) — the corpus is scanned once regardless of sf."""
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tx.tokens("text"))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("total"))
+    pw = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(_EPOCH_ALPHA)).alias("pa"),
+        "total",
+    )
+    z = pw.agg(F.sum("pa").alias("zsum"))
+    wanted = F.col("pa") / F.col("zsum") * F.lit(_BUDGET_MULT) * F.col("total")
+    return pw.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("pa") / F.col("zsum"), 6).alias("weight"),
+        F.round(
+            F.least(wanted / F.col("n_tokens"), F.lit(_MAX_EPOCHS)), 4
+        ).alias("epochs"),
+        F.round(
+            F.least(wanted, F.lit(_MAX_EPOCHS) * F.col("n_tokens")), 2
+        ).alias("effective_tokens"),
+    )

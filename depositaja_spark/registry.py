@@ -634,6 +634,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "zipf_law_fit",
     "dedup_rate_by_source",
     "embedding_norm_stats",
+    "perplexity_buckets",
+    "source_epoch_plan",
 )
 
 

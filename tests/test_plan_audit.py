@@ -31,6 +31,9 @@ CARTESIAN_OK = {
     # a single-row broadcast join by construction
     "important_part_value",
     "global_sales_opportunity",
+    # epoch planning: the corpus-total and mixture-normalizer scalars are
+    # 1-row broadcast cross joins onto the per-source frame
+    "source_epoch_plan",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run
