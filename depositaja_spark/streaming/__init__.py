@@ -18,6 +18,7 @@ streaming query over a shared SparkSession:
 
 from depositaja_spark.streaming.pipeline import (
     deposits_stream_from_dir,
+    streaming_distinct_users,
     streaming_exact_dedup,
     streaming_window_received,
     streaming_flag_events,
@@ -28,6 +29,7 @@ from depositaja_spark.streaming.serving import ServingTables
 
 __all__ = [
     "deposits_stream_from_dir",
+    "streaming_distinct_users",
     "streaming_exact_dedup",
     "streaming_corpus_intake",
     "streaming_window_received",

@@ -233,3 +233,32 @@ def streaming_flag_events(windowed: DataFrame, max_amount: float = MAX_AMOUNT) -
         .alias("rolling_period_start_unix"),
         F.col("window_start_unix").alias("seq"),
     )
+
+
+def streaming_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    rsd: float = 0.02,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window distinct-user cardinality on the stream via HLL++
+    (``approx_count_distinct``) under a watermarked tumbling window —
+    the streaming twin of the batch ``sketch_distinct_users`` tier.
+
+    Why a sketch and not ``count(distinct)``: streaming state for an
+    exact distinct grows with the number of distinct keys per window
+    (unbounded at 100 TB/day); the HLL register array is fixed-size per
+    (window, event_type) group and its merge is a register-wise max —
+    order- and partitioning-invariant, so the streamed result is
+    bit-identical to the batch sketch over the same rows (asserted in
+    tests/test_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_unix"),
+            "event_type",
+            "approx_users",
+        )
+    )

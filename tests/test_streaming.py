@@ -677,3 +677,40 @@ def test_streaming_incremental_dedup_matches_batch_replay(spark, tmp_path):
     assert any(v[0] for v in want.values()) or any(
         v[1] is not None for v in want.values()
     ), "degenerate corpus: no cross-batch duplicates at all"
+
+
+def test_streaming_distinct_users_matches_batch_sketch(spark, events_dir):
+    """Watermarked streaming HLL distinct-user windows == the batch
+    sketch over the same rows: the HLL register merge is a register-wise
+    max (order/partitioning-invariant), so every window the stream seals
+    must carry the identical estimate."""
+    from depositaja_spark.streaming import streaming_distinct_users
+    from depositaja_spark.streaming.pipeline import _events_stream
+
+    stream = streaming_distinct_users(_events_stream(spark, events_dir))
+    _run_to_memory(stream, "hll_out")
+    got = {
+        (r.window_start_unix, r.event_type): r.approx_users
+        for r in spark.sql("SELECT * FROM hll_out").collect()
+    }
+    assert got, "stream produced no sealed windows"
+    events = load_table(spark, SF, "events")
+    want = {
+        (r.window_start_unix, r.event_type): r.approx_users
+        for r in (
+            events.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+            .select(
+                F.col("win.start").cast("long").alias("window_start_unix"),
+                "event_type",
+                "approx_users",
+            )
+            .collect()
+        )
+    }
+    # append mode emits only watermark-sealed windows; sealed ones must be
+    # bit-identical, unsealed ones must lie within the watermark horizon
+    assert got.items() <= want.items()
+    max_win = max(w for (w, _) in want)
+    for (win, et) in set(want) - set(got):
+        assert win >= max_win - 3600, f"sealed window missing: {win}/{et}"
