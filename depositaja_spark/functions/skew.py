@@ -62,3 +62,32 @@ def skew_report(df: DataFrame, key: str) -> DataFrame:
         F.round(F.max("n") / F.sum("n"), 6).alias("hot_key_share"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join of a hot-keyed fact table against a dimension
+    too large to broadcast: the fact side gets a random salt, the dim
+    side is replicated once per salt bucket, and the join runs on
+    (key, salt) — a single hot key spreads over ``buckets`` tasks
+    instead of pinning one.
+
+    Equivalent to ``fact.join(dim, key, how)`` for inner/left joins with
+    unique dim keys (asserted in tests).  Cost: the dim shuffle grows
+    ``buckets``×, so use when skew_report shows a hot fact key AND the
+    dim side is broadcast-too-big; AQE's skew-join split covers the
+    sort-merge case automatically, but this form also works under
+    bucketed/pre-partitioned layouts where AQE cannot re-plan."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = (F.rand(seed=0) * buckets).cast("int")
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return fact_s.join(dim_s, [key, "__salt"], how).drop("__salt")

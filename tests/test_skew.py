@@ -261,3 +261,38 @@ def test_capped_verify_unbiased_near_threshold(spark):
     release_caches()
     assert {(r.a_id, r.b_id) for r in got} == {(0, 1)}
     assert abs(got[0].jaccard - 0.5996) < 0.1  # union-sampled estimate
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join on a skewed fact (90% one key) for both
+    inner and left joins, including the unmatched-fact-key case."""
+    from depositaja_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(90)]
+        + [("cold", i) for i in range(9)]
+        + [("orphan", 99)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.tag)
+            for r in salted_join(fact, dim, "k", buckets=7, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.tag) for r in fact.join(dim, "k", how).collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_rejects_right_joins(spark):
+    """Replicating the dim side breaks right/full semantics — the helper
+    must refuse rather than silently multiply unmatched dim rows."""
+    from depositaja_spark.functions.skew import salted_join
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
