@@ -1780,3 +1780,53 @@ def q_source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(wanted, F.lit(_MAX_EPOCHS) * F.col("n_tokens")), 2
         ).alias("effective_tokens"),
     )
+
+
+# --- leakage-safe train/val split --------------------------------------------
+#
+# Splitting by per-document hash (train_val_split) leaks: a near-
+# duplicate pair straddling the boundary puts a paraphrase of a
+# validation document into training, inflating eval.  The fix is to
+# split by NEAR-DUP CLUSTER — the whole cluster lands on one side, so
+# no validation document has a near-duplicate in train by construction.
+
+_CSPLIT_SALT = "split-cluster-v1:"
+_CSPLIT_HEX = "e5"  # same ~90/10 ratio as train_val_split
+
+
+def _leakage_safe_sql() -> str:
+    from depositaja_spark.queries_ext import _CLUSTERS_SQL
+
+    return f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5('{_CSPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 2)
+                 <= '{_CSPLIT_HEX}'
+            THEN 'train' ELSE 'val' END AS split
+FROM ({_CLUSTERS_SQL}) c
+"""
+
+
+@query("leakage_safe_split", _leakage_safe_sql())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split: assignment is hashed from the
+    near-dup CLUSTER representative, not the document id, so an entire
+    near-duplicate cluster lands on one side — no validation document
+    has a training near-duplicate by construction (the leakage the
+    plain hash split cannot prevent).  Same salted-hash determinism as
+    train_val_split: membership depends only on (salt, cluster_id),
+    stable under re-runs and incremental arrivals as long as the
+    cluster representative is stable.  Plan = dedup_clusters (banded
+    pair graph + label propagation) plus one row-local projection."""
+    from depositaja_spark.functions.graph import dedup_clusters as _dc
+    from depositaja_spark.queries_ext import _docs as _docs_ext
+
+    docs = _docs_ext(spark, sf_dir)
+    clusters = _dc(docs, dd.jaccard_pairs(docs, n=3, threshold=0.1))
+    frac = F.substring(
+        F.md5(F.concat(F.lit(_CSPLIT_SALT), F.col("cluster_id").cast("string"))), 1, 2
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(frac <= _CSPLIT_HEX, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )

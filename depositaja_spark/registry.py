@@ -636,6 +636,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_norm_stats",
     "perplexity_buckets",
     "source_epoch_plan",
+    "leakage_safe_split",
 )
 
 
