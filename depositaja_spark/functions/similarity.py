@@ -519,3 +519,66 @@ def embedding_near_dup(
             )
 
     return pairs.mapInPandas(score, _PAIR_SCHEMA)
+
+
+def semantic_incremental_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = NEAR_DUP_BLOCK,
+) -> DataFrame:
+    """Incremental semantic dedup: (id, keep) for each NEW vector, where
+    keep = no ACCEPTED history vector has cosine ≥ threshold.
+
+    The embedding-space twin of functions/dedup.py:incremental_dedup's
+    near tier, with the same economics: the scored pairs are
+    history-block × increment-block (linear in history per batch, since
+    a micro-batch contributes O(1) blocks), scored with one numpy
+    matmul per block pair inside mapInPandas — never history × history.
+    Same contract too: the increment is assumed internally deduped by
+    the upstream intake; within-batch pairs are not checked.
+
+    At 100 TB the history side would be the materialized unit-vector
+    table (optionally SRP-bucket-pruned, trading recall for fan-in, as
+    embedding_near_dup's docstring describes); deriving it per batch
+    here keeps the operator self-contained for catalog-scale testing."""
+    new_ids = new.select(F.col(id_col).alias("id"))
+    if old.isEmpty():
+        return new_ids.select(F.col("id").alias(id_col), F.lit(True).alias("keep"))
+    blk = lambda df, p: (  # noqa: E731
+        unit_vectors(df, id_col, vec_col)
+        .select(
+            (F.col(id_col) / block_size).cast("long").alias(f"{p}blk"),
+            F.col(id_col).alias("id"),
+            "unit",
+        )
+        .groupBy(f"{p}blk")
+        .agg(F.collect_list(F.struct("id", "unit")).alias(f"{p}rows"))
+    )
+    pairs = blk(old, "x").crossJoin(F.broadcast(blk(new, "y")))
+
+    def score(batches):
+        for pdf in batches:
+            hits = []
+            for xrows, yrows in zip(pdf["xrows"], pdf["yrows"]):
+                ids_b = np.fromiter((r["id"] for r in yrows), dtype="int64")
+                A = np.stack([r["unit"] for r in xrows])
+                B = np.stack([r["unit"] for r in yrows])
+                C = np.round(A @ B.T, 6)
+                hits.append(pd.DataFrame({"id": ids_b[np.where(C >= threshold)[1]]}))
+            out = (
+                pd.concat(hits).drop_duplicates()
+                if hits
+                else pd.DataFrame({"id": []})
+            )
+            yield out.astype({"id": "int64"})
+
+    matched = pairs.mapInPandas(score, "id long").distinct()
+    return new_ids.join(
+        matched.withColumn("hit", F.lit(True)), "id", "left_outer"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce(~F.col("hit"), F.lit(True)).alias("keep"),
+    )

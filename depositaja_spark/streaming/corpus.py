@@ -146,3 +146,56 @@ def streaming_incremental_dedup(
             release_caches()
 
     return docs_stream.writeStream.foreachBatch(_process)
+
+
+def streaming_semantic_dedup(
+    vec_stream: DataFrame,
+    history_dir: str,
+    decisions_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The embedding-cosine tier of incremental dedup on a stream: the
+    semantic twin of ``streaming_incremental_dedup``, same foreachBatch
+    loop, same durability order:
+
+    Per batch b:  decisions(b) = semantic_incremental_dedup(history, b)
+                  history     += b.filter(keep)
+
+    so a replayed stream produces bit-identical per-vector decisions to
+    the sequential batch loop over the same splits (tested).  Per-batch
+    cost is history-blocks × increment-blocks — linear in history, with
+    the increment side broadcast.  Returns a DataStreamWriter; caller
+    picks trigger + checkpoint."""
+    import glob as _glob
+    import os as _os
+
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.similarity import semantic_incremental_dedup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        schema = f"{id_col} long, {vec_col} array<float>"
+        if _glob.glob(_os.path.join(history_dir, "*.parquet")):
+            old = spark.read.schema(schema).parquet(history_dir)
+        else:
+            old = spark.createDataFrame([], schema)
+        new = batch.select(id_col, vec_col)
+        res = semantic_incremental_dedup(
+            old, new, threshold, id_col=id_col, vec_col=vec_col
+        ).persist()
+        try:
+            res.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(decisions_dir)
+            # keepers appended AFTER decisions are durable (crash-retry
+            # idempotence per batch_id, same argument as the text tier)
+            new.join(
+                res.filter(F.col("keep")), id_col, "left_semi"
+            ).write.mode("append").parquet(history_dir)
+        finally:
+            res.unpersist()
+            release_caches()
+
+    return vec_stream.writeStream.foreachBatch(_process)

@@ -714,3 +714,82 @@ def test_streaming_distinct_users_matches_batch_sketch(spark, events_dir):
     max_win = max(w for (w, _) in want)
     for (win, et) in set(want) - set(got):
         assert win >= max_win - 3600, f"sealed window missing: {win}/{et}"
+
+
+def test_streaming_semantic_dedup_matches_batch_replay(spark, tmp_path):
+    """The foreachBatch embedding-cosine loop over a 3-file stream (one
+    file per micro-batch, mtime order) produces the SAME per-vector
+    decisions as the sequential batch loop — including rejecting an
+    exact re-embedding planted in a later split."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.similarity import semantic_incremental_dedup
+    from depositaja_spark.streaming.corpus import streaming_semantic_dedup
+
+    vecs = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    splits = [[r for r in vecs if r.vec_id % 3 == m] for m in range(3)]
+    # plant a cross-batch duplicate: split 1 re-embeds split 0's first
+    # vector under a fresh id — it must be rejected
+    dup_src = splits[0][0]
+    planted_id = max(r.vec_id for r in vecs) + 1
+    splits[1] = splits[1] + [type(dup_src)(vec_id=planted_id, embedding=dup_src.embedding)]
+
+    d = tmp_path / "vec_stream"
+    d.mkdir()
+    for m, rows in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r.vec_id for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [list(r.embedding) for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    hist_dir = str(tmp_path / "history")
+    dec_dir = str(tmp_path / "decisions")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_semantic_dedup(stream, hist_dir, dec_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.vec_id: (r.keep, r.batch_id)
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+
+    history = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    want = {}
+    for m, rows in enumerate(splits):
+        new = spark.createDataFrame(
+            [(r.vec_id, list(r.embedding)) for r in rows],
+            "vec_id long, embedding array<float>",
+        )
+        res = semantic_incremental_dedup(history, new).collect()
+        release_caches()
+        for r in res:
+            want[r.vec_id] = (r.keep, m)
+        kept = [r.vec_id for r in res if r.keep]
+        history = history.unionByName(new.filter(F.col("vec_id").isin(kept)))
+
+    assert len(got) == len(vecs) + 1
+    assert got == want
+    assert got[planted_id][0] is False, "planted re-embedding must be rejected"
