@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from depositaja_spark.functions.cache import tracked_persist
 from depositaja_spark.functions.numeric import dec, exact_avg, exact_sum
 from depositaja_spark.registry import query
 from depositaja_spark.sources import load_table
@@ -1314,11 +1315,10 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1).cast("decimal(18,2)")
     val = dec("l_extendedprice") * (one - dec("l_discount"))
-    per_part = (
+    per_part = tracked_persist(
         li.join(euro_supp, li.l_suppkey == euro_supp.s_suppkey, "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("value_dec"))
-        .persist()
     )
     threshold = per_part.agg(
         (F.sum("value_dec").cast("double") * F.lit(0.001)).alias("cutoff")
