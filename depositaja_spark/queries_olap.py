@@ -1541,3 +1541,123 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
         .limit(100)
     )
+
+
+# --- TPC-H Q16 shape: supplier counts per part attribute ---------------------
+
+
+@query(
+    "supplier_cnt_by_part_attrs",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q_supplier_cnt_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem flow standing in for the missing
+    partsupp; negative account balance standing in for the complaint
+    filter): how many distinct suppliers serve each qualifying
+    (brand, type, size).  The NOT IN is a left-anti join against the
+    tiny excluded-supplier key set; all part predicates prune the
+    dimension BEFORE its join; the distinct count shuffles
+    (attrs, suppkey) once with map-side partial dedup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q20 shape: suppliers with excess recent supply --------------------
+
+_Q20_RATIO = 0.18
+
+
+@query(
+    "excess_supply_suppliers",
+    f"""
+WITH widget AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+all_time AS (
+  SELECT l_suppkey, sum({_QTY}) AS tot
+  FROM lineitem JOIN widget ON p_partkey = l_partkey
+  GROUP BY l_suppkey
+),
+recent AS (
+  SELECT l_suppkey, sum({_QTY}) AS q97
+  FROM lineitem JOIN widget ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+),
+qualified AS (
+  SELECT a.l_suppkey
+  FROM all_time a JOIN recent r ON a.l_suppkey = r.l_suppkey
+  WHERE CAST(q97 AS DOUBLE) > {_Q20_RATIO} * CAST(tot AS DOUBLE)
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualified)
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'AFRICA'
+  )
+""",
+)
+def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp-free: a supplier has "excess recent
+    supply" when its 1997 shipped quantity of widget parts exceeds
+    {_Q20_RATIO:.0%} of its all-time shipped quantity of those parts):
+    AFRICA suppliers matching the nested availability condition.
+
+    Both availability aggregates reduce lineitem to supplier-sized
+    frames before the ratio compare (exact DECIMAL sums, double-only
+    comparison); the two IN subqueries are left-semi joins — the
+    qualified key set and the 5-nation region set.  The part-name
+    filter prunes the widget key set before both fact joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    widget = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey"
+    )
+    wli = li.join(widget, li.l_partkey == widget.p_partkey, "left_semi")
+    all_time = wli.groupBy("l_suppkey").agg(F.sum(dec("l_quantity")).alias("tot"))
+    recent = (
+        wli.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("q97"))
+    )
+    qualified = (
+        all_time.join(recent, "l_suppkey")
+        .filter(
+            F.col("q97").cast("double") > F.lit(_Q20_RATIO) * F.col("tot").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    africa = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(africa), supp.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -630,6 +630,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "waiting_suppliers",
     "global_sales_opportunity",
     "min_cost_supplier",
+    "supplier_cnt_by_part_attrs",
+    "excess_supply_suppliers",
     # -- new in round 5: corpus/embedding observability -------------------
     "zipf_law_fit",
     "dedup_rate_by_source",
