@@ -195,3 +195,71 @@ def test_q9_broadcasts_dims_and_pushes_part_filter(spark):
     p = plan_of(registry.QUERIES["profit_by_nation_year"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 3
     assert "widget" in p  # pushed into the part-side scan/filter
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    """Q6 is scan + scalar combine: date/discount/quantity predicates all
+    push into the parquet source, and no join appears anywhere."""
+    p = plan_of(registry.QUERIES["forecast_revenue_change"](spark, SF))
+    assert "PushedFilters" in p
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in p.split("PushedFilters", 1)[1][:400], frag
+    assert "Join" not in p
+
+
+def test_q15_scalar_max_from_aggregated_frame(spark):
+    """Q15: lineitem is scanned once — the scalar max re-aggregates the
+    per-supplier frame (ReusedExchange or a second small agg), never a
+    second lineitem scan per branch plus no nested loop."""
+    p = plan_of(registry.QUERIES["top_supplier_revenue"](spark, SF))
+    assert "CartesianProduct" not in p
+    # the date filter reaches the one fact scan
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400]
+
+
+def test_q21_exists_chains_are_hash_joins(spark):
+    """Q21 shape: the EXISTS / NOT EXISTS pair must plan as left-semi and
+    left-anti HASH joins on the order key plus a TakeOrdered top-10 —
+    no sort of the full fact table, no nested loop."""
+    p = plan_of(registry.QUERIES["waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q2_argmin_window_partitions_on_partkey(spark):
+    """Q2 shape: the argmin ranking window partitions on the
+    high-cardinality part key (never a global or low-cardinality sort)
+    and the p_size filter reaches the part scan."""
+    p = plan_of(registry.QUERIES["min_cost_supplier"](spark, SF))
+    assert "hashpartitioning(l_partkey" in p
+    assert "TakeOrderedAndProject" in p
+    assert "p_size" in p.split("PushedFilters", 1)[1][:600]
+
+
+def test_q22_anti_join_on_pruned_orders_scan(spark):
+    """Q22 shape: the NOT EXISTS is a left-anti join whose build side
+    reads only o_custkey from orders (column pruning on the anti scan)."""
+    p = plan_of(registry.QUERIES["global_sales_opportunity"](spark, SF))
+    assert "LeftAnti" in p
+    # the orders scan feeding the anti join must not read money columns
+    orders_reads = [
+        seg for seg in p.split("ReadSchema: ") if seg.startswith("struct<o_")
+    ]
+    assert any("o_totalprice" not in seg.split(">")[0] for seg in orders_reads)
+
+
+def test_perplexity_buckets_no_lang_window(spark):
+    """CCNet bucketing must label via broadcast bounds + CASE — a window
+    partitioned by lang over the corpus would hot-spot one task."""
+    p = plan_of(registry.QUERIES["perplexity_buckets"](spark, SF))
+    assert "Window" not in p or "partitionBy" not in p  # no corpus window
+    assert "BroadcastHashJoin" in p
+
+
+def test_zipf_window_sees_only_topk(spark):
+    """The Zipf ranking window consumes a TakeOrdered top-K frame, never
+    the raw frequency table."""
+    p = plan_of(registry.QUERIES["zipf_law_fit"](spark, SF))
+    assert "TakeOrderedAndProject" in p

@@ -155,3 +155,50 @@ def test_latest_flag_is_last_event_per_key(spark, events):
     for w, removed, start, seqno in rows:
         last[w] = (not removed, 0 if removed else start)
     assert got == last
+
+
+def test_exact_sum_invariant_under_repartition(spark):
+    """The DECIMAL money-sum convention is partitioning-independent: the
+    same rows summed under 1, 7, and 32 partitions produce bit-identical
+    doubles (the property AQE re-planning / retries rely on)."""
+    from depositaja_spark.functions.numeric import dec, exact_sum
+    from depositaja_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    expr = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    vals = {
+        n: li.repartition(n).agg(exact_sum(expr).alias("s")).collect()[0].s
+        for n in (1, 7, 32)
+    }
+    assert len(set(vals.values())) == 1, vals
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """The distributed closed-form OLS equals an independent numpy
+    polyfit over the same (log-rank, log-freq) points."""
+    import math
+
+    import numpy as np
+
+    from depositaja_spark import registry
+
+    row = registry.QUERIES["zipf_law_fit"](spark, "/root/testdata/sf0.001").collect()[0]
+    # rebuild the exact points the query ranks
+    from depositaja_spark.functions import text as tx
+    from depositaja_spark.queries_ext import _docs
+
+    freq = (
+        _docs(spark, "/root/testdata/sf0.001")
+        .select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(1000)
+        .collect()
+    )
+    y = np.array([math.log10(r["count"]) for r in freq])
+    x = np.log10(np.arange(1, len(freq) + 1, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope - slope) < 1e-4
+    assert abs(row.intercept - intercept) < 1e-4
+    assert row.n_terms == len(freq)
