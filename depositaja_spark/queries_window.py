@@ -195,3 +195,42 @@ def q_sliding_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_RANGE_6D = 6 * 86400  # seconds
+
+
+@query(
+    "revenue_range_frame_avg",
+    f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_unix,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day_unix, revenue,
+       round(avg(revenue) OVER (ORDER BY day_unix
+                                RANGE BETWEEN {_RANGE_6D} PRECEDING
+                                          AND CURRENT ROW), 4) AS ma7_range
+FROM daily
+""",
+)
+def q_revenue_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: the trailing-7-CALENDAR-day average
+    (value-based frame over day_unix), which differs from the ROWS
+    variant exactly on gap days — the frame shrinks instead of reaching
+    further back.  The window runs over the already-aggregated daily
+    frame (row count bounded by the data's time span, not its volume),
+    the same scale argument as daily_revenue_moving_avg."""
+    from depositaja_spark.functions.numeric import dec, exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("day_unix")
+    ).agg(exact_sum(dec("o_totalprice")).alias("revenue"))
+    w = W.orderBy("day_unix").rangeBetween(-_RANGE_6D, 0)
+    return daily.select(
+        "day_unix",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 4).alias("ma7_range"),
+    )

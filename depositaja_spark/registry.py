@@ -639,6 +639,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "perplexity_buckets",
     "source_epoch_plan",
     "leakage_safe_split",
+    "revenue_range_frame_avg",
 )
 
 
