@@ -234,3 +234,41 @@ def q_revenue_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.avg("revenue").over(w), 4).alias("ma7_range"),
     )
+
+
+@query(
+    "scd2_user_status",
+    """
+SELECT user_id,
+       event_type AS status,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_unix,
+       CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))) AS BIGINT)
+         AS valid_to_unix,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM events
+""",
+)
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: each user's event history
+    becomes effective-dated status intervals — valid_from = the change
+    timestamp, valid_to = the NEXT change (NULL on the open current
+    row).  This is the standard warehouse shape for dimension history,
+    and the interval table is what point-in-time (as-of) joins consume.
+
+    Scale shape: one window partitioned by the high-cardinality user_id
+    (never a hot key), total-ordered inside the partition by
+    (ts, event_id) so concurrent changes get a deterministic interval
+    chain.  One shuffle; no self-join — the lead() frame replaces the
+    'join next version' formulation that would shuffle twice."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").cast("long").alias("valid_from_unix"),
+        nxt.cast("long").alias("valid_to_unix"),
+        nxt.isNull().alias("is_current"),
+    )

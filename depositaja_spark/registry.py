@@ -640,6 +640,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "source_epoch_plan",
     "leakage_safe_split",
     "revenue_range_frame_avg",
+    "scd2_user_status",
 )
 
 
