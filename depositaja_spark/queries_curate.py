@@ -1317,8 +1317,13 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") - F.col("chunk_id") * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)
         ).cast("int").alias("n_tokens"),
     )
+    from depositaja_spark.functions.cache import tracked_persist
     from depositaja_spark.functions.windows import bucketed_running_sum
 
+    # bucketed_running_sum references its input twice (offset aggregation
+    # + join probe); without a persist the whole clean_corpus subtree
+    # above executes twice (measured 2x at sf0.1)
+    chunks = tracked_persist(chunks)
     packed = bucketed_running_sum(
         chunks,
         ["predicted_lang"],
