@@ -1383,7 +1383,10 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered, tie-broken on s_suppkey."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = (
+    # persisted: both the l1 arm and the other-supplier anti arm read
+    # this frame — without the persist the lineitem⋈orders late-pair
+    # subtree executes twice
+    late = tracked_persist(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(
             F.col("l_shipdate")
