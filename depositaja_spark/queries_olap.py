@@ -1664,3 +1664,128 @@ def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(africa), supp.s_nationkey == F.col("n_nationkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# --- funnel analysis: ordered multi-stage conversion -------------------------
+
+
+@query(
+    "funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM v), 6) AS view_to_purchase_rate
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click — the event-sequence pattern
+    every product-analytics engine ships (MATCH_RECOGNIZE's most common
+    use, expressed as joins Spark can plan).
+
+    Scale shape: each stage is one filtered aggregation producing a
+    user-sized frame; the next stage joins the raw scan against THAT
+    frame on the high-cardinality user key (no hint — AQE broadcasts
+    while it fits, shuffles above).  Event-type predicates push into
+    each scan; stage counts are 1-row aggregates combined via a
+    literal-free cross join of three single-row frames."""
+    events = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 6
+            ).alias("view_to_purchase_rate"),
+        )
+    )
+
+
+# --- cohort retention --------------------------------------------------------
+
+_WEEK_S = 7 * 86400
+
+
+@query(
+    "cohort_retention",
+    f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_WEEK_S} AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week,
+       CAST(week - cohort_week AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, and
+    for each later week the count still active — the other half of the
+    product-analytics pair (funnel = within-journey, cohort = across
+    weeks).
+
+    Scale shape: the distinct (user, week) frame is one map-side-
+    partially-deduped shuffle; the cohort frame is an aggregation of
+    THAT frame (no second scan); their join is user-keyed
+    (high-cardinality) and the final (cohort, offset) aggregation is
+    over the already-reduced frame.  The epoch-week bucketing is plain
+    integer math, identical on both engines."""
+    events = _t(spark, sf_dir, "events")
+    week = F.floor(F.col("ts").cast("long") / _WEEK_S).cast("long")
+    uw = events.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

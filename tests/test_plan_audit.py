@@ -34,6 +34,9 @@ CARTESIAN_OK = {
     # epoch planning: the corpus-total and mixture-normalizer scalars are
     # 1-row broadcast cross joins onto the per-source frame
     "source_epoch_plan",
+    # funnel: the three stage counts are single-row frames combined by
+    # broadcast cross join
+    "funnel_conversion",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run
