@@ -641,6 +641,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "leakage_safe_split",
     "revenue_range_frame_avg",
     "scd2_user_status",
+    "funnel_conversion",
 )
 
 
