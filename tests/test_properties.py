@@ -202,3 +202,40 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert abs(row.slope - slope) < 1e-4
     assert abs(row.intercept - intercept) < 1e-4
     assert row.n_terms == len(freq)
+
+
+def test_value_hashes_stable_across_shuffle_partition_counts(spark):
+    """Driver-config drift guard: a sample of value-sensitive queries
+    (money sums, double divisions, window ranks, near-dup scores) must
+    produce identical sorted results when spark.sql.shuffle.partitions
+    changes — the determinism conventions (exact DECIMAL, rounding,
+    total-order tie-breaks) are what make this hold."""
+    from depositaja_spark import registry
+
+    sample = [
+        "tpch_q1",
+        "revenue_by_nation",
+        "nation_market_share",
+        "top_supplier_revenue",
+        "jaccard_near_dups",
+        "zipf_law_fit",
+        "source_epoch_plan",
+    ]
+    sf = "/root/testdata/sf0.001"
+
+    def snapshot():
+        out = {}
+        for name in sample:
+            df = registry.QUERIES[name](spark, sf)
+            out[name] = sorted(tuple(r) for r in df.collect())
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    base = snapshot()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = snapshot()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for name in sample:
+        assert base[name] == alt[name], name
