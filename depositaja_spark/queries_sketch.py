@@ -199,3 +199,33 @@ def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("kmeans_cluster_sizes")
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+_MG_K = 16
+
+
+@query(
+    "heavy_hitter_events",
+    f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+HAVING count(*) > (SELECT count(*) FROM events) / {_MG_K + 1}
+""",
+)
+def q_heavy_hitter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy event types (frequency > n/{_MG_K + 1}) via the
+    sketch-then-verify plan: per-partition Misra-Gries summaries (≤
+    {_MG_K} counters each, fixed memory, no shuffle) propose candidates
+    — a guaranteed superset of the true heavy hitters — and an exact
+    count over the semi-joined candidates applies the threshold.  The
+    composition is exactly the oracle's HAVING, which is what makes a
+    sketch query fully value-checkable; the sketch-side guarantees
+    (superset property, bounded counters, planted-skew recovery) are
+    pinned separately in tests/test_sketch.py."""
+    from depositaja_spark.functions.heavyhitters import heavy_hitters_verified
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters_verified(events, "event_type", _MG_K)

@@ -37,6 +37,8 @@ CARTESIAN_OK = {
     # funnel: the three stage counts are single-row frames combined by
     # broadcast cross join
     "funnel_conversion",
+    # heavy hitters: the n/(k+1) threshold is a 1-row broadcast scalar
+    "heavy_hitter_events",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

@@ -104,3 +104,45 @@ def test_quantile_sketch_regime_error_bound(spark):
         assert abs(rank - 0.5 * n) <= n / acc + 1, (
             f"{etype}: median estimate at rank {rank}/{n} exceeds GK bound"
         )
+
+
+def test_misra_gries_superset_guarantee_on_planted_skew(spark):
+    """Every item with frequency > n/(k+1) must survive the
+    per-partition MG summaries — tested on a planted skew (two heavy
+    keys among uniform noise) spread adversarially across partitions."""
+    import random
+
+    from depositaja_spark.functions.heavyhitters import (
+        heavy_hitters_verified,
+        misra_gries_candidates,
+    )
+
+    rng = random.Random(7)
+    rows = (
+        [("hot_a",)] * 4000
+        + [("hot_b",)] * 3000
+        + [(f"noise_{rng.randrange(500)}",) for _ in range(3000)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    k = 16
+    cand = {r.k for r in misra_gries_candidates(df, "k", k).collect()}
+    assert {"hot_a", "hot_b"} <= cand
+    got = {r.k: r.n for r in heavy_hitters_verified(df, "k", k).collect()}
+    # exact: the verified output equals the true > n/(k+1) set
+    assert got == {"hot_a": 4000, "hot_b": 3000}
+
+
+def test_misra_gries_counter_bound(spark):
+    """The candidate set is bounded by k x partitions regardless of the
+    distinct-key count (the fixed-memory claim)."""
+    from depositaja_spark.functions.heavyhitters import misra_gries_candidates
+
+    df = (
+        spark.range(20000)
+        .selectExpr("CAST(id AS STRING) AS k")
+        .repartition(4)
+    )
+    k = 8
+    n_cand = misra_gries_candidates(df, "k", k).count()
+    assert n_cand <= k * 4
