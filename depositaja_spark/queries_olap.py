@@ -1789,3 +1789,90 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- data-quality audit: referential integrity -------------------------------
+
+
+@query(
+    "referential_integrity_report",
+    """
+SELECT 'orders_orphan_custkey' AS check_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS violations
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orphan_partkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orphan_suppkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer_duplicate_pk',
+       CAST((SELECT count(*) FROM (
+          SELECT c_custkey FROM customer GROUP BY c_custkey
+          HAVING count(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+""",
+)
+def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-quality audit in one job: orphan foreign keys
+    (left-anti join counts — the NOT EXISTS physical form), duplicate
+    primary keys (HAVING over a keyed count), and null keys, one row
+    per check.  Each check is a single keyed anti-join or aggregation
+    over pruned key columns (only the key is read from each scan), so
+    the whole audit costs a handful of key-column shuffles at any
+    scale — this is the validation pass a pipeline runs before
+    publishing a snapshot."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    checks = [
+        cnt(
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+            "orders_orphan_custkey",
+        ),
+        cnt(
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+            "lineitem_orphan_orderkey",
+        ),
+        cnt(
+            li.join(part, li.l_partkey == part.p_partkey, "left_anti"),
+            "lineitem_orphan_partkey",
+        ),
+        cnt(
+            li.join(supp, li.l_suppkey == supp.s_suppkey, "left_anti"),
+            "lineitem_orphan_suppkey",
+        ),
+        cnt(
+            cust.groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+            "customer_duplicate_pk",
+        ),
+        cnt(orders.filter(F.col("o_custkey").isNull()), "orders_null_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -272,3 +272,41 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.cast("long").alias("valid_to_unix"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "user_activity_streaks",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS streak_days,
+       CAST(min(day) * 86400 AS BIGINT) AS streak_start_unix
+FROM islands
+GROUP BY user_id, island
+""",
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days,
+    via the classic day − row_number() island key (constant within a
+    consecutive run, jumps across a gap).  One distinct pass, one
+    window partitioned by the high-cardinality user key over the
+    already-deduped (user, day) frame, one aggregation — streak
+    detection at corpus scale without any self-join."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("long")
+    days = events.select("user_id", day.alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    return islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("int").alias("streak_days"),
+        (F.min("day") * 86400).cast("long").alias("streak_start_unix"),
+    ).drop("island")
