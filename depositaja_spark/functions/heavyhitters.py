@@ -24,32 +24,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(df: DataFrame, col: str, k: int = 16) -> DataFrame:
-    """Per-partition Misra-Gries summaries; returns the DISTINCT union of
-    surviving items — a superset of every item with global frequency
-    > n/(k+1).
+def mg_merge(counters: dict[str, int], items, k: int) -> dict[str, int]:
+    """Weighted Misra-Gries merge: fold (value, count) pairs into a
+    ≤k-counter summary.  On overflow every counter drops by the
+    (k+1)-th largest value and non-positive counters are evicted —
+    the mergeable-summaries form (Agarwal et al., PODS 2012), which
+    preserves the superset guarantee across arbitrary merge trees
+    (partitions, micro-batches, rounds)."""
+    out = dict(counters)
+    for v, c in items:
+        out[v] = out.get(v, 0) + int(c)
+    if len(out) > k:
+        m = sorted(out.values(), reverse=True)[k]
+        out = {v: c - m for v, c in out.items() if c - m > 0}
+    return out
 
-    Each Arrow batch is pre-aggregated with ``value_counts`` (vectorized)
-    and merged into the ≤k-counter summary as weighted inserts; when the
-    summary overflows, all counters drop by the (k+1)-th largest value
-    (the weighted MG step).  State is k counters per partition — fixed
-    memory at any scale."""
 
-    out_schema = f"{col} string"
+def misra_gries_summaries(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """Per-partition Misra-Gries summaries as (col, cnt) rows — ≤k rows
+    per partition, fixed memory at any scale.  Each Arrow batch is
+    pre-aggregated with ``value_counts`` (vectorized) and folded in via
+    ``mg_merge``."""
+
+    out_schema = f"{col} string, cnt long"
 
     def mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            vc = pdf[col].value_counts()
-            for v, c in vc.items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > k:
-                m = sorted(counters.values(), reverse=True)[k]
-                counters = {v: c - m for v, c in counters.items() if c - m > 0}
-        yield pd.DataFrame({col: list(counters.keys())})
+            counters = mg_merge(counters, pdf[col].value_counts().items(), k)
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "cnt": list(counters.values())}
+        )
 
-    cand = df.select(F.col(col).cast("string").alias(col)).mapInPandas(mg, out_schema)
-    return cand.distinct()
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(mg, out_schema)
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """DISTINCT union of the per-partition summary items — a superset of
+    every item with global frequency > n/(k+1): if freq(x)/n > 1/(k+1),
+    some partition has local relative frequency at least as large, and
+    that partition's summary retains x."""
+    return misra_gries_summaries(df, col, k).select(col).distinct()
 
 
 def heavy_hitters_verified(df: DataFrame, col: str, k: int = 16) -> DataFrame:

@@ -262,3 +262,53 @@ def streaming_distinct_users(
             "approx_users",
         )
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    state_dir: str,
+    col: str = "event_type",
+    k: int = 16,
+):
+    """Misra-Gries heavy hitters on a stream: a foreachBatch loop that
+    maintains ONE ≤k-counter summary across micro-batches — the
+    frequency twin of the windowed HLL tier.
+
+    Per batch: the batch is summarized distributedly (per-partition MG,
+    ≤ k×partitions rows reach the driver), then folded into the
+    persisted summary with the same weighted merge.  Because the MG
+    merge is associative over arbitrary merge trees, the maintained
+    summary is bit-identical to the sequential batch loop over the same
+    splits, and the superset guarantee (any item with cumulative
+    frequency > n/(k+1) is present) holds over the whole stream
+    history.  State is k counters — bytes, not keys — forever.
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import glob as _glob
+    import os as _os
+
+    from depositaja_spark.functions.heavyhitters import (
+        mg_merge,
+        misra_gries_summaries,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        schema = f"{col} string, cnt long"
+        if _glob.glob(_os.path.join(state_dir, "*.parquet")):
+            old = {
+                r[col]: r.cnt
+                for r in spark.read.schema(schema).parquet(state_dir).collect()
+            }
+        else:
+            old = {}
+        # sorted fold: collect order is nondeterministic and the weighted
+        # merge is order-sensitive at overflow — sorting makes the
+        # maintained state a pure function of (old state, batch contents)
+        parts = sorted((r[col], r.cnt) for r in misra_gries_summaries(batch, col, k).collect())
+        merged = mg_merge(old, parts, k)
+        spark.createDataFrame(
+            [(v, c) for v, c in sorted(merged.items())], schema
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    return events.writeStream.foreachBatch(_process)

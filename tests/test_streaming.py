@@ -793,3 +793,73 @@ def test_streaming_semantic_dedup_matches_batch_replay(spark, tmp_path):
     assert len(got) == len(vecs) + 1
     assert got == want
     assert got[planted_id][0] is False, "planted re-embedding must be rejected"
+
+
+def test_streaming_heavy_hitters_matches_batch_replay(spark, tmp_path):
+    """The foreachBatch Misra-Gries loop over a 3-file stream maintains
+    a summary bit-identical to the sequential batch merge over the same
+    splits, and the summary retains every item whose cumulative
+    frequency exceeds n/(k+1) (here: every event type)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.functions.heavyhitters import (
+        mg_merge,
+        misra_gries_summaries,
+    )
+    from depositaja_spark.streaming.pipeline import streaming_heavy_hitters
+
+    rows = load_table(spark, SF, "events").select("event_type").collect()
+    splits = [rows[i::3] for i in range(3)]
+    d = tmp_path / "et_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table({"event_type": pa.array([r.event_type for r in chunk], pa.string())}),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "mg_state")
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    k = 16
+    q = (
+        streaming_heavy_hitters(stream, state_dir, "event_type", k)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.event_type: r.cnt
+        for r in spark.read.parquet(state_dir).collect()
+    }
+
+    # sequential replay with the identical sorted-fold discipline
+    want: dict[str, int] = {}
+    for m, chunk in enumerate(splits):
+        b = spark.createDataFrame([(r.event_type,) for r in chunk], "event_type string")
+        parts = sorted(
+            (r.event_type, r.cnt)
+            for r in misra_gries_summaries(b, "event_type", k).collect()
+        )
+        want = mg_merge(want, parts, k)
+    assert got == want
+
+    # superset guarantee over the full history: every true heavy hitter
+    # (all 5 event types here, each ≫ n/(k+1)) is present
+    true_counts = {}
+    for r in rows:
+        true_counts[r.event_type] = true_counts.get(r.event_type, 0) + 1
+    n = len(rows)
+    heavy = {v for v, c in true_counts.items() if c > n / (k + 1)}
+    assert heavy <= set(got)
