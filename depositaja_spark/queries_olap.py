@@ -1876,3 +1876,126 @@ def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFram
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- behavioral analytics: event transition matrix ---------------------------
+
+
+@query(
+    "event_transition_matrix",
+    """
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral-model input (next-action
+    prediction, anomaly baselining).  One lag() window partitioned by
+    the high-cardinality user key with a deterministic (ts, event_id)
+    order, then a tiny (type × type) aggregation."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- customer value segmentation: RFM ---------------------------------------
+
+
+@query(
+    "rfm_segments",
+    """
+WITH base AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_quartile
+FROM base
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    standard customer-value model.  The three ntile windows run over
+    the ALREADY-AGGREGATED one-row-per-customer frame (global windows,
+    but their input is customer-sized, not order-sized — same bounded
+    argument as the daily-revenue windows); each carries a unique
+    custkey tie-break so quartile boundaries are deterministic.  The
+    money measure is an exact DECIMAL sum."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum(dec("o_totalprice")).alias("monetary"),
+    )
+    return base.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(W.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("m_quartile"),
+    )
+
+
+# --- market-basket affinity: part co-occurrence ------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_part_pairs",
+    f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS support
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(DISTINCT a.l_orderkey) >= {_BASKET_MIN_SUPPORT}
+""",
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-ordered in ≥
+    {_BASKET_MIN_SUPPORT} orders.  The self-join is ORDER-KEYED — the
+    pair fan-out per order is lines², bounded by the max basket size
+    (single digits in order data), never corpus²; the a<b predicate
+    halves it and dedups.  Support counts distinct orders with
+    map-side partial dedup.  This is the candidate-generation step of
+    any association-rule / co-purchase model at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
