@@ -103,3 +103,72 @@ def pack_ids(cum: Column, n_tokens: Column, target: int) -> Column:
     """Greedy streaming pack id from a running token total: the bin the
     row's FIRST token falls into at ``target`` tokens per bin."""
     return F.floor((cum - n_tokens) / target)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    metric_col: str,
+    tiebreak_col: str,
+    n_tiles: int,
+    total: int,
+    out_col: str,
+    *,
+    n_buckets: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY metric DESC, tiebreak ASC)``
+    without the single-task global sort.
+
+    The flat ntile window forces every row through ONE task's sort —
+    fine on an aggregated frame at test scale, dead when that frame has
+    10⁹ rows.  Decomposition (same offset idea as bucketed_running_sum,
+    but bucketed by VALUE instead of a monotone key):
+
+      1. ~n_buckets approximate quantile split points of the metric
+         (GK sketch, driver-side, KB);
+      2. scan-local coarse bucket per row — equal metric values always
+         share a bucket, and the bucket index is monotone in the DESC
+         order, so no tie ever straddles a boundary;
+      3. exact bucket counts → cumulative offsets on the
+         n_buckets-sized frame;
+      4. within-bucket row_number (each window sorts ≈ N/n_buckets
+         rows — plus tie mass: a value held by a large fraction of
+         rows concentrates in one bucket, the documented worst case);
+      5. global rank = offset + within-rank, and the tile follows from
+         ntile's exact fill arithmetic on (rank, total, n_tiles).
+
+    Result is row-identical to the flat window because the composed
+    order (bucket, metric DESC, tiebreak) equals the flat order."""
+    d = F.col(metric_col).cast("double")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile_approx(d, fracs, accuracy).alias("q")).collect()[0]
+    bounds = sorted(set(row.q or []))
+    # ascending bucket = #bounds strictly below the value; descending
+    # index flips it so bucket order matches the DESC rank order
+    asc = sum(
+        (F.when(d > F.lit(b), 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    )
+    nb = len(bounds)
+    b = df.withColumn("_vb", (F.lit(nb) - asc).cast("int"))
+    counts = b.groupBy("_vb").agg(F.count(F.lit(1)).alias("_bn"))
+    woff = W.orderBy("_vb").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_vb", F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_boff")
+    )
+    wrank = W.partitionBy("_vb").orderBy(d.desc(), F.asc(tiebreak_col))
+    ranked = b.join(F.broadcast(offsets), "_vb").withColumn(
+        "_rank", F.col("_boff") + F.row_number().over(wrank)
+    )
+    q, r = divmod(total, n_tiles)
+    if q == 0:
+        tile = F.col("_rank")
+    else:
+        head = (F.col("_rank") - 1) / (q + 1)
+        tail = F.lit(r) + (F.col("_rank") - 1 - (q + 1) * r) / q
+        tile = F.when(F.col("_rank") <= (q + 1) * r, F.floor(head) + 1).otherwise(
+            F.floor(tail) + 1
+        )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "_vb", "_boff", "_rank"
+    )

@@ -1936,33 +1936,30 @@ FROM base
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation — the
-    standard customer-value model.  The three ntile windows run over
-    the ALREADY-AGGREGATED one-row-per-customer frame (global windows,
-    but their input is customer-sized, not order-sized — same bounded
-    argument as the daily-revenue windows); each carries a unique
-    custkey tie-break so quartile boundaries are deterministic.  The
-    money measure is an exact DECIMAL sum."""
+    standard customer-value model.  The customer frame SCALES with sf,
+    so a flat global ntile window (one task sorts every customer) is
+    exactly the bug class the plan audit exists for; each quartile is
+    instead computed with ``distributed_ntile`` — value-bucketed
+    two-level ranking, row-identical to
+    ``ntile(4) OVER (ORDER BY metric DESC, o_custkey)`` (the oracle's
+    formulation) with no global sort.  The money measure is an exact
+    DECIMAL sum; every order has a unique custkey tie-break."""
+    from depositaja_spark.functions.cache import tracked_persist
+    from depositaja_spark.functions.windows import distributed_ntile
+
     orders = _t(spark, sf_dir, "orders")
-    base = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        exact_sum(dec("o_totalprice")).alias("monetary"),
+    base = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").cast("long").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            exact_sum(dec("o_totalprice")).alias("monetary"),
+        )
     )
-    return base.select(
-        "o_custkey",
-        F.ntile(4)
-        .over(W.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-        .cast("int")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .cast("int")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .cast("int")
-        .alias("m_quartile"),
-    )
+    n = base.count()
+    out = distributed_ntile(base, "last_order", "o_custkey", 4, n, "r_quartile")
+    out = distributed_ntile(out, "frequency", "o_custkey", 4, n, "f_quartile")
+    out = distributed_ntile(out, "monetary", "o_custkey", 4, n, "m_quartile")
+    return out.select("o_custkey", "r_quartile", "f_quartile", "m_quartile")
 
 
 # --- market-basket affinity: part co-occurrence ------------------------------

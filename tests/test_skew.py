@@ -296,3 +296,54 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full")
+
+
+def test_distributed_ntile_equals_flat_ntile(spark):
+    """distributed_ntile == ntile(t) OVER (ORDER BY metric DESC, id) on
+    random data including heavy ties (ties concentrate in one value
+    bucket but never straddle a boundary) and n not divisible by t."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.windows import distributed_ntile
+
+    rng = random.Random(11)
+    rows = [(i, float(rng.choice([1.0, 2.0, 3.0, rng.uniform(0, 100)]))) for i in range(1003)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    for t in (4, 7):
+        got = {
+            r.id: r.tile
+            for r in distributed_ntile(df, "v", "id", t, 1003, "tile", n_buckets=8).collect()
+        }
+        want = {
+            r.id: r.tile
+            for r in df.select(
+                "id",
+                F.ntile(t).over(W.orderBy(F.desc("v"), F.asc("id"))).alias("tile"),
+            ).collect()
+        }
+        assert got == want, t
+
+
+def test_distributed_ntile_no_global_sort_window(spark):
+    """The plan must contain no empty-partition Window (the single-task
+    global sort the operator exists to avoid) — every WindowExec
+    partitions by the value bucket."""
+    import contextlib
+    import io
+
+    from depositaja_spark.functions.windows import distributed_ntile
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+    out = distributed_ntile(df, "v", "id", 4, 1000, "tile")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", p):
+        spec = m.group(1)
+        # row_number's spec lists partition cols first; _vb must be there
+        assert "_vb" in spec, p
