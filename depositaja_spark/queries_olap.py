@@ -542,17 +542,22 @@ FROM customer
 )
 def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile quartiles + cume_dist per
-    market segment (deterministic tie-break on custkey for ntile; ties in
-    cume_dist share a value by definition)."""
+    market segment (deterministic tie-break on custkey for ntile; ties
+    in cume_dist share a value by definition).
+
+    Scale shape: c_mktsegment has 5 values over a customer table that
+    GROWS with sf, so the flat per-segment windows would put n/5 rows
+    through single tasks — the hot-partition class the plan audit
+    polices.  grouped_ntile_cume computes both functions row-identically
+    via per-segment value buckets: broadcast quantile bounds, bounded
+    within-bucket ranking, offsets cumulated on the segments×buckets
+    frame, ntile fill arithmetic and inclusive tie ranks stitched from
+    the exact global rank."""
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
     c = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    wc = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
-    return c.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.cume_dist().over(wc), 6).alias("cdist"),
-    )
+    out = grouped_ntile_cume(c, "c_mktsegment", "c_acctbal", "c_custkey", 4)
+    return out.select("c_custkey", "c_mktsegment", "quartile", "cdist")
 
 
 @query(

@@ -347,3 +347,36 @@ def test_distributed_ntile_no_global_sort_window(spark):
         spec = m.group(1)
         # row_number's spec lists partition cols first; _vb must be there
         assert "_vb" in spec, p
+
+
+def test_grouped_ntile_cume_equals_flat_windows(spark):
+    """grouped_ntile_cume == the flat per-group ntile + cume_dist
+    windows on random data with heavy ties and uneven group sizes."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(1500):
+        g = rng.choice(["a", "a", "a", "b", "c"])  # uneven groups
+        v = float(rng.choice([5.0, 5.0, rng.uniform(0, 10)]))  # heavy ties
+        rows.append((i, g, v))
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(7)
+    got = {
+        r.id: (r.quartile, r.cdist)
+        for r in grouped_ntile_cume(df, "g", "v", "id", 4, n_buckets=8).collect()
+    }
+    w = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    wc = W.partitionBy("g").orderBy("v")
+    want = {
+        r.id: (r.quartile, r.cdist)
+        for r in df.select(
+            "id",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.cume_dist().over(wc), 6).alias("cdist"),
+        ).collect()
+    }
+    assert got == want
