@@ -146,15 +146,17 @@ WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
 )
 def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (price above own-brand average),
-    decorrelated into a window average — one shuffle on the brand instead
-    of a per-row subquery.  Comparison on raw doubles is safe: both
-    engines compute the same avg over the same small per-brand sets...
-    with the window average never re-ordered (single partition per brand).
-    """
+    decorrelated into a per-brand AGGREGATE joined back — Catalyst's own
+    rewrite of the subquery.  A brand-partitioned WINDOW would compute
+    the same number but pull n/25 rows through each window task (brand
+    count is fixed while part scales with sf — the hot-partition
+    class); the aggregate is map-side combined to 25 rows and the join
+    back is a broadcast at any scale.  Comparison on raw doubles is
+    safe: both engines average the same per-brand sets."""
     p = load_table(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand")
+    brand_avg = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
     return (
-        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        p.join(F.broadcast(brand_avg), "p_brand")
         .filter(F.col("p_retailprice") > F.col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
     )
