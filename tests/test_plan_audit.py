@@ -98,7 +98,16 @@ _SCALING_TABLE_SIGS = {
 #: nodes that bound a subtree's cardinality regardless of input size
 _BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
 
-_LOW_CARD_COLS = {"lang", "predicted_lang", "score"}
+_LOW_CARD_COLS = {
+    "lang",
+    "predicted_lang",
+    "score",
+    # round-5 additions: fixed-domain columns over sf-scaling tables
+    "c_mktsegment",
+    "p_brand",
+    "event_type",
+    "source",
+}
 
 
 def _tree(plan_str: str) -> list[tuple[int, str]]:
@@ -210,7 +219,14 @@ def test_no_low_cardinality_window_over_corpus(spark, name):
         if any("Aggregate" in n or n.startswith("WindowGroupLimit") for n in sub):
             continue
         scans_corpus = any(
-            "Scan parquet" in n and ("n_chars" in n or "embedding" in n)
+            "Scan parquet" in n
+            and (
+                "n_chars" in n          # documents
+                or "embedding" in n     # embeddings
+                or "c_acctbal" in n     # customer
+                or "p_retailprice" in n # part
+                or "user_id" in n       # events
+            )
             for n in sub
         )
         assert not scans_corpus, (
