@@ -36,7 +36,13 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
-SIMHASH_BITS = 32
+#: full width of the portable 60-bit md5-prefix hash (text.py:hash64) —
+#: widened from the original 32 so the banded join's 7 bit-slices carry
+#: 8–9 bits each (fan-in N/2⁸⁻⁹ per bucket, the 100 TB-safe width; at 32
+#: bits the 4–5-bit slices were too coarse).  Both the Spark operator and
+#: the generated DuckDB oracle derive every shift/band width from this
+#: constant.
+SIMHASH_BITS = 60
 #: default stop-shingle document-frequency cap for the inverted-index
 #: joins: a shingle present in more documents than this is boilerplate
 #: (navigation chrome, license headers, templated text) and is dropped
@@ -415,23 +421,50 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): SIMHASH_BITS-bit Charikar signature over token
     hashes (multiplicity-weighted).  Explode + one groupBy with one
     conditional-sum per bit; the bit loop is compile-time, not data-time."""
-    # hash materialized as a column BEFORE the aggregate: each of the 32
-    # bit-aggregates references h, and inlining the md5 expression into
-    # every aggregate would evaluate it 32× per token
+    # hash materialized as a column BEFORE the aggregate: each of the
+    # SIMHASH_BITS bit-aggregates references h, and inlining the md5
+    # expression into every aggregate would evaluate it 60× per token
     tok = docs.select(
         "doc_id", F.explode(tokens(text_col)).alias("tok")
     ).select("doc_id", hash64(F.col("tok")).alias("h"))
-    h = F.col("h")
-    per_bit = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bit_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*per_bit)
+    # Two-level weighted aggregation: natural text is Zipfian, so
+    # (doc, token-hash) pre-counting shrinks the rows that pay the
+    # 60-bit-extraction expression by the duplication factor (~2.3× on
+    # the fixture, far more on web text); the pre-count itself is a
+    # trivial map-side-combined count.  The bit sums then weight each
+    # distinct hash by its multiplicity — identical Charikar semantics.
+    pre = tok.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("_c"))
+    h, cnt = F.col("h"), F.col("_c")
+    # Packed per-bit ONES counts: 3 bit-counters share one 64-bit
+    # accumulator in 21-bit slots (capacity 2^21-1 tokens per doc —
+    # ~40× the corpus chunk cap) → 20 sum states instead of 60.
+    # Sign rule: majority ⇔ 2·ones > n; ties land on bit=0 exactly
+    # like the classic Σ(±1) > 0.
+    slot_bits, slots = 21, 3
+    n_chunks = (SIMHASH_BITS + slots - 1) // slots
+    packed = []
+    for c in range(n_chunks):
+        expr = None
+        for s in range(slots):
+            j = c * slots + s
+            if j >= SIMHASH_BITS:
+                break
+            t = (
+                F.shiftleft(F.shiftright(h, j).bitwiseAND(F.lit(1)), slot_bits * s)
+                * cnt
+            )
+            expr = t if expr is None else expr + t
+        packed.append(F.sum(expr).alias(f"p_{c}"))
+    agg = pre.groupBy("doc_id").agg(F.sum(cnt).alias("_n"), *packed)
+    n2 = F.col("_n")
+    slot_mask = (1 << slot_bits) - 1
     sig = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"bit_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        c, s = divmod(j, slots)
+        ones = F.shiftright(F.col(f"p_{c}"), slot_bits * s).bitwiseAND(
+            F.lit(slot_mask)
+        )
+        term = F.when(ones * 2 > n2, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
@@ -475,11 +508,10 @@ def simhash_near_pairs_banded(
     (not probabilistic like MinHash-LSH), so the banded plan is a drop-in
     replacement: the oracle for this operator is the all-pairs SQL.
 
-    Scale: the equi-join's per-bucket fan-in is N/2^width per band.  With
-    32-bit signatures the slices are 4–5 bits (coarse; right for catalog
-    scale); a 100 TB deployment widens SIMHASH_BITS to 64 so each of the
-    7 bands carries ~9 bits and buckets stay small — the code below
-    derives widths from the constants and needs no other change."""
+    Scale: the equi-join's per-bucket fan-in is N/2^width per band.  At
+    the 60-bit signature width each of the 7 bands carries 8–9 bits, so
+    buckets stay small (N/2⁸⁻⁹ fan-in) — the 100 TB-safe slicing; all
+    widths derive from SIMHASH_BITS, so no other code changes with it."""
     bands = max_hamming + 1
     base, extra = divmod(SIMHASH_BITS, bands)
     widths = [base + (1 if i < extra else 0) for i in range(bands)]

@@ -49,9 +49,18 @@ def misra_gries_summaries(df: DataFrame, col: str, k: int = 16) -> DataFrame:
     out_schema = f"{col} string, cnt long"
 
     def mg(batches):
-        counters: dict[str, int] = {}
+        counters: dict[str | None, int] = {}
         for pdf in batches:
-            counters = mg_merge(counters, pdf[col].value_counts().items(), k)
+            # dropna=False: NULL is a countable group (the exact-verify
+            # layer and the SQL oracle's GROUP BY both report a NULL
+            # group, so the sketch must be able to nominate it).  pandas
+            # surfaces missing strings as NaN — normalize to None so the
+            # counter key is stable across batches.
+            items = (
+                (None if pd.isna(v) else v, c)
+                for v, c in pdf[col].value_counts(dropna=False).items()
+            )
+            counters = mg_merge(counters, items, k)
         yield pd.DataFrame(
             {col: list(counters.keys()), "cnt": list(counters.values())}
         )
@@ -74,9 +83,15 @@ def heavy_hitters_verified(df: DataFrame, col: str, k: int = 16) -> DataFrame:
     (≤ k × partitions items), never the full distinct-key domain."""
     cand = misra_gries_candidates(df, col, k)
     total = df.agg(F.count(F.lit(1)).alias("_n"))
+    vals = df.select(F.col(col).cast("string").alias(col))
     counted = (
-        df.select(F.col(col).cast("string").alias(col))
-        .join(cand, col, "left_semi")
+        # null-SAFE semi join: a NULL candidate must still select the
+        # NULL rows for exact counting (plain equality drops them)
+        vals.join(
+            cand.withColumnRenamed(col, "_cand"),
+            vals[col].eqNullSafe(F.col("_cand")),
+            "left_semi",
+        )
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
     )

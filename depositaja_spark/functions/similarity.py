@@ -521,6 +521,127 @@ def embedding_near_dup(
     return pairs.mapInPandas(score, _PAIR_SCHEMA)
 
 
+#: banded-SRP near-dup constants: 18 anchor hyperplanes (corpus rows, so
+#: the DuckDB oracle reproduces them), split into 6 bands of 3 bits.
+#: Pigeonhole: two signatures within Hamming distance ≤ bands-1 = 5 agree
+#: on at least one whole band, so the band equi-join's candidate set is a
+#: strict superset of every qualifying pair — no recall loss vs the
+#: all-pairs evaluation of the SAME (hamming, cosine) criterion.
+NEARDUP_ANCHOR_IDS = list(range(20, 38))
+NEARDUP_BANDS = 6
+NEARDUP_MAX_HAMMING = NEARDUP_BANDS - 1
+
+
+def with_srp_signature(
+    corpus: DataFrame,
+    anchor_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Attach an n-bit SRP signature packed into one LONG (bit i =
+    [dot(vec, anchor_i) > 0], anchors ascending by id).  One corpus scan;
+    the anchor dots are row-local against broadcast literal arrays."""
+    ids = NEARDUP_ANCHOR_IDS if anchor_ids is None else anchor_ids
+    rows = (
+        corpus.filter(F.col(id_col).isin(ids))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    sig = F.lit(0).cast("long")
+    for i, r in enumerate(rows):
+        a = F.array(*[F.lit(float(x)) for x in r[0]])
+        sig = sig + F.when(
+            F.round(dot(F.col(vec_col), a), 6) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return corpus.withColumn(sig_col, sig)
+
+
+def embedding_near_dup_banded(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    max_hamming: int = NEARDUP_MAX_HAMMING,
+    bands: int = NEARDUP_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded SRP-LSH — the SCALE path
+    (emits (a_id, b_id, hamming, cos) for srp_hamming ≤ max_hamming AND
+    cos ≥ threshold, a_id < b_id).
+
+    Candidate generation is a keyed equi-join on (band, band-slice of the
+    signature) — never an all-pairs product: per band, only same-slice
+    vectors meet, and the pigeonhole bound (max_hamming ≤ bands-1)
+    guarantees every qualifying pair collides in ≥1 band, so the banded
+    result is PROVABLY equal to the all-pairs evaluation of the same
+    criterion (asserted in tests and by the DuckDB oracle).  The exact
+    verify (bit_count(xor) + true cosine on the original vectors) then
+    removes false candidates.
+
+    Recall vs the UNFILTERED cosine criterion is a function of the
+    threshold: at a production near-dup τ≈0.95 the per-bit disagreement
+    is acos(.95)/π ≈ 0.10, so 18-bit Hamming concentrates ≤5 and recall
+    is ~98%; at the fixture's loose τ=0.4 (66°) it is deliberately
+    partial — the exact block-matmul path (embedding_near_dup) is kept
+    as the brute baseline, mirroring simhash_near_dups / _banded."""
+    n_anchors = len(NEARDUP_ANCHOR_IDS)
+    bpb = n_anchors // bands
+    assert bpb * bands == n_anchors, "bands must divide the anchor count"
+    assert max_hamming <= bands - 1, "pigeonhole needs max_hamming <= bands-1"
+    mask = (1 << bpb) - 1
+
+    # filters ordered cheapest-first: the band join and the Hamming
+    # filter touch ONLY (id, sig) — 16 bytes/row — so the overwhelming
+    # majority of candidate pairs die before any vector is shipped or
+    # any dot product runs.  Vectors join in only for Hamming survivors,
+    # scored with the Arrow-batched pair-dot (HOF folds are interpreted
+    # per element — fine once per corpus row, ~40× too slow per pair).
+    sigs = tracked_persist(
+        with_srp_signature(corpus, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).alias("id"), "sig"
+        )
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("sig"), bpb * j)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkt"),
+            )
+            for j in range(bands)
+        ]
+    )
+    keyed = sigs.select("id", "sig", F.explode(slices).alias("s")).select(
+        "id", "sig", F.col("s.band").alias("band"), F.col("s.bkt").alias("bkt")
+    )
+    a = keyed.select(F.col("id").alias("a_id"), F.col("sig").alias("asig"), "band", "bkt")
+    b = keyed.select(F.col("id").alias("b_id"), F.col("sig").alias("bsig"), "band", "bkt")
+    survivors = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("asig").bitwiseXOR(F.col("bsig"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()  # a pair can collide in several bands
+    )
+    units = unit_vectors(corpus, id_col, vec_col)
+    au = units.select(F.col(id_col).alias("a_id"), F.col("unit").alias("aunit"))
+    bu = units.select(F.col(id_col).alias("b_id"), F.col("unit").alias("bunit"))
+    pair_dot = _pair_dot_udf()
+    return (
+        survivors.join(au, "a_id")
+        .join(bu, "b_id")
+        .withColumn("cos", F.round(pair_dot(F.col("aunit"), F.col("bunit")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "hamming", "cos")
+    )
+
+
 def semantic_incremental_dedup(
     old: DataFrame,
     new: DataFrame,

@@ -450,7 +450,8 @@ SELECT doc_id, {sig} AS simhash FROM bits
 
 @query("simhash_signatures", _simhash_sql())
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash (Charikar) signatures over token hashes."""
+    """60-bit SimHash (Charikar) signatures over token hashes (full
+    width of the portable md5-prefix hash; see dd.SIMHASH_BITS)."""
     return dd.simhash(_docs(spark, sf_dir))
 
 
@@ -755,8 +756,58 @@ WHERE a_id < b_id AND {_COS.format(a='avec', b='bvec')} >= 0.4
 """,
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the ALL-PAIRS
+    block-matmul baseline, kept as the exact reference for the banded
+    scale path (embedding_near_dups_bucketed), mirroring the
+    simhash_near_dups / _banded pairing."""
     return sim.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _neardup_bit_case() -> str:
+    whens = " ".join(
+        f"WHEN {aid} THEN CAST({1 << i} AS BIGINT)"
+        for i, aid in enumerate(sim.NEARDUP_ANCHOR_IDS)
+    )
+    return f"CASE a.aid {whens} END"
+
+
+_NEARDUP_ANCHOR_IDS_SQL = ", ".join(str(a) for a in sim.NEARDUP_ANCHOR_IDS)
+
+
+@query(
+    "embedding_near_dups_bucketed",
+    f"""
+WITH anch AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings
+              WHERE vec_id IN ({_NEARDUP_ANCHOR_IDS_SQL})),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_COS_DOT.format(a='e.embedding', b='a.avec')} > 0
+                       THEN {_neardup_bit_case()} ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN anch a
+  GROUP BY e.vec_id
+),
+se AS (SELECT e.vec_id, e.embedding, s.sig
+       FROM embeddings e JOIN sigs s USING (vec_id)),
+a AS (SELECT vec_id AS a_id, embedding AS avec, sig AS asig FROM se),
+b AS (SELECT vec_id AS b_id, embedding AS bvec, sig AS bsig FROM se)
+SELECT a_id, b_id,
+       CAST(bit_count(xor(asig, bsig)) AS INT) AS hamming,
+       {_COS.format(a='avec', b='bvec')} AS cos
+FROM a CROSS JOIN b
+WHERE a_id < b_id
+  AND bit_count(xor(asig, bsig)) <= {sim.NEARDUP_MAX_HAMMING}
+  AND {_COS.format(a='avec', b='bvec')} >= 0.4
+""",
+)
+def q_embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded SRP-LSH — the SCALE-path
+    default for semantic dedup: candidates from a keyed (band, slice)
+    equi-join (pigeonhole-complete for srp_hamming ≤ {sim.NEARDUP_MAX_HAMMING}),
+    then exact bit_count(xor) + cosine verify.  The oracle evaluates the
+    SAME criterion all-pairs, so oracle equality proves the banding loses
+    nothing (functions/similarity.py:embedding_near_dup_banded)."""
+    return sim.embedding_near_dup_banded(_emb(spark, sf_dir), threshold=0.4)
 
 
 # --- multimodal ----------------------------------------------------------------
@@ -788,8 +839,17 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (byte
     histogram stand-in for media decode) — mapInPandas plumbing, not
-    SQL-expressible (driver records rows-only)."""
-    return mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
+    SQL-expressible (driver records rows-only).
+
+    The library function (functions/multimodal.py:extract_features)
+    returns a typed ``features: array<double>`` column; the REGISTERED
+    query explodes it to one ``(doc_id, bin_idx, value)`` row per bucket
+    so the driver's canonicalizer (pandas sort + hash) has only scalar
+    cells — array cells are unhashable there (round-5 driver red row)."""
+    feats = mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin_idx", "value")
+    )
 
 
 NO_ORACLE_OK.add("multimodal_features")
@@ -798,23 +858,68 @@ NO_ORACLE_OK.add("multimodal_features")
 # --- faithful stateful detector (streaming semantics, batch replay) -----------
 
 
-@query("exact_detector_replay")
+def _exact_detector_sql() -> str:
+    """The detector fold as a DuckDB RECURSIVE CTE: the batch replay is
+    order-deterministic given ``seq``, so the add-then-maybe-reset state
+    machine unrolls into one recursion step per deposit rank.  Floating-
+    point adds happen in the identical per-wallet seq order as the Spark
+    replay, so ``received`` matches bit-for-bit, not just to rounding."""
+    from depositaja_spark.schemas import MAX_AMOUNT, ROLLING_PERIOD_SECONDS
+
+    return f"""
+WITH RECURSIVE deposits AS (
+  SELECT CAST(user_id AS VARCHAR) AS wallet_id,
+         value AS amount,
+         CAST(floor(epoch(ts)) AS BIGINT) AS now,
+         event_id AS seq
+  FROM events
+  WHERE event_type = 'purchase' AND value > 0
+),
+ordered AS (
+  SELECT wallet_id, amount, now, seq,
+         row_number() OVER (PARTITION BY wallet_id ORDER BY seq) AS rn
+  FROM deposits
+),
+fold AS (
+  SELECT wallet_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS seq,
+         CAST(0 AS BIGINT) AS start, CAST(0.0 AS DOUBLE) AS received
+  FROM (SELECT DISTINCT wallet_id FROM ordered)
+  UNION ALL
+  SELECT o.wallet_id, o.rn, o.seq,
+         CASE WHEN f.start = 0 THEN o.now
+              WHEN o.now - f.start > {ROLLING_PERIOD_SECONDS} THEN 0
+              ELSE f.start END AS start,
+         CASE WHEN f.start <> 0 AND o.now - f.start > {ROLLING_PERIOD_SECONDS}
+              THEN 0.0
+              ELSE f.received + o.amount END AS received
+  FROM fold f
+  JOIN ordered o ON o.wallet_id = f.wallet_id AND o.rn = f.rn + 1
+)
+SELECT wallet_id, seq,
+       NOT (received >= {MAX_AMOUNT} AND start <> 0) AS flag_removed,
+       CASE WHEN received >= {MAX_AMOUNT} AND start <> 0
+            THEN start ELSE 0 END AS rolling_period_start_unix,
+       received
+FROM fold WHERE rn >= 1
+"""
+
+
+@query("exact_detector_replay", _exact_detector_sql())
 def q_exact_detector_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's EXACT processing-time detector semantics
     (detector/detector.go:47-75: add, maybe-reset-swallowing-current,
-    flag-on-every-event) replayed deterministically with event time as the
-    clock.  Sequential per-key state machine — not SQL-expressible, driver
-    records rows-only; batch/stream equivalence is covered in
-    tests/test_streaming.py."""
+    flag-on-every-event) replayed deterministically with event time as
+    the clock.  Sequential per-key state machine; because the fold is
+    order-deterministic given ``seq``, it IS oracle-expressible — as a
+    DuckDB recursive CTE unrolling the same transition (this is the
+    faithful A3 replica, so it carries the strongest available check).
+    Batch/stream equivalence is covered in tests/test_streaming.py."""
     from depositaja_spark.operators import valid_deposits
     from depositaja_spark.sources import deposits_from_events
     from depositaja_spark.streaming.detector_state import exact_detector_batch
 
     deposits = valid_deposits(deposits_from_events(load_table(spark, sf_dir, "events")))
     return exact_detector_batch(deposits)
-
-
-NO_ORACLE_OK.add("exact_detector_replay")
 
 
 # --- chunking & packing (training-data prep) ---------------------------------

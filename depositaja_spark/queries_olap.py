@@ -920,10 +920,13 @@ JOIN customer ON o_custkey = c_custkey
 def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total line quantity exceeds a
     threshold, joined back to order/customer detail.  The group-then-
-    HAVING aggregation is map-side combined; the qualifying-key set is
-    small by construction (HAVING prunes hard), so THAT side carries the
-    broadcast hint — it stays bounded at any sf, unlike customer, whose
-    join is left to AQE to broadcast-or-shuffle from runtime statistics."""
+    HAVING aggregation is map-side combined.  NO broadcast hint on the
+    qualifying-key set: it is HAVING-pruned but keyed by l_orderkey, so
+    its cardinality is a fixed FRACTION of an sf-scaling order count —
+    tiny at sf0.1, unbounded at 100×.  AQE picks broadcast from runtime
+    statistics when it actually fits (asserted at every tested sf);
+    tests/test_plan_audit.py now rejects hints whose only bound is an
+    aggregate grouped by an sf-scaling key."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -933,7 +936,7 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
     )
     return (
-        F.broadcast(big).join(orders, big.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",

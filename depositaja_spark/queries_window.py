@@ -127,7 +127,9 @@ def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
-        F.col("o_orderdate").cast("timestamp").cast("long").alias("day_unix")
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        .cast("long")
+        .alias("day_unix")
     ).agg(exact_sum(dec("o_totalprice")).alias("revenue"))
     w = W.orderBy("day_unix").rowsBetween(-6, 0)
     return daily.select(
@@ -228,7 +230,9 @@ def q_revenue_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
-        F.col("o_orderdate").cast("timestamp").cast("long").alias("day_unix")
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        .cast("long")
+        .alias("day_unix")
     ).agg(exact_sum(dec("o_totalprice")).alias("revenue"))
     w = W.orderBy("day_unix").rangeBetween(-_RANGE_6D, 0)
     return daily.select(

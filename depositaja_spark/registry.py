@@ -585,63 +585,30 @@ from depositaja_spark import queries_sketch  # noqa: E402,F401
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- never driver-sampled through r4, oracle-backed first ------------
-    "token_budget_select",
-    "training_export",
-    "asof_last_click",
-    "purchase_error_pairs",
-    "ann_topk_ivf",
-    "cube_order_stats",
-    # -- never driver-sampled, rows-only (NO_ORACLE_OK) ------------------
+    # -- never driver-sampled through r5 (late-round-5 additions that
+    #    missed the 50-entry window — union coverage goal: 153/153) -------
+    "basket_part_pairs",
+    "cohort_retention",
+    "event_transition_matrix",
+    "heavy_hitter_events",
+    "referential_integrity_report",
+    "rfm_segments",
+    "user_activity_streaks",
+    # -- code changed round 6: driver-red fix, new/changed oracles,
+    #    64-bit SimHash re-pin, broadcast-hint removal ---------------------
     "multimodal_features",
     "exact_detector_replay",
-    "ann_topk_pq",
-    "bpe_merges",
-    "bpe_subword_counts",
-    "ann_topk_ivfpq",
     "sketch_distinct_users",
-    "quantile_sketch_values",
-    "stratified_sample",
     "kmeans_cluster_sizes",
-    # -- code changed this round (round 5): broadcast-hint removal in the
-    #    TPC-H shapes, two-level packing rewrite, verify-arm estimator fix
-    "tpch_q3_topk",
-    "revenue_by_nation",
-    "profit_by_nation_year",
-    "returned_item_revenue",
+    "embedding_near_dups_bucketed",
+    "embedding_near_dups",
+    "simhash_signatures",
+    "simhash_near_dups",
+    "simhash_near_dups_banded",
     "large_volume_orders",
-    "promo_revenue_share",
-    "disjunctive_brand_revenue",
-    "pack_documents",
-    "minhash_lsh_near_dups",
-    # -- new in round 5 --------------------------------------------------
-    "source_cap_sample",
-    "token_length_outliers",
-    "decontaminate_semantic",
-    "pack_manifest",
-    # -- new in round 5: TPC-H completion (Q6/Q7/Q8/Q13/Q15 + adapted
-    #    Q2/Q11/Q21/Q22 — the fixture has no partsupp/receiptdate/phone)
-    "forecast_revenue_change",
-    "nation_pair_volume",
-    "nation_market_share",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "important_part_value",
-    "waiting_suppliers",
-    "global_sales_opportunity",
-    "min_cost_supplier",
-    "supplier_cnt_by_part_attrs",
-    "excess_supply_suppliers",
-    # -- new in round 5: corpus/embedding observability -------------------
-    "zipf_law_fit",
-    "dedup_rate_by_source",
-    "embedding_norm_stats",
-    "perplexity_buckets",
-    "source_epoch_plan",
-    "leakage_safe_split",
     "revenue_range_frame_avg",
-    "scd2_user_status",
-    "funnel_conversion",
+    # -- new in round 6 ----------------------------------------------------
+    # (appended below as queries land this round)
 )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 from depositaja_spark.plans.corpus_pipeline import MIN_ALPHA, MIN_TOKENS, corpus_gate
 
@@ -116,36 +117,102 @@ def streaming_incremental_dedup(
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True).start()
     """
-    import glob as _glob
-    import os as _os
-
-    from depositaja_spark.functions.cache import release_caches
     from depositaja_spark.functions.dedup import incremental_dedup
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        schema = "doc_id long, text string"
-        if _glob.glob(_os.path.join(history_dir, "*.parquet")):
-            old = spark.read.schema(schema).parquet(history_dir)
-        else:
-            old = spark.createDataFrame([], schema)
         new = batch.select("doc_id", F.col(text_col).alias("text"))
-        res = incremental_dedup(old, new, n=n, threshold=threshold).persist()
+        _apply_dedup_increment(
+            batch.sparkSession,
+            batch_id,
+            new,
+            lambda old, inc: incremental_dedup(old, inc, n=n, threshold=threshold),
+            history_dir,
+            decisions_dir,
+            id_col="doc_id",
+        )
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
+def _apply_dedup_increment(
+    spark,
+    batch_id: int,
+    new: DataFrame,
+    compute,
+    history_dir: str,
+    decisions_dir: str,
+    id_col: str,
+) -> None:
+    """Shared exactly-once foreachBatch body for the incremental dedup
+    tiers (text MinHash and embedding-cosine).
+
+    foreachBatch is at-least-once, so the body must be replay-safe at
+    EVERY crash point:
+
+    * decisions for batch b land atomically: staged to a temp dir, then
+      renamed to ``decisions_dir/batch_id=<b>`` (Hive-style name, so a
+      plain ``spark.read.parquet(decisions_dir)`` still yields the
+      batch_id column via partition discovery).  A replayed batch whose
+      commit dir already exists SKIPS the dedup computation entirely —
+      it can never re-score the batch against its own keepers (the
+      self-match-at-cosine-1.0 / own-fingerprint hole) and never appends
+      contradictory decisions.
+    * the history append runs AFTER the decisions commit.  On a replay
+      that finds decisions committed, keepers are re-derived from the
+      stored decisions and only the ids MISSING from history are
+      appended — a crash between commit and append repairs exactly; a
+      crash mid-append can at worst leave duplicate keeper rows from
+      completed part-files, which affects later batches' scan cost but
+      not their decisions (a duplicate history row matches the same
+      pairs).
+
+    The history read schema is DERIVED from the batch (id + payload
+    column types), not hardcoded — a stream whose embedding column is
+    array<double> round-trips with its own type instead of mis-reading
+    batch 0's parquet as array<float>."""
+    import os as _os
+
+    from depositaja_spark.functions.cache import release_caches
+
+    hist_schema = _T.StructType([new.schema[f] for f in new.columns])
+    committed = _os.path.join(decisions_dir, f"batch_id={batch_id}")
+
+    if _os.path.isdir(history_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(history_dir)
+    ):
+        old = spark.read.schema(hist_schema).parquet(history_dir)
+    else:
+        old = spark.createDataFrame([], hist_schema)
+
+    try:
+        if _os.path.isdir(committed):
+            # replay of an already-decided batch: repair the history
+            # append if (and only to the extent) it is missing
+            keep_ids = (
+                spark.read.parquet(committed)
+                .filter(F.col("keep"))
+                .select(id_col)
+            )
+            missing = (
+                new.join(keep_ids, id_col, "left_semi")
+                .join(old.select(id_col), id_col, "left_anti")
+            )
+            if not missing.isEmpty():
+                missing.write.mode("append").parquet(history_dir)
+            return
+
+        res = compute(old, new).persist()
         try:
-            res.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(decisions_dir)
-            # append keepers AFTER decisions are durable: on retry after a
-            # crash between the writes, decisions are idempotent per
-            # batch_id and keepers re-derive from them
+            staged = _os.path.join(decisions_dir, f"_staged_{batch_id}")
+            res.write.mode("overwrite").parquet(staged)
+            _os.rename(staged, committed)
             new.join(
-                res.filter(F.col("keep")), "doc_id", "left_semi"
+                res.filter(F.col("keep")), id_col, "left_semi"
             ).write.mode("append").parquet(history_dir)
         finally:
             res.unpersist()
-            release_caches()
-
-    return docs_stream.writeStream.foreachBatch(_process)
+    finally:
+        release_caches()
 
 
 def streaming_semantic_dedup(
@@ -166,36 +233,25 @@ def streaming_semantic_dedup(
     so a replayed stream produces bit-identical per-vector decisions to
     the sequential batch loop over the same splits (tested).  Per-batch
     cost is history-blocks × increment-blocks — linear in history, with
-    the increment side broadcast.  Returns a DataStreamWriter; caller
+    the increment side broadcast.  Replay safety (atomic per-batch
+    decision commits, skip-if-committed, history-append repair, history
+    schema derived from the batch) is shared with the text tier — see
+    ``_apply_dedup_increment``.  Returns a DataStreamWriter; caller
     picks trigger + checkpoint."""
-    import glob as _glob
-    import os as _os
-
-    from depositaja_spark.functions.cache import release_caches
     from depositaja_spark.functions.similarity import semantic_incremental_dedup
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        schema = f"{id_col} long, {vec_col} array<float>"
-        if _glob.glob(_os.path.join(history_dir, "*.parquet")):
-            old = spark.read.schema(schema).parquet(history_dir)
-        else:
-            old = spark.createDataFrame([], schema)
         new = batch.select(id_col, vec_col)
-        res = semantic_incremental_dedup(
-            old, new, threshold, id_col=id_col, vec_col=vec_col
-        ).persist()
-        try:
-            res.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(decisions_dir)
-            # keepers appended AFTER decisions are durable (crash-retry
-            # idempotence per batch_id, same argument as the text tier)
-            new.join(
-                res.filter(F.col("keep")), id_col, "left_semi"
-            ).write.mode("append").parquet(history_dir)
-        finally:
-            res.unpersist()
-            release_caches()
+        _apply_dedup_increment(
+            batch.sparkSession,
+            batch_id,
+            new,
+            lambda old, inc: semantic_incremental_dedup(
+                old, inc, threshold, id_col=id_col, vec_col=vec_col
+            ),
+            history_dir,
+            decisions_dir,
+            id_col=id_col,
+        )
 
     return vec_stream.writeStream.foreachBatch(_process)

@@ -283,32 +283,81 @@ def streaming_heavy_hitters(
     frequency > n/(k+1) is present) holds over the whole stream
     history.  State is k counters — bytes, not keys — forever.
 
+    Exactly-once under foreachBatch's at-least-once contract: state
+    lives in ``state_dir/commit_<batch_id>`` directories.  A replayed
+    micro-batch (batch_id ≤ the newest commit) is SKIPPED, so a retry
+    can never double-fold; the new summary is staged to a temp dir and
+    atomically renamed into place, so a crash mid-write leaves the
+    previous commit intact (a leftover ``staged_*`` dir is ignored and
+    overwritten on the replay).  Read the summary via
+    ``load_mg_state``, never by globbing the dir.
+
     Returns a DataStreamWriter; caller picks trigger + checkpoint."""
-    import glob as _glob
     import os as _os
+    import shutil as _shutil
 
     from depositaja_spark.functions.heavyhitters import (
         mg_merge,
         misra_gries_summaries,
     )
 
+    schema = f"{col} string, cnt long"
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        schema = f"{col} string, cnt long"
-        if _glob.glob(_os.path.join(state_dir, "*.parquet")):
-            old = {
-                r[col]: r.cnt
-                for r in spark.read.schema(schema).parquet(state_dir).collect()
-            }
-        else:
-            old = {}
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return  # at-least-once replay of an already-folded batch
+        old = load_mg_state(spark, state_dir, col)
         # sorted fold: collect order is nondeterministic and the weighted
         # merge is order-sensitive at overflow — sorting makes the
-        # maintained state a pure function of (old state, batch contents)
-        parts = sorted((r[col], r.cnt) for r in misra_gries_summaries(batch, col, k).collect())
+        # maintained state a pure function of (old state, batch contents).
+        # NULL is a legal counter key (summaries count it since the
+        # dropna=False fix) — sort it first so mixed None/str sorts.
+        nkey = lambda t: (t[0] is not None, t[0] or "")  # noqa: E731
+        parts = sorted(
+            ((r[col], r.cnt) for r in misra_gries_summaries(batch, col, k).collect()),
+            key=nkey,
+        )
         merged = mg_merge(old, parts, k)
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
         spark.createDataFrame(
-            [(v, c) for v, c in sorted(merged.items())], schema
-        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+            [(v, c) for v, c in sorted(merged.items(), key=nkey)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        # retire superseded commits only AFTER the new one exists
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
 
     return events.writeStream.foreachBatch(_process)
+
+
+def _mg_commits(state_dir: str) -> list[tuple[int, str]]:
+    """(batch_id, dirname) of every committed MG summary, ascending."""
+    import os as _os
+
+    if not _os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in _os.listdir(state_dir):
+        if name.startswith("commit_"):
+            try:
+                out.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def load_mg_state(spark, state_dir: str, col: str = "event_type") -> dict:
+    """The newest committed Misra-Gries summary as {value: count}
+    (empty before the first commit)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        r[col]: r.cnt
+        for r in spark.read.schema(f"{col} string, cnt long").parquet(path).collect()
+    }

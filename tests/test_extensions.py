@@ -271,6 +271,41 @@ def test_simhash_banded_equals_all_pairs(spark, docs):
     assert got == want
 
 
+def test_embedding_banded_equals_all_pairs(spark, emb):
+    """The banded SRP near-dup join must reproduce the all-pairs
+    evaluation of the same (srp_hamming ≤ d, cos ≥ τ) criterion exactly
+    — pigeonhole (max_hamming ≤ bands-1) guarantees every qualifying
+    pair collides in at least one band."""
+    sigs = sim.with_srp_signature(emb).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "sig"
+    )
+    a = sigs.select(
+        F.col("id").alias("a_id"), F.col("vec").alias("avec"), F.col("sig").alias("asig")
+    )
+    b = sigs.select(
+        F.col("id").alias("b_id"), F.col("vec").alias("bvec"), F.col("sig").alias("bsig")
+    )
+    allpairs = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("asig").bitwiseXOR(F.col("bsig"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= sim.NEARDUP_MAX_HAMMING)
+        .withColumn("cos", F.round(sim.cosine(F.col("avec"), F.col("bvec")), 6))
+        .filter(F.col("cos") >= 0.4)
+        .select("a_id", "b_id", "hamming", "cos")
+    )
+    want = {tuple(r) for r in allpairs.collect()}
+    got = {
+        tuple(r)
+        for r in sim.embedding_near_dup_banded(emb, threshold=0.4).collect()
+    }
+    assert want, "fixture should contain qualifying SRP near-dup pairs"
+    assert got == want
+
+
 def test_ivf_layout_prunes_partitions(spark, emb, tmp_path):
     """The cell-partitioned layout must (a) return exactly the same
     top-k as the in-memory IVF path and (b) scan only the probed cells

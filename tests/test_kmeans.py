@@ -94,3 +94,26 @@ def test_seeding_chunked_races_match_unchunked(spark):
     finally:
         km._RACE_CHUNK = orig
     assert chunked == flat
+
+
+def test_cluster_sizes_pinned_golden(spark):
+    """The registered kmeans_cluster_sizes query is fully deterministic
+    (hash-race seeding, no RNG), so its per-cluster membership counts are
+    PINNED per fixture — the strongest check available for an iterative
+    operator with no SQL oracle (the driver records rows-only)."""
+    from depositaja_spark import registry
+
+    golden = {
+        "/root/testdata/sf0.001": [
+            (0, 53), (1, 70), (2, 49), (3, 71), (4, 62), (5, 63), (6, 76), (7, 56)
+        ],
+        "/root/testdata/sf0.01": [
+            (0, 74), (1, 72), (2, 57), (3, 68), (4, 59), (5, 59), (6, 53), (7, 58)
+        ],
+    }
+    for sf_dir, want in golden.items():
+        got = [
+            (r.cluster, r.n_members)
+            for r in registry.QUERIES["kmeans_cluster_sizes"](spark, sf_dir).collect()
+        ]
+        assert got == want, f"{sf_dir}: {got}"

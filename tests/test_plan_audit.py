@@ -95,8 +95,59 @@ _SCALING_TABLE_SIGS = {
     "embeddings": "embedding",
 }
 
-#: nodes that bound a subtree's cardinality regardless of input size
-_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+#: nodes that bound a subtree's cardinality regardless of input size.
+#: Aggregate is deliberately NOT here: an aggregate only bounds its
+#: output when its grouping keys span a fixed domain — grouped by an
+#: sf-scaling key (l_orderkey, doc_id, a shingle hash) it emits one row
+#: per key and scales right along with the input (the round-5
+#: large_volume_orders hole).  Aggregates are handled by
+#: _aggregate_is_bounded below.
+_BOUNDING_NODES = ("GlobalLimit", "LocalLimit", "Deduplicate")
+
+#: grouping columns whose domain does not grow with the scale factor:
+#: dimension keys/names (25 nations, 5 regions), enum-like attribute
+#: columns, language/source tags, and the engine's own bounded bucket
+#: indices (_vb value buckets, band ids, quantile bucket ids)
+_FIXED_DOMAIN_GROUP_COLS = {
+    "n_name", "n_nationkey", "r_name", "r_regionkey",
+    "supp_nation", "cust_nation", "nation",
+    "lang", "predicted_lang", "source", "score",
+    "c_mktsegment", "p_brand", "p_type", "p_container", "p_size",
+    "event_type", "o_orderstatus", "o_orderpriority", "l_returnflag",
+    "l_linestatus", "l_shipmode", "flagged", "above_threshold",
+    "_vb", "band", "bucket", "cell", "bin_idx", "grp", "year",
+}
+
+
+def _bracket_groups(node: str) -> list[str]:
+    groups, depth, start = [], 0, None
+    for k, ch in enumerate(node):
+        if ch == "[":
+            if depth == 0:
+                start = k
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(node[start + 1 : k])
+    return groups
+
+
+def _aggregate_is_bounded(node: str) -> bool:
+    """True iff an Aggregate node's OUTPUT cardinality is sf-invariant:
+    no grouping keys (global scalar, 1 row) or every grouping key drawn
+    from a fixed domain."""
+    import re
+
+    groups = _bracket_groups(node)
+    if not groups:
+        return False
+    if len(groups) == 1:
+        # `Aggregate [aggExprs]` — empty grouping prints ONE bracket
+        # group (global scalar, 1 row); grouped prints two
+        return True
+    grouping = {m.group(1) for m in re.finditer(r"(\w+)#\d+", groups[0])}
+    return grouping <= _FIXED_DOMAIN_GROUP_COLS  # vacuously true when empty
 
 _LOW_CARD_COLS = {
     "lang",
@@ -178,11 +229,18 @@ def test_no_unbounded_forced_broadcast(spark, name):
         )
         if not scans_scaling:
             continue
-        bounded = any(n.startswith(_BOUNDING_NODES) for n in sub) or any(
-            # point / fixed-probe-set filter on a key column (check_one's
-            # probe slice, the ANN query-vector IN-list)
-            n.startswith("Filter") and ("=" in n or " IN (" in n)
-            for n in sub
+        bounded = (
+            any(n.startswith(_BOUNDING_NODES) for n in sub)
+            or any(
+                n.startswith("Aggregate") and _aggregate_is_bounded(n)
+                for n in sub
+            )
+            or any(
+                # point / fixed-probe-set filter on a key column (check_one's
+                # probe slice, the ANN query-vector IN-list)
+                n.startswith("Filter") and ("=" in n or " IN (" in n)
+                for n in sub
+            )
         )
         assert bounded, (
             f"{name}: forced broadcast over an unbounded sf-scaling scan:\n"
@@ -233,6 +291,48 @@ def test_no_low_cardinality_window_over_corpus(spark, name):
             f"{name}: window partitioned only by {sorted(part)} over a "
             "corpus-sized frame — single-task sort for the dominant value"
         )
+
+
+def test_audit_catches_scaling_key_agg_broadcast(spark):
+    """Self-test of the tightened broadcast net: the PRE-round-6
+    large_volume_orders shape (forced broadcast of a HAVING-pruned
+    aggregate grouped by the sf-scaling l_orderkey) must be flagged —
+    a fixed qty threshold passes a fixed FRACTION of an sf-growing
+    order count, so nothing bounds the frame at 100×."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(
+        F.col("q") > 250
+    )
+    bad = F.broadcast(big).join(orders, big.l_orderkey == orders.o_orderkey)
+    rows = _analyzed(bad)
+    flagged = False
+    for i, (_, node) in enumerate(rows):
+        if not node.startswith("ResolvedHint") or "broadcast" not in node.lower():
+            continue
+        sub = _subtree(rows, i)
+        scans_scaling = any(
+            sig in n
+            for n in sub
+            if n.startswith("Relation")
+            for sig in _SCALING_TABLE_SIGS.values()
+        )
+        bounded = (
+            any(n.startswith(_BOUNDING_NODES) for n in sub)
+            or any(
+                n.startswith("Aggregate") and _aggregate_is_bounded(n)
+                for n in sub
+            )
+            or any(
+                n.startswith("Filter") and ("=" in n or " IN (" in n)
+                for n in sub
+            )
+        )
+        if scans_scaling and not bounded:
+            flagged = True
+    assert flagged, "checker failed to flag the scaling-key aggregate broadcast"
 
 
 def test_audit_catches_naive_low_card_window(spark):

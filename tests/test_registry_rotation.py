@@ -72,15 +72,29 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round5_changed_queries_are_prioritized():
-    """Queries whose implementation changed in round 5 (forced-broadcast
-    removal, packing rewrite) must sit in the driver window so the change
-    is re-verified by the external gate, not only locally."""
+def test_round6_changed_queries_are_prioritized():
+    """Queries whose implementation changed in round 6 (driver-red
+    multimodal fix, banded embedding dedup, broadcast-hint removal,
+    64-bit SimHash) must sit in the driver window so the change is
+    re-verified by the external gate, not only locally."""
     changed = {
-        "tpch_q3_topk", "revenue_by_nation", "profit_by_nation_year",
-        "returned_item_revenue", "large_volume_orders",
-        "promo_revenue_share", "disjunctive_brand_revenue",
-        "pack_documents", "training_export", "token_budget_select",
+        "multimodal_features", "exact_detector_replay",
+        "embedding_near_dups_bucketed", "embedding_near_dups",
+        "large_volume_orders", "simhash_signatures",
+        "simhash_near_dups", "simhash_near_dups_banded",
+        "sketch_distinct_users", "kmeans_cluster_sizes",
+        "revenue_range_frame_avg",
     }
     window = set(list(R.QUERIES)[:50])
     assert changed <= window
+
+
+def test_never_driver_sampled_queries_lead_the_window():
+    """The 7 queries absent from every r1–r5 driver sample must sit at
+    the very front of the window (union driver coverage → 153/153)."""
+    never = [
+        "basket_part_pairs", "cohort_retention", "event_transition_matrix",
+        "heavy_hitter_events", "referential_integrity_report",
+        "rfm_segments", "user_activity_streaks",
+    ]
+    assert list(R.QUERIES)[: len(never)] == never

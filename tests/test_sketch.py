@@ -146,3 +146,21 @@ def test_misra_gries_counter_bound(spark):
     k = 8
     n_cand = misra_gries_candidates(df, "k", k).count()
     assert n_cand <= k * 4
+
+
+def test_misra_gries_null_heavy_group_reported(spark):
+    """NULL is a countable group: when NULL itself is a heavy hitter the
+    sketch must nominate it and the exact-verify layer must count it
+    (value_counts(dropna=False) + null-safe semi join) — matching the
+    SQL oracle's GROUP BY, which reports a NULL group."""
+    from depositaja_spark.functions.heavyhitters import heavy_hitters_verified
+
+    rows = [(None,)] * 60 + [("a",)] * 25 + [("b",)] * 10 + [(f"t{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    k = 4
+    got = {r.k: r.n for r in heavy_hitters_verified(df, "k", k).collect()}
+    n = len(rows)
+    assert None in got and got[None] == 60
+    assert got.get("a") == 25
+    # exactness: output is exactly the > n/(k+1) set
+    assert set(got) == {v for v, c in {None: 60, "a": 25, "b": 10}.items() if c > n / (k + 1)}

@@ -794,6 +794,27 @@ def test_streaming_semantic_dedup_matches_batch_replay(spark, tmp_path):
     assert got == want
     assert got[planted_id][0] is False, "planted re-embedding must be rejected"
 
+    # replay safety: re-running the whole stream against the same state
+    # dirs (fresh checkpoint → batch ids restart, every commit dir
+    # already present) must change NOTHING — in particular no batch may
+    # be re-scored against its own keepers (which would append
+    # contradictory keep=false rows at cosine 1.0)
+    n_hist = spark.read.parquet(hist_dir).count()
+    q2 = (
+        streaming_semantic_dedup(stream, hist_dir, dec_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        r.vec_id: (r.keep, r.batch_id)
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert got2 == want
+    assert spark.read.parquet(dec_dir).count() == len(vecs) + 1
+    assert spark.read.parquet(hist_dir).count() == n_hist
+
 
 def test_streaming_heavy_hitters_matches_batch_replay(spark, tmp_path):
     """The foreachBatch Misra-Gries loop over a 3-file stream maintains
@@ -810,7 +831,11 @@ def test_streaming_heavy_hitters_matches_batch_replay(spark, tmp_path):
         mg_merge,
         misra_gries_summaries,
     )
-    from depositaja_spark.streaming.pipeline import streaming_heavy_hitters
+    from depositaja_spark.streaming.pipeline import (
+        _mg_commits,
+        load_mg_state,
+        streaming_heavy_hitters,
+    )
 
     rows = load_table(spark, SF, "events").select("event_type").collect()
     splits = [rows[i::3] for i in range(3)]
@@ -839,10 +864,7 @@ def test_streaming_heavy_hitters_matches_batch_replay(spark, tmp_path):
     )
     q.awaitTermination(300)
 
-    got = {
-        r.event_type: r.cnt
-        for r in spark.read.parquet(state_dir).collect()
-    }
+    got = load_mg_state(spark, state_dir, "event_type")
 
     # sequential replay with the identical sorted-fold discipline
     want: dict[str, int] = {}
@@ -863,3 +885,17 @@ def test_streaming_heavy_hitters_matches_batch_replay(spark, tmp_path):
     n = len(rows)
     heavy = {v for v, c in true_counts.items() if c > n / (k + 1)}
     assert heavy <= set(got)
+
+    # at-least-once replay guard: re-running the SAME stream against the
+    # same state dir (fresh checkpoint → batch ids restart at 0, all ≤
+    # the last commit) must not double-fold anything
+    last_commit = _mg_commits(state_dir)[-1][0]
+    q2 = (
+        streaming_heavy_hitters(stream, state_dir, "event_type", k)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert load_mg_state(spark, state_dir, "event_type") == want
+    assert _mg_commits(state_dir)[-1][0] == last_commit
