@@ -1,0 +1,168 @@
+"""Distributed Bloom filter: compact membership prefilter for
+history-scale anti-joins.
+
+The 100 TB problem this solves: incremental exact dedup
+(functions/dedup.py:incremental_dedup) semi-joins every daily increment
+against the FULL history fingerprint set — at 10^10 history keys that is
+a shuffle of the entire history per ingest batch.  A Bloom filter built
+ONCE over the history compresses it ~50× (BLOOM_BITS_PER_KEY bits/key
+vs a 32-byte md5 hex fingerprint), is buildable in one map-side-combined
+aggregation, is mergeable (bit-OR) across days, and answers "definitely
+new" with ZERO false negatives — so the expensive exact join only ever
+sees the (tiny) candidate subset that might be a duplicate.
+
+Representation: a DataFrame of ``(word_idx: long, word: long)`` rows —
+one row per SET 64-bit word of the bitmap, absent rows = all-zero words.
+That keeps the filter a first-class distributed dataset: building it is
+``explode → groupBy(word_idx) → bit_or`` (map-side partials shrink each
+partition to ≤ m/64 rows before the one narrow shuffle), probing it is
+an equi-join on ``word_idx`` (AQE broadcasts it while it fits — m=2^24
+bits is 2 MB — and degrades to a shuffle join for a 10^11-key filter
+sharded across executors; never a driver collect).
+
+Hash scheme: Kirsch-Mitzenmacher double hashing — k positions
+``(h1 + i·h2) mod m`` derived from two independent portable 60-bit
+md5-prefix hashes (functions/text.py:hash64), so the filter is
+DETERMINISTIC across runs, engines and partitionings (same property the
+dedup oracles rely on; no seeded RNG anywhere).
+
+There is no false-positive "estimate mode" exposed: callers compose the
+filter with an exact verify join (bloom_prefilter_members), so results
+are exact and the filter's only observable effect is pruning work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.text import hash64
+
+#: bits per history key at the default sizing (m = BITS_PER_KEY × n keys,
+#: rounded up to a power of two by callers that care).  16 bits/key with
+#: k=7 hashes gives a false-positive rate ≈ 0.2% — each day's exact
+#: verify join then touches ~0.2% of the increment plus the true dups.
+BLOOM_BITS_PER_KEY = 16
+
+#: number of hash functions; ≈ 0.7 × bits-per-key is optimal, 7 for 16.
+BLOOM_K = 7
+
+_H2_SALT = "bloom-h2:"
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """Array of k bit positions for ``key`` via Kirsch-Mitzenmacher:
+    p_i = (h1 + i·h2) mod m, with h1/h2 independent 60-bit hashes.
+    h2 is forced odd so the k positions never collapse onto one value
+    when m is a power of two."""
+    h1 = hash64(key)
+    h2 = hash64(F.concat(F.lit(_H2_SALT), key)).bitwiseOR(F.lit(1).cast("long"))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the filter over ``df[key_col]`` → ``(word_idx, word)`` rows.
+
+    One explode (k rows per key, map-local) + one groupBy(word_idx) with
+    a ``bit_or`` aggregate — map-side partial OR means the shuffle moves
+    at most m/64 rows per map task regardless of input size.  Mergeable:
+    union two filters' rows and re-``bit_or`` by word_idx (used by
+    day-over-day history growth; see tests/test_bloom.py merge law).
+    """
+    pos = df.select(
+        F.explode(_positions(F.col(key_col).cast("string"), m_bits, k)).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_maybe_contains(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = BLOOM_K,
+    *,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Append ``out_col``: false ⇒ key DEFINITELY not in the built set
+    (no false negatives); true ⇒ membership must be verified exactly.
+
+    Probe plan: explode each key's k positions, LEFT equi-join the
+    filter on word_idx (absent word ⇒ zero word ⇒ miss), then a
+    groupBy(probe key) checking every one of the k bits was set.  Both
+    shuffles are on uniform hash keys — no skew by construction.
+    """
+    cols = probe.columns
+    probed = (
+        probe.select(*cols, F.posexplode(_positions(F.col(key_col).cast("string"), m_bits, k)).alias("i", "p"))
+        .select(
+            *cols,
+            "i",
+            (F.col("p") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .join(bloom, "word_idx", "left")
+        .select(
+            *cols,
+            (
+                F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(F.col("mask"))
+                != 0
+            ).cast("int").alias("hit"),
+        )
+        .groupBy(*cols)
+        .agg((F.sum("hit") == F.lit(k)).alias(out_col))
+    )
+    return probed
+
+
+def bloom_prefilter_members(
+    history: DataFrame,
+    increment: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int,
+    k: int = BLOOM_K,
+    out_col: str = "is_member",
+) -> DataFrame:
+    """EXACT membership of ``increment[key_col]`` in ``history[key_col]``,
+    computed as bloom-prefilter → exact verify:
+
+    1. ``bloom_build(history)`` — one pass over the history (in
+       production: built at ingest and merged daily, never rebuilt).
+    2. ``bloom_maybe_contains(increment)`` — joins only the 2 MB-per-2^24
+       -bit filter, not the history.
+    3. exact join of ONLY the maybe-members against the history key set —
+       false positives die here, so ``out_col`` is exact.  The
+       definitely-new majority skips the join entirely; the increment
+       side of the verify shuffle is the FP rate × increment (≈0.2%),
+       and in production the history side is a bucketed fingerprint
+       index, so verify is a co-located probe rather than a history
+       reshuffle.
+
+    Returns ``increment`` columns + boolean ``out_col``.
+    """
+    maybed = bloom_maybe_contains(increment, bloom_build(history, key_col, m_bits, k),
+                                  key_col, m_bits, k, out_col="_maybe")
+    inc_cols = increment.columns
+    hist_keys = history.select(F.col(key_col)).distinct().withColumn("_hit", F.lit(1))
+    verified = (
+        maybed.filter(F.col("_maybe"))
+        .join(hist_keys, key_col, "left")
+        .select(*inc_cols, F.col("_hit").isNotNull().alias(out_col))
+    )
+    misses = (
+        maybed.filter(~F.col("_maybe")).select(*inc_cols, F.lit(False).alias(out_col))
+    )
+    return verified.unionByName(misses)

@@ -1842,3 +1842,53 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(frac <= _CSPLIT_HEX, F.lit("train")).otherwise(F.lit("val")).alias("split"),
     )
+
+
+# --- Bloom-prefiltered incremental exact dedup -------------------------------
+
+#: filter sizing for the registered query: the sf0.1 history holds ~24k
+#: distinct shingles, so 2^19 bits ≈ 21 bits/key (a 64 KB bitmap) —
+#: past the 16-bit/key design point; production sizes m from the history
+#: cardinality at build time (undersizing only raises the FP rate, i.e.
+#: verify-join traffic — never correctness).
+_BLOOM_M_BITS = 1 << 19
+
+
+def _bloom_sql() -> str:
+    from depositaja_spark.queries_ext import _SHINGLES_SQL
+
+    return f"""
+WITH {_SHINGLES_SQL},
+hist AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_INC_MOD} <> 0),
+inc AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % {_INC_MOD} = 0)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE h.shingle IS NOT NULL) AS BIGINT) AS n_in_history
+FROM inc i LEFT JOIN hist h USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@query("incremental_dedup_bloom", _bloom_sql())
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental n-gram contamination through the Bloom prefilter
+    (functions/bloom.py): the history's distinct-shingle set is
+    compressed to a bit_or-aggregated bitmap (built once, mergeable
+    day-over-day), each increment shingle probes the bitmap instead of
+    the history, and only the maybe-member sliver reaches the exact
+    verify join — the shape that keeps daily ingest dedup from
+    re-shuffling a 10^10-key history every batch.  Per increment doc:
+    total shingles and how many already exist in the history (the
+    incremental analog of ``decontaminate``'s overlap count).  The
+    verify join restores exactness (Bloom has no false negatives), so
+    the result — and the oracle — is the plain exact membership SQL."""
+    from depositaja_spark.functions.bloom import bloom_prefilter_members
+
+    sh = dd.shingles(_docs(spark, sf_dir), n=3)
+    hist = sh.filter(F.col("doc_id") % _INC_MOD != 0).select("shingle")
+    inc = sh.filter(F.col("doc_id") % _INC_MOD == 0)
+    member = bloom_prefilter_members(hist, inc, "shingle", m_bits=_BLOOM_M_BITS)
+    return member.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("is_member").cast("long")).alias("n_in_history"),
+    )
