@@ -2004,3 +2004,36 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("ok").alias("support"))
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
+
+
+# --- Z-order layout keys ------------------------------------------------------
+
+def _zorder_sql() -> str:
+    from depositaja_spark.functions.zorder import ZORDER_BITS, interleave_bits_sql
+
+    z = interleave_bits_sql(
+        ["o_custkey % 65536", "CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 % 65536"],
+        ZORDER_BITS,
+    )
+    return f"SELECT o_orderkey, {z} AS zval FROM orders"
+
+
+@query("zorder_layout_keys", _zorder_sql())
+def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (customer, order-day) —
+    the multi-dimensional data-skipping layout (functions/zorder.py):
+    files sorted by this key keep BOTH dimensions' min/max ranges
+    narrow, so footer stats prune either predicate without a second
+    copy of the table.  Pure scan-local bit math, zero shuffles; the
+    layout write itself (write_zordered: range exchange + local sort)
+    is exercised with real parquet footers in tests/test_zorder.py."""
+    from depositaja_spark.functions.zorder import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return zorder_key(
+        orders,
+        [
+            F.col("o_custkey") % 65536,
+            F.floor(F.col("o_orderdate").cast("long") / 86400).cast("long") % 65536,
+        ],
+    ).select("o_orderkey", "zval")

@@ -247,3 +247,38 @@ def q_heavy_hitter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return heavy_hitters_verified(events, "event_type", _MG_K)
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+#: collision-free regime for the registered query: 5 event types into
+#: w=4096 positions per row — the d=5-row min makes a same-cell collision
+#: among all rows essentially impossible (p ≈ (5/4096)^5), and with NO
+#: collision the CMS estimate is EXACT, so the count(*) oracle pins it
+#: value-for-value (same construction as _HLL_RSD / _QUANTILE_ACCURACY).
+#: The estimating regime's one-sided N·e/w bound is asserted in
+#: tests/test_countmin.py at a deliberately tiny width.
+_CMS_WIDTH = 4096
+
+
+@query(
+    "cms_event_counts",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_n
+FROM events GROUP BY event_type
+""",
+)
+def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key frequency via a Count-Min sketch (functions/countmin.py):
+    the d×w counter matrix is built in one map-side-combined pass (the
+    input never shuffles — only ≤ d·w cells per task do), merges across
+    days by cell-wise sum, and answers any key's frequency from d
+    counter lookups.  Probes here are the distinct event types; the
+    registered width puts the sketch in its collision-free (exact)
+    regime — see _CMS_WIDTH."""
+    from depositaja_spark.functions.countmin import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "event_type", _CMS_WIDTH)
+    probes = events.select("event_type").distinct()
+    return cms_estimate(probes, sketch, "event_type", _CMS_WIDTH)

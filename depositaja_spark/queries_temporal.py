@@ -159,3 +159,98 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus rows {sim.CENTROID_IDS}); queries probe their {sim.NPROBE}
     nearest cells and score only those cells' members."""
     return sim.ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- interval overlap: peak concurrency ---------------------------------------
+
+#: boundary-sweep bucket width in SECONDS (the running sum orders by
+#: epoch time, so buckets are time slices, not row counts): hourly slices
+#: keep per-bucket sort tasks bounded by the session arrival rate while
+#: the offsets frame stays span/3600 rows.
+_SWEEP_BUCKET_SECONDS = 3600
+
+_PEAK_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+),
+sess AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS st,
+         CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS en
+  FROM ids GROUP BY user_id, sid
+),
+bounds AS (
+  SELECT st AS t, 1 AS delta, 0 AS dord FROM sess
+  UNION ALL
+  SELECT en AS t, -1 AS delta, 1 AS dord FROM sess
+),
+c AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, dord ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bounds
+)
+SELECT CAST((SELECT max(cum) FROM c) AS BIGINT) AS peak_concurrent,
+       min(t) AS at_unix
+FROM c WHERE cum = (SELECT max(cum) FROM c)
+"""
+
+
+@query("peak_concurrent_sessions", _PEAK_SQL)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open sessions (and the earliest
+    instant it is reached) — the interval-overlap sweep line: sessions
+    (F.session_window, 30-min gap, same definition session_window_stats
+    oracles) become ±1 boundary events, a running sum over (time,
+    starts-before-ends) counts open intervals, and the max of that sum
+    is the peak.  No interval self-join — overlap counting via joins is
+    quadratic in the hot hour; the sweep is one sort-shuffle.
+
+    Scale: the global running sum uses the two-level bucket-offset
+    decomposition (functions/windows.py:bucketed_running_sum) over
+    hourly time slices — no single-task global window; the final max is
+    a 1-row broadcast scalar joined back to pick the earliest peak
+    instant (allow-listed 1-row nested-loop, tests/test_plan_audit.py).
+    Peak and instant are both well-defined under boundary ties: +1s
+    sort before -1s, so within a tie group the maximum is the group's
+    closing value regardless of intra-group order."""
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w")).agg(
+        F.lit(1).alias("_one")
+    )
+    iv = sess.select(
+        F.unix_timestamp(F.col("w.start")).alias("st"),
+        F.unix_timestamp(F.col("w.end")).alias("en"),
+    )
+    bounds = iv.select(
+        F.col("st").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("dord")
+    ).unionByName(
+        iv.select(F.col("en").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("dord"))
+    )
+    cum = bucketed_running_sum(
+        bounds,
+        [],
+        "t",
+        "delta",
+        extra_order_cols=["dord"],
+        bucket_width=_SWEEP_BUCKET_SECONDS,
+    )
+    peak = cum.agg(F.max("cum").alias("peak"))
+    return (
+        cum.join(F.broadcast(peak), F.col("cum") == F.col("peak"))
+        .groupBy()
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrent"),
+            F.min("t").alias("at_unix"),
+        )
+    )

@@ -608,7 +608,10 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "large_volume_orders",
     "revenue_range_frame_avg",
     # -- new in round 6 ----------------------------------------------------
-    # (appended below as queries land this round)
+    "incremental_dedup_bloom",
+    "zorder_layout_keys",
+    "peak_concurrent_sessions",
+    "cms_event_counts",
 )
 
 

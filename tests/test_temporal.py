@@ -183,3 +183,54 @@ def test_resample_ffill_non_hourly_steps(spark):
     h2 = 2 * 3600 * 1000
     # one grid point per 2h: [0,2h) last obs = 2.0, [2h,4h) last obs = 3.0
     assert two_hour == {base: 2.0, base + h2: 3.0}
+
+
+# --- peak concurrency sweep ---------------------------------------------------
+
+
+def _peak_of(spark, intervals):
+    """Run the boundary sweep from q_peak_concurrent_sessions over raw
+    (start, end) epoch-second intervals."""
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    iv = spark.createDataFrame(intervals, "st long, en long")
+    bounds = iv.select(
+        F.col("st").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("dord")
+    ).unionByName(
+        iv.select(F.col("en").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("dord"))
+    )
+    cum = bucketed_running_sum(
+        bounds, [], "t", "delta", extra_order_cols=["dord"], bucket_width=7
+    )
+    peak = cum.agg(F.max("cum").alias("peak"))
+    return (
+        cum.join(F.broadcast(peak), F.col("cum") == F.col("peak"))
+        .groupBy()
+        .agg(F.max("peak").cast("long").alias("peak"), F.min("t").alias("at"))
+        .first()
+    )
+
+
+def test_sweep_known_peak(spark):
+    # [0,10] [5,15] [7,9] overlap at t=7..9 -> 3; [20,30] alone
+    r = _peak_of(spark, [(0, 10), (5, 15), (7, 9), (20, 30)])
+    assert (r.peak, r.at) == (3, 7)
+
+
+def test_sweep_touching_endpoints_count_as_concurrent(spark):
+    # end == start at t=10: +1 sorts before -1, so both open at 10
+    r = _peak_of(spark, [(0, 10), (10, 20)])
+    assert r.peak == 2 and r.at == 10
+
+
+def test_sweep_tie_group_peak_is_group_close(spark):
+    # five sessions all starting at t=100: peak 5 exactly at 100,
+    # independent of intra-tie ordering
+    r = _peak_of(spark, [(100, 200)] * 5)
+    assert (r.peak, r.at) == (5, 100)
+
+
+def test_sweep_crosses_bucket_boundaries(spark):
+    # bucket_width=7 above: intervals deliberately straddle buckets
+    r = _peak_of(spark, [(1, 8), (6, 14), (13, 21)])
+    assert r.peak == 2
