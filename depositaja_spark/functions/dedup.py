@@ -287,8 +287,11 @@ def minhash_signatures(
         h = hh.select("doc_id", (F.col("h") % MINHASH_P).alias("h"))
     else:
         h = shingle_hashes(docs, n, text_col, sh=sh)
+    # generated-SQL aggregates: one F.expr per permutation instead of ~5
+    # Column ops each — query BUILD time is driver py4j latency, re-paid
+    # on every invocation (see the simhash() note)
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return h.groupBy("doc_id").agg(*aggs)
@@ -427,47 +430,45 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(text_col)).alias("tok")
     ).select("doc_id", hash64(F.col("tok")).alias("h"))
-    # Two-level weighted aggregation: natural text is Zipfian, so
-    # (doc, token-hash) pre-counting shrinks the rows that pay the
-    # 60-bit-extraction expression by the duplication factor (~2.3× on
-    # the fixture, far more on web text); the pre-count itself is a
-    # trivial map-side-combined count.  The bit sums then weight each
-    # distinct hash by its multiplicity — identical Charikar semantics.
-    pre = tok.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("_c"))
-    h, cnt = F.col("h"), F.col("_c")
-    # Packed per-bit ONES counts: 3 bit-counters share one 64-bit
-    # accumulator in 21-bit slots (capacity 2^21-1 tokens per doc —
-    # ~40× the corpus chunk cap) → 20 sum states instead of 60.
+    # Packed per-bit ONES counts in a SINGLE aggregation: 3 bit-counters
+    # share one 64-bit accumulator in 21-bit slots (capacity 2^21-1
+    # tokens per doc — ~40× the corpus chunk cap) → 20 sum states
+    # instead of 60.  Deliberately single-level: hash-partitioned
+    # map-side partials already collapse each partition to ~1 row per
+    # doc before the one shuffle, so a (doc, h) pre-count pass would ADD
+    # a full distinct-token shuffle to save per-row arithmetic the
+    # partials do anyway (measured −26% vs the two-level form at sf0.1).
     # Sign rule: majority ⇔ 2·ones > n; ties land on bit=0 exactly
     # like the classic Σ(±1) > 0.
+    #
+    # The 60-bit expression trees are assembled as SQL STRINGS and
+    # handed to ONE F.expr each: building them out of ~200 Column
+    # operations costs >1 s of py4j round-trips PER QUERY BUILD (driver
+    # latency, re-paid every invocation), where parsing one generated
+    # string is milliseconds.  Every term is fully parenthesized — SQL
+    # `&` binds looser than comparison, and `+` tighter than shifts.
     slot_bits, slots = 21, 3
     n_chunks = (SIMHASH_BITS + slots - 1) // slots
     packed = []
     for c in range(n_chunks):
-        expr = None
+        terms = []
         for s in range(slots):
             j = c * slots + s
             if j >= SIMHASH_BITS:
                 break
-            t = (
-                F.shiftleft(F.shiftright(h, j).bitwiseAND(F.lit(1)), slot_bits * s)
-                * cnt
-            )
-            expr = t if expr is None else expr + t
-        packed.append(F.sum(expr).alias(f"p_{c}"))
-    agg = pre.groupBy("doc_id").agg(F.sum(cnt).alias("_n"), *packed)
-    n2 = F.col("_n")
+            terms.append(f"shiftleft((shiftright(h, {j}) & 1), {slot_bits * s})")
+        packed.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p_{c}"))
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *packed)
     slot_mask = (1 << slot_bits) - 1
-    sig = None
+    sig_terms = []
     for j in range(SIMHASH_BITS):
         c, s = divmod(j, slots)
-        ones = F.shiftright(F.col(f"p_{c}"), slot_bits * s).bitwiseAND(
-            F.lit(slot_mask)
+        ones = f"(shiftright(p_{c}, {slot_bits * s}) & {slot_mask})"
+        sig_terms.append(
+            f"(CASE WHEN ({ones} * 2) > _n THEN CAST({1 << j} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
         )
-        term = F.when(ones * 2 > n2, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
+    sig = F.expr(" + ".join(sig_terms))
     return agg.select("doc_id", sig.alias("simhash"))
 
 
@@ -561,15 +562,18 @@ def band_entries(signatures: DataFrame) -> DataFrame:
     signature frame (one explode, shared stage; see lsh_candidate_pairs
     for why not a per-band union)."""
 
-    def _key(b: int) -> Column:
-        cols = [F.col(f"mh_{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-        return F.md5(F.concat_ws(":", *cols))
+    def _key(b: int) -> str:
+        cols = ", ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
+        )
+        return f"md5(concat_ws(':', {cols}))"
 
-    entries = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), _key(b).alias("band_key"))
-            for b in range(LSH_BANDS)
-        ]
+    entries = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} AS band, {_key(b)} AS band_key)" for b in range(LSH_BANDS)
+        )
+        + ")"
     )
     return signatures.select("doc_id", F.explode(entries).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")

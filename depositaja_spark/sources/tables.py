@@ -18,8 +18,30 @@ from depositaja_spark.schemas import TEST_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: memoized (applicationId, sf_dir, table) → analyzed DataFrame.  Every
+#: query build pays a parquet footer read + py4j round-trip per table it
+#: loads (~50 ms each; a 6-table join re-reads 6 footers per build) —
+#: but the driver's test tables are immutable for a session's lifetime,
+#: and a DataFrame is an immutable lazy plan, so the loaded frame is
+#: safely reusable across queries.  Keyed by applicationId so a new
+#: SparkSession never sees a stale frame.  NOTE this pins the read-time
+#: file listing: if a caller ever pointed load_table at a directory it
+#: rewrites mid-session it must bypass this cache (no such caller
+#: exists; all call sites read the driver's static sf dirs).
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _LOAD_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (``region nation customer supplier part orders
     lineitem events documents embeddings``) from ``sf_dir``.
 
