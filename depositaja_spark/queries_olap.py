@@ -18,7 +18,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions.cache import tracked_persist
-from depositaja_spark.functions.numeric import dec, exact_avg, exact_sum
+from depositaja_spark.functions.numeric import (
+    dec,
+    exact_avg,
+    exact_sum,
+    exact_sum_scaled,
+    revenue_units4,
+    scaled_long,
+)
 from depositaja_spark.registry import query
 from depositaja_spark.sources import load_table
 
@@ -56,24 +63,40 @@ GROUP BY l_returnflag, l_linestatus
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical wide groupBy — one shuffle
     with map-side partial aggregation over 8 measures; date predicate
-    pushed to the parquet scan."""
+    pushed to the parquet scan.  Measures run on the fixed-point fast
+    path (functions/numeric.py): scaled-long per-row products (the
+    decimal formulation pays a BigDecimal multiply per row — measured
+    ~2× the whole query), exact DECIMAL(38,0) accumulation, identical
+    values."""
     li = _t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
-    charge = disc_price * (one + dec("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            exact_sum(dec("l_quantity")).alias("sum_qty"),
-            exact_sum(dec("l_extendedprice")).alias("sum_base_price"),
-            exact_sum(disc_price).alias("sum_disc_price"),
-            exact_sum(charge).alias("sum_charge"),
-            exact_avg(dec("l_quantity")).alias("avg_qty"),
-            exact_avg(dec("l_extendedprice")).alias("avg_price"),
-            exact_avg(dec("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    sel = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        scaled_long("l_quantity").alias("q2"),
+        scaled_long("l_extendedprice").alias("p2"),
+        scaled_long("l_discount").alias("d2"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+        ).alias("dp4"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            " * (100 + CAST(round(l_tax * 100) AS BIGINT))"
+        ).alias("ch6"),
+    )
+    n = F.count(F.lit(1))
+    return sel.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum_scaled(F.col("q2"), 100).alias("sum_qty"),
+        exact_sum_scaled(F.col("p2"), 100).alias("sum_base_price"),
+        exact_sum_scaled(F.col("dp4"), 10_000).alias("sum_disc_price"),
+        exact_sum_scaled(F.col("ch6"), 1_000_000).alias("sum_charge"),
+        (exact_sum_scaled(F.col("q2"), 100) / n).alias("avg_qty"),
+        (exact_sum_scaled(F.col("p2"), 100) / n).alias("avg_price"),
+        (exact_sum_scaled(F.col("d2"), 100) / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -113,13 +136,12 @@ def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    one = F.lit(1).cast("decimal(18,2)")
-    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    revenue4 = revenue_units4()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(exact_sum(revenue).alias("revenue"))
+        .agg(exact_sum_scaled(revenue4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -166,8 +188,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
-    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    revenue4 = revenue_units4()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -178,7 +199,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(exact_sum(revenue).alias("revenue"))
+        .agg(exact_sum_scaled(revenue4).alias("revenue"))
     )
 
 
@@ -883,14 +904,13 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    one = F.lit(1).cast("decimal(18,2)")
-    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    revenue4 = revenue_units4()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(exact_sum(revenue).alias("revenue"))
+        .agg(exact_sum_scaled(revenue4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1025,10 +1045,9 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#3") & s.between(10, 30) & q.between(10, 50))
         | ((b == "Brand#5") & s.between(20, 50) & q.between(20, 40))
     )
-    one = F.lit(1).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    rev4 = revenue_units4()
     return j.filter(pred).agg(
-        exact_sum(rev).alias("revenue"),
+        exact_sum_scaled(rev4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1102,8 +1121,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
-    one = F.lit(1).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    rev4 = revenue_units4()
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -1120,7 +1138,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(exact_sum(rev).alias("revenue"))
+        .agg(exact_sum_scaled(rev4).alias("revenue"))
     )
 
 
@@ -1267,10 +1285,9 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     supp = _t(spark, sf_dir, "supplier")
-    one = F.lit(1).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    rev4 = revenue_units4()
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        exact_sum(rev).alias("total_revenue")
+        exact_sum_scaled(rev4).alias("total_revenue")
     )
     best = revenue0.agg(F.max("total_revenue").alias("best_rev"))
     return (
