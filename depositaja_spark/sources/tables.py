@@ -32,7 +32,15 @@ _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    # the session timeZone is part of the key: the NTZ→LTZ normalization
+    # guard below must re-run (and re-raise) if the zone changes after a
+    # frame was cached under UTC
+    key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.session.timeZone"),
+        os.path.abspath(sf_dir),
+        name,
+    )
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
         return hit

@@ -255,3 +255,152 @@ def streaming_semantic_dedup(
         )
 
     return vec_stream.writeStream.foreachBatch(_process)
+
+
+def streaming_bloom_dedup(
+    docs_stream: DataFrame,
+    fp_dir: str,
+    bloom_dir: str,
+    decisions_dir: str,
+    m_bits: int = 1 << 20,
+    text_col: str = "text",
+):
+    """Exact streaming dedup with the Bloom bitmap as MATERIALIZED state
+    (functions/bloom.py) — the scale path streaming_incremental_dedup's
+    docstring promises: the history is never rescanned per batch.
+
+    State per accepted document: its content fingerprint (fp_dir, the
+    exact-verify side) and its k bloom bits, stored as PER-BATCH DELTA
+    bitmaps under ``bloom_dir/batch_id=<b>`` (≤ m/64 rows each).  Per
+    micro-batch:
+
+    1. probe = OR of all delta bitmaps (m/64-bounded rows per delta —
+       KBs, not the history; compact by re-OR-ing deltas offline);
+    2. ``bloom_maybe_contains`` splits the batch: definite-new documents
+       skip the fingerprint table entirely, only the maybe-member
+       sliver (FP-rate-bounded) exact-verifies against fp_dir;
+    3. keep = fingerprint not present (Bloom has no false negatives, the
+       verify join kills false positives → decisions are EXACT).
+
+    Replay safety (same contract as _apply_dedup_increment): decisions
+    commit first via staged-rename; the fp append repairs by anti-join
+    on replay; the bitmap delta commits by staged-rename AND is
+    OR-idempotent anyway (re-adding the same keys sets the same bits).
+    Within-batch duplicates follow the intake contract (upstream drops
+    exact in-stream copies).
+
+    Returns a DataStreamWriter (caller sets checkpoint + trigger).
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        apply_bloom_dedup_batch(
+            batch, batch_id, fp_dir, bloom_dir, decisions_dir, m_bits, text_col
+        )
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
+def apply_bloom_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    fp_dir: str,
+    bloom_dir: str,
+    decisions_dir: str,
+    m_bits: int = 1 << 20,
+    text_col: str = "text",
+) -> None:
+    """The replay-safe foreachBatch body of streaming_bloom_dedup,
+    public so replays/backfills can be driven directly (and tested
+    without a streaming query)."""
+    import os as _os
+
+    from depositaja_spark.functions.bloom import (
+        BLOOM_K,
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from depositaja_spark.functions.cache import release_caches
+
+    spark = batch.sparkSession
+    new = batch.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+    committed = _os.path.join(decisions_dir, f"batch_id={batch_id}")
+    fp_schema = _T.StructType(
+        [_T.StructField("doc_id", _T.LongType()), _T.StructField("fp", _T.StringType())]
+    )
+
+    def _fps():
+        if _os.path.isdir(fp_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(fp_dir)
+        ):
+            return spark.read.schema(fp_schema).parquet(fp_dir)
+        return spark.createDataFrame([], fp_schema)
+
+    def _append_missing_keepers(keep_ids):
+        missing = new.join(keep_ids, "doc_id", "left_semi").join(
+            _fps().select("doc_id"), "doc_id", "left_anti"
+        )
+        if not missing.isEmpty():
+            missing.write.mode("append").parquet(fp_dir)
+
+    def _commit_bloom_delta(keep_ids):
+        delta = bloom_build(
+            new.join(keep_ids, "doc_id", "left_semi"), "fp", m_bits, BLOOM_K
+        )
+        staged = _os.path.join(bloom_dir, f"_staged_{batch_id}")
+        target = _os.path.join(bloom_dir, f"batch_id={batch_id}")
+        if _os.path.isdir(target):
+            return  # already committed; OR-idempotent anyway
+        delta.write.mode("overwrite").parquet(staged)
+        _os.rename(staged, target)
+
+    try:
+        if _os.path.isdir(committed):
+            keep_ids = (
+                spark.read.parquet(committed).filter(F.col("keep")).select("doc_id")
+            )
+            _append_missing_keepers(keep_ids)
+            _commit_bloom_delta(keep_ids)
+            return
+
+        deltas = [
+            _os.path.join(bloom_dir, d)
+            for d in (_os.listdir(bloom_dir) if _os.path.isdir(bloom_dir) else [])
+            if d.startswith("batch_id=")
+        ]
+        if deltas:
+            bitmap = (
+                spark.read.parquet(*deltas)
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+            maybed = bloom_maybe_contains(
+                new, bitmap, "fp", m_bits, BLOOM_K, out_col="_maybe"
+            )
+        else:
+            maybed = new.withColumn("_maybe", F.lit(False))
+
+        cand = maybed.filter(F.col("_maybe"))
+        hit = (
+            cand.join(_fps().select("fp").distinct(), "fp", "left_semi")
+            .select("doc_id")
+            .withColumn("_dup", F.lit(True))
+        )
+        decisions = (
+            maybed.select("doc_id", "fp")
+            .join(hit, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+            )
+            .persist()
+        )
+        try:
+            staged = _os.path.join(decisions_dir, f"_staged_{batch_id}")
+            decisions.write.mode("overwrite").parquet(staged)
+            _os.rename(staged, committed)
+            keep_ids = decisions.filter(F.col("keep")).select("doc_id")
+            _append_missing_keepers(keep_ids)
+            _commit_bloom_delta(keep_ids)
+        finally:
+            decisions.unpersist()
+    finally:
+        release_caches()

@@ -899,3 +899,83 @@ def test_streaming_heavy_hitters_matches_batch_replay(spark, tmp_path):
     q2.awaitTermination(300)
     assert load_mg_state(spark, state_dir, "event_type") == want
     assert _mg_commits(state_dir)[-1][0] == last_commit
+
+
+def test_streaming_bloom_dedup_exact_and_replay_safe(spark, tmp_path):
+    """The Bloom-bitmap streaming dedup tier: decisions equal exact
+    membership against the accumulated keeper set (bitmap false
+    positives die in the verify join), the bitmap state is per-batch
+    deltas, and re-running an already-committed batch body changes
+    nothing (replay safety)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.corpus import (
+        apply_bloom_dedup_batch,
+        streaming_bloom_dedup,
+    )
+
+    # batch 0: a,b,c | batch 1: b(dup), d | batch 2: a(dup), d(dup), e
+    batches = [
+        [(0, "alpha text"), (1, "bravo text"), (2, "charlie text")],
+        [(10, "bravo text"), (11, "delta text")],
+        [(20, "alpha text"), (21, "delta text"), (22, "echo text")],
+    ]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    for m, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    fp_dir = str(tmp_path / "fps")
+    bloom_dir = str(tmp_path / "bloom")
+    dec_dir = str(tmp_path / "decisions")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_bloom_dedup(stream, fp_dir, bloom_dir, dec_dir, m_bits=1 << 14)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r.doc_id: r.keep for r in spark.read.parquet(dec_dir).collect()}
+    assert got == {0: True, 1: True, 2: True, 10: False, 11: True,
+                   20: False, 21: False, 22: True}
+
+    # fp state holds exactly the keepers; bloom state is one delta/batch
+    fps = {r.doc_id for r in spark.read.parquet(fp_dir).collect()}
+    assert fps == {0, 1, 2, 11, 22}
+    deltas = sorted(x for x in os.listdir(bloom_dir) if x.startswith("batch_id="))
+    assert deltas == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    # replay: re-invoke the committed batch body directly — decisions,
+    # fp state, and bloom deltas must all be unchanged
+    replay_batch = spark.createDataFrame(
+        [(10, "bravo text"), (11, "delta text")], "doc_id long, text string"
+    )
+    before = sorted(
+        (r.doc_id, r.keep, r.batch_id) for r in spark.read.parquet(dec_dir).collect()
+    )
+    apply_bloom_dedup_batch(replay_batch, 1, fp_dir, bloom_dir, dec_dir, m_bits=1 << 14)
+    after = sorted(
+        (r.doc_id, r.keep, r.batch_id) for r in spark.read.parquet(dec_dir).collect()
+    )
+    assert after == before
+    assert {r.doc_id for r in spark.read.parquet(fp_dir).collect()} == fps
