@@ -2054,3 +2054,154 @@ def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_orderdate").cast("long") / 86400).cast("long") % 65536,
         ],
     ).select("o_orderkey", "zval")
+
+
+# --- exact-moment linear regression -------------------------------------------
+
+_REGR_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(hour(ts)) AS BIGINT) AS sx,
+         CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy100,
+         CAST(sum(hour(ts) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy100
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy100 - sx * sy100 AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * 100), 6) AS slope,
+       round(CAST(sy100 AS DOUBLE) / (100 * n)
+             - (CAST(n * sxy100 - sx * sy100 AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE) * 100))
+               * (CAST(sx AS DOUBLE) / n), 6) AS intercept
+FROM m
+"""
+
+
+@query("value_hour_regression", _REGR_SQL)
+def q_value_hour_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares regression of value on hour-of-day,
+    computed from EXACT integer moments (n, Σx, Σx², Σy·100, Σxy·100) —
+    one map-side-combined aggregation pass, then the closed-form
+    slope/intercept in double arithmetic over exact integers.  The
+    float-free moment accumulation is what makes a distributed
+    regression deterministic: double moment sums are summation-order
+    dependent (AQE repartitions change results run-to-run), exact
+    integer moments are not.  At production group sizes the long moments
+    would accumulate in DECIMAL(38,0) exactly like exact_sum_scaled —
+    the fixture's moments sit far inside long range."""
+    ev = _t(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("x"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("y100"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum("y100").alias("sy100"),
+            F.sum(F.expr("x * y100")).alias("sxy100"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy100") - F.col("sx") * F.col("sy100")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") * 100
+    slope = num / den
+    intercept = (
+        F.col("sy100").cast("double") / (100 * F.col("n"))
+        - slope * (F.col("sx").cast("double") / F.col("n"))
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+# --- one-pass column profiler -------------------------------------------------
+
+#: (column, kind) profile targets over orders — numeric/timestamp columns
+#: report min/max as doubles (epoch seconds for timestamps), strings as
+#: strings; all report null count + exact distinct count
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"round(CAST(min({c}) AS DOUBLE), 4)", f"round(CAST(max({c}) AS DOUBLE), 4)"
+            ms = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"round(CAST(floor(epoch(min({c}))) AS DOUBLE), 4)"
+            mx = f"round(CAST(floor(epoch(max({c}))) AS DOUBLE), 4)"
+            ms = mxs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, mxs = f"min({c})", f"max({c})"
+        parts.append(
+            f"SELECT '{c}' AS column_name,\n"
+            f"       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,\n"
+            f"       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num,\n"
+            f"       {ms} AS min_str, {mxs} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("orders_profile", _profile_sql())
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deequ/dbt-style column profile of the orders table — null count,
+    exact distinct count, min/max per column — in ONE scan: all
+    per-column aggregates run in a single groupBy().agg() (Spark plans
+    the multi-distinct via Expand — one pass over the data, ×K rows
+    map-side where K = distinct-agg count, still one shuffle of partial
+    states).  At 100 TB the exact count(DISTINCT) columns would switch
+    to approx_count_distinct (the profile is diagnostic); the fixture
+    pins the exact variant against the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}"))
+        elif kind == "ts":
+            aggs.append(
+                F.round(F.floor(F.min(c).cast("long")).cast("double"), 4).alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.round(F.floor(F.max(c).cast("long")).cast("double"), 4).alias(f"mx_{c}")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+    wide = o.agg(*aggs)
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, mxs = f"mn_{c}", f"mx_{c}"
+        else:
+            mn, mx = f"mn_{c}", f"mx_{c}"
+            ms, mxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        rows.append(
+            f"struct('{c}' AS column_name, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {mxs} AS max_str)"
+        )
+    return wide.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
+    ).select("p.*")

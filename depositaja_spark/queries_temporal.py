@@ -254,3 +254,77 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("at_unix"),
         )
     )
+
+
+# --- multi-touch attribution --------------------------------------------------
+
+#: attribution lookback: clicks within 7 days at or before the purchase
+_ATTR_LOOKBACK_S = 7 * 86400
+
+_ATTR_SQL = f"""
+WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_event_id
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS c_ts, event_id AS click_event_id
+           FROM events WHERE event_type = 'click'),
+touch AS (
+  SELECT p.user_id, p.p_event_id, c.click_event_id,
+         epoch_us(c.c_ts) AS c_ts_us,
+         CAST(row_number() OVER w AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY p.p_event_id) AS BIGINT) AS m
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND epoch_us(c.c_ts) BETWEEN epoch_us(p.p_ts) - CAST({_ATTR_LOOKBACK_S} AS BIGINT) * 1000000
+                            AND epoch_us(p.p_ts)
+  WINDOW w AS (PARTITION BY p.p_event_id ORDER BY c.c_ts, c.click_event_id)
+)
+SELECT user_id, p_event_id, click_event_id, pos,
+       round(CASE WHEN m = 1 THEN 1.0
+                  WHEN m = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = m THEN 0.4
+                  ELSE 0.2 / (m - 2) END, 6) AS weight
+FROM touch
+"""
+
+
+@query("attribution_weights", _ATTR_SQL)
+def q_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes credit over the user's clicks in a 7-day lookback —
+    40% to the first touch, 40% to the last, 20% split across middles
+    (1.0 / 0.5-0.5 for one/two touches).  Candidate pairs come from the
+    binned range join (bounded fan-out per (user, week) — never
+    |clicks|x|purchases| per user); positions from a window partitioned
+    by PURCHASE (bounded by clicks-per-user-week, skew-safe at scale).
+    Weights per purchase sum to 1 by construction — asserted in
+    tests/test_temporal.py."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_event_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_event_id")
+    )
+    pairs = range_join_binned(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_s=-_ATTR_LOOKBACK_S, upper_s=0,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("p_event_id").orderBy("c_ts", "click_event_id")
+    touch = pairs.select(
+        "user_id",
+        "p_event_id",
+        "click_event_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("p_event_id")).cast("long").alias("m"),
+    )
+    weight = (
+        F.when(F.col("m") == 1, F.lit(1.0))
+        .when(F.col("m") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("m")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("m") - 2))
+    )
+    return touch.select(
+        "user_id", "p_event_id", "click_event_id", "pos",
+        F.round(weight, 6).alias("weight"),
+    )

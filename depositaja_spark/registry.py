@@ -612,6 +612,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "zorder_layout_keys",
     "peak_concurrent_sessions",
     "cms_event_counts",
+    "attribution_weights",
+    "value_hour_regression",
+    "orders_profile",
 )
 
 

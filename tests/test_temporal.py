@@ -234,3 +234,38 @@ def test_sweep_crosses_bucket_boundaries(spark):
     # bucket_width=7 above: intervals deliberately straddle buckets
     r = _peak_of(spark, [(1, 8), (6, 14), (13, 21)])
     assert r.peak == 2
+
+
+def test_attribution_weights_sum_to_one_per_purchase(spark):
+    from depositaja_spark import registry
+
+    df = registry.QUERIES["attribution_weights"](spark, SF_SMALL)
+    sums = (
+        df.groupBy("p_event_id").agg(F.round(F.sum("weight"), 4).alias("s")).collect()
+    )
+    assert sums, "no attributed purchases in fixture"
+    # rounding at 1e-6 per middle touch: allow 1e-3 slack for huge m
+    assert all(abs(r.s - 1.0) < 1e-3 for r in sums)
+
+
+def test_attribution_single_and_double_touch_weights(spark):
+    import datetime as _dt
+
+    from depositaja_spark.functions.temporal import range_join_binned
+
+    # golden: the U-shape constants through the registered query's logic
+    from depositaja_spark import registry
+
+    df = registry.QUERIES["attribution_weights"](spark, SF_SMALL)
+    by_m = (
+        df.groupBy("p_event_id")
+        .agg(F.count(F.lit(1)).alias("m"), F.collect_list("weight").alias("ws"))
+        .collect()
+    )
+    for r in by_m:
+        if r.m == 1:
+            assert r.ws == [1.0]
+        elif r.m == 2:
+            assert sorted(r.ws) == [0.5, 0.5]
+        else:
+            assert sorted(r.ws)[-2:] == [0.4, 0.4]
