@@ -103,6 +103,12 @@ def bloom_maybe_contains(
     filter on word_idx (absent word ⇒ zero word ⇒ miss), then a
     groupBy(probe key) checking every one of the k bits was set.  Both
     shuffles are on uniform hash keys — no skew by construction.
+
+    The membership check is ``min(hit) == 1``, NOT ``sum(hit) == k``:
+    duplicate probe rows collapse in the groupBy, and a sum would see
+    d·k hits for a d-duplicated member and wrongly report a miss (a
+    false NEGATIVE — the one error class a Bloom filter must never
+    produce).  With min, duplicates are benign.
     """
     cols = probe.columns
     probed = (
@@ -122,7 +128,7 @@ def bloom_maybe_contains(
             ).cast("int").alias("hit"),
         )
         .groupBy(*cols)
-        .agg((F.sum("hit") == F.lit(k)).alias(out_col))
+        .agg((F.min("hit") == F.lit(1)).alias(out_col))
     )
     return probed
 

@@ -102,3 +102,19 @@ def test_k_positions_distinct_for_pow2_m(spark):
         F.size(F.array_distinct(_positions(F.col("k"), M, BLOOM_K))).alias("n")
     ).agg(F.min("n")).first()[0]
     assert n_distinct >= BLOOM_K - 1  # birthday collisions possible, collapse is not
+
+
+def test_duplicate_probe_rows_are_benign(spark, keysets):
+    """Regression: duplicate probe rows collapse in the groupBy; a
+    sum(hit)==k membership check would see d*k hits and report a FALSE
+    NEGATIVE for a duplicated member — min(hit) must be used instead."""
+    members, _ = keysets
+    bloom = bloom_build(members, "k", M)
+    dup_probes = spark.createDataFrame(
+        [("key-7",), ("key-7",), ("key-7",), ("stranger-1",), ("stranger-1",)],
+        "k string",
+    )
+    got = {r.k: r.maybe_member for r in
+           bloom_maybe_contains(dup_probes, bloom, "k", M).collect()}
+    assert got["key-7"] is True
+    assert got["stranger-1"] is False
