@@ -92,20 +92,42 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
+#: spread() sizing: one task per this many SOURCE bytes.  Tuned for the
+#: compute-heavy consumers (shingling/hashing explode bytes ~10×): small
+#: enough that a few-MB fixture still fans out, large enough that tiny
+#: frames don't pay 32 tasks of scheduler overhead for µs of work
+#: (measured: 8–16 tasks beat 32 by ~20% on the sf0.1 doc queries).
+SPREAD_BYTES_PER_TASK = 256 * 1024
+
+
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Round-robin repartition to executor parallelism.
+    """Round-robin repartition sized to the input, capped at executor
+    parallelism.
 
     Scan parallelism follows file splits; the driver's tables are single
     row-group parquet files, so a plain read plans ONE task no matter how
     many cores exist.  For CPU-bound transforms over narrow inputs
     (shingling, hashing, vector math) the input bytes are tiny but the
     per-row compute dominates — an explicit round-robin exchange decouples
-    compute parallelism from input layout.  At 100 TB the inputs are
-    many-file datasets and the same call becomes a cheap rebalance (or a
-    no-op to remove); correctness never depends on partitioning.
+    compute parallelism from input layout.  The task count scales with
+    the plan's sizeInBytes statistic (metadata only, no job): tiny frames
+    don't pay per-task scheduler overhead, big frames saturate the
+    executors.  At 100 TB the inputs are many-file datasets, the byte
+    statistic caps at defaultParallelism, and the same call is a cheap
+    rebalance (or a no-op to remove); correctness never depends on
+    partitioning.
     """
     if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        default = df.sparkSession.sparkContext.defaultParallelism
+        parallelism = default
+        try:
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            by_size = max(1, size // SPREAD_BYTES_PER_TASK)
+            parallelism = max(min(default, 8), min(default, by_size))
+        except Exception:
+            pass  # statistics unavailable → keep the executor-count default
     return df.repartition(parallelism)
 
 

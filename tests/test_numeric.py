@@ -1,0 +1,72 @@
+"""The fixed-point money path (functions/numeric.py): bit-identity with
+the exact DECIMAL formulation on adversarial and random 2-decimal
+inputs, and the overflow-safety rationale (DECIMAL(38,0) accumulation)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from depositaja_spark.functions.numeric import (
+    dec,
+    exact_sum,
+    exact_sum_scaled,
+    revenue_units4,
+    scaled_long,
+)
+
+#: 2-decimal money strategy: the driver's columns are generated at 2
+#: decimals; include negatives, zero, and magnitudes up to 10^7
+_money = st.integers(min_value=-10**9, max_value=10**9).map(lambda c: c / 100)
+_disc = st.integers(min_value=0, max_value=100).map(lambda c: c / 100)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(_money, _disc), min_size=1, max_size=40))
+def test_revenue_fixed_point_equals_decimal(spark, rows):
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_discount double")
+    one = F.lit(1).cast("decimal(18,2)")
+    dec_sum = df.agg(
+        exact_sum(dec("l_extendedprice") * (one - dec("l_discount"))).alias("s")
+    ).first().s
+    fp_sum = df.agg(exact_sum_scaled(revenue_units4()).alias("s")).first().s
+    assert fp_sum == dec_sum  # bit-identical doubles, not approx
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_money, min_size=1, max_size=40))
+def test_scaled_long_sum_equals_decimal_sum(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    dec_sum = df.agg(exact_sum(dec("x")).alias("s")).first().s
+    fp_sum = df.agg(exact_sum_scaled(scaled_long("x"), 100).alias("s")).first().s
+    assert fp_sum == dec_sum
+
+
+def test_sum_survives_long_overflow_magnitude(spark):
+    """The DECIMAL(38,0) accumulator is the overflow story: synthetic
+    per-row products near the int64 ceiling must sum exactly (a raw long
+    sum would wrap)."""
+    big = 9_000_000_000_000_000_000  # ~0.98 * int64 max
+    df = spark.range(0, 4).select(F.lit(big).cast("long").alias("v"))
+    got = df.agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
+    ).first().s
+    assert int(got) == 4 * big  # 3.6e19 > int64 max: promoted, exact
+
+
+def test_scaled_long_rounds_half_like_oracle(spark):
+    """round() at the cents boundary must agree between the Spark
+    expression and Python/DuckDB semantics for representative values
+    (2-decimal doubles are exactly representable scaled by 100 only
+    after round — e.g. 0.29*100 = 28.999...)."""
+    vals = [0.29, 0.57, 1.13, 2.675, -0.29, 123456.78]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.x: r.c for r in df.select("x", scaled_long("x").alias("c")).collect()}
+    import duckdb
+
+    want = {
+        v: duckdb.sql(f"SELECT CAST(round({v!r} * 100) AS BIGINT)").fetchone()[0]
+        for v in vals
+    }
+    assert got == want
