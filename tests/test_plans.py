@@ -263,3 +263,30 @@ def test_zipf_window_sees_only_topk(spark):
     the raw frequency table."""
     p = plan_of(registry.QUERIES["zipf_law_fit"](spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_zorder_keys_scan_local(spark):
+    """The Morton key is pure projection bit math: the plan must contain
+    NO Exchange — computing layout keys never shuffles."""
+    p = plan_of(registry.QUERIES["zorder_layout_keys"](spark, SF))
+    assert "Exchange" not in p
+    assert "codegen id" in p  # the key projection runs inside codegen
+
+
+def test_bloom_probe_joins_are_hash_joins(spark):
+    """The bloom prefilter path: bitmap probe and exact verify are both
+    equi hash joins (word_idx / shingle) — never nested-loop, and the
+    raw document text never reaches an exchange (only doc_id + 60-bit
+    hashes / fingerprints shuffle)."""
+    p = plan_of(registry.QUERIES["incremental_dedup_bloom"](spark, SF))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    for seg in p.split("Exchange hashpartitioning(")[1:]:
+        keys = seg.split(")")[0]
+        assert "text" not in keys
+
+
+def test_cms_input_never_shuffles_raw_rows(spark):
+    """Count-Min build: the only exchanges carry (row, pos) cells or the
+    tiny probe frame — the events table itself is consumed map-side."""
+    p = plan_of(registry.QUERIES["cms_event_counts"](spark, SF))
+    assert "partial_count" in p  # map-side combine on the cell groupBy
