@@ -50,6 +50,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_confs(spark)
+            # the driver materializes each query fully before building the
+            # next, so the PREVIOUS query's operator-internal caches
+            # (tracked_persist frames: dedup shingles, pagerank rounds,
+            # IVF assignments) are dead weight by now — release them, or a
+            # 160-query sweep on the driver's default-sized heap
+            # accumulates storage until it OOMs
+            from depositaja_spark.functions.cache import release_caches
+
+            release_caches()
+            # localCheckpoint blocks (connected-components rounds) are
+            # pinned RDDs OUTSIDE the tracked set — each CC-backed query
+            # leaves its final round pinned.  Between queries they are
+            # dead too; drop every pinned RDD.
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for rid in list(jmap.keySet().toArray()):
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist(False)
+                # broadcast variables from auto-broadcast joins are
+                # reclaimed by ContextCleaner only after a driver GC
+                # notices the weak refs — nudge it so a long sweep on a
+                # small heap doesn't carry hundreds of stale broadcasts
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # py4j internals shifted — cache GC is best-effort
             return fn(spark, sf_dir)
 
         return run

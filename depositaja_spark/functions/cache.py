@@ -51,3 +51,22 @@ def release_caches() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+def pinned_rdd_ids(sc) -> set:
+    """Ids of every RDD currently pinned in executor storage (persisted
+    caches AND localCheckpoint blocks).  Used by iterative operators to
+    diff-and-retire the previous round's checkpoint blocks — DataFrames
+    expose no handle on the checkpointed internal RDD, so retired blocks
+    are found by diffing this set around each checkpoint (rounds are
+    driver-sequential, so the diff is exact)."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def unpersist_rdd_ids(sc, ids: set) -> None:
+    """Release the given pinned RDDs (non-blocking)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)

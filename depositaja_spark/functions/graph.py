@@ -276,3 +276,59 @@ def dedup_clusters(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Exact global triangle count over an undirected edge frame.
+
+    ``edges`` must be canonical-distinct (one row per undirected edge,
+    ``src < dst``).  Returns a 1-row frame ``(n_triangles)``.
+
+    Algorithm: degree orientation + wedge closure — the standard
+    distributed exact counter (the one behind Spark's own GraphX
+    ``TriangleCount`` and the MapReduce "node-iterator++" literature).
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so every vertex's OUT-degree is bounded
+    by O(√E) regardless of the in-degree skew of celebrity vertices;
+    wedges (two out-edges sharing an apex) are then generated at each
+    triangle's lowest-rank vertex only — total wedge volume O(E^1.5)
+    worst-case, the best known for exact counting — and closed by one
+    keyed semi-equi-join back against the oriented edge set.  Every
+    step is a keyed shuffle: degree join, wedge self-join on the apex,
+    closure join on the (v, w) pair.  No collects, no cartesians; the
+    celebrity-vertex skew that kills the naive wedge count (fan-out
+    deg² at the hub) is exactly what the orientation removes.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wd = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge a→b with rank(a) < rank(b); rb rides along so the
+    # wedge can order its two far endpoints by the same total rank
+    fwd = wd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+    )
+    e1 = fwd.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
+    e2 = fwd.select("a", F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("rx") < F.col("ry"))
+        | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        fwd.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

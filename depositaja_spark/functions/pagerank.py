@@ -1,0 +1,183 @@
+"""Distributed PageRank: fixed-iteration power method over a DataFrame
+edge list, with a generated chained-CTE SQL oracle.
+
+PageRank on an entity graph extracted from fact tables (who-bought-from-
+whom, doc-links-doc, user-follows-user) is the canonical iterative
+workload an analytics engine must handle without leaving the DataFrame
+layer.  The reference engine has no graph surface; this belongs to the
+beyond-the-reference scale families alongside connected components
+(``functions/graph.py``), and deliberately reuses its iteration
+discipline.
+
+Semantics (standard damped PageRank with uniform dangling-mass
+redistribution):
+
+    pr'(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} pr(u)/outdeg(u)  +  D/N )
+
+where D = Σ pr(u) over dangling u (no out-edges) and N = |V|.  Ranks
+sum to 1 at every iteration (the conservation property the tests pin).
+
+Scale shape:
+
+* **One shuffle per iteration** — the groupBy(dst) contribution
+  aggregation; the rank⋈edges join keys on src, and repartitioning the
+  (persisted) edge frame by src once lets every iteration's join reuse
+  that layout.  Map-side partials compress contributions per partition
+  before the exchange.
+* **Scalars never touch the driver.**  N and the per-iteration dangling
+  mass are 1-row aggregates attached by broadcast cross join — the
+  plan-audit-exempt bounded shape — so a 10^10-vertex graph runs the
+  same plan as the fixture.
+* **Lineage discipline.**  Every round references the previous ranks
+  twice (contributions + dangling mass), so a lazy chain DOUBLES its
+  plan tree per iteration — 2^k copies of the edge scan in the logical
+  plan, megabyte explain strings, Catalyst planning (and the SQL UI's
+  retained plan strings) dominating execution.  Each round is therefore
+  ``localCheckpoint``-ed (lineage truncated to a leaf) and the PREVIOUS
+  round's pinned blocks are retired by the storage-diff pattern shared
+  with connected components (``functions/graph.py``); only the final
+  round stays pinned for the caller (released by ``release_caches`` /
+  the entry wrapper between queries).  On a cluster with preemptible
+  executors, swap in reliable ``checkpoint()`` — same shape, durable
+  blocks.
+
+The oracle generator emits the SAME fold as k chained CTEs, so DuckDB
+replays the exact fixed-point prefix — the strongest check available
+for an iterative operator (same approach as ``exact_detector_replay``'s
+recursive-CTE oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions.cache import (
+    pinned_rdd_ids,
+    tracked_persist,
+    unpersist_rdd_ids,
+)
+
+__all__ = ["pagerank", "pagerank_oracle_sql"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over ``edges``; returns ``(id, pr)``.
+
+    Parallel edges count multiplicatively (pass a distinct frame for an
+    unweighted graph — the registered query does).  ``pr`` sums to 1.
+    """
+    d = float(damping)
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    # N as a 1-row broadcast frame: no collect, no driver scalar
+    ncnt = tracked_persist(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+
+    # materialize ALL lazy caches BEFORE the first storage snapshot —
+    # persisted frames register their RDD only on first execution, so an
+    # unmaterialized cache would first appear DURING round 1's job and
+    # the round diff below would mistake it for a round block and retire
+    # it mid-algorithm (same ordering rule as graph.py).  ncnt reads
+    # through nodes' cache, materializing both.
+    e.count()
+    outdeg.count()
+    ncnt.count()
+
+    before = pinned_rdd_ids(sc)
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+    prev_ids = pinned_rdd_ids(sc) - before
+
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        dangling = ranks.join(
+            outdeg, ranks["id"] == outdeg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        # contrib joins FIRST, scalars attach after: putting the cross
+        # joins under the left-outer's left child would hoist the 1-row
+        # broadcast hints into a build-left position Spark rejects
+        # (HintErrorLogger noise, hint dropped)
+        before = pinned_rdd_ids(sc)
+        ranks = (
+            nodes.join(contrib, "id", "left_outer")
+            .crossJoin(F.broadcast(ncnt))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - d) / F.col("n")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / F.col("n"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()  # eager: truncates lineage, runs the round
+        )
+        # the new round is materialized; the previous round's blocks are
+        # dead — retire them so pinned storage stays O(1) across rounds
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = pinned_rdd_ids(sc) - before
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 4, damping: float = 0.85
+) -> str:
+    """DuckDB SQL computing the identical k-iteration fold.
+
+    ``edges_sql`` must yield columns ``(src, dst)``.  Returns
+    ``(id, pr_scaled)`` with pr × N rounded to 6 decimals — O(1)-sized
+    values so the fixed rounding keeps real precision at any N."""
+    d = float(damping)
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, int(iterations) + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.id,
+         (1.0 - {d})/nn.n + {d} * (COALESCE(c.s, 0.0) + dm.m/nn.n) AS pr
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(r.pr), 0.0) AS m
+              FROM r{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+              WHERE o.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS id, sum(r.pr / o.deg) AS s
+             FROM edges e
+             JOIN r{i - 1} r ON e.src = r.id
+             JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) c ON n.id = c.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT id, round(pr * nn.n, 6) AS pr_scaled\n"
+        f"FROM r{int(iterations)} CROSS JOIN nn"
+    )

@@ -1,0 +1,241 @@
+"""ML-adjacent analytics queries: domain classifier + graph ranking.
+
+Two beyond-the-reference families a pretraining-data pipeline needs
+(SURVEY.md §6): a closed-form text classifier for quality/domain
+filtering (the fastText / CCNet / DSIR recipe) and an iterative graph
+rank over entities extracted from fact tables.  Both are fully
+oracle-backed — the classifier is plain relational algebra, and the
+PageRank oracle replays the identical k-iteration fold as chained CTEs
+(``functions/pagerank.py:pagerank_oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import classifier as clf
+from depositaja_spark.functions.pagerank import pagerank, pagerank_oracle_sql
+from depositaja_spark.queries_ext import _TOKS, _docs
+from depositaja_spark.registry import query
+from depositaja_spark.sources import load_table
+
+# --- domain classifier (NB log-odds) -----------------------------------------
+#
+# Target domain: a fixed slice of sources standing in for the "trusted"
+# corpus (wiki-like in CCNet, the target distribution in DSIR).  The
+# classifier is target-vs-rest; its scores drive filtering/reweighting.
+
+_TARGET_SOURCES = ("src1", "src3", "src5", "src7", "src9")
+_TGT_SQL = ", ".join(f"'{s}'" for s in _TARGET_SOURCES)
+
+# shared oracle CTE prefix: per-token class counts, normalizers, weights
+_CLF_CTES = f"""
+toks AS (SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents),
+cnt AS (
+  SELECT token,
+         sum(CASE WHEN source IN ({_TGT_SQL}) THEN 1 ELSE 0 END) AS n_target,
+         sum(CASE WHEN source IN ({_TGT_SQL}) THEN 0 ELSE 1 END) AS n_other
+  FROM toks GROUP BY token
+),
+tot AS (SELECT CAST(sum(n_target) AS DOUBLE) AS tp,
+               CAST(sum(n_other) AS DOUBLE) AS tn,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM cnt),
+w AS (SELECT token, n_target, n_other,
+             ln((n_target + 1.0) / (tp + v)) - ln((n_other + 1.0) / (tn + v))
+               AS weight
+      FROM cnt CROSS JOIN tot)
+"""
+
+
+def _is_target() -> F.Column:
+    return F.col("source").isin(*_TARGET_SOURCES)
+
+
+@query(
+    "domain_classifier_weights",
+    f"""
+WITH {_CLF_CTES}
+SELECT token,
+       CAST(n_target AS BIGINT) AS n_target,
+       CAST(n_other AS BIGINT) AS n_other,
+       round(weight, 6) AS weight
+FROM w
+""",
+)
+def q_domain_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the target-vs-rest NB log-odds weights — one row per
+    vocabulary token.  One shuffle (token-keyed, map-side combined);
+    output is vocabulary-sized, never corpus-sized; normalizers ride a
+    1-row broadcast cross join.  See ``functions/classifier.py``."""
+    w = clf.token_log_odds(_docs(spark, sf_dir), _is_target())
+    return w.select(
+        "token",
+        F.col("n_target").cast("long").alias("n_target"),
+        F.col("n_other").cast("long").alias("n_other"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+@query(
+    "domain_classifier_scores",
+    f"""
+WITH {_CLF_CTES},
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN source IN ({_TGT_SQL}) THEN 1 ELSE 0 END)
+              AS DOUBLE)
+            / sum(CASE WHEN source IN ({_TGT_SQL}) THEN 0 ELSE 1 END)) AS p
+  FROM documents
+),
+s AS (SELECT t.doc_id, sum(w.weight) AS sw
+      FROM toks t JOIN w ON t.token = w.token
+      GROUP BY t.doc_id)
+SELECT doc_id,
+       round(sw + p, 6) AS score,
+       (sw + p) > 0 AS is_target_pred
+FROM s CROSS JOIN prior
+""",
+)
+def q_domain_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document against the trained weights: class-prior
+    log-odds plus the sum of its tokens' weights; ``is_target_pred``
+    is the sign.  Train and score are ONE lazy plan — the weights
+    aggregation feeds the token-keyed scoring join without a driver
+    round-trip; AQE decides broadcast-vs-shuffle for the vocabulary
+    side at runtime (hard-coding either would be wrong at 100 TB)."""
+    docs = _docs(spark, sf_dir)
+    w = clf.token_log_odds(docs, _is_target())
+    t = _is_target()
+    prior = docs.agg(
+        F.log(
+            F.sum(F.when(t, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(t, 0).otherwise(1))
+        ).alias("p")
+    )
+    scored = clf.score_documents(docs, w, prior=prior)
+    return scored.select(
+        "doc_id", F.round("score", 6).alias("score"), "is_target_pred"
+    )
+
+
+# --- PageRank over the customer→supplier purchase graph ----------------------
+
+_PR_ITERS = 4
+_PR_DAMPING = 0.85
+
+_PR_EDGES_SQL = """SELECT DISTINCT 'c:' || o_custkey AS src,
+                's:' || l_suppkey AS dst
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey"""
+
+
+@query(
+    "supplier_pagerank",
+    pagerank_oracle_sql(_PR_EDGES_SQL, iterations=_PR_ITERS, damping=_PR_DAMPING),
+)
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over who-bought-from-whom: directed edges customer →
+    supplier from the orders⋈lineitem fact join, 4 damped power-method
+    iterations, dangling mass (suppliers have no out-edges)
+    redistributed uniformly.  Emits every node's rank scaled by N
+    (mean 1.0 — O(1) values survive fixed-decimal rounding at any
+    graph size).  One shuffle per iteration; scalars are 1-row
+    broadcast frames; ranks persisted per round (see
+    ``functions/pagerank.py`` for the ≥10-round checkpoint rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    n1 = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return ranks.crossJoin(F.broadcast(n1)).select(
+        "id", F.round(F.col("pr") * F.col("n"), 6).alias("pr_scaled")
+    )
+
+
+# --- triangle counting over the co-purchase graph ----------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+_TRI_EDGES_SQL = f"""SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= {_TRI_MIN_SUPPORT}"""
+
+
+@query(
+    "copurchase_triangles",
+    f"""
+WITH e AS ({_TRI_EDGES_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the part co-purchase graph (parts
+    co-ordered in ≥ {_TRI_MIN_SUPPORT} orders) — the standard graph
+    clustering-coefficient numerator.  Edge generation is the
+    order-keyed basket self-join (fan-out bounded by basket size);
+    counting is degree-oriented wedge closure
+    (``functions/graph.py:triangle_count``) — O(E^1.5) worst-case work,
+    hub skew removed by orientation, all keyed shuffles.  The oracle is
+    the textbook 3-way canonical-edge self-join — quadratic per hub and
+    fine at fixture scale, which is exactly why the engine runs the
+    oriented form instead."""
+    from depositaja_spark.functions.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return triangle_count(edges, "u", "v")
+
+
+# --- fuzzy name matching (edit-distance join) --------------------------------
+
+_FUZZY_K = 2
+
+
+@query(
+    "fuzzy_name_pairs",
+    f"""
+WITH names AS (SELECT DISTINCT p_name AS s FROM part)
+SELECT a.s AS name_a, b.s AS name_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM names a JOIN names b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= {_FUZZY_K}
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: all part-name pairs within Levenshtein distance
+    {_FUZZY_K}, via the filter-then-verify decomposition
+    (``functions/fuzzy.py``): distinct values first (each name repeats
+    ~30× in the column — verify once, not multiplicity² times), q-gram
+    inverted-index candidates for strings long enough for the overlap
+    bound, a banded length join for the short tail, exact
+    ``levenshtein`` only on the candidate sliver.  The oracle is the
+    honest quadratic: all distinct pairs through the DP — the thing the
+    engine path exists to avoid."""
+    from depositaja_spark.functions.fuzzy import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(
+        part.select(F.col("p_name").alias("s")), "s", max_dist=_FUZZY_K, q=2
+    )

@@ -571,6 +571,7 @@ from depositaja_spark import queries_window  # noqa: E402,F401
 from depositaja_spark import queries_curate  # noqa: E402,F401
 from depositaja_spark import queries_temporal  # noqa: E402,F401
 from depositaja_spark import queries_sketch  # noqa: E402,F401
+from depositaja_spark import queries_ml  # noqa: E402,F401
 
 # --- driver-sample priority ---------------------------------------------------
 # The round driver correctness-checks the FIRST 50 registry entries in
@@ -615,6 +616,11 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "attribution_weights",
     "value_hour_regression",
     "orders_profile",
+    "domain_classifier_weights",
+    "domain_classifier_scores",
+    "supplier_pagerank",
+    "copurchase_triangles",
+    "fuzzy_name_pairs",
 )
 
 

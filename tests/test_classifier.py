@@ -1,0 +1,92 @@
+"""NB log-odds domain classifier: behavioral evidence beyond the oracle.
+
+The oracle (tests/test_oracle.py) pins the arithmetic against DuckDB;
+these tests pin the SEMANTICS — that the closed-form weights actually
+separate a separable corpus, that unseen tokens are neutral, and that
+multiplicity counts (multinomial, not Bernoulli)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import classifier as clf
+
+
+def _corpus(spark):
+    # perfectly separable: target docs speak only "alpha beta", others
+    # only "gamma delta"; "common" appears in both equally
+    rows = [
+        (1, "alpha beta alpha common", True),
+        (2, "beta alpha beta common", True),
+        (3, "gamma delta gamma common", False),
+        (4, "delta gamma delta common", False),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+def test_weights_separate_classes(spark):
+    docs = _corpus(spark)
+    w = {
+        r["token"]: r["weight"]
+        for r in clf.token_log_odds(docs, F.col("is_t")).collect()
+    }
+    assert w["alpha"] > 0 and w["beta"] > 0
+    assert w["gamma"] < 0 and w["delta"] < 0
+    # symmetric corpus → the shared token is exactly neutral
+    assert abs(w["common"]) < 1e-12
+
+
+def test_weights_closed_form(spark):
+    """Hand-computed add-1 smoothing on the fixture."""
+    docs = _corpus(spark)
+    w = {
+        r["token"]: (r["n_target"], r["n_other"], r["weight"])
+        for r in clf.token_log_odds(docs, F.col("is_t")).collect()
+    }
+    # totals: 8 target tokens, 8 other tokens, V=5
+    nt, no, wt = w["alpha"]
+    assert (nt, no) == (3, 0)
+    assert wt == pytest.approx(math.log(4 / 13) - math.log(1 / 13), abs=1e-12)
+
+
+def test_scores_predict_and_unseen_is_neutral(spark):
+    docs = _corpus(spark)
+    w = clf.token_log_odds(docs, F.col("is_t"))
+    # score held-out docs: one per class, plus one of ONLY unseen tokens
+    held = spark.createDataFrame(
+        [
+            (10, "alpha beta"),
+            (11, "gamma delta"),
+            (12, "zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["is_target_pred"])
+        for r in clf.score_documents(held, w).collect()
+    }
+    assert got[10][1] is True and got[10][0] > 0
+    assert got[11][1] is False and got[11][0] < 0
+    assert got[12][0] == 0.0  # unseen tokens contribute exactly 0
+
+
+def test_multiplicity_counts(spark):
+    docs = _corpus(spark)
+    w = clf.token_log_odds(docs, F.col("is_t"))
+    held = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha alpha")], "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r["score"] for r in clf.score_documents(held, w).collect()}
+    assert abs(s[2] - 2 * s[1]) < 1e-9
+
+
+def test_prior_frame_shifts_scores(spark):
+    docs = _corpus(spark)
+    w = clf.token_log_odds(docs, F.col("is_t"))
+    held = spark.createDataFrame([(12, "zzz")], "doc_id long, text string")
+    prior = spark.createDataFrame([(3.5,)], "p double")
+    got = clf.score_documents(held, w, prior=prior).collect()[0]
+    assert got["score"] == 3.5 and got["is_target_pred"] is True

@@ -39,6 +39,13 @@ CARTESIAN_OK = {
     "funnel_conversion",
     # heavy hitters: the n/(k+1) threshold is a 1-row broadcast scalar
     "heavy_hitter_events",
+    # NB classifier: the (T_target, T_other, V) normalizers and the class
+    # prior are 1-row broadcast scalars onto vocab/doc frames
+    "domain_classifier_weights",
+    "domain_classifier_scores",
+    # PageRank: N and the per-iteration dangling mass are 1-row broadcast
+    # scalars onto the node frame
+    "supplier_pagerank",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run
