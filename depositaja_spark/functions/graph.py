@@ -332,3 +332,119 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Vertices of the k-core (maximal subgraph with all degrees ≥ k),
+    with their within-core degree: ``(id, deg)``.
+
+    ``edges`` is canonical-undirected distinct (``src < dst``).  The
+    algorithm is iterative peeling — drop every vertex with degree < k,
+    which lowers neighbors' degrees, repeat to fixed point.  Each round
+    is one degree aggregation + two vertex-keyed semi joins, with the
+    surviving edge frame ``localCheckpoint``-ed (plans stay O(1) — the
+    graph.py round discipline) and the previous round's blocks retired.
+    Convergence is detected by EDGE-count stability, observed on the
+    same action that materializes the round (an ``Observation``, so one
+    job per round): a vertex only exists here through its edges, so for
+    k ≥ 1 no vertex can be removed without removing an edge.
+
+    The peeling fixed point is ORDER-FREE (removing any < k vertex
+    never rescues another), so an R-round unroll equals the converged
+    core for every R ≥ the convergence round — which is what makes the
+    generated SQL oracle (``k_core_oracle_sql``) exact.
+    """
+    from pyspark.sql import Observation
+
+    from depositaja_spark.functions.cache import pinned_rdd_ids, unpersist_rdd_ids
+
+    if k < 1:
+        raise ValueError("k_core requires k >= 1")
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    before = pinned_rdd_ids(sc)
+    cur = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint()
+    prev_ids = pinned_rdd_ids(sc) - before
+    n_edges = cur.count()
+
+    converged = False
+    for i in range(int(max_rounds)):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .unionByName(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        good = deg.filter(F.col("deg") >= k).select("id")
+        obs = Observation(f"kcore_round_{i}")
+        before = pinned_rdd_ids(sc)
+        nxt = (
+            cur.join(good.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(good.select(F.col("id").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        remaining = int(obs.get["n"] or 0)
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = pinned_rdd_ids(sc) - before
+        cur = nxt
+        if remaining == n_edges:
+            converged = True
+            break
+        n_edges = remaining
+
+    if not converged and n_edges > 0:
+        warnings.warn(
+            f"k_core stopped after {max_rounds} rounds without reaching the "
+            "fixed point — the result is a peeling PREFIX, not the k-core; "
+            "raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return (
+        cur.select(F.col("u").alias("id"))
+        .unionByName(cur.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB SQL unrolling ``rounds`` peel rounds of ``k_core`` as
+    chained CTEs.  Exact whenever the graph converges within ``rounds``
+    (extra rounds are no-ops at the fixed point)."""
+    # AS MATERIALIZED: each round references the previous one several
+    # times; left to inline, DuckDB would expand the CTE tree
+    # exponentially (5^rounds scan references — "too many open files"
+    # long before any memory limit)
+    parts = [f"WITH e0 AS MATERIALIZED ({edges_sql})"]
+    for i in range(1, int(rounds) + 1):
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT id FROM (SELECT u AS id FROM e{i - 1}
+                  UNION ALL SELECT v AS id FROM e{i - 1}) t
+  GROUP BY id HAVING count(*) >= {int(k)})""",
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN v{i} a ON e.u = a.id
+  JOIN v{i} b ON e.v = b.id)""",
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT id, CAST(count(*) AS BIGINT) AS deg\n"
+        f"FROM (SELECT u AS id FROM e{int(rounds)}"
+        f" UNION ALL SELECT v AS id FROM e{int(rounds)}) t\n"
+        f"GROUP BY id"
+    )

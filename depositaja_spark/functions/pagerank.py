@@ -152,8 +152,8 @@ def pagerank_oracle_sql(
     values so the fixed rounding keeps real precision at any N."""
     d = float(damping)
     parts = [
-        f"WITH edges AS ({edges_sql})",
-        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg"
         " FROM edges GROUP BY src)",
@@ -161,7 +161,7 @@ def pagerank_oracle_sql(
     ]
     for i in range(1, int(iterations) + 1):
         parts.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT n.id,
          (1.0 - {d})/nn.n + {d} * (COALESCE(c.s, 0.0) + dm.m/nn.n) AS pr
   FROM nodes n

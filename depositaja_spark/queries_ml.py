@@ -239,3 +239,47 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         part.select(F.col("p_name").alias("s")), "s", max_dist=_FUZZY_K, q=2
     )
+
+
+# --- k-core of the co-purchase graph -----------------------------------------
+
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 12  # fixture converges in 10; extras are no-ops
+
+
+@query(
+    "copurchase_kcore",
+    None,  # assigned below: generated unrolled-peeling SQL
+)
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_KCORE_K}-core of the part co-purchase graph: parts that
+    remain after iteratively peeling every part co-ordered with fewer
+    than {_KCORE_K} surviving partners — the dense-substructure filter
+    (community cores, spam-ring mining).  Engine: per-round degree agg
+    + two semi joins, localCheckpoint-truncated lineage with block
+    retirement, convergence observed on the round's own action
+    (``functions/graph.py:k_core``).  The oracle unrolls the peeling as
+    chained CTEs — exact because the fixed point is order-free and
+    reached within the unroll depth."""
+    from depositaja_spark.functions.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return k_core(edges, k=_KCORE_K, max_rounds=20, src_col="u", dst_col="v")
+
+
+from depositaja_spark.functions.graph import k_core_oracle_sql as _kc_sql  # noqa: E402
+from depositaja_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["copurchase_kcore"] = _kc_sql(
+    _TRI_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ORACLE_ROUNDS
+)

@@ -621,6 +621,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "supplier_pagerank",
     "copurchase_triangles",
     "fuzzy_name_pairs",
+    "copurchase_kcore",
 )
 
 

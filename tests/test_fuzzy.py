@@ -70,3 +70,24 @@ def test_identical_strings_not_paired(spark):
     the distinct; equal inputs collapse, so no self-pairs."""
     vals = ["same", "same", "same"]
     assert _engine(spark, vals, 2) == set()
+
+
+# --- property: completeness on arbitrary small alphabets ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(_WORD, min_size=2, max_size=12))
+def test_property_matches_brute(spark, vals):
+    """A 3-letter alphabet with lengths 1..8 concentrates mass around
+    the q-gram bound's boundary — exactly where a completeness bug in
+    the tier split would hide."""
+    assert _engine(spark, vals, 2) == _brute(vals, 2)
