@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import text as tx
+from depositaja_spark.functions.cache import tracked_persist
 
 __all__ = ["token_log_odds", "score_documents"]
 
@@ -71,10 +72,16 @@ def token_log_odds(
         is_target.alias("_t"), F.explode(tx.tokens(text_col)).alias("token")
     )
     # one shuffle: map-side partials reduce each partition to its local
-    # vocab before the exchange
-    cnt = toks.groupBy("token").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_target"),
-        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("n_other"),
+    # vocab before the exchange.  The vocab frame feeds BOTH the output
+    # and the normalizer aggregate below — Catalyst does not dedupe the
+    # shared subtree, so without a persist the corpus would be tokenized
+    # and shuffled twice (visible as two identical partial_sum exchanges
+    # in the unpersisted plan).
+    cnt = tracked_persist(
+        toks.groupBy("token").agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_target"),
+            F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("n_other"),
+        )
     )
     # normalizers: 1-row aggregate, broadcast cross join (bounded by
     # construction — plan-audit CARTESIAN_OK shape)

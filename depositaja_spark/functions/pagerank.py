@@ -76,8 +76,14 @@ def pagerank(
     d = float(damping)
     spark = edges.sparkSession
     sc = spark.sparkContext
+    # persist the edges ALREADY hash-partitioned by src: the cached
+    # frame's outputPartitioning satisfies every iteration's rank join
+    # requirement, so the per-round src-side exchange (the big one — the
+    # edge set dwarfs the rank vector) is paid ONCE, and the outdeg
+    # groupBy("src") below rides the same layout shuffle-free
     e = tracked_persist(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
     )
     nodes = tracked_persist(
         e.select(F.col("src").alias("id"))

