@@ -64,10 +64,17 @@ def check_many(balances: DataFrame, flags: DataFrame, probes: DataFrame) -> Data
     tables), so each serving table is scanned once with a broadcast hash
     join — the shape that serves a 10⁴-key batch lookup against a 10⁹-row
     serving table without shuffling the table.
+
+    The hint rides ONLY the semi-join build sides (a supported
+    build-right position); the outer assembly joins are left to AQE —
+    hinting the probe frame there would put the broadcast on a
+    left-outer's left child, a build Spark rejects (the hint is dropped
+    with a HintErrorLogger warning and plans a shuffle anyway).
     """
-    p = F.broadcast(probes.select("wallet_id").distinct())
+    pk = probes.select("wallet_id").distinct()
+    p = F.broadcast(pk)
     return (
-        p.join(balances.join(p, "wallet_id", "left_semi"), "wallet_id", "left_outer")
+        pk.join(balances.join(p, "wallet_id", "left_semi"), "wallet_id", "left_outer")
         .join(flags.join(p, "wallet_id", "left_semi"), "wallet_id", "left_outer")
         .select(
             "wallet_id",

@@ -105,3 +105,44 @@ def test_incremental_dedup_empty_increment(spark, empty_docs):
     new = empty_docs.select("doc_id", "text")
     assert incremental_dedup(old, new).count() == 0
     release_caches()
+
+
+def test_classifier_empty_corpus(spark, empty_docs):
+    """Zero training docs: empty vocab, and scoring any frame against it
+    yields prior-only scores without throwing."""
+    from depositaja_spark.functions import classifier as clf
+
+    w = clf.token_log_odds(empty_docs, F.col("source") == "src1")
+    assert w.count() == 0
+    held = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    (row,) = clf.score_documents(held, w, prior=1.5).collect()
+    assert row["score"] == 1.5
+
+
+def test_pagerank_empty_edges(spark):
+    from depositaja_spark.functions.pagerank import pagerank
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e, iterations=2).count() == 0
+
+
+def test_triangle_count_empty_edges(spark):
+    from depositaja_spark.functions.graph import triangle_count
+
+    e = spark.createDataFrame([], "src long, dst long")
+    (row,) = triangle_count(e).collect()
+    assert row["n_triangles"] == 0
+
+
+def test_k_core_empty_edges(spark):
+    from depositaja_spark.functions.graph import k_core
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert k_core(e, k=2).count() == 0
+
+
+def test_fuzzy_empty_strings_frame(spark):
+    from depositaja_spark.functions.fuzzy import edit_distance_pairs
+
+    e = spark.createDataFrame([], "s string")
+    assert edit_distance_pairs(e, "s", max_dist=2).count() == 0

@@ -349,3 +349,14 @@ def test_fuzzy_join_dedups_before_pairing(spark):
     assert "levenshtein" in p  # exact verify present
     assert "Generate explode" in p or "Generate" in p  # gram explode
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_check_many_probe_broadcasts_where_valid(spark):
+    """The batch-probe lookup: both serving-table prunes are broadcast
+    hash SEMI joins (the probe set builds, the table streams) — and the
+    probe hint must NOT ride the outer left-outer assembly, where Spark
+    rejects a build-left and silently drops the hint."""
+    p = plan_of(registry.QUERIES["check_many"](spark, SF))
+    semis = [ln for ln in p.splitlines()
+             if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+    assert len(semis) == 2
