@@ -703,3 +703,57 @@ def semantic_incremental_dedup(
         F.col("id").alias(id_col),
         F.coalesce(~F.col("hit"), F.lit(True)).alias("keep"),
     )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup ---------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then search
+    for near-duplicates ONLY within each cluster → (id, cluster, keep).
+
+    Keep rule (deterministic, order-free): a vector is dropped iff some
+    LOWER-ID vector in the same cluster has cosine ≥ τ to it.  This is
+    the one-shot pairwise rule (the paper's epsilon-ball sweep), not a
+    transitive-closure merge — chains a~b~c with a≁c drop both b and c.
+
+    Scale: clustering makes the pair space Σ|cluster|²/2 instead of
+    N²/2 — with balanced clusters a k-fold cut, and the within-cluster
+    scoring reuses the unit-vector + keyed equi-join shape (the join key
+    is the cluster id, so candidate pairs co-locate on one shuffle).
+    Clusters are the unit of work a 100 TB run shards across executors;
+    a skewed mega-cluster is handled by raising k (or blocking inside
+    the cluster exactly as embedding_near_dup blocks the full corpus).
+    The centroid list is driver-side by construction (k·d doubles) —
+    same bounded-summary pattern as kmeans/IVF."""
+    from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
+
+    cents = kmeans_fit(corpus, k, iterations, vec_col, id_col)
+    assigned = assign_clusters(corpus, cents, vec_col).select(id_col, "cluster")
+    u = unit_vectors(corpus, id_col, vec_col)
+    cu = assigned.join(u, id_col).select(
+        "cluster", F.col(id_col).alias("id"), "unit"
+    )
+    a = cu.select("cluster", F.col("id").alias("a_id"), F.col("unit").alias("ua"))
+    b = cu.select("cluster", F.col("id").alias("b_id"), F.col("unit").alias("ub"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("hit", F.lit(True)), id_col, "left_outer"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("hit"), F.lit(True)).alias("keep"),
+    )

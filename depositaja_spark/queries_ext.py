@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from depositaja_spark.functions import dedup as dd
 from depositaja_spark.functions import multimodal as mm
 from depositaja_spark.functions import similarity as sim
+from depositaja_spark.functions import spans as sp
 from depositaja_spark.functions import text as tx
 from depositaja_spark.registry import NO_ORACLE_OK, query
 from depositaja_spark.sources import load_table
@@ -1311,3 +1312,77 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_ids"),
         )
     )
+
+
+# --- substring-span dedup (Lee et al. 2022) ----------------------------------
+# Oracle fragments are GENERATED from functions/spans.py's constants so
+# both engines agree by construction (same n, same 60-bit hash).
+
+def _span_positions_sql(n: int) -> str:
+    """Shared oracle CTE chain: (doc_id, pos) of cross-doc duplicated
+    n-gram starts."""
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {n}),
+g AS (SELECT doc_id, unnest(range(0, len(toks) - {n} + 1)) AS pos, toks FROM t),
+h AS (SELECT doc_id, pos,
+             {_H64.format(x=f"array_to_string(toks[pos + 1 : pos + {n}], ' ')")} AS gh
+      FROM g),
+d AS (SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT doc_id, pos FROM h WHERE gh IN (SELECT gh FROM d))
+"""
+
+
+@query(
+    "duplicate_ngram_spans",
+    f"""
+WITH {_span_positions_sql(sp.SPAN_NGRAM)},
+i AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {sp.SPAN_NGRAM}
+                  THEN 1 ELSE 0 END AS flag
+      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {sp.SPAN_NGRAM} AS INT) AS span_end
+FROM s GROUP BY doc_id, island
+""",
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal token ranges covered by n-grams that occur in ≥ 2
+    documents — substring-level dedup's detection pass (Lee et al.
+    2022).  Gram build is array-side in one codegen stage, the dup-gram
+    set is one hash-keyed aggregation, and span merge is the
+    gaps-and-islands window over doc_id — no interval self-join
+    anywhere (functions/spans.py)."""
+    return sp.duplicate_spans(_docs(spark, sf_dir))
+
+
+@query(
+    "span_clipped_corpus",
+    f"""
+WITH {_span_positions_sql(sp.SPAN_NGRAM)},
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {sp.SPAN_NGRAM})) AS pos
+        FROM p),
+alltok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM alltok),
+tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tk),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       CAST(count(*) AS INT) AS n_kept
+FROM kept GROUP BY doc_id
+""",
+)
+def q_span_clipped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with duplicated spans' tokens REMOVED (kept text
+    reassembled in order); fully-duplicated documents drop out.  The
+    covered-position set explodes each duplicated gram start into its n
+    positions (array-side, deduped once), and kept tokens are one
+    anti-join — no range join (functions/spans.py:clip_duplicate_spans)."""
+    return sp.clip_duplicate_spans(_docs(spark, sf_dir))

@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import classifier as clf
+from depositaja_spark.functions import pca
+from depositaja_spark.functions import similarity as sim
 from depositaja_spark.functions.pagerank import pagerank, pagerank_oracle_sql
 from depositaja_spark.queries_ext import _TOKS, _docs
-from depositaja_spark.registry import query
+from depositaja_spark.registry import NO_ORACLE_OK, query
 from depositaja_spark.sources import load_table
 
 # --- domain classifier (NB log-odds) -----------------------------------------
@@ -283,3 +285,119 @@ from depositaja_spark.registry import ORACLES as _ORACLES  # noqa: E402
 _ORACLES["copurchase_kcore"] = _kc_sql(
     _TRI_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ORACLE_ROUNDS
 )
+
+
+# --- PCA over the embedding corpus -------------------------------------------
+#
+# Two-phase summarize-then-solve (functions/pca.py): distributed d×d
+# covariance accumulation, driver-side d×d eigensolve, JVM-side
+# generated-SQL projection.  The covariance and per-dim stats are plain
+# relational algebra → oracle-backed; the eigensolve has no SQL
+# equivalent, so the projection/variance queries are rows-only with a
+# numpy-parity pytest (tests/test_pca.py) as their correctness check.
+
+_DIM_STATS_SQL = """
+WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim, embedding
+           FROM embeddings),
+v AS (SELECT dim, CAST(embedding[dim + 1] AS DOUBLE) AS val FROM x)
+SELECT CAST(dim AS INT) AS dim,
+       round(avg(val), 6) AS mean,
+       round(var_pop(val), 6) AS variance
+FROM v GROUP BY dim
+"""
+
+
+@query("embedding_dim_stats", _DIM_STATS_SQL)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    diagnostic that catches dead or exploding dimensions before any
+    clustering/ANN work.  One posexplode + one aggregation keyed by the
+    (fixed-domain ≤ d) dimension index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.var_pop("v"), 6).alias("variance"),
+        )
+    )
+
+
+_COVARIANCE_SQL = """
+WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, embedding
+           FROM embeddings),
+xi AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v FROM x)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
+FROM xi a JOIN xi b USING (vec_id)
+GROUP BY a.i, b.i
+"""
+
+
+@query("embedding_covariance", _COVARIANCE_SQL)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d covariance matrix as a cell frame — PCA phase 1.  The
+    Spark side is the SCALE path (per-batch centered numpy Gram inside
+    mapInPandas → one (i,j)-keyed sum; shuffle state O(partitions·d²),
+    independent of row count); the oracle is the quadratic unnest
+    self-join DuckDB can express.  Same numbers, different plans — which
+    is the point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # + 0.0 normalizes IEEE −0.0 (a rounding artifact near zero) on both
+    # engines so the hash compare can't split on the zero sign
+    return pca.covariance_cells(emb).select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )
+
+
+@query("embedding_pca_projection")
+def q_embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of every embedding — the 2-D
+    corpus map.  Eigensolve is driver-side over the d×d covariance (no
+    SQL equivalent → rows-only here); numpy parity + sign-convention
+    determinism are pinned by tests/test_pca.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means, comps, _ = pca.pca_fit(emb, k=2)
+    return pca.pca_project(emb, means, comps)
+
+
+NO_ORACLE_OK.add("embedding_pca_projection")
+
+
+@query("embedding_pca_variance")
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained variance of the top-4 principal components (absolute +
+    ratio vs total variance) — the 'how many dims do I actually need'
+    diagnostic.  Rows-only for the same eigensolve reason; parity vs
+    numpy in tests/test_pca.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, ev = pca.pca_fit(emb, k=4)
+    total = float(ev.sum()) if len(ev) else 1.0
+    spark_sess = spark
+    rows = [
+        (int(c), round(float(v), 6), round(float(v / max(total, 1e-12)), 6))
+        for c, v in enumerate(ev)
+    ]
+    return spark_sess.createDataFrame(
+        rows, "component int, explained_variance double, variance_ratio double"
+    )
+
+
+NO_ORACLE_OK.add("embedding_pca_variance")
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+@query("semantic_cluster_dedup")
+def q_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means partition, then near-duplicate removal ONLY
+    within clusters (functions/similarity.py:semdedup) → per-vector keep
+    decision.  The clustering is iterative (no SQL oracle); the keep
+    rule itself is replicated brute-force in tests/test_semdedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, k=8, iterations=3, threshold=0.9)
+
+
+NO_ORACLE_OK.add("semantic_cluster_dedup")

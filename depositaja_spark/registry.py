@@ -622,6 +622,14 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "copurchase_triangles",
     "fuzzy_name_pairs",
     "copurchase_kcore",
+    # -- new in round 6, second half: substring-span dedup, PCA, SemDeDup --
+    "duplicate_ngram_spans",
+    "span_clipped_corpus",
+    "embedding_dim_stats",
+    "embedding_covariance",
+    "embedding_pca_projection",
+    "embedding_pca_variance",
+    "semantic_cluster_dedup",
 )
 
 

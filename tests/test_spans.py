@@ -1,0 +1,158 @@
+"""Substring-span dedup (functions/spans.py): goldens on hand-built
+corpora, structural invariants, and a brute-force Python replica."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark.functions import spans as sp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_shared_phrase_produces_one_span_per_doc(spark):
+    """Two docs share a 10-token run; with n=8 the duplicated starts are
+    positions 0..2 of the run, merging into ONE span covering exactly
+    the shared tokens."""
+    shared = _words("s", 10)
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " " + _words("a", 20)),
+            (2, _words("b", 5) + " " + shared + " " + _words("c", 9)),
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in sp.duplicate_spans(docs, n=8).collect()
+    }
+    assert got == {(1, 0, 10), (2, 5, 15)}
+
+
+def test_disjoint_repeats_stay_separate_spans(spark):
+    """Two shared phrases far apart in the same doc → two spans (the
+    islands merge must not bridge a gap > n)."""
+    p1, p2 = _words("x", 8), _words("y", 8)
+    docs = _docs(
+        spark,
+        [
+            (1, p1 + " " + _words("f", 20) + " " + p2),
+            (2, p1 + " " + _words("g", 30) + " " + p2),
+        ],
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in sp.duplicate_spans(docs, n=8).collect()
+    )
+    assert got == [(1, 0, 8), (1, 28, 36), (2, 0, 8), (2, 38, 46)]
+
+
+def test_within_doc_repeat_is_not_a_span(spark):
+    """A phrase repeated twice INSIDE one doc but present nowhere else
+    must not be flagged (cross-document criterion)."""
+    p = _words("r", 8)
+    docs = _docs(
+        spark,
+        [(1, p + " " + _words("m", 10) + " " + p), (2, _words("z", 30))],
+    )
+    assert sp.duplicate_spans(docs, n=8).count() == 0
+
+
+def test_clip_removes_exactly_covered_tokens(spark):
+    shared = _words("s", 10)
+    tail = _words("a", 20)
+    docs = _docs(
+        spark,
+        [(1, shared + " " + tail), (2, shared)],
+    )
+    rows = {r.doc_id: r for r in sp.clip_duplicate_spans(docs, n=8).collect()}
+    # doc 2 is wholly covered -> dropped; doc 1 keeps only its tail
+    assert set(rows) == {1}
+    assert rows[1].clean_text == tail
+    assert rows[1].n_kept == 20
+
+
+def test_short_docs_pass_through_untouched(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])  # < n tokens
+    assert sp.duplicate_spans(docs, n=8).count() == 0
+    rows = {r.doc_id: r for r in sp.clip_duplicate_spans(docs, n=8).collect()}
+    assert rows[1].clean_text == "a b c" and rows[2].clean_text == "a b c"
+
+
+def _python_spans(texts: dict[int, str], n: int) -> set[tuple[int, int, int]]:
+    """Independent brute-force replica of the operator's contract."""
+    grams: dict[str, set[int]] = {}
+    pos_by_doc: dict[int, list[int]] = {}
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            grams.setdefault(" ".join(tk[i : i + n]), set()).add(d)
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            if len(grams[" ".join(tk[i : i + n])]) >= 2:
+                pos_by_doc.setdefault(d, []).append(i)
+    out = set()
+    for d, ps in pos_by_doc.items():
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > n:
+                out.add((d, start, prev + n))
+                start = p
+            prev = p
+        out.add((d, start, prev + n))
+    return out
+
+
+@pytest.mark.parametrize("n", [3, 8])
+def test_matches_bruteforce_on_fixture_slice(spark, n):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    want = _python_spans(texts, n)
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in sp.duplicate_spans(docs, n=n).collect()
+    }
+    assert got == want
+
+
+def test_spans_are_disjoint_and_at_least_n(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    rows = sp.duplicate_spans(docs, n=8).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        assert r.span_end - r.span_start >= 8
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for ivs in by_doc.values():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1, "merged spans must be strictly disjoint"
+
+
+def test_clip_token_accounting(spark):
+    """kept + covered == total tokens, per doc."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    total = {
+        r.doc_id: r.n for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    covered = {
+        r.doc_id: r.c
+        for r in sp.duplicate_spans(docs, n=8)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).alias("c"))
+        .collect()
+    }
+    kept = {r.doc_id: r.n_kept for r in sp.clip_duplicate_spans(docs, n=8).collect()}
+    for d, n_total in total.items():
+        assert kept.get(d, 0) + covered.get(d, 0) == n_total
