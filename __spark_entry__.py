@@ -56,24 +56,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # IVF assignments) are dead weight by now — release them, or a
             # 160-query sweep on the driver's default-sized heap
             # accumulates storage until it OOMs
-            from depositaja_spark.functions.cache import release_caches
+            from depositaja_spark.functions.cache import (
+                pinned_rdd_ids,
+                release_caches,
+                unpersist_rdd_ids,
+            )
 
             release_caches()
-            # localCheckpoint blocks (connected-components rounds) are
-            # pinned RDDs OUTSIDE the tracked set — each CC-backed query
-            # leaves its final round pinned.  Between queries they are
-            # dead too; drop every pinned RDD.
+            # belt-and-braces: drop ANY remaining pinned RDD (e.g. blocks
+            # a third-party caller checkpointed outside the tracked
+            # registry) — between driver queries everything pinned is
+            # dead weight.  Uses the cache.py helpers so the fragile
+            # py4j walk lives in exactly one place.
             try:
-                jmap = spark.sparkContext._jsc.getPersistentRDDs()
-                for rid in list(jmap.keySet().toArray()):
-                    jrdd = jmap.get(rid)
-                    if jrdd is not None:
-                        jrdd.unpersist(False)
+                sc = spark.sparkContext
+                unpersist_rdd_ids(sc, pinned_rdd_ids(sc))
                 # broadcast variables from auto-broadcast joins are
                 # reclaimed by ContextCleaner only after a driver GC
                 # notices the weak refs — nudge it so a long sweep on a
                 # small heap doesn't carry hundreds of stale broadcasts
-                spark.sparkContext._jvm.System.gc()
+                sc._jvm.System.gc()
             except Exception:
                 pass  # py4j internals shifted — cache GC is best-effort
             return fn(spark, sf_dir)

@@ -49,14 +49,24 @@ BLOOM_K = 7
 
 _H2_SALT = "bloom-h2:"
 
+#: NULL keys canonicalize to this sentinel before hashing: hash64(NULL)
+#: is NULL, so a NULL key would otherwise produce a NULL position array —
+#: explode() then emits ZERO rows and the key silently vanishes from both
+#: the built filter and the probe output (a dropped row, worse than a
+#: wrong verdict).  With the sentinel, NULL behaves as one ordinary
+#: distinct value — the same null-safe-equality semantics the exact
+#: verify join uses.  The \x00 prefix cannot collide with cast strings.
+_NULL_KEY = "\x00<null>"
+
 
 def _positions(key: Column, m_bits: int, k: int) -> Column:
     """Array of k bit positions for ``key`` via Kirsch-Mitzenmacher:
     p_i = (h1 + i·h2) mod m, with h1/h2 independent 60-bit hashes.
     h2 is forced odd so the k positions never collapse onto one value
-    when m is a power of two."""
-    h1 = hash64(key)
-    h2 = hash64(F.concat(F.lit(_H2_SALT), key)).bitwiseOR(F.lit(1).cast("long"))
+    when m is a power of two.  NULL-safe (see _NULL_KEY)."""
+    kk = F.coalesce(key, F.lit(_NULL_KEY))
+    h1 = hash64(kk)
+    h2 = hash64(F.concat(F.lit(_H2_SALT), kk)).bitwiseOR(F.lit(1).cast("long"))
     return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
 
 
@@ -162,10 +172,17 @@ def bloom_prefilter_members(
     maybed = bloom_maybe_contains(increment, bloom_build(history, key_col, m_bits, k),
                                   key_col, m_bits, k, out_col="_maybe")
     inc_cols = increment.columns
-    hist_keys = history.select(F.col(key_col)).distinct().withColumn("_hit", F.lit(1))
+    hist_keys = (
+        history.select(F.col(key_col).alias("_hk")).distinct().withColumn("_hit", F.lit(1))
+    )
+    # null-safe equality: NULL keys hash via the _NULL_KEY sentinel, so
+    # the verify join must treat NULL==NULL as a match too or a NULL
+    # increment key could never be confirmed against a NULL history key
+    # (the _hit marker, not _hk itself, carries the verdict — a matched
+    # NULL history key is still a NULL _hk)
     verified = (
         maybed.filter(F.col("_maybe"))
-        .join(hist_keys, key_col, "left")
+        .join(hist_keys, F.col(key_col).eqNullSafe(F.col("_hk")), "left")
         .select(*inc_cols, F.col("_hit").isNotNull().alias(out_col))
     )
     misses = (

@@ -20,12 +20,26 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+#: (SparkContext, rdd-id) pairs for pinned blocks that have no DataFrame
+#: handle — the final-round localCheckpoint blocks iterative operators
+#: (connected components, k-core, pagerank) leave for their caller.
+#: ``release_caches`` retires these too, so "call release_caches between
+#: queries" is the whole cache-hygiene contract for library users.
+_TRACKED_RDDS: list[tuple[object, int]] = []
+
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register for a later bulk ``release_caches()``."""
     df.persist()
     _TRACKED.append(df)
     return df
+
+
+def track_pinned_rdds(sc, ids: set) -> None:
+    """Register already-pinned RDD ids (localCheckpoint blocks) for the
+    next ``release_caches()`` sweep."""
+    for rid in ids:
+        _TRACKED_RDDS.append((sc, int(rid)))
 
 
 def untrack(df: DataFrame) -> None:
@@ -41,7 +55,8 @@ def untrack(df: DataFrame) -> None:
 
 
 def release_caches() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame AND every tracked pinned RDD
+    (final-round checkpoint blocks); returns how many were released."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -50,6 +65,13 @@ def release_caches() -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
+    while _TRACKED_RDDS:
+        sc, rid = _TRACKED_RDDS.pop()
+        try:
+            unpersist_rdd_ids(sc, {rid})
+            n += 1
+        except Exception:
+            pass
     return n
 
 

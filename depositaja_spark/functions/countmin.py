@@ -34,11 +34,19 @@ CMS_DEPTH = 5
 
 _H2_SALT = "cms-h2:"
 
+#: NULL keys are first-class: they canonicalize to this sentinel before
+#: hashing (in BOTH build and estimate), because hash64(NULL) is NULL and
+#: a NULL position would silently bank occurrences into unreachable cells
+#: — an UNDERcount, the one error class CMS promises never to produce.
+#: The \x00 prefix cannot collide with real keys cast from fixture types.
+_NULL_KEY = "\x00<null>"
+
 
 def _row_positions(key: Column, width: int, depth: int) -> Column:
-    """Array of ``depth`` positions, one per sketch row."""
-    h1 = hash64(key)
-    h2 = hash64(F.concat(F.lit(_H2_SALT), key)).bitwiseOR(F.lit(1).cast("long"))
+    """Array of ``depth`` positions, one per sketch row (NULL-safe)."""
+    k = F.coalesce(key, F.lit(_NULL_KEY))
+    h1 = hash64(k)
+    h2 = hash64(F.concat(F.lit(_H2_SALT), k)).bitwiseOR(F.lit(1).cast("long"))
     return F.array(*[F.pmod(h1 + F.lit(r) * h2, F.lit(width)) for r in range(depth)])
 
 

@@ -101,13 +101,19 @@ def edit_distance_pairs(
     )
 
     cand = cand_gram.unionByName(cand_band).distinct()
-    # cheap cut first, DP only on survivors
-    verified = cand.filter(
-        (F.abs(F.length("sa") - F.length("sb")) <= k)
-        & (F.levenshtein("sa", "sb") <= k)
-    )
-    return verified.select(
-        F.col("sa").alias("name_a"),
-        F.col("sb").alias("name_b"),
-        F.levenshtein("sa", "sb").cast("int").alias("dist"),
+    # cheap length cut, then the O(len²) DP.  Catalyst pushes the dist
+    # predicate (alias-substituted) down INTO the candidate joins — the
+    # desirable outcome: the DP prunes pairs before the distinct
+    # aggregate ever sees them, and the only repeat evaluation left is
+    # one DP per SURVIVING distinct pair in the output projection
+    # (bounded by the result size, not the candidate count)
+    return (
+        cand.filter(F.abs(F.length("sa") - F.length("sb")) <= k)
+        .withColumn("dist", F.levenshtein("sa", "sb").cast("int"))
+        .filter(F.col("dist") <= k)
+        .select(
+            F.col("sa").alias("name_a"),
+            F.col("sb").alias("name_b"),
+            "dist",
+        )
     )

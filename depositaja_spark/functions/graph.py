@@ -190,6 +190,12 @@ def _labels_distributed(edges: DataFrame, max_iterations: int) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
+    # hand the final round's checkpoint blocks (which BACK the returned
+    # frame — lineage is truncated) to the tracked-RDD registry so the
+    # caller's between-queries release_caches() retires them
+    from depositaja_spark.functions.cache import track_pinned_rdds
+
+    track_pinned_rdds(sc, prev_ids)
     return labels
 
 
@@ -410,6 +416,11 @@ def k_core(
             RuntimeWarning,
             stacklevel=2,
         )
+    # final-round blocks back the returned frame; registry-retire them
+    # on the caller's next release_caches() (see pagerank for the rule)
+    from depositaja_spark.functions.cache import track_pinned_rdds
+
+    track_pinned_rdds(sc, prev_ids)
     return (
         cur.select(F.col("u").alias("id"))
         .unionByName(cur.select(F.col("v").alias("id")))

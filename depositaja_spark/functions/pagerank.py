@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from depositaja_spark.functions.cache import (
     pinned_rdd_ids,
+    track_pinned_rdds,
     tracked_persist,
     unpersist_rdd_ids,
 )
@@ -145,6 +146,12 @@ def pagerank(
         # dead — retire them so pinned storage stays O(1) across rounds
         unpersist_rdd_ids(sc, prev_ids)
         prev_ids = pinned_rdd_ids(sc) - before
+    # the FINAL round's blocks back the returned frame (localCheckpoint
+    # truncated its lineage — unpersisting before the caller reads it
+    # would lose the data, not recompute it), so they are handed to the
+    # tracked-RDD registry: the caller's normal between-queries
+    # release_caches() retires them once the result is consumed
+    track_pinned_rdds(sc, prev_ids)
     return ranks
 
 

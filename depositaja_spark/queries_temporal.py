@@ -171,7 +171,7 @@ _SWEEP_BUCKET_SECONDS = 3600
 
 _PEAK_SQL = """
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
@@ -179,8 +179,12 @@ WITH gaps AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 ids AS (
+  -- same (ts, event_id) tie-break as the gaps window: with ts-only
+  -- ordering, two same-instant events could nondeterministically land
+  -- on either side of a session-opening flag and split one session in
+  -- two, inflating the sweep
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
   FROM gaps
 ),

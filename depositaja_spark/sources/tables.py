@@ -28,15 +28,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: file listing: if a caller ever pointed load_table at a directory it
 #: rewrites mid-session it must bypass this cache (no such caller
 #: exists; all call sites read the driver's static sf dirs).
-_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_LOAD_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the session timeZone is part of the key: the NTZ→LTZ normalization
     # guard below must re-run (and re-raise) if the zone changes after a
     # frame was cached under UTC
+    app_id = spark.sparkContext.applicationId
     key = (
-        spark.sparkContext.applicationId,
+        app_id,
         spark.conf.get("spark.sql.session.timeZone"),
         os.path.abspath(sf_dir),
         name,
@@ -44,6 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
         return hit
+    # evict entries from other applications: their sessions are stopped
+    # (or stopping), the plans are unusable, and a driver that restarts
+    # sessions must not grow the dict without bound
+    for stale in [k for k in _LOAD_CACHE if k[0] != app_id]:
+        del _LOAD_CACHE[stale]
     df = _load_table_uncached(spark, sf_dir, name)
     _LOAD_CACHE[key] = df
     return df

@@ -118,3 +118,29 @@ def test_duplicate_probe_rows_are_benign(spark, keysets):
            bloom_maybe_contains(dup_probes, bloom, "k", M).collect()}
     assert got["key-7"] is True
     assert got["stranger-1"] is False
+
+
+def test_null_keys_are_first_class(spark):
+    """Regression: hash64(NULL) is NULL, so a NULL key used to produce a
+    NULL position array — explode emitted ZERO rows and the key silently
+    vanished from both the filter and the probe output.  With the
+    sentinel canonicalization a NULL key is one ordinary distinct value."""
+    from depositaja_spark.functions.bloom import bloom_prefilter_members
+
+    hist = spark.createDataFrame([("a",), (None,)], "k string")
+    inc = spark.createDataFrame([("a",), ("x",), (None,)], "k string")
+    rows = bloom_prefilter_members(hist, inc, "k", m_bits=M).collect()
+    assert len(rows) == 3, "no increment row may be dropped"
+    got = {r.k: r.is_member for r in rows}
+    assert got["a"] is True
+    assert got["x"] is False
+    assert got[None] is True  # NULL history key matches NULL increment key
+
+
+def test_null_key_not_in_history_is_new(spark):
+    from depositaja_spark.functions.bloom import bloom_prefilter_members
+
+    hist = spark.createDataFrame([("a",), ("b",)], "k string")
+    inc = spark.createDataFrame([(None,)], "k string")
+    (row,) = bloom_prefilter_members(hist, inc, "k", m_bits=M).collect()
+    assert row.is_member is False

@@ -82,3 +82,15 @@ def test_unseen_key_estimates_zero_or_collision(spark, skewed):
 def test_sketch_size_is_bounded(spark, skewed):
     cells = cms_build(skewed, "k", WIDTH_TINY, DEPTH).count()
     assert cells <= WIDTH_TINY * DEPTH
+
+
+def test_null_probe_key_is_counted(spark):
+    """Regression: hash64(NULL) is NULL, so NULL-key occurrences used to
+    bank into unreachable (row, NULL) cells and estimate to 0 — an
+    UNDERcount, the one error class CMS promises never to produce."""
+    df = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    sketch = cms_build(df, "k", 4096, DEPTH)
+    probes = df.select("k").distinct()
+    est = {r.k: r.est_n for r in cms_estimate(probes, sketch, "k", 4096, DEPTH).collect()}
+    assert est[None] == 2
+    assert est["a"] == 1

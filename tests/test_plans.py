@@ -320,12 +320,22 @@ def test_classifier_scoring_vocab_join_not_hint_broadcast(spark):
     # the analyzed plan records hints before the optimizer consumes them
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("UnresolvedHint") == 0  # all hints resolved
-    # hint only on 1-row aggregates: every ResolvedHint sits above an
-    # Aggregate with empty grouping
+    # hint only on 1-row aggregates: the first Aggregate under every
+    # ResolvedHint must have EMPTY grouping — an ungrouped Aggregate
+    # prints one bracket list ("Aggregate [aggs]"), a grouped one prints
+    # two ("Aggregate [keys], [outputs]")
     import re
-    for m in re.finditer(r"ResolvedHint", analyzed):
-        tail = analyzed[m.start() : m.start() + 400]
-        assert "Aggregate [" not in tail.split("Aggregate")[0] or True
+    hints = list(re.finditer(r"ResolvedHint", analyzed))
+    assert hints, "expected the 1-row normalizer broadcasts to be hinted"
+    for m in hints:
+        tail = analyzed[m.start() :]
+        agg_line = next(
+            ln for ln in tail.splitlines() if "Aggregate [" in ln
+        )
+        assert "], [" not in agg_line, (
+            "broadcast hint sits above a GROUPED aggregate — an unbounded "
+            f"frame is being force-broadcast: {agg_line[:160]}"
+        )
     p = plan_of(df)
     assert "CartesianProduct" not in p
 
