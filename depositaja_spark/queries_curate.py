@@ -1892,3 +1892,99 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.col("is_member").cast("long")).alias("n_in_history"),
     )
+
+
+# --- BM25 retrieval scoring ---------------------------------------------------
+#
+# The classic keyword-retrieval ranking (Robertson/Spärck Jones) — the
+# engine-side primitive behind corpus search, quality probes ("find docs
+# about X"), and hard-negative mining.  TF-IDF above extracts keywords
+# PER DOC; BM25 ranks docs FOR A QUERY, with length normalization and tf
+# saturation.  Everything is relational: two keyed aggregations (tf on
+# (doc, term), df on term), a 1-row corpus-stats broadcast, a ≤|Q|-row
+# idf frame AQE will broadcast, and a global top-k that plans as
+# TakeOrderedAndProject (no global sort).
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "bm25_search",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY tok),
+idf AS (SELECT tok, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM df CROSS JOIN stats),
+s AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))) AS sc
+  FROM tf
+  JOIN idf USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(sc, 6) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BM25_TOPK} documents by BM25 for the fixed query terms
+    (k1={_BM25_K1}, b={_BM25_B}; deterministic doc_id tie-break).
+
+    Scale shape: the tf aggregation filters to query terms BEFORE the
+    (doc, term) shuffle, so the exchanged frame is |Q|-bounded per doc;
+    df/idf are ≤|Q| rows (broadcast by AQE); doc lengths are one keyed
+    aggregation; the final ranking is TakeOrderedAndProject.  In a real
+    search deployment tf comes from a prebuilt inverted index — this is
+    the query-time plan over raw text."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    qt = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df = qt.groupBy("tok").agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    norm = 1.0 - _BM25_B
+    contrib = (
+        tf.join(idf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1 * (norm + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

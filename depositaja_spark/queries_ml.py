@@ -18,7 +18,7 @@ from depositaja_spark.functions import classifier as clf
 from depositaja_spark.functions import pca
 from depositaja_spark.functions import similarity as sim
 from depositaja_spark.functions.pagerank import pagerank, pagerank_oracle_sql
-from depositaja_spark.queries_ext import _TOKS, _docs
+from depositaja_spark.queries_ext import _H64, _TOKS, _docs
 from depositaja_spark.registry import NO_ORACLE_OK, query
 from depositaja_spark.sources import load_table
 
@@ -401,3 +401,125 @@ def q_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("semantic_cluster_dedup")
+
+
+# --- DSIR: hashed n-gram importance weights ----------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): estimate
+# target and raw distributions over B hashed n-gram buckets, weight each
+# document by its log importance ratio Σ_b c_b(x)·ln(p̂_t(b)/p̂_r(b)).
+# The fastText-classifier alternative above learns a discriminator; DSIR
+# is the generative twin — both are one-shuffle relational plans.  B is
+# the scale lever: the bucket-count frame is B rows whatever the corpus.
+
+_DSIR_B = 256  # hash buckets (paper: 10^4; scaled to the fixture vocab)
+_DSIR_A = 1.0  # additive smoothing
+
+#: unigram+bigram rows per doc, multiplicity preserved (DSIR counts
+#: occurrences, not presence).  Guarded transform: sequence(1, 0) would
+#: count DOWN for 1-token docs.
+_FEATS_SQL = f"""
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM tk),
+bii AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM tk),
+bi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g FROM bii),
+feat AS (
+  SELECT doc_id, {_H64.format(x='g')} % {_DSIR_B} AS bucket FROM uni
+  UNION ALL
+  SELECT doc_id, {_H64.format(x='g')} % {_DSIR_B} AS bucket FROM bi
+)
+"""
+
+_DSIR_SQL = f"""
+WITH {_FEATS_SQL},
+lab AS (SELECT doc_id, source IN ({_TGT_SQL}) AS is_t FROM documents),
+cnt AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr
+  FROM feat JOIN lab USING (doc_id) GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(nt) AS DOUBLE) AS tt, CAST(sum(nr) AS DOUBLE) AS tr
+        FROM cnt),
+lr AS (
+  SELECT bucket,
+         ln((nt + {_DSIR_A}) / (tt + {_DSIR_A} * {_DSIR_B}))
+           - ln((nr + {_DSIR_A}) / (tr + {_DSIR_A} * {_DSIR_B})) AS lr
+  FROM cnt CROSS JOIN tot
+)
+SELECT feat.doc_id, round(sum(lr.lr), 6) AS logw
+FROM feat JOIN lr USING (bucket)
+GROUP BY feat.doc_id
+"""
+
+
+def _hashed_feature_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket): hashed unigram+bigram features, multiplicity
+    preserved — built array-side in one codegen stage like
+    functions/spans.py's positional grams."""
+    from depositaja_spark.functions.text import hash64
+
+    tk = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    grams = F.expr(
+        "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+        "ELSE array() END)"
+    )
+    return tk.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", (hash64(F.col("g")) % _DSIR_B).alias("bucket"))
+
+
+@query("dsir_importance_weights", _DSIR_SQL)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight against the target-source
+    slice.  Plan: one feature explode (array-side grams), one
+    bucket-keyed count aggregation (output ≤ B rows however big the
+    corpus), 1-row broadcast totals, then the scoring join — the B-row
+    log-ratio side is left to AQE (it will broadcast), and the final
+    doc aggregation is the only corpus-sized shuffle."""
+    docs = _docs(spark, sf_dir)
+    feat = _hashed_feature_buckets(docs)
+    lab = docs.select("doc_id", _is_target().alias("is_t"))
+    cnt = (
+        feat.join(lab, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("nr"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("nt").cast("double").alias("tt"), F.sum("nr").cast("double").alias("tr")
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("nt") + _DSIR_A) / (F.col("tt") + _DSIR_A * _DSIR_B))
+            - F.log((F.col("nr") + _DSIR_A) / (F.col("tr") + _DSIR_A * _DSIR_B))
+        ).alias("lr"),
+    )
+    return (
+        feat.join(lr, "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), 6).alias("logw"))
+    )
+
+
+@query(
+    "dsir_top_docs",
+    f"""
+WITH w AS ({_DSIR_SQL})
+SELECT doc_id, logw FROM w ORDER BY logw DESC, doc_id LIMIT 50
+""",
+)
+def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection: top-50 documents by importance weight
+    (deterministic doc_id tie-break) — TakeOrderedAndProject, the
+    global-sort-free top-k."""
+    return (
+        q_dsir_importance_weights(spark, sf_dir)
+        .orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(50)
+    )

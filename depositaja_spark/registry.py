@@ -630,6 +630,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_pca_projection",
     "embedding_pca_variance",
     "semantic_cluster_dedup",
+    "dsir_importance_weights",
+    "dsir_top_docs",
+    "bm25_search",
 )
 
 

