@@ -22,3 +22,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# --- query registration -------------------------------------------------------
+# The registry ⇄ query-module import cycle is broken HERE: the parent
+# package initializes before any submodule, so importing the registry
+# first and the query families second guarantees every
+# `from depositaja_spark.registry import query` finds a complete
+# registry — whichever module a user imports first.
+from depositaja_spark import registry  # noqa: E402
+from depositaja_spark import queries_olap  # noqa: E402,F401
+from depositaja_spark import queries_ext  # noqa: E402,F401
+from depositaja_spark import queries_window  # noqa: E402,F401
+from depositaja_spark import queries_curate  # noqa: E402,F401
+from depositaja_spark import queries_temporal  # noqa: E402,F401
+from depositaja_spark import queries_sketch  # noqa: E402,F401
+from depositaja_spark import queries_ml  # noqa: E402,F401
+
+registry._apply_sample_priority()

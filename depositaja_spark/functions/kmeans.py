@@ -181,6 +181,8 @@ def kmeanspp_seed(
     first = vecs.select(
         F.min_by("_v", F.xxhash64(F.col("_id"))).alias("v")
     ).collect()[0].v
+    if first is None:
+        raise ValueError("k-means seeding requires a non-empty corpus")
     c0 = [float(x) for x in first]
     if k == 1:
         return [c0]

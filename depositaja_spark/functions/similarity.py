@@ -735,6 +735,13 @@ def semdedup(
     same bounded-summary pattern as kmeans/IVF."""
     from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
 
+    if not corpus.head(1):  # k-means seeding cannot run on zero vectors
+        return (
+            corpus.select(id_col)
+            .limit(0)
+            .withColumn("cluster", F.lit(0))
+            .withColumn("keep", F.lit(True))
+        )
     cents = kmeans_fit(corpus, k, iterations, vec_col, id_col)
     assigned = assign_clusters(corpus, cents, vec_col).select(id_col, "cluster")
     u = unit_vectors(corpus, id_col, vec_col)

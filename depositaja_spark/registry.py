@@ -562,16 +562,14 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- register the extended query families (import side effect) ---------------
-# placed at module end so their `from depositaja_spark.registry import query`
-# sees the decorator above
-from depositaja_spark import queries_olap  # noqa: E402,F401
-from depositaja_spark import queries_ext  # noqa: E402,F401
-from depositaja_spark import queries_window  # noqa: E402,F401
-from depositaja_spark import queries_curate  # noqa: E402,F401
-from depositaja_spark import queries_temporal  # noqa: E402,F401
-from depositaja_spark import queries_sketch  # noqa: E402,F401
-from depositaja_spark import queries_ml  # noqa: E402,F401
+# --- extended query families --------------------------------------------------
+# The queries_* modules are imported (and SAMPLE_PRIORITY applied) by the
+# package __init__, NOT here: the parent package always initializes before
+# any submodule, so putting the registration imports there means a user
+# can import ANY query module directly without tripping the
+# registry ⇄ query-module cycle (each query module's
+# `from depositaja_spark.registry import query` then always finds a
+# fully-initialized registry).
 
 # --- driver-sample priority ---------------------------------------------------
 # The round driver correctness-checks the FIRST 50 registry entries in
@@ -648,6 +646,3 @@ def _apply_sample_priority() -> None:
     QUERIES.update(q_snapshot)
     ORACLES.clear()
     ORACLES.update(o_snapshot)
-
-
-_apply_sample_priority()

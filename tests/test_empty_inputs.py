@@ -146,3 +146,36 @@ def test_fuzzy_empty_strings_frame(spark):
 
     e = spark.createDataFrame([], "s string")
     assert edit_distance_pairs(e, "s", max_dist=2).count() == 0
+
+
+def test_spans_empty_corpus(spark, empty_docs):
+    from depositaja_spark.functions import spans as sp
+
+    d = empty_docs.select("doc_id", "text")
+    assert sp.duplicate_spans(d).count() == 0
+    assert sp.clip_duplicate_spans(d).count() == 0
+
+
+def test_semdedup_empty_corpus(spark):
+    from depositaja_spark.functions.similarity import semdedup
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semdedup(e, k=2, iterations=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cluster", "keep"}
+
+
+def test_kmeans_empty_corpus_raises_clearly(spark):
+    import pytest as _pytest
+
+    from depositaja_spark.functions.kmeans import kmeanspp_seed
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeanspp_seed(e, k=2)
+
+
+def test_dsir_features_empty_corpus(spark, empty_docs):
+    from depositaja_spark.queries_ml import _hashed_feature_buckets
+
+    assert _hashed_feature_buckets(empty_docs.select("doc_id", "text")).count() == 0
