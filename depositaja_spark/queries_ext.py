@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import dedup as dd
+from depositaja_spark.functions import embed as em
 from depositaja_spark.functions import multimodal as mm
 from depositaja_spark.functions import similarity as sim
 from depositaja_spark.functions import spans as sp
@@ -1386,3 +1387,89 @@ def q_span_clipped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions (array-side, deduped once), and kept tokens are one
     anti-join — no range join (functions/spans.py:clip_duplicate_spans)."""
     return sp.clip_duplicate_spans(_docs(spark, sf_dir))
+
+
+# --- hashed document embeddings + text→ANN composition ------------------------
+
+_EMB_DIM = em.EMBED_DIM
+_EMB_SIGN = 1 << 40  # DuckDB has no shiftright on BIGINT literals' bit: use //
+
+_EMBED_CELLS_SQL = f"""
+tokh AS (
+  SELECT doc_id, {_H64.format(x='t')} AS h
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+signed AS (
+  SELECT doc_id, h % {_EMB_DIM} AS dim,
+         CASE WHEN (h // {_EMB_SIGN}) % 2 = 1 THEN 1 ELSE -1 END AS s
+  FROM tokh
+),
+sums AS (SELECT doc_id, dim, CAST(sum(s) AS DOUBLE) AS v
+         FROM signed GROUP BY doc_id, dim),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM sums GROUP BY doc_id),
+cells AS (
+  SELECT s.doc_id, CAST(s.dim AS INT) AS dim, round(s.v / n.nrm, 6) AS value
+  FROM sums s JOIN norms n USING (doc_id) WHERE n.nrm > 0
+)
+"""
+
+
+@query(
+    "doc_hashed_embeddings",
+    f"WITH {_EMBED_CELLS_SQL} SELECT doc_id, dim, value FROM cells",
+)
+def q_doc_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed (signed-projection) document embeddings as
+    normalized (doc_id, dim, value) cells — the model-free text embedder
+    that lets the ANN / semantic stack run end-to-end from raw text.
+    One explode + one (doc, bucket)-keyed aggregation
+    (functions/embed.py)."""
+    return em.hashed_embedding_cells(_docs(spark, sf_dir))
+
+
+_TEXT_ANN_K = 5
+
+
+@query(
+    "text_ann_topk",
+    f"""
+WITH {_EMBED_CELLS_SQL},
+q AS (SELECT * FROM cells WHERE doc_id IN (0, 1, 2)),
+qn (doc_id, nrm) AS (SELECT doc_id, sqrt(sum(value * value)) FROM q GROUP BY doc_id),
+cn (doc_id, nrm) AS (SELECT doc_id, sqrt(sum(value * value)) FROM cells GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, sum(q.value * c.value) AS dot
+  FROM q JOIN cells c USING (dim)
+  WHERE c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.cand_id,
+         round(d.dot / (qn.nrm * cn.nrm), 6) AS cos
+  FROM dots d
+  JOIN qn ON qn.doc_id = d.query_id
+  JOIN cn ON cn.doc_id = d.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= {_TEXT_ANN_K}
+""",
+)
+def q_text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text nearest neighbours END TO END inside the engine:
+    hash-embed the corpus (one shuffle), then exact cosine top-{_TEXT_ANN_K}
+    for three query documents via the broadcast-query scan
+    (functions/similarity.py:cosine_topk).  The oracle replays the same
+    dense cosine over the normalized cells, so missing-bucket zeros and
+    the rounded-cell arithmetic agree by construction."""
+    dense = em.hashed_embeddings(_docs(spark, sf_dir))
+    corpus = dense.select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = corpus.filter(F.col("vec_id").isin(0, 1, 2))
+    out = sim.cosine_topk(corpus, queries, k=_TEXT_ANN_K)
+    return out.select(
+        F.col("query_id"), F.col("cand_id"), F.col("cos"), F.col("rank")
+    )

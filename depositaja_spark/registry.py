@@ -631,6 +631,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "dsir_top_docs",
     "bm25_search",
+    "doc_hashed_embeddings",
+    "text_ann_topk",
 )
 
 

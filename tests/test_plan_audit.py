@@ -21,6 +21,9 @@ CARTESIAN_OK = {
     "ann_topk_brute",
     "ann_topk_quantized",
     "embedding_near_dups",
+    # text ANN: the exact brute scan IS corpus × (broadcast, 3-doc IN-list
+    # query set) — same baseline shape as ann_topk_brute
+    "text_ann_topk",
     # the non-banded SimHash pair join is the all-pairs BASELINE kept so
     # the banded scale path can be asserted result-equal to it
     "simhash_near_dups",
