@@ -103,18 +103,16 @@ def duplicated_positions(
     return grams.join(dup, "gh", "left_semi").select("doc_id", "pos")
 
 
-def duplicate_spans(
-    docs: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, span_start, span_end): maximal merged token ranges
-    [span_start, span_end) covered by cross-document duplicated n-grams.
+def _merge_spans(pos: DataFrame, n: int) -> DataFrame:
+    """(doc_id, span_start, span_end) from a (doc_id, pos) start-position
+    frame: gaps-and-islands merge of the fixed-length intervals
+    [pos, pos+n).
 
-    Islands merge: duplicated start positions sorted per document; a new
-    island starts when the gap to the previous start exceeds n (fixed
-    interval length makes the running-max-of-end reduce to the previous
-    start + n).  One window over doc_id — high-cardinality partition
-    key, audit-safe — then one aggregation; no interval self-join."""
-    pos = duplicated_positions(docs, n, text_col)
+    A new island starts when the gap to the previous start exceeds n
+    (fixed interval length makes the running-max-of-end reduce to the
+    previous start + n).  One window over doc_id — high-cardinality
+    partition key, audit-safe — then one aggregation; no interval
+    self-join."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     island_flag = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
@@ -132,6 +130,39 @@ def duplicate_spans(
         )
         .drop("island")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal merged token ranges
+    [span_start, span_end) covered by cross-document duplicated
+    n-grams."""
+    return _merge_spans(duplicated_positions(docs, n, text_col), n)
+
+
+def self_repetition_spans(
+    docs: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, span_start, span_end): token ranges covered by n-grams
+    REPEATED WITHIN the same document, keeping each gram's first
+    occurrence (only repeats are flagged).  The intra-document
+    counterpart of ``duplicate_spans`` — the filter that catches looped
+    generations, copy-pasted paragraphs, and template stutter inside a
+    single document.
+
+    The repeat criterion is a min-over-(doc, gram) window — both keys in
+    the partition key, so the per-partition group count scales with the
+    corpus and no global sort exists; positions equal to their gram's
+    first occurrence are dropped before the islands merge."""
+    grams = positional_gram_hashes(docs, n, text_col)
+    w = Window.partitionBy("doc_id", "gh")
+    rep = (
+        grams.withColumn("first_pos", F.min("pos").over(w))
+        .filter(F.col("pos") > F.col("first_pos"))
+        .select("doc_id", "pos")
+    )
+    return _merge_spans(rep, n)
 
 
 def clip_duplicate_spans(

@@ -1473,3 +1473,46 @@ def q_text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("query_id"), F.col("cand_id"), F.col("cos"), F.col("rank")
     )
+
+
+#: intra-doc repeats need a tighter gram than the cross-doc detector:
+#: the fixture (and natural text) repeats short phrases within a
+#: document far more often than 8-token runs
+_SELF_REP_N = 3
+
+
+@query(
+    "self_repetition_spans",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= {_SELF_REP_N}),
+g AS (SELECT doc_id, unnest(range(0, len(toks) - {_SELF_REP_N} + 1)) AS pos, toks
+      FROM t),
+h AS (SELECT doc_id, pos,
+             {{h}} AS gh
+      FROM g),
+p AS (SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, gh) AS first_pos
+        FROM h)
+      WHERE pos > first_pos),
+i AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {_SELF_REP_N}
+                  THEN 1 ELSE 0 END AS flag
+      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_SELF_REP_N} AS INT) AS span_end
+FROM s GROUP BY doc_id, island
+""".format(h=_H64.format(x=f"array_to_string(toks[pos + 1 : pos + {_SELF_REP_N}], ' ')")),
+)
+def q_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token ranges covered by n-grams repeated WITHIN one document
+    (first occurrence kept) — the intra-document counterpart of
+    duplicate_ngram_spans: looped generations, pasted paragraphs,
+    template stutter (functions/spans.py:self_repetition_spans)."""
+    return sp.self_repetition_spans(_docs(spark, sf_dir), n=_SELF_REP_N)

@@ -633,6 +633,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "doc_hashed_embeddings",
     "text_ann_topk",
+    "self_repetition_spans",
 )
 
 

@@ -156,3 +156,74 @@ def test_clip_token_accounting(spark):
     kept = {r.doc_id: r.n_kept for r in sp.clip_duplicate_spans(docs, n=8).collect()}
     for d, n_total in total.items():
         assert kept.get(d, 0) + covered.get(d, 0) == n_total
+
+
+def test_self_repetition_flags_only_repeats(spark):
+    """'x y z' repeated twice in one doc: the second occurrence is a
+    span, the first is kept; a doc without repeats yields nothing."""
+    from depositaja_spark.functions.spans import self_repetition_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x y z a b c x y z"),      # 3-gram 'x y z' at 0 and 6
+            (2, "p q r s t u v w"),        # no repeats
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in self_repetition_spans(docs, n=3).collect()
+    }
+    assert got == {(1, 6, 9)}
+
+
+def test_self_repetition_adjacent_loop_merges(spark):
+    """A looped phrase 'a b c a b c a b c' flags every occurrence after
+    the first and merges them into one span."""
+    from depositaja_spark.functions.spans import self_repetition_spans
+
+    docs = _docs(spark, [(1, "a b c a b c a b c")])
+    got = [
+        (r.span_start, r.span_end)
+        for r in self_repetition_spans(docs, n=3).collect()
+    ]
+    # repeated starts: 'a b c' first at 0 repeats at 3,6; 'b c a' first
+    # at 1 repeats at 4; 'c a b' first at 2 repeats at 5 — positions
+    # {3,4,5,6} merge into the single span [3, 9)
+    assert got == [(3, 9)]
+
+
+def test_self_repetition_matches_bruteforce(spark):
+    from depositaja_spark.functions.spans import self_repetition_spans
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    n = 3
+    want_pos: dict[int, list[int]] = {}
+    for d, t in texts.items():
+        tk = t.split(" ")
+        first: dict[str, int] = {}
+        ps = []
+        for i in range(len(tk) - n + 1):
+            g = " ".join(tk[i : i + n])
+            if g in first:
+                ps.append(i)
+            else:
+                first[g] = i
+        if ps:
+            want_pos[d] = ps
+    want = set()
+    for d, ps in want_pos.items():
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > n:
+                want.add((d, start, prev + n))
+                start = p
+            prev = p
+        want.add((d, start, prev + n))
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in self_repetition_spans(docs, n=n).collect()
+    }
+    assert got == want
