@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from depositaja_spark.functions.cache import tracked_persist
 from depositaja_spark.functions.text import hash64, tokens
 
 #: default embedding width; small because the vectors feed smoke-level
@@ -52,8 +53,12 @@ def hashed_embedding_cells(
         .otherwise(F.lit(-1))
         .alias("s"),
     )
-    sums = signed.groupBy("doc_id", "dim").agg(
-        F.sum("s").cast("double").alias("v")
+    # persisted: BOTH the norm aggregation and the normalization join
+    # consume sums, and Catalyst duplicates the token-explode subtree
+    # across join branches otherwise (the corpus would be scanned and
+    # hashed twice — same rule as dedup.lsh_candidate_pairs)
+    sums = tracked_persist(
+        signed.groupBy("doc_id", "dim").agg(F.sum("s").cast("double").alias("v"))
     )
     # row-local normalization via a per-doc norm frame: one extra keyed
     # aggregation over dim-bounded rows (≤ dim per doc), not the corpus

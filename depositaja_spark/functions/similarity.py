@@ -743,10 +743,18 @@ def semdedup(
             .withColumn("keep", F.lit(True))
         )
     cents = kmeans_fit(corpus, k, iterations, vec_col, id_col)
-    assigned = assign_clusters(corpus, cents, vec_col).select(id_col, "cluster")
+    # persisted: the (cluster, unit) frame feeds BOTH sides of the pair
+    # join and the final decision join re-reads the assignment — without
+    # the persist Catalyst replays the scan + Arrow assignment UDF once
+    # per branch (measured 10 scans / 10 UDF evals in the final plan)
+    from depositaja_spark.functions.cache import tracked_persist
+
+    assigned = tracked_persist(
+        assign_clusters(corpus, cents, vec_col).select(id_col, "cluster")
+    )
     u = unit_vectors(corpus, id_col, vec_col)
-    cu = assigned.join(u, id_col).select(
-        "cluster", F.col(id_col).alias("id"), "unit"
+    cu = tracked_persist(
+        assigned.join(u, id_col).select("cluster", F.col(id_col).alias("id"), "unit")
     )
     a = cu.select("cluster", F.col("id").alias("a_id"), F.col("unit").alias("ua"))
     b = cu.select("cluster", F.col("id").alias("b_id"), F.col("unit").alias("ub"))

@@ -1466,7 +1466,11 @@ def q_text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.py:cosine_topk).  The oracle replays the same
     dense cosine over the normalized cells, so missing-bucket zeros and
     the rounded-cell arithmetic agree by construction."""
-    dense = em.hashed_embeddings(_docs(spark, sf_dir))
+    from depositaja_spark.functions.cache import tracked_persist
+
+    # persisted: the query side is a filter OVER the corpus side, and
+    # without the persist Catalyst plans the whole embed pipeline twice
+    dense = tracked_persist(em.hashed_embeddings(_docs(spark, sf_dir)))
     corpus = dense.select(F.col("doc_id").alias("vec_id"), "embedding")
     queries = corpus.filter(F.col("vec_id").isin(0, 1, 2))
     out = sim.cosine_topk(corpus, queries, k=_TEXT_ANN_K)
