@@ -92,8 +92,12 @@ def duplicated_positions(
 
     The dup-gram set is an aggregation keyed by the gram hash (map-side
     partials collapse per-partition repeats before the one shuffle); the
-    restriction back onto positions is a semi-join on that key."""
-    grams = positional_gram_hashes(docs, n, text_col)
+    restriction back onto positions is a semi-join on that key.  The
+    gram frame feeds BOTH sides, so it is persisted — Catalyst would
+    otherwise tokenize and md5-hash the corpus once per branch."""
+    from depositaja_spark.functions.cache import tracked_persist
+
+    grams = tracked_persist(positional_gram_hashes(docs, n, text_col))
     dup = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("ndocs"))

@@ -479,8 +479,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), 1-row broadcast totals, then the scoring join — the B-row
     log-ratio side is left to AQE (it will broadcast), and the final
     doc aggregation is the only corpus-sized shuffle."""
+    from depositaja_spark.functions.cache import tracked_persist
+
     docs = _docs(spark, sf_dir)
-    feat = _hashed_feature_buckets(docs)
+    # persisted: feat feeds the bucket-count aggregation AND the scoring
+    # join — without the pin Catalyst re-explodes the corpus per branch
+    feat = tracked_persist(_hashed_feature_buckets(docs))
     lab = docs.select("doc_id", _is_target().alias("is_t"))
     cnt = (
         feat.join(lab, "doc_id")
