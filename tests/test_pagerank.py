@@ -92,3 +92,20 @@ def test_parallel_edges_weight_contributions(spark):
     want_w = (1 - d) / n + d * (base * 1 / 3 + dangle)
     assert got["v"] == pytest.approx(want_v, abs=1e-12)
     assert got["w"] == pytest.approx(want_w, abs=1e-12)
+
+
+def test_final_round_blocks_released_by_release_caches(spark):
+    """Regression: pagerank's final localCheckpoint blocks had no
+    release path — release_caches() must retire them via the
+    tracked-pinned-RDD registry."""
+    from depositaja_spark.functions.cache import pinned_rdd_ids, release_caches
+
+    sc = spark.sparkContext
+    release_caches()
+    base = pinned_rdd_ids(sc)
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    pagerank(e, iterations=2).collect()
+    pinned_after = pinned_rdd_ids(sc) - base
+    assert pinned_after, "final round should be pinned until released"
+    release_caches()
+    assert not (pinned_rdd_ids(sc) - base), "release_caches must retire the final round"

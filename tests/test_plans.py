@@ -370,3 +370,48 @@ def test_check_many_probe_broadcasts_where_valid(spark):
     semis = [ln for ln in p.splitlines()
              if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
     assert len(semis) == 2
+
+
+def test_span_gram_frame_is_shared(spark):
+    """duplicated_positions' gram frame must be pinned: both the
+    dup-gram aggregation and the position semi-join consume it, and an
+    unpinned plan re-tokenizes + re-hashes the corpus per branch."""
+    from depositaja_spark.functions.cache import release_caches
+
+    try:
+        p = plan_of(registry.QUERIES["duplicate_ngram_spans"](spark, SF))
+        assert p.count("InMemoryTableScan (") >= 2  # both consumers read the cache
+    finally:
+        release_caches()
+
+
+def test_dsir_feature_frame_is_shared(spark):
+    from depositaja_spark.functions.cache import release_caches
+
+    try:
+        p = plan_of(registry.QUERIES["dsir_importance_weights"](spark, SF))
+        assert p.count("InMemoryTableScan (") >= 2  # counts + scoring join
+    finally:
+        release_caches()
+
+
+def test_embedder_sums_frame_is_shared(spark):
+    from depositaja_spark.functions.cache import release_caches
+
+    try:
+        p = plan_of(registry.QUERIES["doc_hashed_embeddings"](spark, SF))
+        assert p.count("InMemoryTableScan (") >= 2  # norm agg + normalization join
+    finally:
+        release_caches()
+
+
+def test_semdedup_assignment_runs_once(spark):
+    """The Arrow cluster-assignment UDF must appear in ONE live branch;
+    every other reference reads the pinned frame."""
+    from depositaja_spark.functions.cache import release_caches
+
+    try:
+        p = plan_of(registry.QUERIES["semantic_cluster_dedup"](spark, SF))
+        assert p.count("InMemoryTableScan (") >= 2
+    finally:
+        release_caches()
