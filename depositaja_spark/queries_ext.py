@@ -489,7 +489,7 @@ def q_simhash_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs_banded(_docs(spark, sf_dir), max_hamming=6)
 
 
-def _clean_corpus_sql() -> str:
+def _clean_corpus_sql(source: str = "documents") -> str:
     from depositaja_spark.plans.corpus_pipeline import (
         MIN_ALPHA,
         MIN_TOKENS,
@@ -512,7 +512,7 @@ scored AS (
          round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                / length(text), 6) AS alpha_ratio,
          {score_cols}
-  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM {source})
 ),
 base AS (
   SELECT doc_id, text, n_tokens, predicted_lang FROM (
@@ -1520,3 +1520,40 @@ def q_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate_ngram_spans: looped generations, pasted paragraphs,
     template stutter (functions/spans.py:self_repetition_spans)."""
     return sp.self_repetition_spans(_docs(spark, sf_dir), n=_SELF_REP_N)
+
+
+def _clean_corpus_full_sql() -> str:
+    """The complete Lee-et-al preprocessing recipe: substring-span clip
+    FIRST (remove duplicated passages), then the document-level pipeline
+    (gate → exact dedup → near-dup clusters → keepers) over the CLIPPED
+    text.  Composed by splicing the span-clip CTEs ahead of the
+    clean-corpus chain and pointing its source at ``clipped``."""
+    clip_ctes = f"""{_span_positions_sql(sp.SPAN_NGRAM)},
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {sp.SPAN_NGRAM})) AS pos
+        FROM p),
+alltok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM alltok),
+tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tk),
+keptt AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+          ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+clipped AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM keptt GROUP BY doc_id)"""
+    base = _clean_corpus_sql(source="clipped")
+    return base.replace("WITH RECURSIVE\n", "WITH RECURSIVE\n" + clip_ctes + ",\n", 1)
+
+
+@query("clean_corpus_full", _clean_corpus_full_sql())
+def q_clean_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE preprocessing recipe (Lee et al. 2022 ordering):
+    duplicated-span clipping first — so boilerplate passages can't glue
+    unrelated documents into one near-dup cluster — then the document
+    pipeline (quality/language gate → exact dedup → near-dup clustering
+    → keeper selection) over the clipped text.  Every stage is the
+    already-tested operator; this query pins their composition under
+    one oracle."""
+    from depositaja_spark.plans.corpus_pipeline import clean_corpus
+
+    clipped = sp.clip_duplicate_spans(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return clean_corpus(clipped)

@@ -634,6 +634,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_hashed_embeddings",
     "text_ann_topk",
     "self_repetition_spans",
+    "clean_corpus_full",
 )
 
 

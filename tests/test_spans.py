@@ -227,3 +227,16 @@ def test_self_repetition_matches_bruteforce(spark):
         for r in self_repetition_spans(docs, n=n).collect()
     }
     assert got == want
+
+
+def test_clean_corpus_full_is_not_a_noop_splice(spark):
+    """The composed pipeline must actually run the clip stage: on the
+    fixture the clipped corpus loses whole documents and breaks some
+    near-dup clusters, so the keeper set differs from plain
+    clean_corpus."""
+    from depositaja_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    plain = {r.doc_id for r in registry.QUERIES["clean_corpus"](spark, sf).collect()}
+    full = {r.doc_id for r in registry.QUERIES["clean_corpus_full"](spark, sf).collect()}
+    assert plain != full
