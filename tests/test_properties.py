@@ -239,3 +239,78 @@ def test_value_hashes_stable_across_shuffle_partition_counts(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for name in sample:
         assert base[name] == alt[name], name
+
+
+# --- substring spans: random-corpus parity vs an independent replica ---------
+
+_span_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=24
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_dup_spans(texts: dict[int, str], n: int) -> set[tuple[int, int, int]]:
+    grams: dict[str, set[int]] = {}
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            grams.setdefault(" ".join(tk[i : i + n]), set()).add(d)
+    out = set()
+    for d, tk in toks.items():
+        ps = [
+            i
+            for i in range(len(tk) - n + 1)
+            if len(grams[" ".join(tk[i : i + n])]) >= 2
+        ]
+        if not ps:
+            continue
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > n:
+                out.add((d, start, prev + n))
+                start = p
+            prev = p
+        out.add((d, start, prev + n))
+    return out
+
+
+@given(_span_corpora)
+@SETTINGS
+def test_duplicate_spans_match_replica_on_random_corpora(spark, texts):
+    """Tiny 4-letter vocabulary forces heavy cross-doc gram collisions —
+    the worst case for the merge logic."""
+    from depositaja_spark.functions.spans import duplicate_spans
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    n = 3
+    want = _py_dup_spans(dict(enumerate(texts)), n)
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, n=n).collect()
+    }
+    assert got == want
+
+
+@given(_span_corpora)
+@SETTINGS
+def test_clip_accounting_on_random_corpora(spark, texts):
+    """kept + covered == total tokens for every doc, on adversarially
+    collision-heavy corpora."""
+    from depositaja_spark.functions.spans import clip_duplicate_spans, duplicate_spans
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    n = 3
+    total = {d: len(t.split(" ")) for d, t in enumerate(texts)}
+    covered: dict[int, int] = {}
+    for r in duplicate_spans(docs, n=n).collect():
+        covered[r.doc_id] = covered.get(r.doc_id, 0) + (r.span_end - r.span_start)
+    kept = {r.doc_id: r.n_kept for r in clip_duplicate_spans(docs, n=n).collect()}
+    for d, tot in total.items():
+        assert kept.get(d, 0) + covered.get(d, 0) == tot
