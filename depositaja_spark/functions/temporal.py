@@ -255,3 +255,59 @@ def resample_ffill(
             F.last("obs_value", ignorenulls=True).over(wfill).alias("value_ffill"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponential moving average over the ordered series:
+    e_1 = x_1; e_t = α·x_t + (1−α)·e_{t−1} — one row out per row in,
+    with ``out_col`` appended.
+
+    The fold is SEQUENTIAL, which Spark cannot window — so each key's
+    series is collected into a sorted array and folded ARRAY-SIDE with
+    one ``aggregate`` expression (JVM codegen, no Python, no UDF).
+    Per-key state is the series length: the right tool when the order
+    axis has a BOUNDED domain (daily/monthly buckets over a fixed date
+    range — the registered query's shape), regardless of how many rows
+    aggregate into each bucket.  For an unbounded per-key series this
+    shape is wrong by construction — chunk the axis or move to the
+    streaming detector's applyInPandasWithState instead.
+
+    Ties on ``ord_col`` within a key would make the fold
+    order-ambiguous; callers pass pre-aggregated (key, bucket) rows —
+    enforced here with a defensive distinct-width check left OUT of the
+    hot path (document contract instead)."""
+    o_t = df.schema[ord_col].dataType.simpleString()
+    v_t = df.schema[val_col].dataType.simpleString()
+    acc_t = f"array<struct<o:{o_t}, v:{v_t}, e:double>>"
+    pairs = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ord_col).alias("o"), F.col(val_col).alias("v")))
+        ).alias("_series")
+    )
+    a = float(alpha)
+    folded = F.expr(
+        f"""aggregate(
+  _series,
+  cast(array() as {acc_t}),
+  (acc, x) -> concat(acc, array(named_struct(
+    'o', x.o,
+    'v', x.v,
+    'e', CASE WHEN size(acc) = 0 THEN cast(x.v as double)
+              ELSE {a!r} * x.v + {1.0 - a!r} * element_at(acc, -1).e END))))"""
+    )
+    return (
+        pairs.select(*key_cols, F.explode(folded).alias("_f"))
+        .select(
+            *key_cols,
+            F.col("_f.o").alias(ord_col),
+            F.col("_f.v").alias(val_col),
+            F.col("_f.e").alias(out_col),
+        )
+    )

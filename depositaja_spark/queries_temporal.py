@@ -332,3 +332,69 @@ def q_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "p_event_id", "click_event_id", "pos",
         F.round(weight, 6).alias("weight"),
     )
+
+
+# --- EWMA: per-key exponential smoothing --------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_monthly_revenue",
+    f"""
+WITH RECURSIVE
+monthly AS (
+  SELECT n.n_name AS nation,
+         CAST(epoch(date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_unix,
+         round(sum(o.o_totalprice), 4) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT nation, month_unix, revenue,
+         row_number() OVER (PARTITION BY nation ORDER BY month_unix) AS rn
+  FROM monthly
+),
+f(nation, rn, month_unix, revenue, e) AS (
+  SELECT nation, rn, month_unix, revenue, revenue FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.nation, b.rn, b.month_unix, b.revenue,
+         {_EWMA_ALPHA} * b.revenue + {1.0 - _EWMA_ALPHA} * f.e
+  FROM base b JOIN f ON b.nation = f.nation AND b.rn = f.rn + 1
+)
+SELECT nation, month_unix, revenue, round(e, 4) AS ewma FROM f
+""",
+)
+def q_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue exponential smoothing (α={_EWMA_ALPHA})
+    — the classic trend line every revenue dashboard draws.
+
+    The sequential fold has no window-function form, so each nation's
+    monthly series (BOUNDED by the fixed ~80-month date domain, not by
+    sf) is folded array-side in one JVM ``aggregate`` expression
+    (functions/temporal.py:ewma); the oracle replays the identical fold
+    as a recursive CTE — the exact_detector_replay technique.  Upstream
+    is one keyed aggregation over the orders⋈customer⋈nation join with
+    the dimensions broadcast."""
+    from depositaja_spark.functions.temporal import ewma
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .cast("long")
+            .alias("month_unix"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    out = ewma(monthly, ["nation"], "month_unix", "revenue", alpha=_EWMA_ALPHA)
+    return out.select(
+        "nation", "month_unix", "revenue", F.round("ewma", 4).alias("ewma")
+    )

@@ -635,6 +635,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_ann_topk",
     "self_repetition_spans",
     "clean_corpus_full",
+    "ewma_monthly_revenue",
 )
 
 

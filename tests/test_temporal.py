@@ -269,3 +269,58 @@ def test_attribution_single_and_double_touch_weights(spark):
             assert sorted(r.ws) == [0.5, 0.5]
         else:
             assert sorted(r.ws)[-2:] == [0.4, 0.4]
+
+
+# --- EWMA --------------------------------------------------------------------
+
+
+def test_ewma_golden_hand_computed(spark):
+    from depositaja_spark.functions.temporal import ewma
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 10.0)],
+        "k string, t long, v double",
+    )
+    got = {r.t: r.e for r in ewma(df, ["k"], "t", "v", alpha=0.5, out_col="e").collect()}
+    assert got[1] == 10.0
+    assert got[2] == 15.0          # 0.5*20 + 0.5*10
+    assert got[3] == 12.5          # 0.5*10 + 0.5*15
+
+
+def test_ewma_matches_python_fold(spark):
+    import random
+
+    from depositaja_spark.functions.temporal import ewma
+
+    rng = random.Random(7)
+    rows = [
+        (f"k{k}", t, round(rng.uniform(0, 100), 3))
+        for k in range(4)
+        for t in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r.k, r.t): r.e
+        for r in ewma(df, ["k"], "t", "v", alpha=0.3, out_col="e").collect()
+    }
+    for k in range(4):
+        e = None
+        for t in range(30):
+            v = dict(((kk, tt), vv) for kk, tt, vv in rows)[(f"k{k}", t)]
+            e = v if e is None else 0.3 * v + 0.7 * e
+            assert got[(f"k{k}", t)] == pytest.approx(e, abs=1e-9)
+
+
+def test_ewma_value_column_passes_through(spark):
+    from depositaja_spark.functions.temporal import ewma
+
+    df = spark.createDataFrame([("k", 1, 42.0)], "k string, t long, v double")
+    (row,) = ewma(df, ["k"], "t", "v", alpha=0.2).collect()
+    assert row.v == 42.0 and row.ewma == 42.0
+
+
+def test_ewma_empty_input(spark):
+    from depositaja_spark.functions.temporal import ewma
+
+    df = spark.createDataFrame([], "k string, t long, v double")
+    assert ewma(df, ["k"], "t", "v", alpha=0.5).count() == 0
