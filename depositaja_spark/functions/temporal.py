@@ -311,3 +311,60 @@ def ewma(
             F.col("_f.e").alias(out_col),
         )
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    alpha: float,
+    beta: float,
+) -> DataFrame:
+    """Per-key Holt linear (double-exponential) smoothing:
+
+        l_1 = x_1, b_1 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Returns one row per input row with ``level``, ``trend``, and
+    ``forecast`` = l_t + b_t (the one-step-ahead prediction — compare to
+    the NEXT bucket's value to get forecast error).  Same bounded-domain
+    array-fold shape as ``ewma``; see its docstring for when this shape
+    is (and is not) appropriate."""
+    o_t = df.schema[ord_col].dataType.simpleString()
+    v_t = df.schema[val_col].dataType.simpleString()
+    acc_t = f"array<struct<o:{o_t}, v:{v_t}, l:double, b:double>>"
+    pairs = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ord_col).alias("o"), F.col(val_col).alias("v")))
+        ).alias("_series")
+    )
+    a, b = float(alpha), float(beta)
+    folded = F.expr(
+        f"""aggregate(
+  _series,
+  cast(array() as {acc_t}),
+  (acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0
+    THEN named_struct('o', x.o, 'v', x.v,
+                      'l', cast(x.v as double), 'b', cast(0.0 as double))
+    ELSE named_struct('o', x.o, 'v', x.v,
+      'l', {a!r} * x.v
+           + {1.0 - a!r} * (element_at(acc, -1).l + element_at(acc, -1).b),
+      'b', {b!r} * (({a!r} * x.v
+                     + {1.0 - a!r} * (element_at(acc, -1).l + element_at(acc, -1).b))
+                    - element_at(acc, -1).l)
+           + {1.0 - b!r} * element_at(acc, -1).b)
+    END)))"""
+    )
+    return (
+        pairs.select(*key_cols, F.explode(folded).alias("_f"))
+        .select(
+            *key_cols,
+            F.col("_f.o").alias(ord_col),
+            F.col("_f.v").alias(val_col),
+            F.col("_f.l").alias("level"),
+            F.col("_f.b").alias("trend"),
+            (F.col("_f.l") + F.col("_f.b")).alias("forecast"),
+        )
+    )

@@ -364,7 +364,7 @@ f(nation, rn, month_unix, revenue, e) AS (
          {_EWMA_ALPHA} * b.revenue + {1.0 - _EWMA_ALPHA} * f.e
   FROM base b JOIN f ON b.nation = f.nation AND b.rn = f.rn + 1
 )
-SELECT nation, month_unix, revenue, round(e, 4) AS ewma FROM f
+SELECT nation, month_unix, revenue, e AS ewma FROM f
 """,
 )
 def q_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +395,75 @@ def q_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
     )
     out = ewma(monthly, ["nation"], "month_unix", "revenue", alpha=_EWMA_ALPHA)
-    return out.select(
-        "nation", "month_unix", "revenue", F.round("ewma", 4).alias("ewma")
+    # raw double on both sides: the fold is bitwise identical across
+    # engines, and an output round() is the only divergence risk (see
+    # holt_revenue_forecast)
+    return out.select("nation", "month_unix", "revenue", "ewma")
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+@query(
+    "holt_revenue_forecast",
+    f"""
+WITH RECURSIVE
+monthly AS (
+  SELECT n.n_name AS nation,
+         CAST(epoch(date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_unix,
+         round(sum(o.o_totalprice), 4) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT nation, month_unix, revenue,
+         row_number() OVER (PARTITION BY nation ORDER BY month_unix) AS rn
+  FROM monthly
+),
+f(nation, rn, month_unix, revenue, l, b) AS (
+  SELECT nation, rn, month_unix, revenue,
+         CAST(revenue AS DOUBLE), CAST(0.0 AS DOUBLE) FROM base WHERE rn = 1
+  UNION ALL
+  SELECT bb.nation, bb.rn, bb.month_unix, bb.revenue,
+         {_HOLT_A} * bb.revenue + {1.0 - _HOLT_A} * (f.l + f.b),
+         {_HOLT_B} * (({_HOLT_A} * bb.revenue + {1.0 - _HOLT_A} * (f.l + f.b)) - f.l)
+           + {1.0 - _HOLT_B} * f.b
+  FROM base bb JOIN f ON bb.nation = f.nation AND bb.rn = f.rn + 1
+)
+SELECT nation, month_unix, revenue,
+       l AS level, b AS trend, l + b AS forecast
+FROM f
+""",
+)
+def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing over per-nation monthly revenue
+    (α={_HOLT_A}, β={_HOLT_B}) with the one-step-ahead forecast —
+    EWMA's trend-aware sibling, same bounded-domain array fold
+    (functions/temporal.py:holt_linear), same recursive-CTE oracle
+    technique with a two-component accumulator."""
+    from depositaja_spark.functions.temporal import holt_linear
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .cast("long")
+            .alias("month_unix"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
     )
+    out = holt_linear(monthly, ["nation"], "month_unix", "revenue",
+                      alpha=_HOLT_A, beta=_HOLT_B)
+    # the fold is BITWISE identical across engines (same IEEE ops in the
+    # same order on the same rounded inputs), so the outputs ship raw:
+    # a round() here is the only thing that can diverge (Spark HALF_UP
+    # on the decimal string vs DuckDB float rounding — a knife-edge on
+    # tie values like x.xxxx5)
+    return out.select("nation", "month_unix", "revenue", "level", "trend", "forecast")

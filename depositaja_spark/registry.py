@@ -636,6 +636,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "self_repetition_spans",
     "clean_corpus_full",
     "ewma_monthly_revenue",
+    "holt_revenue_forecast",
 )
 
 

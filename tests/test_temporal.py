@@ -324,3 +324,54 @@ def test_ewma_empty_input(spark):
 
     df = spark.createDataFrame([], "k string, t long, v double")
     assert ewma(df, ["k"], "t", "v", alpha=0.5).count() == 0
+
+
+def test_holt_golden_hand_computed(spark):
+    from depositaja_spark.functions.temporal import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0)],
+        "k string, t long, v double",
+    )
+    rows = {r.t: r for r in holt_linear(df, ["k"], "t", "v", 0.5, 0.5).collect()}
+    # t=1: l=10 b=0; t=2: l=.5*20+.5*10=15, b=.5*5+0=2.5, f=17.5
+    assert rows[1].level == 10.0 and rows[1].trend == 0.0
+    assert rows[2].level == 15.0 and rows[2].trend == 2.5
+    assert rows[2].forecast == 17.5
+    # t=3: l=.5*30+.5*17.5=23.75, b=.5*(23.75-15)+.5*2.5=5.625
+    assert rows[3].level == 23.75 and rows[3].trend == 5.625
+
+
+def test_holt_tracks_linear_series_exactly_in_the_limit(spark):
+    """On a perfectly linear series the forecast error shrinks toward 0
+    (the property EWMA alone cannot have — it lags a trend forever)."""
+    from depositaja_spark.functions.temporal import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", t, 10.0 * t) for t in range(1, 40)], "k string, t long, v double"
+    )
+    rows = sorted(holt_linear(df, ["k"], "t", "v", 0.5, 0.3).collect(),
+                  key=lambda r: r.t)
+    errs = [abs(r.forecast - 10.0 * (r.t + 1)) for r in rows]
+    assert errs[-1] < 1e-3
+    assert errs[-1] < errs[5]
+
+
+def test_holt_matches_python_fold(spark):
+    import random
+
+    from depositaja_spark.functions.temporal import holt_linear
+
+    rng = random.Random(11)
+    rows = [("k", t, round(rng.uniform(0, 100), 3)) for t in range(25)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r.t: (r.level, r.trend) for r in
+           holt_linear(df, ["k"], "t", "v", 0.4, 0.2).collect()}
+    l, b = rows[0][2], 0.0
+    for t in range(25):
+        if t > 0:
+            v = rows[t][2]
+            nl = 0.4 * v + 0.6 * (l + b)
+            b = 0.2 * (nl - l) + 0.8 * b
+            l = nl
+        assert got[t] == (l, b)  # bitwise — same ops, same order
