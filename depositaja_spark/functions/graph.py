@@ -121,15 +121,15 @@ def _labels_distributed(edges: DataFrame, max_iterations: int) -> DataFrame:
     # checkpoint; rounds are driver-sequential, so the diff is exact).
     sc = spark.sparkContext
 
+    # the fragile py4j walk lives in cache.py ONLY (pinned_rdd_ids /
+    # unpersist_rdd_ids) — these aliases keep the round-loop readable
+    from depositaja_spark.functions.cache import pinned_rdd_ids, unpersist_rdd_ids
+
     def _pinned_ids() -> set:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return pinned_rdd_ids(sc)
 
     def _unpersist_ids(ids: set) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in ids:
-            jrdd = jmap.get(rid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+        unpersist_rdd_ids(sc, ids)
 
     # materialize the edge caches BEFORE the first storage snapshot —
     # DataFrame caches register their RDD only on first execution, so

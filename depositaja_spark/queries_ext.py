@@ -489,7 +489,7 @@ def q_simhash_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs_banded(_docs(spark, sf_dir), max_hamming=6)
 
 
-def _clean_corpus_sql(source: str = "documents") -> str:
+def _clean_corpus_sql(source: str = "documents", prefix_ctes: str = "") -> str:
     from depositaja_spark.plans.corpus_pipeline import (
         MIN_ALPHA,
         MIN_TOKENS,
@@ -505,9 +505,10 @@ def _clean_corpus_sql(source: str = "documents") -> str:
     for lang in tx.LANG_ORDER:
         case += f"WHEN score_{lang} = best AND best > 0 THEN '{lang}' "
     case += "ELSE 'und' END"
+    prefix = prefix_ctes + ",\n" if prefix_ctes else ""
     return f"""
 WITH RECURSIVE
-scored AS (
+{prefix}scored AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
          round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
                / length(text), 6) AS alpha_ratio,
@@ -1392,7 +1393,7 @@ def q_span_clipped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hashed document embeddings + text→ANN composition ------------------------
 
 _EMB_DIM = em.EMBED_DIM
-_EMB_SIGN = 1 << 40  # DuckDB has no shiftright on BIGINT literals' bit: use //
+_EMB_SIGN = 1 << em._SIGN_BIT  # DuckDB has no shiftright: sign bit read via // then % 2
 
 _EMBED_CELLS_SQL = f"""
 tokh AS (
@@ -1538,8 +1539,7 @@ keptt AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
           ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
 clipped AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
             FROM keptt GROUP BY doc_id)"""
-    base = _clean_corpus_sql(source="clipped")
-    return base.replace("WITH RECURSIVE\n", "WITH RECURSIVE\n" + clip_ctes + ",\n", 1)
+    return _clean_corpus_sql(source="clipped", prefix_ctes=clip_ctes)
 
 
 @query("clean_corpus_full", _clean_corpus_full_sql())

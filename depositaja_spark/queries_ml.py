@@ -459,7 +459,9 @@ def _hashed_feature_buckets(docs: DataFrame) -> DataFrame:
     functions/spans.py's positional grams."""
     from depositaja_spark.functions.text import hash64
 
-    tk = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    from depositaja_spark.functions.text import tokens
+
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
     grams = F.expr(
         "concat(toks, CASE WHEN size(toks) >= 2 THEN "
         "transform(sequence(1, size(toks) - 1), "

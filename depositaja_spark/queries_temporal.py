@@ -336,13 +336,11 @@ def q_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- EWMA: per-key exponential smoothing --------------------------------------
 
-_EWMA_ALPHA = 0.3
-
-
-@query(
-    "ewma_monthly_revenue",
-    f"""
-WITH RECURSIVE
+# shared by the two smoothing queries: the fold inputs must be
+# BIT-IDENTICAL between them (and between each Spark body and its SQL
+# twin) because outputs ship as raw doubles — so the per-nation monthly
+# revenue frame exists exactly ONCE in each language
+_MONTHLY_REV_CTES = """
 monthly AS (
   SELECT n.n_name AS nation,
          CAST(epoch(date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_unix,
@@ -356,7 +354,34 @@ base AS (
   SELECT nation, month_unix, revenue,
          row_number() OVER (PARTITION BY nation ORDER BY month_unix) AS rn
   FROM monthly
-),
+)"""
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .cast("long")
+            .alias("month_unix"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_monthly_revenue",
+    f"""
+WITH RECURSIVE
+{_MONTHLY_REV_CTES},
 f(nation, rn, month_unix, revenue, e) AS (
   SELECT nation, rn, month_unix, revenue, revenue FROM base WHERE rn = 1
   UNION ALL
@@ -380,20 +405,7 @@ def q_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dimensions broadcast."""
     from depositaja_spark.functions.temporal import ewma
 
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    monthly = (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
-            .cast("long")
-            .alias("month_unix"),
-        )
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
-    )
+    monthly = _monthly_revenue(spark, sf_dir)
     out = ewma(monthly, ["nation"], "month_unix", "revenue", alpha=_EWMA_ALPHA)
     # raw double on both sides: the fold is bitwise identical across
     # engines, and an output round() is the only divergence risk (see
@@ -408,20 +420,7 @@ _HOLT_A, _HOLT_B = 0.5, 0.3
     "holt_revenue_forecast",
     f"""
 WITH RECURSIVE
-monthly AS (
-  SELECT n.n_name AS nation,
-         CAST(epoch(date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_unix,
-         round(sum(o.o_totalprice), 4) AS revenue
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  GROUP BY 1, 2
-),
-base AS (
-  SELECT nation, month_unix, revenue,
-         row_number() OVER (PARTITION BY nation ORDER BY month_unix) AS rn
-  FROM monthly
-),
+{_MONTHLY_REV_CTES},
 f(nation, rn, month_unix, revenue, l, b) AS (
   SELECT nation, rn, month_unix, revenue,
          CAST(revenue AS DOUBLE), CAST(0.0 AS DOUBLE) FROM base WHERE rn = 1
@@ -445,20 +444,7 @@ def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     technique with a two-component accumulator."""
     from depositaja_spark.functions.temporal import holt_linear
 
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    monthly = (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
-            .cast("long")
-            .alias("month_unix"),
-        )
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
-    )
+    monthly = _monthly_revenue(spark, sf_dir)
     out = holt_linear(monthly, ["nation"], "month_unix", "revenue",
                       alpha=_HOLT_A, beta=_HOLT_B)
     # the fold is BITWISE identical across engines (same IEEE ops in the
