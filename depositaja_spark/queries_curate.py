@@ -1988,3 +1988,112 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# --- distribution drift: per-source token-distribution divergence -------------
+#
+# The corpus-monitoring question "did source X's text change?" is a
+# divergence between token distributions.  Per source s with smoothed
+# unigram distribution p_s and corpus-complement distribution q_s:
+#   KL(p_s ‖ q_s)      — the classic drift score (asymmetric)
+#   JS(p_s, q_s)       — bounded symmetric variant (√JS is a metric)
+# Everything is two token-keyed aggregations + per-source normalizers:
+# the (source, token) count frame is |S|·V rows (vocabulary-sized, never
+# corpus-sized), and per-source totals are a ≤|S|-row broadcast.
+
+_DRIFT_A = 0.5  # additive smoothing per (source, token) cell
+
+
+@query(
+    "source_token_divergence",
+    f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+vocab AS (SELECT DISTINCT token FROM tok),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM vocab),
+srcs AS (SELECT DISTINCT source FROM documents),
+cells AS (
+  SELECT s.source, vb.token,
+         CAST(coalesce(c.n, 0) AS DOUBLE) AS n_in,
+         CAST(coalesce(t.n, 0) - coalesce(c.n, 0) AS DOUBLE) AS n_out
+  FROM srcs s
+  CROSS JOIN vocab vb
+  LEFT JOIN (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2) c
+    ON c.source = s.source AND c.token = vb.token
+  LEFT JOIN (SELECT token, count(*) AS n FROM tok GROUP BY 1) t
+    ON t.token = vb.token
+),
+tots AS (
+  SELECT source, sum(n_in) AS t_in, sum(n_out) AS t_out
+  FROM cells GROUP BY source
+),
+p AS (
+  SELECT c.source, c.token,
+         (c.n_in + {_DRIFT_A}) / (tots.t_in + {_DRIFT_A} * v.nv) AS p,
+         (c.n_out + {_DRIFT_A}) / (tots.t_out + {_DRIFT_A} * v.nv) AS q
+  FROM cells c JOIN tots USING (source) CROSS JOIN v
+)
+SELECT source,
+       round(sum(p * ln(p / q)), 6) AS kl,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                 + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js
+FROM p GROUP BY source
+""",
+)
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL and Jensen-Shannon divergence between the source's
+    smoothed token distribution and the rest of the corpus — the
+    distribution-shift monitor a continuously-fed pipeline runs per
+    source per day.
+
+    Scale shape: one (source, token)-keyed count (map-side combined,
+    vocabulary-sized output), densified against the vocabulary so
+    zero-count cells exist for the smoothing (the dense frame is |S|·V
+    rows — vocab-sized, not corpus-sized), ≤|S|-row totals broadcast by
+    AQE, one final per-source aggregation."""
+    from depositaja_spark.functions.cache import tracked_persist
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(tx.tokens("text")).alias("token"))
+    # persisted: the (source, token) counts feed the global-token totals
+    # AND the dense cell join — Catalyst would re-explode per branch
+    per = tracked_persist(
+        tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot_tok = per.groupBy("token").agg(F.sum("n").alias("nt"))
+    vocab = tot_tok.select("token", "nt")
+    srcs = docs.select("source").distinct()
+    cells = (
+        srcs.crossJoin(vocab)
+        .join(per, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n_in"),
+            (F.col("nt") - F.coalesce(F.col("n"), F.lit(0))).cast("double").alias("n_out"),
+        )
+    )
+    nv = vocab.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    tots = cells.groupBy("source").agg(
+        F.sum("n_in").alias("t_in"), F.sum("n_out").alias("t_out")
+    )
+    a = _DRIFT_A
+    pq = (
+        cells.join(tots, "source")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "source",
+            ((F.col("n_in") + a) / (F.col("t_in") + a * F.col("nv"))).alias("p"),
+            ((F.col("n_out") + a) / (F.col("t_out") + a * F.col("nv"))).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return pq.groupBy("source").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl"),
+        F.round(
+            F.sum(
+                0.5 * F.col("p") * F.log(F.col("p") / m)
+                + 0.5 * F.col("q") * F.log(F.col("q") / m)
+            ),
+            6,
+        ).alias("js"),
+    )

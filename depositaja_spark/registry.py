@@ -637,6 +637,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "clean_corpus_full",
     "ewma_monthly_revenue",
     "holt_revenue_forecast",
+    "source_token_divergence",
 )
 
 

@@ -56,6 +56,10 @@ CARTESIAN_OK = {
     # BM25: the (N, avgdl) corpus stats are a 1-row broadcast scalar
     # onto the ≤|Q|-row idf frame and the per-doc contribution frame
     "bm25_search",
+    # drift monitor: the densification cross join is (distinct sources ×
+    # vocabulary) — both vocabulary-scale frames, never the corpus; the
+    # zero-count cells it creates are what the smoothing needs
+    "source_token_divergence",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

@@ -93,3 +93,84 @@ def test_dsir_single_token_doc_is_safe(spark):
     rows = _hashed_feature_buckets(docs).groupBy("doc_id").count().collect()
     got = {r.doc_id: r["count"] for r in rows}
     assert got == {1: 1, 2: 3}  # 1 unigram; 2 unigrams + 1 bigram
+
+
+# --- distribution drift ------------------------------------------------------
+
+
+def test_divergence_zero_for_identical_sources():
+    """When a source's distribution equals its complement's, p == q for
+    every token after smoothing cancels, so KL and JS are exactly 0 —
+    checked on the query's own math replicated over a controlled
+    corpus (two sources, identical token multisets)."""
+    import math
+
+    corpus = {"s1": "a b c d", "s2": "a b c d"}
+    vocab = sorted({t for s in corpus.values() for t in s.split(" ")})
+    nv = len(vocab)
+    tot = {t: sum(s.split(" ").count(t) for s in corpus.values()) for t in vocab}
+    for src in corpus:
+        n_in = {t: corpus[src].split(" ").count(t) for t in vocab}
+        t_in = sum(n_in.values())
+        t_out = sum(tot.values()) - t_in
+        kl = js = 0.0
+        for t in vocab:
+            p = (n_in[t] + 0.5) / (t_in + 0.5 * nv)
+            q = (tot[t] - n_in[t] + 0.5) / (t_out + 0.5 * nv)
+            m = (p + q) / 2
+            kl += p * math.log(p / q)
+            js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        assert kl == pytest.approx(0.0, abs=1e-12)
+        assert js == pytest.approx(0.0, abs=1e-12)
+
+
+def test_divergence_properties_on_fixture(spark):
+    """Registered query: JS ∈ [0, ln 2], KL ≥ 0, one row per source."""
+    import math
+
+    from depositaja_spark import registry
+
+    rows = registry.QUERIES["source_token_divergence"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_sources = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r.kl >= 0.0
+        assert 0.0 <= r.js <= math.log(2) + 1e-9
+
+
+def test_divergence_detects_a_drifted_source(spark):
+    """A source with disjoint vocabulary scores strictly higher KL than
+    sources drawn from the shared vocabulary — the drift alarm works."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from depositaja_spark.functions import text as tx
+
+    # python replica of the query's math on a controlled corpus
+    corpus = {
+        "same1": "a b c a b c",
+        "same2": "a b c b c a",
+        "drift": "x y z x y z",
+    }
+    vocab = sorted({t for s in corpus.values() for t in s.split(" ")})
+    nv = len(vocab)
+    tot = {t: sum(s.split(" ").count(t) for s in corpus.values()) for t in vocab}
+
+    def kl(src):
+        n_in = {t: corpus[src].split(" ").count(t) for t in vocab}
+        t_in = sum(n_in.values())
+        t_out = sum(tot.values()) - t_in
+        out = 0.0
+        for t in vocab:
+            p = (n_in[t] + 0.5) / (t_in + 0.5 * nv)
+            q = (tot[t] - n_in[t] + 0.5) / (t_out + 0.5 * nv)
+            out += p * math.log(p / q)
+        return out
+
+    assert kl("drift") > kl("same1") and kl("drift") > kl("same2")
