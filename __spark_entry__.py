@@ -50,34 +50,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_confs(spark)
-            # the driver materializes each query fully before building the
-            # next, so the PREVIOUS query's operator-internal caches
-            # (tracked_persist frames: dedup shingles, pagerank rounds,
-            # IVF assignments) are dead weight by now — release them, or a
+            # Contract: fully materialize each returned DataFrame before
+            # calling the next query (the driver does).  The sweep below
+            # releases the PREVIOUS query's operator-internal caches —
+            # tracked_persist frames and registry-tracked localCheckpoint
+            # blocks (dedup shingles, pagerank rounds, IVF assignments) —
+            # which are dead weight once materialized; without it a
             # 160-query sweep on the driver's default-sized heap
-            # accumulates storage until it OOMs
-            from depositaja_spark.functions.cache import (
-                pinned_rdd_ids,
-                release_caches,
-                unpersist_rdd_ids,
-            )
+            # accumulates storage until it OOMs.  The sweep is restricted
+            # to REGISTRY-TRACKED state on purpose: a blanket
+            # unpersist-everything would also drop localCheckpoint blocks
+            # that back a still-held prior result, whose truncated lineage
+            # makes the loss unrecoverable for any caller that lazily
+            # re-consumes it.  (Our iterative operators register their
+            # final-round checkpoint blocks via track_pinned_rdds, so
+            # release_caches() already retires everything we pin.)
+            from depositaja_spark.functions.cache import release_caches
 
             release_caches()
-            # belt-and-braces: drop ANY remaining pinned RDD (e.g. blocks
-            # a third-party caller checkpointed outside the tracked
-            # registry) — between driver queries everything pinned is
-            # dead weight.  Uses the cache.py helpers so the fragile
-            # py4j walk lives in exactly one place.
             try:
-                sc = spark.sparkContext
-                unpersist_rdd_ids(sc, pinned_rdd_ids(sc))
                 # broadcast variables from auto-broadcast joins are
                 # reclaimed by ContextCleaner only after a driver GC
                 # notices the weak refs — nudge it so a long sweep on a
                 # small heap doesn't carry hundreds of stale broadcasts
-                sc._jvm.System.gc()
+                spark.sparkContext._jvm.System.gc()
             except Exception:
-                pass  # py4j internals shifted — cache GC is best-effort
+                pass  # py4j internals shifted — GC nudge is best-effort
             return fn(spark, sf_dir)
 
         return run

@@ -109,36 +109,47 @@ def bloom_maybe_contains(
     """Append ``out_col``: false ⇒ key DEFINITELY not in the built set
     (no false negatives); true ⇒ membership must be verified exactly.
 
-    Probe plan: explode each key's k positions, LEFT equi-join the
-    filter on word_idx (absent word ⇒ zero word ⇒ miss), then a
-    groupBy(probe key) checking every one of the k bits was set.  Both
-    shuffles are on uniform hash keys — no skew by construction.
-
-    The membership check is ``min(hit) == 1``, NOT ``sum(hit) == k``:
-    duplicate probe rows collapse in the groupBy, and a sum would see
-    d·k hits for a d-duplicated member and wrongly report a miss (a
-    false NEGATIVE — the one error class a Bloom filter must never
-    produce).  With min, duplicates are benign.
+    Probe plan: tag each probe row with ``monotonically_increasing_id``,
+    explode its k positions, LEFT equi-join the filter on word_idx
+    (absent word ⇒ zero word ⇒ miss), then a groupBy on the tag checking
+    every one of the k bits was set (``min(hit) == 1``).  Grouping on
+    the unique tag — not on the probe columns — preserves row
+    cardinality (duplicate probe rows each get their own verdict) and
+    tolerates non-groupable probe columns (e.g. map-typed); the
+    original columns are recovered with ``first()`` inside the same
+    aggregate, which is exact because every row in a tag group came
+    from the same probe row.  Both shuffles are on uniform keys — no
+    skew by construction.
     """
     cols = probe.columns
     probed = (
-        probe.select(*cols, F.posexplode(_positions(F.col(key_col).cast("string"), m_bits, k)).alias("i", "p"))
+        probe.withColumn("_bloom_pid", F.monotonically_increasing_id())
         .select(
             *cols,
-            "i",
+            "_bloom_pid",
+            F.posexplode(_positions(F.col(key_col).cast("string"), m_bits, k)).alias("i", "p"),
+        )
+        .select(
+            *cols,
+            "_bloom_pid",
             (F.col("p") / 64).cast("long").alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
         )
         .join(bloom, "word_idx", "left")
         .select(
             *cols,
+            "_bloom_pid",
             (
                 F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(F.col("mask"))
                 != 0
             ).cast("int").alias("hit"),
         )
-        .groupBy(*cols)
-        .agg((F.min("hit") == F.lit(1)).alias(out_col))
+        .groupBy("_bloom_pid")
+        .agg(
+            *[F.first(c).alias(c) for c in cols],
+            (F.min("hit") == F.lit(1)).alias(out_col),
+        )
+        .drop("_bloom_pid")
     )
     return probed
 
@@ -167,7 +178,9 @@ def bloom_prefilter_members(
        index, so verify is a co-located probe rather than a history
        reshuffle.
 
-    Returns ``increment`` columns + boolean ``out_col``.
+    Returns ``increment`` columns + boolean ``out_col``, preserving row
+    cardinality: duplicate increment rows each carry their own verdict
+    (the probe groups on a unique row tag, not on the probe columns).
     """
     maybed = bloom_maybe_contains(increment, bloom_build(history, key_col, m_bits, k),
                                   key_col, m_bits, k, out_col="_maybe")

@@ -110,10 +110,14 @@ def score_documents(
 ) -> DataFrame:
     """Score: per-document sum of token weights plus ``prior``.
 
-    Returns ``(id_col, score, is_target_pred)``.  Tokens absent from
-    ``weights`` contribute 0 (left join + coalesce) — the correct
-    behavior when scoring held-out data against a trained vocabulary.
-    Duplicate tokens in a document each contribute (multinomial NB).
+    Returns ``(id_col, score, is_target_pred)`` — one row for EVERY
+    input document: a document that tokenizes to zero tokens (explode
+    emits no rows) is joined back in with token-sum 0, so it scores
+    ``prior`` instead of silently vanishing from the output.  Tokens
+    absent from ``weights`` contribute 0 (left join + coalesce) — the
+    correct behavior when scoring held-out data against a trained
+    vocabulary.  Duplicate tokens in a document each contribute
+    (multinomial NB).
 
     ``prior`` is either a float or a 1-row single-column DataFrame (the
     class prior log-odds computed FROM data) attached by broadcast cross
@@ -121,8 +125,13 @@ def score_documents(
     """
     toks = docs.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("token"))
     joined = toks.join(weights.select("token", "weight"), "token", "left_outer")
-    base = joined.groupBy(id_col).agg(
+    sums = joined.groupBy(id_col).agg(
         F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_s")
+    )
+    base = (
+        docs.select(id_col)
+        .join(sums, id_col, "left_outer")
+        .select(id_col, F.coalesce(F.col("_s"), F.lit(0.0)).alias("_s"))
     )
     if isinstance(prior, DataFrame):
         base = base.crossJoin(

@@ -257,6 +257,24 @@ def resample_ffill(
     )
 
 
+def _assert_no_ord_ties(pairs: DataFrame, ord_col: str, op: str) -> DataFrame:
+    """Fail loudly if a key's collected ``_series`` has duplicate order
+    values — the sequential folds below would otherwise silently consume
+    duplicate buckets in (o, v)-sorted order.  ``assert_true`` returns
+    NULL when the condition holds, so the ``when(...isNull(), _series)``
+    wrapper forces the check to evaluate without changing the column
+    (Catalyst would prune a free-standing dropped assert column)."""
+    ok = F.assert_true(
+        F.size(F.array_distinct(F.transform(F.col("_series"), lambda x: x["o"])))
+        == F.size("_series"),
+        F.lit(
+            f"{op}: duplicate {ord_col} values within a key — pre-aggregate "
+            "to one row per (key, bucket) before smoothing"
+        ),
+    )
+    return pairs.withColumn("_series", F.when(ok.isNull(), F.col("_series")))
+
+
 def ewma(
     df: DataFrame,
     key_cols: list[str],
@@ -281,8 +299,10 @@ def ewma(
 
     Ties on ``ord_col`` within a key would make the fold
     order-ambiguous; callers pass pre-aggregated (key, bucket) rows —
-    enforced here with a defensive distinct-width check left OUT of the
-    hot path (document contract instead)."""
+    enforced here with a defensive distinct-width check (an array-side
+    ``assert_true`` per key, O(series) like the fold itself) that fails
+    the job with a clear message instead of silently folding duplicate
+    buckets in (o, v)-sorted order."""
     o_t = df.schema[ord_col].dataType.simpleString()
     v_t = df.schema[val_col].dataType.simpleString()
     acc_t = f"array<struct<o:{o_t}, v:{v_t}, e:double>>"
@@ -291,6 +311,7 @@ def ewma(
             F.collect_list(F.struct(F.col(ord_col).alias("o"), F.col(val_col).alias("v")))
         ).alias("_series")
     )
+    pairs = _assert_no_ord_ties(pairs, ord_col, "ewma")
     a = float(alpha)
     folded = F.expr(
         f"""aggregate(
@@ -340,6 +361,7 @@ def holt_linear(
             F.collect_list(F.struct(F.col(ord_col).alias("o"), F.col(val_col).alias("v")))
         ).alias("_series")
     )
+    pairs = _assert_no_ord_ties(pairs, ord_col, "holt_linear")
     a, b = float(alpha), float(beta)
     folded = F.expr(
         f"""aggregate(

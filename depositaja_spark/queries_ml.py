@@ -90,9 +90,11 @@ prior AS (
             / sum(CASE WHEN source IN ({_TGT_SQL}) THEN 0 ELSE 1 END)) AS p
   FROM documents
 ),
-s AS (SELECT t.doc_id, sum(w.weight) AS sw
-      FROM toks t JOIN w ON t.token = w.token
-      GROUP BY t.doc_id)
+sums AS (SELECT t.doc_id, sum(w.weight) AS sw
+         FROM toks t JOIN w ON t.token = w.token
+         GROUP BY t.doc_id),
+s AS (SELECT d.doc_id, coalesce(sums.sw, 0) AS sw
+      FROM documents d LEFT JOIN sums ON sums.doc_id = d.doc_id)
 SELECT doc_id,
        round(sw + p, 6) AS score,
        (sw + p) > 0 AS is_target_pred

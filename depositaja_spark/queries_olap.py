@@ -2069,12 +2069,14 @@ WITH m AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
-       round(CAST(n * sxy100 - sx * sy100 AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE) * 100), 6) AS slope,
-       round(CAST(sy100 AS DOUBLE) / (100 * n)
-             - (CAST(n * sxy100 - sx * sy100 AS DOUBLE)
-                / (CAST(n * sxx - sx * sx AS DOUBLE) * 100))
-               * (CAST(sx AS DOUBLE) / n), 6) AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         round(CAST(n * sxy100 - sx * sy100 AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE) * 100), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         round(CAST(sy100 AS DOUBLE) / (100 * n)
+               - (CAST(n * sxy100 - sx * sy100 AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE) * 100))
+                 * (CAST(sx AS DOUBLE) / n), 6) END AS intercept
 FROM m
 """
 
@@ -2108,17 +2110,23 @@ def q_value_hour_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     num = (F.col("n") * F.col("sxy100") - F.col("sx") * F.col("sy100")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") * 100
+    den_l = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den = den_l.cast("double") * 100
     slope = num / den
     intercept = (
         F.col("sy100").cast("double") / (100 * F.col("n"))
         - slope * (F.col("sx").cast("double") / F.col("n"))
     )
+    # zero-variance guard: a group whose events all land in one hour has
+    # den = 0, where Spark (non-ANSI) yields NULL but DuckDB (IEEE float
+    # default) yields ±inf/nan — both sides pin the degenerate fit to
+    # NULL explicitly so engine and oracle agree on the edge
+    degenerate = den_l == 0
     return m.select(
         "event_type",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        F.when(degenerate, F.lit(None)).otherwise(F.round(slope, 6)).alias("slope"),
+        F.when(degenerate, F.lit(None)).otherwise(F.round(intercept, 6)).alias("intercept"),
     )
 
 

@@ -104,20 +104,41 @@ def test_k_positions_distinct_for_pow2_m(spark):
     assert n_distinct >= BLOOM_K - 1  # birthday collisions possible, collapse is not
 
 
-def test_duplicate_probe_rows_are_benign(spark, keysets):
-    """Regression: duplicate probe rows collapse in the groupBy; a
-    sum(hit)==k membership check would see d*k hits and report a FALSE
-    NEGATIVE for a duplicated member — min(hit) must be used instead."""
+def test_duplicate_probe_rows_preserve_cardinality(spark, keysets):
+    """Duplicate probe rows must each get their own verdict row (the
+    probe groups on a unique row tag, not the probe columns), and the
+    per-row membership check must stay min(hit)==1 so a duplicated
+    member can never become a FALSE NEGATIVE."""
     members, _ = keysets
     bloom = bloom_build(members, "k", M)
     dup_probes = spark.createDataFrame(
         [("key-7",), ("key-7",), ("key-7",), ("stranger-1",), ("stranger-1",)],
         "k string",
     )
-    got = {r.k: r.maybe_member for r in
-           bloom_maybe_contains(dup_probes, bloom, "k", M).collect()}
-    assert got["key-7"] is True
-    assert got["stranger-1"] is False
+    rows = bloom_maybe_contains(dup_probes, bloom, "k", M).collect()
+    assert len(rows) == 5, "duplicate probe rows must not collapse"
+    got = {}
+    for r in rows:
+        got.setdefault(r.k, []).append(r.maybe_member)
+    assert got["key-7"] == [True, True, True]
+    assert got["stranger-1"] == [False, False]
+
+
+def test_map_typed_probe_columns_supported(spark, keysets):
+    """Regression (r6 advice): grouping on all probe columns failed
+    outright for non-groupable (map-typed) payloads.  The row-tag
+    grouping must carry a map column through untouched."""
+    members, _ = keysets
+    bloom = bloom_build(members, "k", M)
+    probes = spark.createDataFrame(
+        [("key-3", {"a": 1}), ("stranger-9", {"b": 2})],
+        "k string, payload map<string,int>",
+    )
+    rows = bloom_maybe_contains(probes, bloom, "k", M).collect()
+    got = {r.k: (r.maybe_member, dict(r.payload)) for r in rows}
+    assert got["key-3"] == (True, {"a": 1})
+    assert got["stranger-9"][0] is False
+    assert got["stranger-9"][1] == {"b": 2}
 
 
 def test_null_keys_are_first_class(spark):

@@ -83,6 +83,21 @@ def test_multiplicity_counts(spark):
     assert abs(s[2] - 2 * s[1]) < 1e-9
 
 
+def test_zero_token_doc_scores_prior(spark):
+    """r6 advice: a document that tokenizes to zero tokens (NULL text —
+    explode emits no rows) must still get a row with score = prior, not
+    vanish from the scored output."""
+    docs = _corpus(spark)
+    w = clf.token_log_odds(docs, F.col("is_t"))
+    held = spark.createDataFrame(
+        [(1, "alpha"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["score"] for r in
+           clf.score_documents(held, w, prior=2.5).collect()}
+    assert set(got) == {1, 2}, "no input document may be dropped"
+    assert got[2] == 2.5
+
+
 def test_prior_frame_shifts_scores(spark):
     docs = _corpus(spark)
     w = clf.token_log_odds(docs, F.col("is_t"))

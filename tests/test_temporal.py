@@ -311,6 +311,23 @@ def test_ewma_matches_python_fold(spark):
             assert got[(f"k{k}", t)] == pytest.approx(e, abs=1e-9)
 
 
+def test_ewma_rejects_duplicate_ord_values(spark):
+    """The no-ties contract is ENFORCED (r6 advice): duplicate (key, ord)
+    rows must raise, not silently fold in (o, v)-sorted order."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from depositaja_spark.functions.temporal import ewma, holt_linear
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 1, 20.0), ("k", 2, 5.0)],
+        "k string, t long, v double",
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate t values"):
+        ewma(df, ["k"], "t", "v", alpha=0.5).collect()
+    with pytest.raises(SparkRuntimeException, match="duplicate t values"):
+        holt_linear(df, ["k"], "t", "v", alpha=0.5, beta=0.5).collect()
+
+
 def test_ewma_value_column_passes_through(spark):
     from depositaja_spark.functions.temporal import ewma
 
