@@ -263,6 +263,112 @@ def containment_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06; PPJoin, Xiao et al. WWW'08; the
+    MapReduce formulation is Vernica et al. SIGMOD'10) — the LOSSLESS
+    alternative to ``jaccard_pairs``'s df cap: no shingle is ever
+    dropped, yet the candidate join only touches each document's
+    rarest-first prefix.
+
+    Under any global total order on shingles, two sets with
+    J(A,B) ≥ τ must share an element within the first
+    ``p = |S| − ⌈τ·|S|⌉ + 1`` elements of each set's sorted order —
+    so the candidate self-join runs on exploded PREFIXES only.  With
+    the rare-first order (ascending document frequency), prefix
+    elements are the globally rarest shingles, so the join keys'
+    fan-out is naturally tiny: boilerplate shingles land at the END
+    of every sorted set and never enter the index.  Candidates are
+    then verified exactly with one ``array_intersect`` over the two
+    full (sorted, deduped) hash arrays — no second shuffle over the
+    corpus.
+
+    Scale shape: shingle-df counts are one keyed agg; each doc carries
+    an array of 8-byte shingle hashes (bounded by document length);
+    the candidate index is prefix-sized, a strict subset of the
+    inverted index ``jaccard_pairs`` shuffles.  No global rank is
+    needed for the total order — sorting by the (df, hash) STRUCT is
+    the order, so there is no single-partition window anywhere.
+
+    The prefix length's ceil is biased downward (−1e-9) so float
+    wobble can only LENGTHEN a prefix (more candidates, never a
+    missed pair).  Returns (a_id, b_id, jaccard) with a_id < b_id,
+    jaccard rounded to 6 places, filtered at ≥ ``threshold``.
+    """
+    if sh is None:
+        sh = shingles(docs, n, text_col)
+    hashed = tracked_persist(
+        sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
+    )
+    dfc = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc sets sorted rare-first: the (df, h) struct IS the global
+    # total order, no dense rank / single-partition sort required
+    sets = tracked_persist(
+        hashed.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
+            ).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("arr"), lambda x: x["h"]).alias("hs"),
+            F.size("arr").alias("sz"),
+        )
+    )
+    t = float(threshold)
+    plen = (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefixes = sets.select(
+        "doc_id", F.explode(F.slice(F.col("hs"), F.lit(1), plen)).alias("h")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("hs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("hs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------------
 
 

@@ -521,6 +521,101 @@ def embedding_near_dup(
     return pairs.mapInPandas(score, _PAIR_SCHEMA)
 
 
+def hard_negative_pairs(
+    corpus: DataFrame,
+    k: int = 5,
+    band_lo: float = 0.1,
+    band_hi: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block_size: int = NEAR_DUP_BLOCK,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the k
+    most similar vectors with a DIFFERENT label whose (rounded) cosine
+    falls in [band_lo, band_hi) — similar enough to carry training
+    signal for a contrastive/embedding objective, but capped below the
+    near-dup grade where a high-cosine "negative" is more likely a
+    mislabeled positive than a useful one.
+
+    Same blocked-matmul shape as ``embedding_near_dup`` (block pairs ×
+    one numpy matmul each, Arrow-batched), with the band + cross-label
+    mask applied INSIDE the block kernel so only surviving cells ever
+    materialize as rows; per-anchor top-k is then a keyed window over
+    the (sparse) banded cells with the (cos desc, cand_id asc) total
+    order.  At 100 TB the mining step composes with the ANN index
+    instead: take each anchor's IVF top-m candidate list and band-filter
+    it — the blocked exact scan here is the recall baseline that path is
+    measured against.
+
+    Returns (anchor_id, cand_id, cos, rank), rank 1..k per anchor.
+    """
+    from pyspark.sql import Window as W
+
+    lo, hi = float(band_lo), float(band_hi)
+    v = _dvec(F.col(vec_col))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    u = corpus.select(
+        (F.col(id_col) / block_size).cast("long").alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.transform(v, lambda x: x / n).alias("unit"),
+    )
+    mat = u.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "lbl", "unit")).alias("rows")
+    )
+    x = mat.select(F.col("blk").alias("xblk"), F.col("rows").alias("xrows"))
+    y = mat.select(F.col("blk").alias("yblk"), F.col("rows").alias("yrows"))
+    pairs = x.join(y, F.col("xblk") <= F.col("yblk"))
+
+    def score(batches):
+        cols = {"anchor_id": [], "cand_id": [], "cos": []}
+
+        def emit(outs, ids_a, ids_b, lbl_a, lbl_b, C, same_block):
+            band = (C >= lo) & (C < hi)
+            cross = lbl_a[:, None] != lbl_b[None, :]
+            ai, bi = np.where(band & cross)
+            if same_block:
+                # C covers both orders of every same-block pair already
+                keep = ids_a[ai] != ids_b[bi]
+                outs.append((ids_a[ai][keep], ids_b[bi][keep], C[ai, bi][keep]))
+            else:
+                outs.append((ids_a[ai], ids_b[bi], C[ai, bi]))
+                outs.append((ids_b[bi], ids_a[ai], C[ai, bi]))
+
+        for pdf in batches:
+            outs = []
+            for xblk, yblk, xrows, yrows in zip(
+                pdf["xblk"], pdf["yblk"], pdf["xrows"], pdf["yrows"]
+            ):
+                ids_a = np.fromiter((r["id"] for r in xrows), dtype="int64")
+                ids_b = np.fromiter((r["id"] for r in yrows), dtype="int64")
+                lbl_a = np.fromiter((r["lbl"] for r in xrows), dtype="int64")
+                lbl_b = np.fromiter((r["lbl"] for r in yrows), dtype="int64")
+                A = np.stack([r["unit"] for r in xrows])
+                B = np.stack([r["unit"] for r in yrows])
+                C = np.round(A @ B.T, 6)
+                emit(outs, ids_a, ids_b, lbl_a, lbl_b, C, xblk == yblk)
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "anchor_id": np.concatenate([o[0] for o in outs]),
+                        "cand_id": np.concatenate([o[1] for o in outs]),
+                        "cos": np.concatenate([o[2] for o in outs]),
+                    }
+                )
+            else:
+                yield pd.DataFrame({k_: [] for k_ in cols})
+
+    banded = pairs.mapInPandas(score, "anchor_id long, cand_id long, cos double")
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 #: banded-SRP near-dup constants: 18 anchor hyperplanes (corpus rows, so
 #: the DuckDB oracle reproduces them), split into 6 bands of 3 bits.
 #: Pigeonhole: two signatures within Hamming distance ≤ bands-1 = 5 agree

@@ -327,6 +327,40 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
 
 
+# Oracle for the prefix-filtered join is the CLEAN all-pairs definition —
+# no df cap anywhere, because prefix filtering is lossless: the Spark
+# side only ever indexes each document's rarest-first prefix, yet must
+# reproduce the full uncapped inverted-index answer exactly.
+_PREFIX_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL},
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON a_id = sa.doc_id
+JOIN sz sb ON b_id = sb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {{thr}}
+"""
+
+
+@query("prefix_jaccard_near_dups", _PREFIX_JACCARD_SQL.format(thr=0.2))
+def q_prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard join (τ=0.2) — the
+    lossless scale path for set-similarity: candidates come only from
+    each document's rarest-first shingle prefix, verification is one
+    array_intersect per candidate, and the result equals the clean
+    uncapped all-pairs definition (the oracle) bit for bit.  Complements
+    jaccard_near_dups, whose df cap intentionally redefines the score
+    over a filtered universe.  See functions/dedup.py:prefix_jaccard_pairs."""
+    return dd.prefix_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE {_SHINGLES_SQL.strip().rstrip()},
 {_FSH_SQL.strip()},
@@ -764,6 +798,43 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (embedding_near_dups_bucketed), mirroring the
     simhash_near_dups / _banded pairing."""
     return sim.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
+
+_HARDNEG_K = 5
+_HARDNEG_LO = 0.1
+_HARDNEG_HI = 0.4
+
+
+@query(
+    "hard_negative_pairs",
+    f"""
+WITH a AS (SELECT vec_id AS anchor_id, embedding AS avec, label AS albl FROM embeddings),
+b AS (SELECT vec_id AS cand_id, embedding AS bvec, label AS blbl FROM embeddings),
+banded AS (
+  SELECT anchor_id, cand_id, {_COS.format(a='avec', b='bvec')} AS cos
+  FROM a CROSS JOIN b
+  WHERE anchor_id != cand_id AND albl != blbl
+    AND {_COS.format(a='avec', b='bvec')} >= {_HARDNEG_LO}
+    AND {_COS.format(a='avec', b='bvec')} < {_HARDNEG_HI}
+)
+SELECT anchor_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM banded
+QUALIFY rank <= {_HARDNEG_K}
+""",
+)
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the top-5
+    cross-label neighbours with cosine in [0.1, 0.4) — the training-pair
+    generator for embedding fine-tuning (cap below the near-dup grade so
+    likely-mislabeled positives are excluded).  Blocked-matmul band scan
+    with the mask inside the Arrow kernel, then a keyed per-anchor
+    window; see functions/similarity.py:hard_negative_pairs for the
+    IVF-composed variant this exact scan baselines."""
+    return sim.hard_negative_pairs(
+        _emb(spark, sf_dir), k=_HARDNEG_K, band_lo=_HARDNEG_LO, band_hi=_HARDNEG_HI
+    )
 
 
 def _neardup_bit_case() -> str:

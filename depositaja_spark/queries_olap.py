@@ -2023,6 +2023,94 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ITEMSIM_MIN_CO = 2
+_ITEMSIM_K = 3
+
+
+@query(
+    "item_similarity_topk",
+    f"""
+WITH deg AS (
+  SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS co
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= {_ITEMSIM_MIN_CO}
+),
+sym AS (
+  SELECT pa AS part, pb AS other, co FROM co
+  UNION ALL
+  SELECT pb, pa, co FROM co
+),
+scored AS (
+  SELECT s.part, s.other,
+         round(CAST(s.co AS DOUBLE) / sqrt(da.n * db.n), 6) AS sim
+  FROM sym s
+  JOIN deg da ON da.part = s.part
+  JOIN deg db ON db.part = s.other
+)
+SELECT part, other, sim,
+       CAST(row_number() OVER (PARTITION BY part
+                               ORDER BY sim DESC, other) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_ITEMSIM_K}
+""",
+)
+def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over binary
+    basket-occurrence vectors — sim(a,b) = |orders with both| /
+    √(|orders with a|·|orders with b|) — then each part's top-3
+    neighbours (min co-occurrence {_ITEMSIM_MIN_CO} prunes
+    support-1 noise).  The classic "customers also bought" model.
+
+    Scale shape: the pair join is ORDER-KEYED (fan-out bounded by max
+    basket size squared, never catalog²); degrees are one keyed agg;
+    the top-k window partitions by part.  At web scale the one extra
+    guard is capping pathological baskets (a crawler's 10^5-line
+    "order") before the self-join — the fixture's baskets are ≤7
+    lines, the TPC-H generator's bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("ok").alias("co"))
+        .filter(F.col("co") >= _ITEMSIM_MIN_CO)
+    )
+    sym = co.select(F.col("pa").alias("part"), F.col("pb").alias("other"), "co").unionByName(
+        co.select(F.col("pb").alias("part"), F.col("pa").alias("other"), "co")
+    )
+    da = deg.select(F.col("part"), F.col("n").alias("na"))
+    db = deg.select(F.col("part").alias("other"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(da, "part")
+        .join(db, "other")
+        .select(
+            "part",
+            "other",
+            F.round(
+                F.col("co").cast("double") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("part").orderBy(F.desc("sim"), F.asc("other"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ITEMSIM_K)
+        .select("part", "other", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # --- Z-order layout keys ------------------------------------------------------
 
 def _zorder_sql() -> str:

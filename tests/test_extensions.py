@@ -61,6 +61,57 @@ def test_minhash_estimates_jaccard(spark, docs):
     assert abs(agree - true_j) < 0.35  # k=16 → coarse but unbiased
 
 
+def test_prefix_jaccard_equals_brute_force(spark):
+    """Prefix filtering is LOSSLESS: on collision-heavy corpora (tiny
+    alphabet → many boundary-Jaccard pairs) the prefix-filtered join
+    must equal a pure-Python all-pairs computation exactly — including
+    pairs sitting right at the threshold, where an off-by-one prefix
+    length would silently drop candidates."""
+    import random
+
+    for seed, thr in [(1, 0.2), (2, 0.5), (3, 0.34), (4, 0.8)]:
+        rng = random.Random(seed)
+        words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        corpus = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(5, 30))))
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in dd.prefix_jaccard_pairs(docs, n=3, threshold=thr).collect()
+        }
+
+        def shingle_set(text):
+            t = text.split(" ")
+            return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+        want = {}
+        for i, (a_id, a_txt) in enumerate(corpus):
+            for b_id, b_txt in corpus[i + 1 :]:
+                sa, sb = shingle_set(a_txt), shingle_set(b_txt)
+                inter = len(sa & sb)
+                j = round(inter / (len(sa) + len(sb) - inter), 6)
+                if j >= thr:
+                    want[(a_id, b_id)] = j
+        assert got == want, f"seed={seed} thr={thr}"
+
+
+def test_prefix_jaccard_matches_uncapped_jaccard_pairs(spark, docs):
+    """On the real fixture the prefix-filtered join must equal
+    jaccard_pairs with the df cap disabled (same universe, same score)."""
+    thr = 0.2
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.prefix_jaccard_pairs(docs, n=3, threshold=thr).collect()
+    }
+    want = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.jaccard_pairs(docs, n=3, threshold=thr, max_df=None).collect()
+    }
+    assert got == want and got
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     """The strongest Jaccard pair should be close in SimHash space, and a
     random dissimilar pair far."""

@@ -21,6 +21,10 @@ CARTESIAN_OK = {
     "ann_topk_brute",
     "ann_topk_quantized",
     "embedding_near_dups",
+    # hard-negative mining: same blocked-matmul block-pair join as
+    # embedding_near_dups (the exact baseline the IVF-composed mining
+    # path is measured against)
+    "hard_negative_pairs",
     # text ANN: the exact brute scan IS corpus × (broadcast, 3-doc IN-list
     # query set) — same baseline shape as ann_topk_brute
     "text_ann_topk",
@@ -57,8 +61,9 @@ CARTESIAN_OK = {
     # onto the ≤|Q|-row idf frame and the per-doc contribution frame
     "bm25_search",
     # drift monitor: the densification cross join is (distinct sources ×
-    # vocabulary) — both vocabulary-scale frames, never the corpus; the
-    # zero-count cells it creates are what the smoothing needs
+    # broadcast top-V head) — cap-bounded, never vocabulary- or
+    # corpus-sized — plus 1-row broadcast scalar joins for the tail
+    # mass / support width
     "source_token_divergence",
 }
 
