@@ -390,3 +390,111 @@ def resize_images(payload_df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return payload_df.select("doc_id", "payload").mapInPandas(per_batch, RESIZED_SCHEMA)
+
+
+# --- perceptual hashing (aHash) + hamming dup pairs --------------------------
+
+AHASH_SIDE = 8  # aHash grid: 8×8 → 64-bit signature
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+    ]
+)
+
+
+def _ahash_of(arr: np.ndarray) -> int:
+    """64-bit average hash of one decoded image (h×w×c uint8): grayscale
+    by channel mean, nearest-neighbor downsample to 8×8 (same
+    index-select as resize_images), threshold at the 8×8 mean, pack
+    row-major MSB-first into a signed 64-bit int."""
+    h, w, _c = arr.shape
+    gray = arr.astype("float64").mean(axis=2)
+    ys = np.minimum((np.arange(AHASH_SIDE) * h) // AHASH_SIDE, h - 1)
+    xs = np.minimum((np.arange(AHASH_SIDE) * w) // AHASH_SIDE, w - 1)
+    small = gray[ys][:, xs]
+    bits = (small > small.mean()).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_ahash(payload_df: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image payload → (doc_id, ahash int64).
+
+    Decode runs through the same vendored codecs as decode_media
+    (PIL slots in at _decode_image_bytes); hashing is numpy-only inside
+    Arrow-batched mapInPandas — no Python per pixel.  aHash is the
+    canonical cheap perceptual signature: near-identical images (small
+    crops, noise, re-encodes) land within a few bits, so image-level
+    near-dup detection becomes the SAME banded hamming self-join used
+    for SimHash text dedup."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, c, arr = _decode_image_bytes(bytes(raw))
+                if c == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                ids.append(doc_id)
+                hs.append(_ahash_of(arr))
+            yield pd.DataFrame({"doc_id": ids, "ahash": pd.array(hs, dtype="int64")})
+
+    return payload_df.select("doc_id", "payload").mapInPandas(per_batch, AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Image near-dup pairs: hamming(ahash_a, ahash_b) ≤ ``max_hamming``
+    via pigeonhole banding — the signature splits into
+    ``max_hamming + 1`` bands, so any qualifying pair agrees exactly on
+    at least one whole band and the candidate set of the (band_idx,
+    band_val) equi-join is a superset of the answer; bit_count(xor)
+    verifies exactly.  Identical economics to the SimHash banded join:
+    keyed shuffles only, no all-pairs anywhere.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    widths = [width + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    shifts, s = [], 0
+    for wd in widths:
+        shifts.append(s)
+        s += wd
+    bands = None
+    for i, (sh, wd) in enumerate(zip(shifts, widths)):
+        mask = (1 << wd) - 1
+        piece = hashes.select(
+            "doc_id",
+            "ahash",
+            F.lit(i).alias("band_idx"),
+            F.shiftrightunsigned(F.col("ahash"), sh)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ahash").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ahash").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

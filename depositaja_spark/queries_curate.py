@@ -2016,6 +2016,152 @@ _DRIFT_A = 0.5  # additive smoothing per support cell
 _DRIFT_TOPV = 16
 
 
+_PSI_BINS = 10
+_PSI_A = 0.5  # additive smoothing per bin cell
+
+
+@query(
+    "psi_value_drift",
+    f"""
+WITH ev AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+),
+tr AS (SELECT CAST(min(ts_s) + max(ts_s) AS DOUBLE) / 2 AS tmid FROM ev),
+rng AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM ev CROSS JOIN tr WHERE ts_s < tmid GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN e.ts_s < tr.tmid THEN 0 ELSE 1 END AS late,
+         CASE WHEN r.mx > r.mn
+              THEN least(greatest(CAST(floor((e.value - r.mn) / (r.mx - r.mn)
+                                             * {_PSI_BINS}) AS BIGINT), 0),
+                         {_PSI_BINS - 1})
+              ELSE 0 END AS bin
+  FROM ev e CROSS JOIN tr JOIN rng r ON r.event_type = e.event_type
+),
+grid AS (
+  SELECT t.event_type, g.bin, p.late
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(range(0, {_PSI_BINS})) AS bin) g
+  CROSS JOIN (SELECT unnest([0, 1]) AS late) p
+),
+cells AS (
+  SELECT g.event_type, g.late, g.bin, CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+  FROM grid g
+  LEFT JOIN (SELECT event_type, late, bin, count(*) AS n
+             FROM binned GROUP BY 1, 2, 3) c
+    ON c.event_type = g.event_type AND c.late = g.late AND c.bin = g.bin
+),
+tots AS (SELECT event_type, late, sum(n) AS t FROM cells GROUP BY 1, 2),
+props AS (
+  SELECT c.event_type, c.bin,
+         max(CASE WHEN c.late = 0
+                  THEN (c.n + {_PSI_A}) / (t0.t + {_PSI_A * _PSI_BINS}) END) AS p_e,
+         max(CASE WHEN c.late = 1
+                  THEN (c.n + {_PSI_A}) / (t0.t + {_PSI_A * _PSI_BINS}) END) AS p_l
+  FROM cells c JOIN tots t0 ON t0.event_type = c.event_type AND t0.late = c.late
+  GROUP BY 1, 2
+)
+SELECT event_type, round(sum((p_l - p_e) * ln(p_l / p_e)), 6) AS psi
+FROM props GROUP BY 1
+""",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the numeric sibling of
+    source_token_divergence: did the `value` distribution shift between
+    the first and second half of the time range?  PSI =
+    Σ_bins (p_late − p_early)·ln(p_late/p_early) over
+    {_PSI_BINS} fixed-width bins fitted on the EARLY (baseline) period,
+    with additive smoothing so empty cells are well-defined (the
+    standard monitoring rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Scale shape: one pass bins every event (scan-local arithmetic
+    against a broadcast ≤|types|-row range frame and a 1-row time-split
+    scalar); the cell grid is |types|×{_PSI_BINS}×2 — bounded by
+    construction, never event-sized; every divergence term divides
+    exact integer counts, so the only float sum is over {_PSI_BINS}
+    bins per type."""
+    from depositaja_spark.sources import load_table
+
+    b = float(_PSI_BINS)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.col("ts").cast("long").alias("ts_s")
+    )
+    tr = ev.agg(
+        ((F.min("ts_s") + F.max("ts_s")).cast("double") / 2).alias("tmid")
+    )
+    with_mid = ev.crossJoin(F.broadcast(tr))
+    rng = (
+        with_mid.filter(F.col("ts_s") < F.col("tmid"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    binned = (
+        with_mid.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("ts_s") < F.col("tmid"), 0).otherwise(1).alias("late"),
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            (F.col("value") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn"))
+                            * b
+                        ),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(_PSI_BINS - 1).cast("long"),
+                ),
+            )
+            .otherwise(0)
+            .alias("bin"),
+        )
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(spark.range(2).select(F.col("id").alias("late")))
+        )
+    )
+    counts = binned.groupBy("event_type", "late", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = grid.join(counts, ["event_type", "late", "bin"], "left").select(
+        "event_type",
+        "late",
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+    )
+    tots = cells.groupBy("event_type", "late").agg(F.sum("n").alias("t"))
+    a = _PSI_A
+    smoothed = cells.join(tots, ["event_type", "late"]).select(
+        "event_type",
+        "bin",
+        "late",
+        ((F.col("n") + a) / (F.col("t") + a * b)).alias("p"),
+    )
+    props = smoothed.groupBy("event_type", "bin").agg(
+        F.max(F.when(F.col("late") == 0, F.col("p"))).alias("p_e"),
+        F.max(F.when(F.col("late") == 1, F.col("p"))).alias("p_l"),
+    )
+    return props.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p_l") - F.col("p_e")) * F.log(F.col("p_l") / F.col("p_e"))),
+            6,
+        ).alias("psi")
+    )
+
+
 @query(
     "source_token_divergence",
     f"""

@@ -929,6 +929,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE_OK.add("multimodal_features")
 
 
+_AHASH_MAX_HAMMING = 6
+
+
+@query("image_ahash_dups")
+def q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual average-hash: decode →
+    8×8 grayscale aHash (functions/multimodal.py:image_ahash) → banded
+    hamming self-join (pigeonhole over {h+1} bands, exact
+    bit_count(xor) verify) — the image-side analog of SimHash text
+    dedup, sharing its join economics.
+
+    The container has no image fixture (and no PIL to make one), so the
+    corpus is RENDERED deterministically: each document's first 192
+    text bytes become an 8×8 RGB PPM entirely JVM-side (encode + rpad +
+    concat — no Python), which preserves the fixture's planted near-dup
+    structure at the pixel level; the decode→hash→join pipeline itself
+    is byte-for-byte the one a PIL-backed deployment runs.  Not
+    SQL-expressible (decode + bit packing inside Arrow kernels), so the
+    driver records rows-only; tests/test_extensions.py asserts hash
+    parity against a pure-Python replay and bandedness == all-pairs."""
+    docs = _docs(spark, sf_dir)
+    body = F.encode(F.rpad(F.substring("text", 1, 192), 192, " "), "UTF-8")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"), body).alias("payload"),
+    )
+    hashes = mm.image_ahash(payloads)
+    return mm.ahash_dup_pairs(hashes, max_hamming=_AHASH_MAX_HAMMING)
+
+
+NO_ORACLE_OK.add("image_ahash_dups")
+
+
 # --- faithful stateful detector (streaming semantics, batch replay) -----------
 
 

@@ -138,6 +138,101 @@ def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seasonal_decompose_revenue",
+    """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_unix,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day_unix, rev_dec,
+         (day_unix // 86400) % 7 AS weekday,
+         CASE WHEN count(*) OVER w = 7 THEN sum(rev_dec) OVER w END AS t7
+  FROM daily
+  WINDOW w AS (ORDER BY day_unix ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT day_unix, rev_dec, weekday, t7,
+         CASE WHEN t7 IS NOT NULL THEN 7 * rev_dec - t7 END AS d7
+  FROM win
+),
+seas AS (
+  SELECT weekday, CAST(sum(d7) AS DOUBLE) / (7 * count(d7)) AS seasonal
+  FROM detr WHERE d7 IS NOT NULL GROUP BY 1
+)
+SELECT d.day_unix,
+       round(CAST(d.rev_dec AS DOUBLE), 4) AS revenue,
+       round(CAST(d.t7 AS DOUBLE) / 7, 4) AS trend,
+       round(s.seasonal, 4) AS seasonal,
+       round(CAST(d.rev_dec AS DOUBLE) - CAST(d.t7 AS DOUBLE) / 7 - s.seasonal, 4)
+         AS residual
+FROM detr d LEFT JOIN seas s USING (weekday)
+""",
+)
+def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue with a
+    weekly period: trend = centered 7-day moving average (full windows
+    only), seasonal = per-weekday mean of the detrended series, residual
+    = the rest.  The daily series is bounded by the CALENDAR domain
+    (~2,400 days for the order date range), not by sf — same scale
+    argument as daily_revenue_moving_avg — so the ordered window is a
+    bounded frame over a bounded frame count.
+
+    Determinism discipline: every aggregate that feeds a float division
+    is an EXACT decimal sum (trend×7 and detrended×7 stay in decimal;
+    weekday means divide one exact sum by one exact count), so the
+    double results are bit-identical across engines and partitionings —
+    no float accumulation order anywhere.  Weekday is epoch-day mod 7,
+    timezone-free on both engines."""
+    from depositaja_spark.functions.numeric import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        .cast("long")
+        .alias("day_unix")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w = W.orderBy("day_unix").rowsBetween(-3, 3)
+    win = daily.select(
+        "day_unix",
+        "rev_dec",
+        ((F.col("day_unix") / 86400).cast("long") % 7).alias("weekday"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("rev_dec").over(w)
+        ).alias("t7"),
+    )
+    detr = win.withColumn(
+        "d7",
+        F.when(
+            F.col("t7").isNotNull(), F.lit(7) * F.col("rev_dec") - F.col("t7")
+        ),
+    )
+    seas = (
+        detr.filter(F.col("d7").isNotNull())
+        .groupBy("weekday")
+        .agg(
+            (
+                F.sum("d7").cast("double") / (F.lit(7) * F.count("d7"))
+            ).alias("seasonal")
+        )
+    )
+    trend = F.col("t7").cast("double") / 7
+    return (
+        detr.join(F.broadcast(seas), "weekday", "left")
+        .select(
+            "day_unix",
+            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+            F.round(trend, 4).alias("trend"),
+            F.round(F.col("seasonal"), 4).alias("seasonal"),
+            F.round(
+                F.col("rev_dec").cast("double") - trend - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+    )
+
+
+@query(
     "parts_above_brand_avg",
     """
 SELECT p_partkey, p_brand, p_retailprice

@@ -584,17 +584,23 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- never driver-sampled through r5 (late-round-5 additions that
-    #    missed the 50-entry window — union coverage goal: 153/153) -------
-    "basket_part_pairs",
-    "cohort_retention",
-    "event_transition_matrix",
-    "heavy_hitter_events",
-    "referential_integrity_report",
-    "rfm_segments",
-    "user_activity_streaks",
-    # -- code changed round 6: driver-red fix, new/changed oracles,
-    #    64-bit SimHash re-pin, broadcast-hint removal ---------------------
+    # -- new in round 7 ----------------------------------------------------
+    "prefix_jaccard_near_dups",
+    "hard_negative_pairs",
+    "item_similarity_topk",
+    "seasonal_decompose_revenue",
+    "psi_value_drift",
+    "image_ahash_dups",
+    # -- code changed round 7 (r6 verdict/advice fixes): capped drift
+    #    support, zero-variance regression guard, NB score back-join,
+    #    bloom probe row-tagging ------------------------------------------
+    "source_token_divergence",
+    "value_hour_regression",
+    "domain_classifier_scores",
+    "incremental_dedup_bloom",
+    "ewma_monthly_revenue",
+    "holt_revenue_forecast",
+    # -- round-6 batch, re-sampled for continuity --------------------------
     "multimodal_features",
     "exact_detector_replay",
     "sketch_distinct_users",
@@ -606,21 +612,16 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "simhash_near_dups_banded",
     "large_volume_orders",
     "revenue_range_frame_avg",
-    # -- new in round 6 ----------------------------------------------------
-    "incremental_dedup_bloom",
     "zorder_layout_keys",
     "peak_concurrent_sessions",
     "cms_event_counts",
     "attribution_weights",
-    "value_hour_regression",
     "orders_profile",
     "domain_classifier_weights",
-    "domain_classifier_scores",
     "supplier_pagerank",
     "copurchase_triangles",
     "fuzzy_name_pairs",
     "copurchase_kcore",
-    # -- new in round 6, second half: substring-span dedup, PCA, SemDeDup --
     "duplicate_ngram_spans",
     "span_clipped_corpus",
     "embedding_dim_stats",
@@ -635,9 +636,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_ann_topk",
     "self_repetition_spans",
     "clean_corpus_full",
-    "ewma_monthly_revenue",
-    "holt_revenue_forecast",
-    "source_token_divergence",
 )
 
 

@@ -583,3 +583,131 @@ def test_chunk_count_stays_below_oracle_cap(spark):
         f"corpus max chunks/doc {max_chunks} is within 10x of the oracle "
         f"cap {ORACLE_CHUNK_CAP} — raise the cap or chunk coarser"
     )
+
+
+# --- perceptual hashing (aHash) ----------------------------------------------
+
+
+def _ppm(w, h, pix):
+    """Build a P6 payload from an h×w×3 nested list."""
+    import numpy as np
+
+    arr = np.array(pix, dtype="uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def test_ahash_matches_pure_python_replay(spark):
+    """image_ahash must equal an independent per-image Python fold of the
+    documented definition (channel-mean gray, NN 8×8, mean threshold,
+    MSB-first row-major packing)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    rows = []
+    for doc_id in range(6):
+        w, h = rng.choice([(8, 8), (16, 12), (33, 7)])
+        pix = [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)]
+        rows.append((doc_id, w, h, pix))
+    df = spark.createDataFrame(
+        [(d, bytearray(_ppm(w, h, p))) for d, w, h, p in rows],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
+
+    for doc_id, w, h, pix in rows:
+        arr = np.array(pix, dtype="uint8")
+        gray = arr.astype("float64").mean(axis=2)
+        ys = [min((i * h) // 8, h - 1) for i in range(8)]
+        xs = [min((j * w) // 8, w - 1) for j in range(8)]
+        small = [[gray[y][x] for x in xs] for y in ys]
+        mean = sum(sum(r) for r in small) / 64.0
+        val = 0
+        for r in small:
+            for v in r:
+                val = (val << 1) | (1 if v > mean else 0)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        assert got[doc_id] == val, doc_id
+
+
+def test_ahash_stable_under_small_perturbation(spark):
+    """A few changed pixels must move the hash at most a few bits; an
+    unrelated image must be far."""
+    import random
+
+    rng = random.Random(5)
+    w = h = 32
+    base = [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)]
+    near = [row[:] for row in base]
+    near = [[list(c) for c in row] for row in base]
+    for _ in range(5):  # touch 5 pixels out of 1024
+        y, x = rng.randrange(h), rng.randrange(w)
+        near[y][x] = [rng.randrange(256) for _ in range(3)]
+    other = [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)]
+    df = spark.createDataFrame(
+        [(0, bytearray(_ppm(w, h, base))),
+         (1, bytearray(_ppm(w, h, near))),
+         (2, bytearray(_ppm(w, h, other)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got[0], got[1]) <= 4
+    assert ham(got[0], got[2]) > ham(got[0], got[1])
+
+
+def test_ahash_banded_pairs_equal_all_pairs(spark):
+    """The pigeonhole banding must lose nothing: banded result == brute
+    force over a hash set engineered with boundary hammings (exactly at,
+    just above max_hamming)."""
+    import random
+
+    rng = random.Random(3)
+    base = rng.getrandbits(64)
+
+    def flip(v, k):
+        for b in rng.sample(range(64), k):
+            v ^= 1 << b
+        return v
+
+    raw = [base, flip(base, 2), flip(base, 3), flip(base, 7),
+           rng.getrandbits(64), rng.getrandbits(64)]
+    signed = [v - (1 << 64) if v >= 1 << 63 else v for v in raw]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(signed)], "doc_id long, ahash long"
+    )
+    for max_h in (2, 3):
+        got = {(r.a_id, r.b_id, r.hamming)
+               for r in mm.ahash_dup_pairs(df, max_hamming=max_h).collect()}
+        want = set()
+        for i in range(len(raw)):
+            for j in range(i + 1, len(raw)):
+                d = bin(raw[i] ^ raw[j]).count("1")
+                if d <= max_h:
+                    want.add((i, j, d))
+        assert got == want, max_h
+
+
+def test_image_ahash_dups_recalls_planted_near_dups(spark):
+    """On the rendered fixture corpus, near-dup text pairs surface as
+    image-level dup pairs with high recall.  Not asserted as a strict
+    subset: a single word edit inside the rendered 192-byte crop SHIFTS
+    every following byte (unlike real image noise, which is local), so a
+    rare high-Jaccard pair can legitimately exceed the hamming budget —
+    a perceptual hash is a recall tool, not an oracle."""
+    from depositaja_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    strong = {
+        (r.a_id, r.b_id) for r in dd.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    loose = {
+        (r.a_id, r.b_id) for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert strong
+    got = {(r.a_id, r.b_id) for r in QUERIES["image_ahash_dups"](spark, sf).collect()}
+    assert len(strong & got) / len(strong) >= 0.9
+    assert len(loose & got) / len(loose) >= 0.8

@@ -60,6 +60,10 @@ CARTESIAN_OK = {
     # BM25: the (N, avgdl) corpus stats are a 1-row broadcast scalar
     # onto the ≤|Q|-row idf frame and the per-doc contribution frame
     "bm25_search",
+    # PSI drift: the time-split scalar is a 1-row broadcast and the
+    # (types × bins × periods) grid is a broadcast cross join of
+    # cap-bounded frames
+    "psi_value_drift",
     # drift monitor: the densification cross join is (distinct sources ×
     # broadcast top-V head) — cap-bounded, never vocabulary- or
     # corpus-sized — plus 1-row broadcast scalar joins for the tail
@@ -142,6 +146,9 @@ _FIXED_DOMAIN_GROUP_COLS = {
     "event_type", "o_orderstatus", "o_orderpriority", "l_returnflag",
     "l_linestatus", "l_shipmode", "flagged", "above_threshold",
     "_vb", "band", "bucket", "cell", "bin_idx", "grp", "year",
+    # epoch-day mod 7: a 7-value domain by construction (seasonal
+    # decomposition's per-weekday means)
+    "weekday",
 }
 
 

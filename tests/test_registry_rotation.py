@@ -90,11 +90,25 @@ def test_round6_changed_queries_are_prioritized():
 
 
 def test_never_driver_sampled_queries_lead_the_window():
-    """The 7 queries absent from every r1–r5 driver sample must sit at
-    the very front of the window (union driver coverage → 153/153)."""
+    """Queries no driver round has ever sampled must sit at the very
+    front of the window.  r6 closed the r1–r5 gap (union coverage
+    184/184), so the never-sampled set is now exactly the round-7
+    additions."""
     never = [
-        "basket_part_pairs", "cohort_retention", "event_transition_matrix",
-        "heavy_hitter_events", "referential_integrity_report",
-        "rfm_segments", "user_activity_streaks",
+        "prefix_jaccard_near_dups", "hard_negative_pairs",
+        "item_similarity_topk", "seasonal_decompose_revenue",
+        "psi_value_drift", "image_ahash_dups",
     ]
     assert list(R.QUERIES)[: len(never)] == never
+
+
+def test_round7_changed_queries_are_prioritized():
+    """Queries whose implementation changed in round 7 (r6 verdict and
+    advice fixes) must sit in the driver window so the change is
+    re-verified by the external gate, not only locally."""
+    changed = {
+        "source_token_divergence", "value_hour_regression",
+        "domain_classifier_scores", "incremental_dedup_bloom",
+        "ewma_monthly_revenue", "holt_revenue_forecast",
+    }
+    assert changed <= set(list(R.QUERIES)[:50])
