@@ -194,3 +194,140 @@ def pagerank_oracle_sql(
         f"SELECT id, round(pr * nn.n, 6) AS pr_scaled\n"
         f"FROM r{int(iterations)} CROSS JOIN nn"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport mass goes to the
+    ``seeds`` set instead of uniformly to all nodes —
+
+        pr'(v) = (1-d)·s(v) + d·( Σ contrib(v) + D·s(v) )
+
+    with s(v) = 1/|S| for seeds and 0 otherwise, started from r0 = s.
+    Dangling mass D teleports through s too, so ranks sum to 1 every
+    round.  This is the relevance/recommendation variant ("rank
+    suppliers as seen from German customers"); un-reachable nodes score
+    exactly 0, never (1-d)/N.
+
+    Same iteration discipline as ``pagerank`` (one shuffle per round,
+    1-row broadcast scalars, per-round localCheckpoint with
+    retired-block storage diffs); the seed vector is one extra
+    node-keyed frame computed once.  Nodes = edge endpoints ∪ seeds, so
+    an isolated seed still holds teleport mass."""
+    d = float(damping)
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+    )
+    sd = tracked_persist(seeds.select(F.col(seed_col).alias("id")).distinct())
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .unionByName(sd.select("id"))
+        .distinct()
+    )
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    scnt = tracked_persist(sd.agg(F.count(F.lit(1)).cast("double").alias("ns")))
+    svec = tracked_persist(
+        nodes.join(sd.withColumn("_seed", F.lit(1)), "id", "left_outer")
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            "id",
+            F.when(F.col("_seed").isNotNull(), F.lit(1.0) / F.col("ns"))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+    )
+    # materialize every lazy cache BEFORE the first storage snapshot
+    # (same ordering rule as pagerank/graph.py)
+    e.count()
+    outdeg.count()
+    svec.count()
+
+    before = pinned_rdd_ids(sc)
+    ranks = svec.select("id", F.col("s").alias("pr")).localCheckpoint()
+    prev_ids = pinned_rdd_ids(sc) - before
+
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        dangling = ranks.join(
+            outdeg, ranks["id"] == outdeg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        before = pinned_rdd_ids(sc)
+        ranks = (
+            svec.join(contrib, "id", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - d) * F.col("s")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") * F.col("s"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = pinned_rdd_ids(sc) - before
+    track_pinned_rdds(sc, prev_ids)
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str, seeds_sql: str, iterations: int = 4, damping: float = 0.85
+) -> str:
+    """DuckDB SQL replaying the identical personalized fold.  Returns
+    ``(id, pr_scaled)`` with pr × N rounded to 6 decimals (same output
+    convention as ``pagerank_oracle_sql``)."""
+    d = float(damping)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT id FROM ({seeds_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM edges"
+        " UNION SELECT dst FROM edges UNION SELECT id FROM seeds)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds)",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg"
+        " FROM edges GROUP BY src)",
+        "svec AS MATERIALIZED (SELECT n.id,"
+        " CASE WHEN s.id IS NOT NULL THEN 1.0/ns.ns ELSE 0.0 END AS s"
+        " FROM nodes n LEFT JOIN seeds s ON n.id = s.id CROSS JOIN ns)",
+        "r0 AS (SELECT id, s AS pr FROM svec)",
+    ]
+    for i in range(1, int(iterations) + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {d}) * v.s + {d} * (COALESCE(c.cs, 0.0) + dm.m * v.s) AS pr
+  FROM svec v
+  CROSS JOIN (SELECT COALESCE(sum(r.pr), 0.0) AS m
+              FROM r{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+              WHERE o.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS id, sum(r.pr / o.deg) AS cs
+             FROM edges e
+             JOIN r{i - 1} r ON e.src = r.id
+             JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) c ON v.id = c.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT id, round(pr * nn.n, 6) AS pr_scaled\n"
+        f"FROM r{int(iterations)} CROSS JOIN nn"
+    )

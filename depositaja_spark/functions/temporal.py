@@ -36,10 +36,17 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the right row with the
-    greatest ``right_ts`` ≤ ``left_ts`` for the same ``on`` key (inclusive
-    ties match; unmatched left rows keep null right columns).
+    """As-of join: each left row picks, per ``on`` key, the right row
+    with the greatest ``right_ts`` ≤ ``left_ts`` (``direction=
+    "backward"``, the default) or the smallest ``right_ts`` ≥
+    ``left_ts`` (``direction="forward"`` — pandas merge_asof's
+    direction vocabulary).  Inclusive ties match; unmatched left rows
+    keep null right columns.  Forward is the same union-merge walked in
+    DESCENDING timestamp order — identical one-shuffle economics; on
+    duplicate right timestamps backward resolves to the greatest
+    payload, forward to the smallest (both deterministic).
 
     Implementation: union-merge.  Right rows are tagged side=0, left rows
     side=1; one window per key ordered by (ts, side, …) carries the last
@@ -57,6 +64,9 @@ def asof_join(
     naive formulation (range join + row_number) which explodes every left
     row against its whole right history before ranking.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -81,9 +91,14 @@ def asof_join(
     # order right rows before left at equal ts (inclusive match), and by the
     # right payload columns last so duplicate-ts right rows resolve
     # deterministically to the greatest payload
+    ts_ord = F.col("_ats").desc() if fwd else F.col("_ats").asc()
+    pay_ord = [
+        (F.col(f"_r_{c}").desc() if fwd else F.col(f"_r_{c}").asc())
+        for c in right_cols
+    ]
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), *[F.col(f"_r_{c}").asc() for c in right_cols])
+        .orderBy(ts_ord, F.col("_side").asc(), *pay_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -93,7 +108,14 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_s is not None:
-        stale = F.col("_m_ts") < F.col("_ats") - F.expr(f"INTERVAL {tolerance_s} SECONDS")
+        if fwd:
+            stale = F.col("_m_ts") > F.col("_ats") + F.expr(
+                f"INTERVAL {tolerance_s} SECONDS"
+            )
+        else:
+            stale = F.col("_m_ts") < F.col("_ats") - F.expr(
+                f"INTERVAL {tolerance_s} SECONDS"
+            )
         out = out.select(
             on,
             "_ats",

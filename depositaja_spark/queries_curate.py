@@ -2016,6 +2016,147 @@ _DRIFT_A = 0.5  # additive smoothing per support cell
 _DRIFT_TOPV = 16
 
 
+# --- weak supervision: labeling-function votes --------------------------------
+#
+# Snorkel-style programmatic labeling: k cheap heuristic labeling
+# functions each vote keep(+1)/abstain(0)/drop(−1) per document; the
+# aggregated vote table (per-LF votes + majority + margin) is what a
+# label model trains on, and the majority vote alone is the standard
+# cold-start quality filter.  Every LF below is INTEGER arithmetic only
+# (ratios compared via cross-multiplication), so engine parity is exact
+# by construction — no float thresholds anywhere.
+
+_WEAK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) AS BIGINT)
+           AS n_stop,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) AS BIGINT) AS n_char
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, max(c) AS max_tok
+  FROM (SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        GROUP BY doc_id, token)
+  GROUP BY doc_id
+),
+votes AS (
+  SELECT b.doc_id,
+         CASE WHEN b.n_tok >= 40 THEN 1 WHEN b.n_tok < 15 THEN -1 ELSE 0 END
+           AS v_len,
+         CASE WHEN b.n_stop * 10 > b.n_tok * 7 THEN -1
+              WHEN b.n_stop * 10 >= b.n_tok AND b.n_stop * 10 <= b.n_tok * 6
+                THEN 1 ELSE 0 END AS v_stop,
+         CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END AS v_lang,
+         CASE WHEN r.max_tok * 5 >= b.n_tok THEN -1
+              WHEN r.max_tok * 10 <= b.n_tok THEN 1 ELSE 0 END AS v_rep,
+         CASE WHEN b.n_alpha * 10 >= b.n_char * 7 THEN 1
+              WHEN b.n_alpha * 2 < b.n_char THEN -1 ELSE 0 END AS v_alpha
+  FROM base b JOIN rep r USING (doc_id)
+)
+SELECT doc_id, v_len, v_stop, v_lang, v_rep, v_alpha,
+       CAST(v_len + v_stop + v_lang + v_rep + v_alpha AS INT) AS vote_sum,
+       CAST(CASE WHEN v_len + v_stop + v_lang + v_rep + v_alpha > 0 THEN 1
+                 WHEN v_len + v_stop + v_lang + v_rep + v_alpha < 0 THEN -1
+                 ELSE 0 END AS INT) AS majority,
+       CAST((CASE WHEN v_len = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN v_stop = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN v_lang = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN v_rep = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN v_alpha = 0 THEN 1 ELSE 0 END) AS INT) AS n_abstain
+FROM votes
+"""
+
+
+@query("weak_label_votes", _WEAK_SQL)
+def q_weak_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision vote table: five heuristic labeling functions
+    (length, stopword band, language, repetition, alpha ratio) each vote
+    keep/abstain/drop per document; output carries the per-LF votes, the
+    vote sum, the majority label, and the abstain count — the input a
+    Snorkel-style label model consumes, and a usable cold-start filter
+    on its own.
+
+    Scale shape: four of the five LFs are scan-local integer expressions
+    in one codegen stage; the repetition LF needs the per-document max
+    token multiplicity — one (doc, token)-keyed count and a doc-keyed
+    max joined back.  All thresholds compare via cross-multiplication,
+    so there is no float anywhere in the plan."""
+    docs = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        tx.stopword_hits(toks, tx.STOPWORDS_EN).cast("long").alias("n_stop"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_alpha"),
+        F.length("text").cast("long").alias("n_char"),
+    )
+    rep = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    v_len = (
+        F.when(F.col("n_tok") >= 40, 1).when(F.col("n_tok") < 15, -1).otherwise(0)
+    )
+    v_stop = (
+        F.when(F.col("n_stop") * 10 > F.col("n_tok") * 7, -1)
+        .when(
+            (F.col("n_stop") * 10 >= F.col("n_tok"))
+            & (F.col("n_stop") * 10 <= F.col("n_tok") * 6),
+            1,
+        )
+        .otherwise(0)
+    )
+    v_lang = F.when(F.col("lang") == "en", 1).otherwise(0)
+    v_rep = (
+        F.when(F.col("max_tok") * 5 >= F.col("n_tok"), -1)
+        .when(F.col("max_tok") * 10 <= F.col("n_tok"), 1)
+        .otherwise(0)
+    )
+    v_alpha = (
+        F.when(F.col("n_alpha") * 10 >= F.col("n_char") * 7, 1)
+        .when(F.col("n_alpha") * 2 < F.col("n_char"), -1)
+        .otherwise(0)
+    )
+    votes = base.join(rep, "doc_id").select(
+        "doc_id",
+        v_len.alias("v_len"),
+        v_stop.alias("v_stop"),
+        v_lang.alias("v_lang"),
+        v_rep.alias("v_rep"),
+        v_alpha.alias("v_alpha"),
+    )
+    s = (
+        F.col("v_len")
+        + F.col("v_stop")
+        + F.col("v_lang")
+        + F.col("v_rep")
+        + F.col("v_alpha")
+    )
+    n_abstain = sum(
+        F.when(F.col(c) == 0, 1).otherwise(0)
+        for c in ["v_len", "v_stop", "v_lang", "v_rep", "v_alpha"]
+    )
+    return votes.select(
+        "doc_id",
+        "v_len",
+        "v_stop",
+        "v_lang",
+        "v_rep",
+        "v_alpha",
+        s.cast("int").alias("vote_sum"),
+        F.when(s > 0, 1).when(s < 0, -1).otherwise(0).cast("int").alias("majority"),
+        n_abstain.cast("int").alias("n_abstain"),
+    )
+
+
 _PSI_BINS = 10
 _PSI_A = 0.5  # additive smoothing per bin cell
 

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from depositaja_spark.functions import classifier as clf
 from depositaja_spark.functions import pca
 from depositaja_spark.functions import similarity as sim
-from depositaja_spark.functions.pagerank import pagerank, pagerank_oracle_sql
+from depositaja_spark.functions.pagerank import (
+    pagerank,
+    pagerank_oracle_sql,
+    personalized_pagerank,
+    personalized_pagerank_oracle_sql,
+)
 from depositaja_spark.queries_ext import _H64, _TOKS, _docs
 from depositaja_spark.registry import NO_ORACLE_OK, query
 from depositaja_spark.sources import load_table
@@ -157,6 +162,56 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    n1 = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return ranks.crossJoin(F.broadcast(n1)).select(
+        "id", F.round(F.col("pr") * F.col("n"), 6).alias("pr_scaled")
+    )
+
+
+_PPR_SEED_NATION = "NATION_7"
+
+_PPR_SEEDS_SQL = f"""SELECT 'c:' || c_custkey AS id
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name = '{_PPR_SEED_NATION}'"""
+
+
+@query(
+    "nation_seeded_pagerank",
+    personalized_pagerank_oracle_sql(
+        _PR_EDGES_SQL, _PPR_SEEDS_SQL, iterations=_PR_ITERS, damping=_PR_DAMPING
+    ),
+)
+def q_nation_seeded_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on {_PPR_SEED_NATION}'s customers
+    over the customer→supplier purchase graph — "which suppliers matter
+    as seen from this market segment", the topic-sensitive relevance
+    variant.  Teleport and dangling mass go to the seed set only, so
+    un-reachable nodes score exactly 0; ranks sum to 1 each round.
+    Same per-iteration join economics as supplier_pagerank; the oracle
+    replays the identical fold as generated chained CTEs
+    (functions/pagerank.py:personalized_pagerank)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        cust.join(
+            F.broadcast(nat.filter(F.col("n_name") == _PPR_SEED_NATION)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"))
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
     n1 = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return ranks.crossJoin(F.broadcast(n1)).select(
         "id", F.round(F.col("pr") * F.col("n"), 6).alias("pr_scaled")

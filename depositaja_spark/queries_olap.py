@@ -2023,6 +2023,117 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_price_size_skyline",
+    """
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS INT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+""",
+)
+def q_part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline: parts on the (cheapest, smallest) Pareto frontier —
+    the "best tradeoffs" OLAP operator.  The oracle runs the quadratic
+    NOT EXISTS self-join definition; the engine runs the two-phase
+    distributed skyline (functions/skyline.py): per-partition numpy
+    lexsort + cummin kernel, then one global pass over the tiny
+    survivor union, then a coordinate semi-join back — no cartesian
+    anywhere, dominance transitivity guarantees equality."""
+    from depositaja_spark.functions.skyline import skyline_2d
+
+    part = _t(spark, sf_dir, "part")
+    sky = skyline_2d(part, "p_retailprice", "p_size")
+    return sky.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
+    )
+
+
+_TRIPLE_MIN_SUPPORT = 2
+
+
+@query(
+    "basket_part_triples",
+    f"""
+WITH li2 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+       CAST(count(*) AS BIGINT) AS support
+FROM li2 a
+JOIN li2 b ON a.ok = b.ok AND a.p < b.p
+JOIN li2 c ON b.ok = c.ok AND b.p < c.p
+GROUP BY 1, 2, 3
+HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
+""",
+)
+def q_basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level-3 frequent itemsets: part triples co-ordered in ≥
+    {_TRIPLE_MIN_SUPPORT} orders.  The Spark plan implements the
+    A-PRIORI PRUNE the oracle doesn't need: the per-order triple
+    fan-out is built only over edges whose (a,b) pair is already
+    frequent, then candidate triples are semi-joined against the
+    frequent-pair set on (b,c) and (a,c) BEFORE the support count —
+    support monotonicity guarantees the pruned plan's answer equals the
+    clean brute count (the oracle), while the pruned fan-out is what
+    survives at catalog scale (any downward-closed mining level
+    composes the same way).  All joins are order- or pair-keyed; the
+    per-order fan-out is bounded by basket size³ at worst and by the
+    frequent-edge subgraph in practice."""
+    li = _t(spark, sf_dir, "lineitem")
+    li2 = tracked_persist(
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
+    )
+    fp = tracked_persist(
+        li2.alias("a")
+        .join(
+            li2.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRIPLE_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    j2 = (
+        li2.alias("a")
+        .join(
+            li2.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.ok").alias("ok"), F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .join(fp, ["pa", "pb"], "left_semi")
+    )
+    j3 = (
+        j2.alias("j")
+        .join(
+            li2.alias("c"),
+            (F.col("j.ok") == F.col("c.ok")) & (F.col("j.pb") < F.col("c.p")),
+        )
+        .select(F.col("j.ok").alias("ok"), "pa", "pb", F.col("c.p").alias("pc"))
+        .join(
+            fp.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
+            ["pb", "pc"],
+            "left_semi",
+        )
+        .join(
+            fp.select(F.col("pa"), F.col("pb").alias("pc")),
+            ["pa", "pc"],
+            "left_semi",
+        )
+    )
+    return (
+        j3.groupBy(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pc").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
+    )
+
+
 _ITEMSIM_MIN_CO = 2
 _ITEMSIM_K = 3
 

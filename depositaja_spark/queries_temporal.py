@@ -64,6 +64,51 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FWD_SQL = """
+WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS amount
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id AS click_event_id
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       p.p_event_id,
+       epoch_us(p.ts) AS p_ts_us,
+       round(p.amount, 4) AS amount,
+       c.click_event_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
+@query("asof_next_click", _ASOF_FWD_SQL)
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every purchase attributed to the user's
+    earliest click at or after it (post-purchase behaviour attribution —
+    pandas merge_asof(direction='forward')).  Same union-merge
+    one-shuffle plan as the backward join, walked in descending
+    timestamp order (functions/temporal.py:asof_join); the oracle is
+    DuckDB's native ASOF with the inequality flipped."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("amount")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", right_cols=["click_event_id"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "p_event_id",
+        F.unix_micros(F.col("ts")).alias("p_ts_us"),
+        F.round("amount", 4).alias("amount"),
+        F.col("click_event_id_asof").alias("click_event_id"),
+        F.unix_micros(F.col("ts_asof")).alias("click_ts_us"),
+    )
+
+
 # --- range join ---------------------------------------------------------------
 
 _RANGE_S = 600

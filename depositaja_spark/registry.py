@@ -585,6 +585,11 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new in round 7 ----------------------------------------------------
+    "asof_next_click",
+    "part_price_size_skyline",
+    "basket_part_triples",
+    "weak_label_votes",
+    "nation_seeded_pagerank",
     "prefix_jaccard_near_dups",
     "hard_negative_pairs",
     "item_similarity_topk",
@@ -634,8 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "doc_hashed_embeddings",
     "text_ann_topk",
-    "self_repetition_spans",
-    "clean_corpus_full",
 )
 
 

@@ -109,3 +109,67 @@ def test_final_round_blocks_released_by_release_caches(spark):
     assert pinned_after, "final round should be pinned until released"
     release_caches()
     assert not (pinned_rdd_ids(sc) - base), "release_caches must retire the final round"
+
+
+# --- personalized (seeded) variant -------------------------------------------
+
+
+def _dense_ppr(edges, seeds, iterations, damping=0.85):
+    """Reference: dense personalized power iteration — teleport AND
+    dangling mass go to the seed distribution."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | set(seeds))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    s = np.zeros(n)
+    for sd in set(seeds):
+        s[idx[sd]] = 1.0 / len(set(seeds))
+    r = s.copy()
+    for _ in range(iterations):
+        nxt = np.zeros(n)
+        for u, v in edges:
+            nxt[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) * s + damping * (nxt + dangling * s)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _spark_ppr(spark, edges, seeds, iterations):
+    from depositaja_spark.functions.pagerank import personalized_pagerank
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    sd = spark.createDataFrame([(x,) for x in seeds], "id string")
+    return {
+        r["id"]: r["pr"]
+        for r in personalized_pagerank(e, sd, iterations=iterations).collect()
+    }
+
+
+@pytest.mark.parametrize("iters", [1, 4])
+def test_ppr_matches_dense(spark, iters):
+    got = _spark_ppr(spark, _EDGES, ["a", "d"], iters)
+    want = _dense_ppr(_EDGES, ["a", "d"], iters)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_ppr_mass_conserved_and_unreachable_zero(spark):
+    # component 1: a→b; component 2: c→d.  Seeding only {a} must leave
+    # c and d at EXACTLY zero (not (1-d)/N) and keep total mass 1.
+    edges = [("a", "b"), ("c", "d")]
+    got = _spark_ppr(spark, edges, ["a"], 4)
+    assert got["c"] == 0.0 and got["d"] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_ppr_isolated_seed_holds_mass(spark):
+    # a seed with no edges at all still appears and holds teleport mass
+    edges = [("x", "y")]
+    got = _spark_ppr(spark, edges, ["z"], 3)
+    assert set(got) == {"x", "y", "z"}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got["z"] > 0.5  # z keeps its teleport share plus dangling returns

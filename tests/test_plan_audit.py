@@ -51,8 +51,10 @@ CARTESIAN_OK = {
     "domain_classifier_weights",
     "domain_classifier_scores",
     # PageRank: N and the per-iteration dangling mass are 1-row broadcast
-    # scalars onto the node frame
+    # scalars onto the node frame (personalized adds the 1-row seed-count
+    # scalar for the teleport vector)
     "supplier_pagerank",
+    "nation_seeded_pagerank",
     # DSIR: the (T_target, T_raw) feature totals are a 1-row broadcast
     # scalar onto the ≤B-row bucket frame
     "dsir_importance_weights",

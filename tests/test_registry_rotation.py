@@ -95,9 +95,12 @@ def test_never_driver_sampled_queries_lead_the_window():
     184/184), so the never-sampled set is now exactly the round-7
     additions."""
     never = [
-        "prefix_jaccard_near_dups", "hard_negative_pairs",
-        "item_similarity_topk", "seasonal_decompose_revenue",
-        "psi_value_drift", "image_ahash_dups",
+        "asof_next_click", "part_price_size_skyline",
+        "basket_part_triples", "weak_label_votes",
+        "nation_seeded_pagerank", "prefix_jaccard_near_dups",
+        "hard_negative_pairs", "item_similarity_topk",
+        "seasonal_decompose_revenue", "psi_value_drift",
+        "image_ahash_dups",
     ]
     assert list(R.QUERIES)[: len(never)] == never
 

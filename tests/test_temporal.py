@@ -392,3 +392,60 @@ def test_holt_matches_python_fold(spark):
             b = 0.2 * (nl - l) + 0.8 * b
             l = nl
         assert got[t] == (l, b)  # bitwise — same ops, same order
+
+
+def test_asof_forward_golden_and_tolerance(spark):
+    """Forward as-of: inclusive >= match to the EARLIEST following right
+    row; tolerance voids matches further than the budget ahead."""
+    from depositaja_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100), ("k", 205), ("k", 300)],
+        "k string, ts long",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", 100, "a"), ("k", 210, "b"), ("k", 290, "c")],
+        "k string, ts long, v string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    got = {
+        int(r.ts.timestamp()): r.v_asof
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert got == {100: "a", 205: "b", 300: None}
+
+    got_tol = {
+        int(r.ts.timestamp()): r.v_asof
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_s=3
+        ).collect()
+    }
+    assert got_tol == {100: "a", 205: None, 300: None}
+
+
+def test_asof_forward_equals_reversed_backward(spark):
+    """Property: forward(t) on real data == backward on negated
+    timestamps — the two directions are exact mirrors."""
+    from depositaja_spark.functions.temporal import asof_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    fwd = {
+        (r.user_id, r.pid): r.cid_asof
+        for r in asof_join(p, c, on="user_id", right_cols=["cid"],
+                           direction="forward").collect()
+    }
+    neg = lambda df: df.withColumn("nts", -F.col("ts").cast("double"))
+    back = {
+        (r.user_id, r.pid): r.cid_asof
+        for r in asof_join(
+            neg(p), neg(c), on="user_id", left_ts="nts", right_ts="nts",
+            right_cols=["cid"],
+        ).collect()
+    }
+    assert fwd == back and fwd
