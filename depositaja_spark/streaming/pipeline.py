@@ -361,3 +361,160 @@ def load_mg_state(spark, state_dir: str, col: str = "event_type") -> dict:
         r[col]: r.cnt
         for r in spark.read.schema(f"{col} string, cnt long").parquet(path).collect()
     }
+
+
+# --- streaming PSI drift monitor ---------------------------------------------
+
+PSI_BINS = 10
+PSI_SMOOTH = 0.5
+
+
+def streaming_psi_drift(
+    events: DataFrame,
+    state_dir: str,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bins: int = PSI_BINS,
+):
+    """Streaming Population Stability Index: the FIRST micro-batch fits
+    per-type fixed-width bin ranges and becomes the frozen BASELINE
+    distribution; every later batch folds its (type, bin) counts into
+    the CURRENT distribution.  ``psi_from_state`` then scores each
+    type's drift vs baseline at any time — the continuously-maintained
+    twin of the batch ``psi_value_drift`` query, sharing its smoothing
+    math.
+
+    Per batch the heavy work is distributed (bin assignment against a
+    broadcast ≤|types|-row range frame + one keyed count); only the
+    |types|×bins cell summary reaches the driver.  State is the cell
+    grid + the range frame — cap-bounded forever, like the MG tier.
+
+    Replay-safe under foreachBatch's at-least-once contract with the
+    same commit_<batch_id> staged-rename protocol as
+    ``streaming_heavy_hitters``: an already-committed batch_id is
+    skipped, so retries can never double-fold.
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    cell_schema = f"{type_col} string, period string, bin long, n long"
+    range_schema = f"{type_col} string, mn double, mx double"
+
+    def _bin_counts(batch: DataFrame, ranges: DataFrame, period: str):
+        b = float(bins)
+        binned = batch.join(F.broadcast(ranges), type_col).select(
+            type_col,
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            (F.col(value_col) - F.col("mn"))
+                            / (F.col("mx") - F.col("mn"))
+                            * b
+                        ),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(bins - 1).cast("long"),
+                ),
+            )
+            .otherwise(0)
+            .alias("bin"),
+        )
+        return [
+            (r[type_col], period, r["bin"], r["n"])
+            for r in binned.groupBy(type_col, "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return  # at-least-once replay of an already-folded batch
+        if commits:
+            path = _os.path.join(state_dir, commits[-1][1])
+            ranges = spark.read.schema(range_schema).parquet(
+                _os.path.join(path, "ranges")
+            )
+            old_cells = [
+                tuple(r)
+                for r in spark.read.schema(cell_schema)
+                .parquet(_os.path.join(path, "cells"))
+                .collect()
+            ]
+            new_cells = _bin_counts(batch, ranges, "current")
+            range_rows = [tuple(r) for r in ranges.collect()]
+        else:
+            # first batch: fit ranges and seed the baseline
+            ranges = batch.groupBy(type_col).agg(
+                F.min(value_col).cast("double").alias("mn"),
+                F.max(value_col).cast("double").alias("mx"),
+            )
+            range_rows = [tuple(r) for r in ranges.collect()]
+            ranges = spark.createDataFrame(range_rows, range_schema)
+            old_cells = []
+            new_cells = _bin_counts(batch, ranges, "baseline")
+        folded: dict = {}
+        for t, p, bn, n in old_cells + new_cells:
+            key = (t, p, bn)
+            folded[key] = folded.get(key, 0) + n
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
+        _shutil.rmtree(staged, ignore_errors=True)
+        cells_rows = sorted((t, p, bn, n) for (t, p, bn), n in folded.items())
+        spark.createDataFrame(cells_rows, cell_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(staged, "cells"))
+        spark.createDataFrame(sorted(range_rows), range_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(_os.path.join(staged, "ranges"))
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def load_psi_state(spark, state_dir: str, type_col: str = "event_type"):
+    """The newest committed PSI cell grid as
+    {(type, period, bin): count} (empty before the first commit)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        (r[type_col], r.period, r.bin): r.n
+        for r in spark.read.schema(
+            f"{type_col} string, period string, bin long, n long"
+        ).parquet(_os.path.join(path, "cells")).collect()
+    }
+
+
+def psi_from_state(cells: dict, bins: int = PSI_BINS, a: float = PSI_SMOOTH):
+    """PSI per type from the maintained cell grid — the same smoothed
+    fold as the batch ``psi_value_drift`` oracle: every bin cell gets
+    +a, each period's total gets +a·bins, PSI = Σ (p_cur − p_base) ·
+    ln(p_cur / p_base).  Types with no 'current' mass yet score against
+    an all-zero (uniform-after-smoothing) current distribution."""
+    import math
+
+    types = {t for (t, _p, _b) in cells}
+    out = {}
+    for t in sorted(types):
+        base = {b: cells.get((t, "baseline", b), 0) for b in range(bins)}
+        cur = {b: cells.get((t, "current", b), 0) for b in range(bins)}
+        tb = sum(base.values()) + a * bins
+        tc = sum(cur.values()) + a * bins
+        psi = 0.0
+        for b in range(bins):
+            pb = (base[b] + a) / tb
+            pc = (cur[b] + a) / tc
+            psi += (pc - pb) * math.log(pc / pb)
+        out[t] = psi
+    return out

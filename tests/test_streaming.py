@@ -979,3 +979,112 @@ def test_streaming_bloom_dedup_exact_and_replay_safe(spark, tmp_path):
     )
     assert after == before
     assert {r.doc_id for r in spark.read.parquet(fp_dir).collect()} == fps
+
+
+def test_streaming_psi_drift_matches_python_fold(spark, tmp_path):
+    """The foreachBatch PSI monitor over a 3-file stream: batch 0 fits
+    ranges + seeds the baseline, later batches fold into 'current'; the
+    maintained grid must equal a pure-Python replay of the same splits,
+    and the PSI scores must follow (planted-shift sanity included)."""
+    import math
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.pipeline import (
+        PSI_BINS,
+        _mg_commits,
+        load_psi_state,
+        psi_from_state,
+        streaming_psi_drift,
+    )
+
+    rows = [
+        (r.event_type, float(r.value))
+        for r in load_table(spark, SF, "events").select("event_type", "value").collect()
+    ]
+    # plant a shift: the later splits of type 'click' get value*3
+    splits = [rows[i::3] for i in range(3)]
+    splits = [
+        split
+        if m == 0
+        else [(t, v * 3 if t == "click" else v) for t, v in split]
+        for m, split in enumerate(splits)
+    ]
+    d = tmp_path / "psi_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([t for t, _ in chunk], pa.string()),
+                    "value": pa.array([v for _, v in chunk], pa.float64()),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "psi_state")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_psi_drift(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = load_psi_state(spark, state_dir)
+
+    # pure-Python replay: fit ranges on split 0, bin every split
+    rng: dict = {}
+    for t, v in splits[0]:
+        mn, mx = rng.get(t, (math.inf, -math.inf))
+        rng[t] = (min(mn, v), max(mx, v))
+
+    def binof(t, v):
+        mn, mx = rng[t]
+        if mx <= mn:
+            return 0
+        return min(max(int((v - mn) / (mx - mn) * PSI_BINS), 0), PSI_BINS - 1)
+
+    want: dict = {}
+    for m, chunk in enumerate(splits):
+        period = "baseline" if m == 0 else "current"
+        for t, v in chunk:
+            if t not in rng:
+                continue  # types unseen in the baseline have no ranges
+            key = (t, period, binof(t, v))
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+    # PSI behavior: the planted ×3 shift must clearly exceed natural
+    # split noise (sf0.001 has ~130 rows per type per split, so the
+    # un-shifted types still wobble a bit — the standard "shifted"
+    # reading is PSI > 0.25, and the planted type must clear it while
+    # dominating every natural-noise score)
+    psi = psi_from_state(got)
+    others = [v for t, v in psi.items() if t != "click"]
+    assert psi["click"] > 0.5
+    assert psi["click"] > 3 * max(others)
+
+    # at-least-once replay guard: fresh checkpoint over the same state
+    # dir (batch ids restart ≤ the last commit) must not double-fold
+    last_commit = _mg_commits(state_dir)[-1][0]
+    q2 = (
+        streaming_psi_drift(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert load_psi_state(spark, state_dir) == want
+    assert _mg_commits(state_dir)[-1][0] == last_commit
