@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import text as tx
+from depositaja_spark.functions.cache import tracked_persist
 from depositaja_spark.functions.dedup import jaccard_pairs
 from depositaja_spark.functions.graph import duplicate_ids
 
@@ -99,11 +100,14 @@ def clean_corpus(
     # exact dedup: keep the min doc_id of each content-identical group —
     # one hash shuffle on md5(text)
     w = Window.partitionBy(F.md5(F.col("text")))
-    exact = (
+    # tracked: feeds pair generation, the cluster vertex set, and the
+    # final join — and must be registry-tracked so the entry wrapper's
+    # restricted between-queries sweep retires it (a bare .persist()
+    # here was the one untracked pin the hygiene test found)
+    exact = tracked_persist(
         base.withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("rep"))
         .drop("rep")
-        .persist()  # feeds pair generation, the cluster vertex set, and the final join
     )
 
     # near-dup removal as ONE broadcast anti-join: duplicate_ids labels

@@ -2213,17 +2213,17 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type — the numeric sibling of
     source_token_divergence: did the `value` distribution shift between
     the first and second half of the time range?  PSI =
-    Σ_bins (p_late − p_early)·ln(p_late/p_early) over
-    {_PSI_BINS} fixed-width bins fitted on the EARLY (baseline) period,
+    Σ_bins (p_late − p_early)·ln(p_late/p_early) over 10 fixed-width
+    bins fitted on the EARLY (baseline) period,
     with additive smoothing so empty cells are well-defined (the
     standard monitoring rule of thumb: <0.1 stable, >0.25 shifted).
 
     Scale shape: one pass bins every event (scan-local arithmetic
     against a broadcast ≤|types|-row range frame and a 1-row time-split
-    scalar); the cell grid is |types|×{_PSI_BINS}×2 — bounded by
+    scalar); the cell grid is |types|×bins×2 — bounded by
     construction, never event-sized; every divergence term divides
-    exact integer counts, so the only float sum is over {_PSI_BINS}
-    bins per type."""
+    exact integer counts, so the only float sum is over the bin count
+    per type."""
     from depositaja_spark.sources import load_table
 
     b = float(_PSI_BINS)
@@ -2363,7 +2363,7 @@ def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     source per day.
 
     Scale shape (round-7 fix of the r6 verdict flag): support capped to
-    the top-``_DRIFT_TOPV`` tokens by global count, with the entire
+    the top-V (``_DRIFT_TOPV``) tokens by global count, with the entire
     vocabulary tail folded into one aggregated OTHER cell per source —
     the dense frame is |S|·(V+1) rows regardless of vocabulary size
     (the r6 version densified against the UNCAPPED vocabulary: 10^10+

@@ -349,6 +349,62 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {{thr}}
 """
 
 
+@query(
+    "ngram_novelty",
+    f"""
+WITH {_SHINGLES_SQL},
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM shingles s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-gram shingles whose GLOBAL first occurrence (min doc_id
+    over the corpus) is this document — the marginal-contribution score
+    dedup pipelines use to rank which copy of overlapping content to
+    keep, and a cheap proxy for "how much new text does this doc add".
+    A near-perfect copy of an earlier document scores ≈ 0; fully fresh
+    text scores 1.
+
+    Two keyed aggregations over the shingle frame (first-occurrence
+    min, then per-doc counts via one equi-join) — the same inverted
+    index jaccard_pairs shuffles, no pair join at all."""
+    from depositaja_spark.functions.cache import tracked_persist
+    from depositaja_spark.functions.text import hash64
+
+    sh = dd.shingles(_docs(spark, sf_dir), n=3)
+    hashed = tracked_persist(
+        sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
+    )
+    firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        hashed.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 @query("prefix_jaccard_near_dups", _PREFIX_JACCARD_SQL.format(thr=0.2))
 def q_prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard join (τ=0.2) — the

@@ -182,7 +182,7 @@ WHERE n_name = '{_PPR_SEED_NATION}'"""
     ),
 )
 def q_nation_seeded_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Personalized PageRank seeded on {_PPR_SEED_NATION}'s customers
+    """Personalized PageRank seeded on one nation's customers
     over the customer→supplier purchase graph — "which suppliers matter
     as seen from this market segment", the topic-sensitive relevance
     variant.  Teleport and dangling mass go to the seed set only, so

@@ -613,6 +613,46 @@ def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_mad_by_type",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(m.med, 4) AS median_value,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.med
+""",
+)
+def q_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact median + median absolute
+    deviation (MAD) — the outlier-resistant (center, spread) pair
+    monitoring uses where mean/stddev would be dragged by heavy tails.
+    Two grouped exact percentiles: the per-type medians are a ≤|types|-
+    row broadcast back onto the scan, then one more grouped percentile
+    over the absolute deviations.  Same continuous-interpolation
+    convention as order_price_percentiles on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("m2")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("med"), 4).alias("median_value"),
+            F.round(F.col("m2"), 4).alias("mad"),
+        )
+    )
+
+
+@query(
     "session_window_stats",
     """
 WITH gaps AS (
@@ -2070,7 +2110,7 @@ HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
 )
 def q_basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori level-3 frequent itemsets: part triples co-ordered in ≥
-    {_TRIPLE_MIN_SUPPORT} orders.  The Spark plan implements the
+    2 orders.  The Spark plan implements the
     A-PRIORI PRUNE the oracle doesn't need: the per-order triple
     fan-out is built only over edges whose (a,b) pair is already
     frequent, then candidate triples are semi-joined against the

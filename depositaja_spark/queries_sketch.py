@@ -206,7 +206,12 @@ def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    from depositaja_spark.functions.cache import tracked_persist
+
+    # tracked (not a bare .persist()): the entry wrapper's restricted
+    # between-queries sweep must retire it; lineage stays intact, so a
+    # late re-consumer just recomputes from parquet
+    emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_fit(emb, k=8, iterations=3)
     return (
         assign_clusters(emb, cents)

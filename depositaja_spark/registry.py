@@ -585,6 +585,8 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new in round 7 ----------------------------------------------------
+    "value_mad_by_type",
+    "ngram_novelty",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -637,8 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "dsir_top_docs",
     "bm25_search",
-    "doc_hashed_embeddings",
-    "text_ann_topk",
 )
 
 

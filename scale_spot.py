@@ -1,0 +1,118 @@
+"""sf1.0 spot-bench data generator: a 10×-scale replica of the driver's
+sf0.1 fixtures, for empirically checking that headline-query cost scales
+~linearly with data volume (the r6 verdict's top_next ask).
+
+Replication is KEY-SHIFTED so every join keeps its real selectivity:
+replica i shifts each table's keys by i × (max_key + 1) for orderkey /
+custkey / suppkey / partkey / event_id / user_id / doc_id / vec_id, and
+the foreign keys shift in lockstep — a 10× corpus with the same
+per-order basket sizes, per-customer order counts, and per-user event
+densities as the original.  nation/region are fixed dimensions (as in
+TPC-H itself) and are copied once.
+
+Documents get a per-replica TOKEN SALT (every token suffixed `_i`,
+i > 0) so replicas are shingle-disjoint: the dedup/near-dup workload
+then scales linearly in corpus size instead of exploding quadratically
+inside artificial 10-copy duplicate groups — the scaling we want to
+measure is the engine's, not the planted-duplicate structure's.
+Embeddings are replicated as-is (cosine workloads only see vector
+count).
+
+Usage:
+    python scale_spot.py [out_dir]          # default /tmp/sf1_synth
+    SPARK_GRAFT_SF_DIR=/tmp/sf1_synth python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICAS = 10
+SRC = "/root/testdata/sf0.1"
+
+#: per-table (shift columns) spec: column -> key-space name
+_SHIFTS = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {
+        "l_orderkey": "order",
+        "l_partkey": "part",
+        "l_suppkey": "supp",
+    },
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+_KEY_SOURCES = {
+    "cust": ("customer", "c_custkey"),
+    "order": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+
+def main(out_dir: str = "/tmp/sf1_synth") -> None:
+    from pyspark.sql import functions as F
+
+    from depositaja_spark.session import get_spark
+    from depositaja_spark.sources import load_table
+
+    spark = get_spark(app_name="scale_spot_gen", master="local[32]",
+                      shuffle_partitions=32)
+    os.makedirs(out_dir, exist_ok=True)
+
+    spans = {
+        name: load_table(spark, SRC, tbl).agg(F.max(col)).first()[0] + 1
+        for name, (tbl, col) in _KEY_SOURCES.items()
+    }
+    print("key spans:", spans)
+
+    for tbl in ["nation", "region"]:
+        load_table(spark, SRC, tbl).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/{tbl}.parquet"
+        )
+
+    for tbl, shifts in _SHIFTS.items():
+        t0 = time.time()
+        base = load_table(spark, SRC, tbl)
+        parts = []
+        for i in range(REPLICAS):
+            rep = base
+            for col, space in shifts.items():
+                rep = rep.withColumn(col, F.col(col) + F.lit(i * spans[space]))
+            if tbl == "documents" and i > 0:
+                # shingle-disjoint replica: suffix every token
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, F.lit(f"_{i}")),
+                        ),
+                        " ",
+                    ),
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+        n = spark.read.parquet(f"{out_dir}/{tbl}.parquet").count()
+        print(f"{tbl}: {n} rows in {time.time() - t0:.1f}s")
+
+    print(f"done: {out_dir}")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or []))

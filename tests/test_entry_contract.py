@@ -42,3 +42,24 @@ def test_wrapped_query_runs_and_matches_registry(spark):
     qs = entry_mod.queries()
     df = qs["valid_deposits"](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
+
+
+def test_wrapper_sweep_retires_all_pinned_state(spark):
+    """The between-queries cache sweep is restricted to registry-tracked
+    state (r6 advice: a blanket unpersist could drop localCheckpoint
+    blocks backing a still-held prior result).  That restriction is only
+    safe if our operators track EVERYTHING they pin — assert it on the
+    two heaviest pinners: an iterative query (pagerank: per-round
+    localCheckpoint blocks) and a persist-heavy one (clean_corpus)."""
+    from depositaja_spark.functions.cache import pinned_rdd_ids, release_caches
+
+    sc = spark.sparkContext
+    release_caches()
+    base = pinned_rdd_ids(sc)
+    qs = entry_mod.queries()
+    for name in ("supplier_pagerank", "clean_corpus"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        df.count()  # materialize fully, per the queries() contract
+    release_caches()  # what the NEXT wrapped call would run
+    leaked = pinned_rdd_ids(sc) - base
+    assert not leaked, f"operators pinned untracked RDDs: {leaked}"
