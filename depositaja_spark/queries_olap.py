@@ -1979,6 +1979,51 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIGRAM_TOPK = 20
+
+
+@query(
+    "event_path_trigrams",
+    f"""
+WITH lagged AS (
+  SELECT event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, t1, t2, t3) AS INT)
+         AS rank
+FROM lagged
+WHERE t1 IS NOT NULL
+GROUP BY 1, 2, 3
+QUALIFY rank <= {_TRIGRAM_TOPK}
+""",
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common 3-step behavior paths across all
+    users — the sequence-mining extension of the first-order transition
+    matrix (second-order context is where funnels and loops become
+    visible).  Two lag() taps on one user-keyed window, a (type³)-
+    bounded aggregation, then a global top-k with a full deterministic
+    tie-break so the cutoff is engine-independent."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    counts = lagged.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TRIGRAM_TOPK)
+        .select("t1", "t2", "t3", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # --- customer value segmentation: RFM ---------------------------------------
 
 

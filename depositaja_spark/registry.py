@@ -587,6 +587,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new in round 7 ----------------------------------------------------
     "value_mad_by_type",
     "ngram_novelty",
+    "event_path_trigrams",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -638,7 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "semantic_cluster_dedup",
     "dsir_importance_weights",
     "dsir_top_docs",
-    "bm25_search",
 )
 
 

@@ -95,7 +95,7 @@ def test_never_driver_sampled_queries_lead_the_window():
     184/184), so the never-sampled set is now exactly the round-7
     additions."""
     never = [
-        "value_mad_by_type", "ngram_novelty",
+        "value_mad_by_type", "ngram_novelty", "event_path_trigrams",
         "asof_next_click", "part_price_size_skyline",
         "basket_part_triples", "weak_label_votes",
         "nation_seeded_pagerank", "prefix_jaccard_near_dups",
