@@ -62,8 +62,12 @@ def skyline_2d(
     """Rows of ``df`` on the (minimize x, minimize y) Pareto frontier.
 
     Returns the input rows (all columns) whose coordinate pair is on the
-    frontier — coordinate ties all survive.  See the module docstring
-    for the two-phase plan."""
+    frontier — coordinate ties all survive.  Rows with a NULL coordinate
+    are excluded (NULL sorts as NaN inside the kernel and never wins a
+    dominance comparison, and the coordinate semi-join cannot match
+    NULL) — dominance over missing values is undefined, so filter or
+    impute upstream if those rows matter.  See the module docstring for
+    the two-phase plan."""
     coords = df.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
     ).distinct()

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from depositaja_spark.queries_ext import _H64
 from depositaja_spark.registry import NO_ORACLE_OK, query
 from depositaja_spark.sources import load_table
 
@@ -287,3 +288,116 @@ def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(events, "event_type", _CMS_WIDTH)
     probes = events.select("event_type").distinct()
     return cms_estimate(probes, sketch, "event_type", _CMS_WIDTH)
+
+
+# --- Poisson bootstrap confidence intervals ----------------------------------
+#
+# The distributed bootstrap: classical resampling-with-replacement needs
+# the full dataset per replica, which doesn't distribute.  The Poisson
+# bootstrap replaces each replica's multinomial row counts with
+# independent Poisson(1) weights — each row carries its own weight per
+# replica, computed LOCALLY from a deterministic hash, so B replicas are
+# one explode + one keyed aggregation and the data is read once.  For
+# n ≫ B the replica distributions converge to the classical bootstrap.
+# Weights are capped at 5 (cdf 0.9963…); the truncation is identical in
+# both engines so the oracle replays it exactly.
+
+_BOOT_B = 32
+#: Poisson(1) cumulative thresholds for k = 0..4 (k = 5 beyond), as
+#: exact double reprs shared by the Spark plan and the DuckDB oracle
+_BOOT_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+)
+_BOOT_SCALE = 1 << 60  # hash64 is 60-bit: u = h / 2^60 ∈ [0, 1)
+
+
+def _boot_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {whens} ELSE 5 END"
+
+
+@query(
+    "bootstrap_value_ci",
+    f"""
+WITH rep AS (
+  SELECT event_type, value, b,
+         CAST({_H64.format(x="CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+              AS DOUBLE) / {_BOOT_SCALE} AS u
+  FROM events CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+),
+w AS (SELECT event_type, b, value, {_boot_case_sql('u')} AS k FROM rep),
+m AS (
+  SELECT event_type, b, sum(k * value) / sum(k) AS mu
+  FROM w GROUP BY 1, 2
+  HAVING sum(k) > 0
+)
+SELECT event_type,
+       round(quantile_cont(mu, 0.5), 4) AS boot_median,
+       round(quantile_cont(mu, 0.025), 4) AS ci_lo,
+       round(quantile_cont(mu, 0.975), 4) AS ci_hi
+FROM m GROUP BY 1
+""",
+)
+def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for each event type's mean
+    value, via the POISSON bootstrap (the distributed formulation:
+    per-row Poisson(1) weights from a deterministic hash instead of
+    global multinomial resampling, so B replicas cost one explode + one
+    keyed aggregation over a single pass of the data).
+
+    Scale shape: the explode multiplies shuffle input by B (=32) but
+    map-side combine collapses it to |types|×B partial cells per task;
+    replica means are a (type, b)-keyed aggregation; the interval is an
+    exact percentile over B replica means per type (a ≤B-row frame).
+    Every random draw is hash64(event_id:b)/2^60 — deterministic,
+    engine-identical, and independent across replicas, so the oracle
+    replays the exact resampling."""
+    from depositaja_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        hash64(
+            F.concat(
+                F.col("event_id").cast("string"), F.lit(":"), F.col("b").cast("string")
+            )
+        ).cast("double")
+        / F.lit(float(_BOOT_SCALE))
+    )
+    k = F.lit(5)
+    for kk, c in reversed(list(enumerate(_BOOT_CDF))):
+        k = F.when(u < float(c), kk).otherwise(k)
+    w = rep.select("event_type", "b", "value", k.alias("k"))
+    m = (
+        w.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("k") * F.col("value")).alias("skv"),
+            F.sum("k").alias("sk"),
+        )
+        .filter(F.col("sk") > 0)
+        .select("event_type", "b", (F.col("skv") / F.col("sk")).alias("mu"))
+    )
+    pct = F.percentile(
+        F.col("mu"), F.array(F.lit(0.5), F.lit(0.025), F.lit(0.975))
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("p", 1), 4).alias("boot_median"),
+            F.round(F.element_at("p", 2), 4).alias("ci_lo"),
+            F.round(F.element_at("p", 3), 4).alias("ci_hi"),
+        )
+    )

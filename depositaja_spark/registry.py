@@ -588,6 +588,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "value_mad_by_type",
     "ngram_novelty",
     "event_path_trigrams",
+    "bootstrap_value_ci",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -638,7 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_pca_variance",
     "semantic_cluster_dedup",
     "dsir_importance_weights",
-    "dsir_top_docs",
 )
 
 

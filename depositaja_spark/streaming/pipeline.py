@@ -389,6 +389,11 @@ def streaming_psi_drift(
     |types|×bins cell summary reaches the driver.  State is the cell
     grid + the range frame — cap-bounded forever, like the MG tier.
 
+    Types never seen in the baseline batch have no fitted ranges and
+    are dropped from later batches' counts (a drift score needs a
+    baseline to drift FROM); re-seed the state dir when the type
+    universe changes.
+
     Replay-safe under foreachBatch's at-least-once contract with the
     same commit_<batch_id> staged-rename protocol as
     ``streaming_heavy_hitters``: an already-committed batch_id is

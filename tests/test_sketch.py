@@ -164,3 +164,34 @@ def test_misra_gries_null_heavy_group_reported(spark):
     assert got.get("a") == 25
     # exactness: output is exactly the > n/(k+1) set
     assert set(got) == {v for v, c in {None: 60, "a": 25, "b": 10}.items() if c > n / (k + 1)}
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    """Poisson-bootstrap 95% CI: for every event type the TRUE mean must
+    fall inside [ci_lo, ci_hi] (thousands of rows per type → the CI is
+    tight and well-centered), the bounds must be ordered, and the whole
+    query is deterministic (hash-driven resampling, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    truth = {
+        r.event_type: r.m
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    rows = {r.event_type: r for r in QUERIES["bootstrap_value_ci"](spark, sf).collect()}
+    assert set(rows) == set(truth)
+    for t, r in rows.items():
+        assert r.ci_lo <= r.boot_median <= r.ci_hi, t
+        assert r.ci_lo <= truth[t] <= r.ci_hi, (t, truth[t], r)
+        # the interval is a real interval, not collapsed
+        assert r.ci_hi - r.ci_lo > 0, t
+    again = {r.event_type: r for r in QUERIES["bootstrap_value_ci"](spark, sf).collect()}
+    assert {t: (r.ci_lo, r.boot_median, r.ci_hi) for t, r in rows.items()} == {
+        t: (r.ci_lo, r.boot_median, r.ci_hi) for t, r in again.items()
+    }
