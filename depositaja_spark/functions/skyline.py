@@ -15,11 +15,16 @@ Scale shape (textbook two-phase distributed skyline):
    per partition with zero Python per row.  Dominance is transitive, so
    a point dominated by ANY point is dominated by some local survivor —
    dropping locally-dominated points never loses a global survivor.
-2. **Global pass** — the survivor union is orders of magnitude smaller
-   (for correlated data, ~the frontier itself); the same kernel runs
-   once more on a single coalesced partition to resolve cross-partition
-   dominance.  Anti-correlated worst cases keep more survivors; the
-   two-phase shape is still the standard answer (SFS/MapReduce skyline).
+2. **Global pass, no single-partition stage** — survivors are
+   range-partitioned on (x, y).  Range partitioning co-locates equal x
+   values, so every point in an EARLIER partition has strictly smaller
+   x than every point in partition p; such a point dominates (x, y) iff
+   its y ≤ y.  Cross-partition dominance therefore reduces to ONE
+   number per partition — the running minimum y over all earlier
+   partitions — computed from a ≤P-row per-partition summary and
+   broadcast back.  The local kernel then re-runs per partition for
+   intra-partition dominance.  Even the anti-correlated worst case
+   (every point a survivor) never funnels through one task.
 
 Ties: duplicate coordinate pairs never dominate each other (no strict
 coordinate), so the frontier is computed on DISTINCT coords and the
@@ -68,12 +73,40 @@ def skyline_2d(
     NULL) — dominance over missing values is undefined, so filter or
     impute upstream if those rows matter.  See the module docstring for
     the two-phase plan."""
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.cache import tracked_persist
+
     coords = df.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
     ).distinct()
     local = coords.mapInPandas(_local_skyline, coords.schema)
-    # global pass on the (small) survivor union — one partition
-    frontier = local.coalesce(1).mapInPandas(_local_skyline, coords.schema)
+    # global pass: range-partition survivors on (x, y) — equal x values
+    # co-locate, so earlier partitions hold strictly-smaller x only —
+    # and persist so the per-partition summary and the filtered frame
+    # see the SAME partition assignment (repartitionByRange samples its
+    # boundaries; two separate materializations could disagree)
+    ranged = tracked_persist(
+        local.repartitionByRange(32, "x", "y").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    # ≤P-row summary → running min y over all EARLIER partitions
+    wp = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    prev_min = (
+        ranged.groupBy("_pid")
+        .agg(F.min("y").alias("_ymin"))
+        .select("_pid", F.min("_ymin").over(wp).alias("_prev_min"))
+    )
+    # cross-partition dominance: a strictly-smaller-x partition's point
+    # dominates iff its y ≤ mine; intra-partition dominance re-runs the
+    # exact kernel on what's left — no single-partition stage anywhere
+    survivors = (
+        ranged.join(F.broadcast(prev_min), "_pid")
+        .filter(F.col("_prev_min").isNull() | (F.col("y") < F.col("_prev_min")))
+        .select("x", "y")
+    )
+    frontier = survivors.mapInPandas(_local_skyline, coords.schema)
     return df.join(
         frontier.select(
             F.col("x").alias(x_col), F.col("y").alias(y_col)

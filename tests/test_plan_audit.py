@@ -151,6 +151,9 @@ _FIXED_DOMAIN_GROUP_COLS = {
     # epoch-day mod 7: a 7-value domain by construction (seasonal
     # decomposition's per-weekday means)
     "weekday",
+    # spark_partition_id(): bounded by the partition count (a cluster
+    # config), never by the scale factor (skyline's ≤P-row summary)
+    "_pid",
 }
 
 
