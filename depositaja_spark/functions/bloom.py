@@ -120,10 +120,31 @@ def bloom_maybe_contains(
     aggregate, which is exact because every row in a tag group came
     from the same probe row.  Both shuffles are on uniform keys — no
     skew by construction.
+
+    The tagged frame is PINNED with an eager ``localCheckpoint`` before
+    the explode: ``monotonically_increasing_id`` is nondeterministic
+    under stage recompute, so an unpinned tag could be reassigned
+    between already-fetched and refetched map outputs after a fetch
+    failure — splitting one probe row's k bits across two groups or
+    merging two rows under one tag (a silent FALSE NEGATIVE, the one
+    error class a Bloom filter must never produce).  Checkpointed
+    blocks make the tags plain data: a lost block fails the job loudly
+    instead of corrupting verdicts (on clusters with preemption, swap
+    in reliable ``checkpoint()``).  Blocks are registered with the
+    cache registry, so the caller's normal ``release_caches()`` retires
+    them.
     """
+    from depositaja_spark.functions.cache import pinned_rdd_ids, track_pinned_rdds
+
+    sc = probe.sparkSession.sparkContext
     cols = probe.columns
+    before = pinned_rdd_ids(sc)
+    tagged = probe.withColumn(
+        "_bloom_pid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    track_pinned_rdds(sc, pinned_rdd_ids(sc) - before)
     probed = (
-        probe.withColumn("_bloom_pid", F.monotonically_increasing_id())
+        tagged
         .select(
             *cols,
             "_bloom_pid",

@@ -208,6 +208,15 @@ def personalized_pagerank(
     """Personalized (topic-sensitive) PageRank: teleport mass goes to the
     ``seeds`` set instead of uniformly to all nodes —
 
+    NOTE on the deliberate duplication with ``pagerank``: standard
+    PageRank is exactly this fold with s = uniform, but merging them
+    would change float op order ((1-d)/n vs (1-d)·(1/n)) under oracles
+    that replay each variant's exact arithmetic — so the two iteration
+    bodies stay separate and
+    tests/test_pagerank.py:test_standard_pagerank_is_ppr_with_uniform_seeds
+    pins their equivalence to 1e-12 as the drift guard.  A fix to either
+    iteration's cache/checkpoint discipline must be applied to both.
+
         pr'(v) = (1-d)·s(v) + d·( Σ contrib(v) + D·s(v) )
 
     with s(v) = 1/|S| for seeds and 0 otherwise, started from r0 = s.

@@ -42,23 +42,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact skyline of ONE pandas frame (distinct, NaN-free coords)."""
+    if len(pdf) == 0:
+        return pdf
+    x = pdf["x"].to_numpy()
+    y = pdf["y"].to_numpy()
+    order = np.lexsort((y, x))  # x asc, then y asc
+    ys = y[order]
+    # survivor iff y is strictly below the running min of all
+    # lex-earlier ys (coords are distinct, so a lex-earlier point
+    # with y <= mine dominates) — one vectorized cummin, no Python
+    # per element
+    cm = np.minimum.accumulate(ys)
+    prev_min = np.concatenate(([np.inf], cm[:-1]))
+    keep = ys < prev_min
+    return pdf.iloc[order[keep]]
+
+
 def _local_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-BATCH pruner for the local pass: dominance within one Arrow
+    batch only.  Safe as a pruner (dropping a dominated point can never
+    drop a global survivor) but NOT exact per partition — a partition
+    larger than arrow.maxRecordsPerBatch spans several batches and
+    cross-batch dominated points survive.  The final pass must use
+    ``_partition_skyline``."""
     for pdf in batches:
-        if len(pdf) == 0:
-            yield pdf
-            continue
-        x = pdf["x"].to_numpy()
-        y = pdf["y"].to_numpy()
-        order = np.lexsort((y, x))  # x asc, then y asc
-        xs, ys = x[order], y[order]
-        # survivor iff y is strictly below the running min of all
-        # lex-earlier ys (coords are distinct, so a lex-earlier point
-        # with y <= mine dominates) — one vectorized cummin, no Python
-        # per element
-        cm = np.minimum.accumulate(ys)
-        prev_min = np.concatenate(([np.inf], cm[:-1]))
-        keep = ys < prev_min
-        yield pdf.iloc[order[keep]]
+        yield _kernel(pdf)
+
+
+def _partition_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """EXACT skyline of one whole partition: concatenates every Arrow
+    batch before the kernel, so partition size never silently changes
+    the answer (the per-batch variant would leak cross-batch dominated
+    points once a partition exceeds arrow.maxRecordsPerBatch)."""
+    frames = [pdf for pdf in batches]
+    if not frames:
+        return
+    yield _kernel(pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0])
 
 
 def skyline_2d(
@@ -77,9 +98,21 @@ def skyline_2d(
 
     from depositaja_spark.functions.cache import tracked_persist
 
-    coords = df.select(
-        F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).distinct()
+    # NULL/NaN coordinates are excluded UP FRONT: inside the kernel a
+    # NaN would poison np.minimum.accumulate (every later cummin becomes
+    # NaN, every later comparison False) and silently drop VALID
+    # frontier points — the exclusion must happen before numpy sees the
+    # data, not by relying on NaN comparison semantics
+    coords = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(
+            F.col("x").isNotNull()
+            & F.col("y").isNotNull()
+            & ~F.isnan(F.col("x").cast("double"))
+            & ~F.isnan(F.col("y").cast("double"))
+        )
+        .distinct()
+    )
     local = coords.mapInPandas(_local_skyline, coords.schema)
     # global pass: range-partition survivors on (x, y) — equal x values
     # co-locate, so earlier partitions hold strictly-smaller x only —
@@ -106,7 +139,8 @@ def skyline_2d(
         .filter(F.col("_prev_min").isNull() | (F.col("y") < F.col("_prev_min")))
         .select("x", "y")
     )
-    frontier = survivors.mapInPandas(_local_skyline, coords.schema)
+    # final pass must be exact per PARTITION (not per Arrow batch)
+    frontier = survivors.mapInPandas(_partition_skyline, coords.schema)
     return df.join(
         frontier.select(
             F.col("x").alias(x_col), F.col("y").alias(y_col)

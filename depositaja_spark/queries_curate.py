@@ -2157,8 +2157,12 @@ def q_weak_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PSI_BINS = 10
-_PSI_A = 0.5  # additive smoothing per bin cell
+from depositaja_spark.functions.drift import (  # noqa: E402
+    PSI_BINS as _PSI_BINS,
+    PSI_SMOOTH as _PSI_A,
+    psi_bin_col,
+    psi_bin_sql,
+)
 
 
 @query(
@@ -2175,11 +2179,7 @@ rng AS (
 binned AS (
   SELECT e.event_type,
          CASE WHEN e.ts_s < tr.tmid THEN 0 ELSE 1 END AS late,
-         CASE WHEN r.mx > r.mn
-              THEN least(greatest(CAST(floor((e.value - r.mn) / (r.mx - r.mn)
-                                             * {_PSI_BINS}) AS BIGINT), 0),
-                         {_PSI_BINS - 1})
-              ELSE 0 END AS bin
+         {psi_bin_sql('e.value', 'r.mn', 'r.mx', _PSI_BINS)} AS bin
   FROM ev e CROSS JOIN tr JOIN rng r ON r.event_type = e.event_type
 ),
 grid AS (
@@ -2244,22 +2244,9 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.when(F.col("ts_s") < F.col("tmid"), 0).otherwise(1).alias("late"),
-            F.when(
-                F.col("mx") > F.col("mn"),
-                F.least(
-                    F.greatest(
-                        F.floor(
-                            (F.col("value") - F.col("mn"))
-                            / (F.col("mx") - F.col("mn"))
-                            * b
-                        ),
-                        F.lit(0).cast("long"),
-                    ),
-                    F.lit(_PSI_BINS - 1).cast("long"),
-                ),
-            )
-            .otherwise(0)
-            .alias("bin"),
+            psi_bin_col(
+                F.col("value"), F.col("mn"), F.col("mx"), _PSI_BINS
+            ).alias("bin"),
         )
     )
     grid = (

@@ -2155,68 +2155,20 @@ HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
 )
 def q_basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori level-3 frequent itemsets: part triples co-ordered in ≥
-    2 orders.  The Spark plan implements the
-    A-PRIORI PRUNE the oracle doesn't need: the per-order triple
-    fan-out is built only over edges whose (a,b) pair is already
-    frequent, then candidate triples are semi-joined against the
-    frequent-pair set on (b,c) and (a,c) BEFORE the support count —
-    support monotonicity guarantees the pruned plan's answer equals the
-    clean brute count (the oracle), while the pruned fan-out is what
-    survives at catalog scale (any downward-closed mining level
-    composes the same way).  All joins are order- or pair-keyed; the
-    per-order fan-out is bounded by basket size³ at worst and by the
-    frequent-edge subgraph in practice."""
+    2 orders.  The Spark plan implements the A-PRIORI PRUNE the oracle
+    doesn't need — support monotonicity guarantees the pruned plan's
+    answer equals the clean brute count (the oracle).  The shared plan
+    lives in ``functions/mining.py:frequent_triples`` (the basket-pair
+    join built ONCE and persisted, all three faces semi-joined before
+    the support count); tests/test_mining.py runs the SAME function
+    against a pure-Python brute force on adversarial baskets."""
+    from depositaja_spark.functions.mining import frequent_triples
+
     li = _t(spark, sf_dir, "lineitem")
     li2 = tracked_persist(
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
     )
-    fp = tracked_persist(
-        li2.alias("a")
-        .join(
-            li2.alias("b"),
-            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _TRIPLE_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
-    j2 = (
-        li2.alias("a")
-        .join(
-            li2.alias("b"),
-            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .select(F.col("a.ok").alias("ok"), F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .join(fp, ["pa", "pb"], "left_semi")
-    )
-    j3 = (
-        j2.alias("j")
-        .join(
-            li2.alias("c"),
-            (F.col("j.ok") == F.col("c.ok")) & (F.col("j.pb") < F.col("c.p")),
-        )
-        .select(F.col("j.ok").alias("ok"), "pa", "pb", F.col("c.p").alias("pc"))
-        .join(
-            fp.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
-            ["pb", "pc"],
-            "left_semi",
-        )
-        .join(
-            fp.select(F.col("pa"), F.col("pb").alias("pc")),
-            ["pa", "pc"],
-            "left_semi",
-        )
-    )
-    return (
-        j3.groupBy(
-            F.col("pa").alias("part_a"),
-            F.col("pb").alias("part_b"),
-            F.col("pc").alias("part_c"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
-    )
+    return frequent_triples(li2, _TRIPLE_MIN_SUPPORT)
 
 
 _ITEMSIM_MIN_CO = 2

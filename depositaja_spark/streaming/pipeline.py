@@ -365,8 +365,12 @@ def load_mg_state(spark, state_dir: str, col: str = "event_type") -> dict:
 
 # --- streaming PSI drift monitor ---------------------------------------------
 
-PSI_BINS = 10
-PSI_SMOOTH = 0.5
+from depositaja_spark.functions.drift import (  # noqa: E402
+    PSI_BINS,
+    PSI_SMOOTH,
+    psi_bin_col,
+    psi_smoothed,
+)
 
 
 def streaming_psi_drift(
@@ -409,25 +413,11 @@ def streaming_psi_drift(
     range_schema = f"{type_col} string, mn double, mx double"
 
     def _bin_counts(batch: DataFrame, ranges: DataFrame, period: str):
-        b = float(bins)
         binned = batch.join(F.broadcast(ranges), type_col).select(
             type_col,
-            F.when(
-                F.col("mx") > F.col("mn"),
-                F.least(
-                    F.greatest(
-                        F.floor(
-                            (F.col(value_col) - F.col("mn"))
-                            / (F.col("mx") - F.col("mn"))
-                            * b
-                        ),
-                        F.lit(0).cast("long"),
-                    ),
-                    F.lit(bins - 1).cast("long"),
-                ),
-            )
-            .otherwise(0)
-            .alias("bin"),
+            psi_bin_col(
+                F.col(value_col), F.col("mn"), F.col("mx"), bins
+            ).alias("bin"),
         )
         return [
             (r[type_col], period, r["bin"], r["n"])
@@ -502,24 +492,20 @@ def load_psi_state(spark, state_dir: str, type_col: str = "event_type"):
 
 
 def psi_from_state(cells: dict, bins: int = PSI_BINS, a: float = PSI_SMOOTH):
-    """PSI per type from the maintained cell grid — the same smoothed
-    fold as the batch ``psi_value_drift`` oracle: every bin cell gets
-    +a, each period's total gets +a·bins, PSI = Σ (p_cur − p_base) ·
-    ln(p_cur / p_base).  Types with no 'current' mass yet score against
-    an all-zero (uniform-after-smoothing) current distribution."""
-    import math
-
+    """PSI per type from the maintained cell grid, via the SHARED
+    smoothed fold (``functions/drift.py:psi_smoothed`` — the same math
+    the batch ``psi_value_drift`` query and oracle use): every bin cell
+    gets +a, each period's total gets +a·bins, PSI = Σ (p_cur − p_base)
+    · ln(p_cur / p_base).  Types with no 'current' mass yet score
+    against an all-zero (uniform-after-smoothing) current
+    distribution."""
     types = {t for (t, _p, _b) in cells}
-    out = {}
-    for t in sorted(types):
-        base = {b: cells.get((t, "baseline", b), 0) for b in range(bins)}
-        cur = {b: cells.get((t, "current", b), 0) for b in range(bins)}
-        tb = sum(base.values()) + a * bins
-        tc = sum(cur.values()) + a * bins
-        psi = 0.0
-        for b in range(bins):
-            pb = (base[b] + a) / tb
-            pc = (cur[b] + a) / tc
-            psi += (pc - pb) * math.log(pc / pb)
-        out[t] = psi
-    return out
+    return {
+        t: psi_smoothed(
+            {b: cells.get((t, "current", b), 0) for b in range(bins)},
+            {b: cells.get((t, "baseline", b), 0) for b in range(bins)},
+            bins,
+            a,
+        )
+        for t in sorted(types)
+    }

@@ -32,63 +32,22 @@ def _li(spark, rows):
 
 
 def test_triples_match_brute_force(spark):
+    """Runs the SAME shared plan as the registered query
+    (functions/mining.py:frequent_triples) — not a copy of it — so the
+    adversarial-shape coverage applies to shipped code."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.mining import frequent_triples
     from depositaja_spark.queries_olap import _TRIPLE_MIN_SUPPORT
 
     for seed in (1, 2, 3):
         rows = _random_baskets(seed)
         li = _li(spark, rows)
-
         li2 = li.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
         ).distinct()
-        # replicate the registered query's plan on the synthetic frame
-        # (the registered fn loads the fixture, so re-run its body here)
-        from depositaja_spark.functions.cache import release_caches
-
-        fp = (
-            li2.alias("a")
-            .join(
-                li2.alias("b"),
-                (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
-            )
-            .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") >= _TRIPLE_MIN_SUPPORT)
-            .select("pa", "pb")
-        )
-        j2 = (
-            li2.alias("a")
-            .join(
-                li2.alias("b"),
-                (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
-            )
-            .select(
-                F.col("a.ok").alias("ok"),
-                F.col("a.p").alias("pa"),
-                F.col("b.p").alias("pb"),
-            )
-            .join(fp, ["pa", "pb"], "left_semi")
-        )
-        j3 = (
-            j2.alias("j")
-            .join(
-                li2.alias("c"),
-                (F.col("j.ok") == F.col("c.ok")) & (F.col("j.pb") < F.col("c.p")),
-            )
-            .select(F.col("j.ok").alias("ok"), "pa", "pb", F.col("c.p").alias("pc"))
-            .join(
-                fp.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
-                ["pb", "pc"],
-                "left_semi",
-            )
-            .join(fp.select(F.col("pa"), F.col("pb").alias("pc")), ["pa", "pc"], "left_semi")
-        )
         got = {
-            (r.pa, r.pb, r.pc): r.support
-            for r in j3.groupBy("pa", "pb", "pc")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
-            .collect()
+            (r.part_a, r.part_b, r.part_c): r.support
+            for r in frequent_triples(li2, _TRIPLE_MIN_SUPPORT).collect()
         }
         release_caches()
 

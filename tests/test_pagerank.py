@@ -173,3 +173,18 @@ def test_ppr_isolated_seed_holds_mass(spark):
     assert set(got) == {"x", "y", "z"}
     assert abs(sum(got.values()) - 1.0) < 1e-12
     assert got["z"] > 0.5  # z keeps its teleport share plus dangling returns
+
+
+def test_standard_pagerank_is_ppr_with_uniform_seeds(spark):
+    """Drift guard for the two deliberately-separate implementations
+    (merging them would change float op order under the oracles):
+    standard PageRank IS personalized PageRank with the seed set equal
+    to ALL nodes — teleport (1-d)/n == (1-d)·s and dangling m/n == m·s
+    when s = 1/n.  Any future change to one iteration body that doesn't
+    reach the other breaks this equality."""
+    nodes = sorted({u for u, _ in _EDGES} | {v for _, v in _EDGES})
+    std = _spark_ranks(spark, _EDGES, 4)
+    seeded = _spark_ppr(spark, _EDGES, nodes, 4)
+    assert set(std) == set(seeded)
+    for k in std:
+        assert abs(std[k] - seeded[k]) < 1e-12, k

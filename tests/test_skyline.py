@@ -70,3 +70,35 @@ def test_skyline_survives_many_partitions(spark):
     df = spark.createDataFrame(rows, "id long, x double, y double").repartition(16)
     got = sorted((r.id, r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
     assert got == _brute(rows)
+
+
+def test_skyline_null_coordinates_excluded_not_poisoning(spark):
+    """Review-pass regression: a NULL/NaN coordinate used to reach the
+    numpy kernel, where NaN poisons the running cummin and silently
+    drops every lexicographically LATER valid frontier point.  NULL/NaN
+    rows must be excluded up front and valid points kept."""
+    rows = [(1, 1.0, None), (2, 2.0, 5.0), (3, float("nan"), 1.0), (4, 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted((r.id, r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+    # among valid rows {(2.0,5.0), (3.0,4.0)}: neither dominates the other
+    assert got == [(2, 2.0, 5.0), (4, 3.0, 4.0)]
+
+
+def test_skyline_exact_when_partition_spans_arrow_batches(spark):
+    """Review-pass regression: the FINAL pass must be exact per
+    partition, not per Arrow batch — with a tiny maxRecordsPerBatch a
+    partition's survivors span many batches, and a per-batch kernel
+    would leak points whose dominator sits in a different batch."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        rng = random.Random(21)
+        rows = [
+            (i, float(rng.randint(0, 400)), float(rng.randint(0, 400)))
+            for i in range(1200)
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double").coalesce(2)
+        got = sorted((r.id, r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+        assert got == _brute(rows)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
