@@ -179,3 +179,76 @@ def test_dsir_features_empty_corpus(spark, empty_docs):
     from depositaja_spark.queries_ml import _hashed_feature_buckets
 
     assert _hashed_feature_buckets(empty_docs.select("doc_id", "text")).count() == 0
+
+
+# --- round-7 operators --------------------------------------------------------
+
+
+def test_prefix_jaccard_empty(spark, empty_docs):
+    import depositaja_spark.functions.dedup as dd
+
+    assert dd.prefix_jaccard_pairs(empty_docs, n=3, threshold=0.3).count() == 0
+
+
+def test_skyline_empty(spark):
+    from depositaja_spark.functions.skyline import skyline_2d
+
+    df = spark.createDataFrame([], "id long, x double, y double")
+    assert skyline_2d(df, "x", "y").count() == 0
+    # all-NULL coordinates behave like empty (documented exclusion)
+    df2 = spark.createDataFrame([(1, None, None)], "id long, x double, y double")
+    assert skyline_2d(df2, "x", "y").count() == 0
+
+
+def test_hard_negatives_empty(spark):
+    from depositaja_spark.functions.similarity import hard_negative_pairs
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert hard_negative_pairs(emb).count() == 0
+
+
+def test_frequent_triples_empty(spark):
+    from depositaja_spark.functions.mining import frequent_triples
+
+    li2 = spark.createDataFrame([], "ok long, p long")
+    assert frequent_triples(li2, 2).count() == 0
+
+
+def test_personalized_pagerank_seeds_only(spark):
+    """Empty edge set but non-empty seeds: the seeds hold all the mass
+    (each iteration returns it through the dangling term)."""
+    from depositaja_spark.functions.pagerank import personalized_pagerank
+
+    e = spark.createDataFrame([], "src string, dst string")
+    sd = spark.createDataFrame([("a",), ("b",)], "id string")
+    got = {r.id: r.pr for r in personalized_pagerank(e, sd, iterations=2).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_ahash_pairs_empty(spark):
+    from depositaja_spark.functions.multimodal import ahash_dup_pairs
+
+    h = spark.createDataFrame([], "doc_id long, ahash long")
+    assert ahash_dup_pairs(h).count() == 0
+
+
+def test_asof_forward_empty_right(spark):
+    from depositaja_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100)], "k string, ts long"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame([], "k string, ts timestamp, v string")
+    (row,) = asof_join(left, right, on="k", direction="forward").collect()
+    assert row.v_asof is None
+
+
+def test_compact_empty_table(spark, tmp_path):
+    from depositaja_spark.functions.layout import compact_table
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], "a long, b string").write.parquet(src)
+    out = compact_table(spark, src, str(tmp_path / "dst"), n_files=4)
+    assert out.count() == 0
