@@ -41,16 +41,13 @@ MIN_ALPHA = 0.8
 NEAR_DUP_THRESHOLD = 0.1
 
 
-def corpus_gate(
-    docs: DataFrame,
-    min_tokens: int = MIN_TOKENS,
-    min_alpha: float = MIN_ALPHA,
-    extra_cols: tuple[str, ...] = (),
+def corpus_gate_scored(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
-    """The quality + language gates as ONE stateless projection+filter —
-    (doc_id, text, predicted_lang, n_tokens) for documents passing both.
-    Stateless means the SAME function gates a batch DataFrame and a
-    stream (streaming/corpus.py) — one implementation, two runtimes."""
+    """The gate's scoring projection WITHOUT the filter: every input
+    document with (n_tokens, alpha_ratio, predicted_lang) attached —
+    what ``corpus_gate`` filters, and what the drop-reason audit needs
+    unfiltered (a rejected document's reason comes from these columns)."""
     toks = tx.tokens("text")
     n_tokens = F.size(toks)
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
@@ -70,8 +67,28 @@ def corpus_gate(
         pred = F.when(
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred).select(
+        "doc_id",
+        "text",
+        *extra_cols,
+        "n_tokens",
+        "alpha_ratio",
+        "predicted_lang",
+    )
+
+
+def corpus_gate(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The quality + language gates as ONE stateless projection+filter —
+    (doc_id, text, predicted_lang, n_tokens) for documents passing both.
+    Stateless means the SAME function gates a batch DataFrame and a
+    stream (streaming/corpus.py) — one implementation, two runtimes."""
     return (
-        scored.withColumn("predicted_lang", pred)
+        corpus_gate_scored(docs, extra_cols)
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("alpha_ratio") >= min_alpha)

@@ -605,11 +605,12 @@ WITH RECURSIVE
          {score_cols}
   FROM (SELECT doc_id, text, {_TOKS} AS toks FROM {source})
 ),
+lbl AS (
+  SELECT *, {case} AS predicted_lang
+  FROM (SELECT *, {greatest} AS best FROM scored)
+),
 base AS (
-  SELECT doc_id, text, n_tokens, predicted_lang FROM (
-    SELECT *, {case} AS predicted_lang
-    FROM (SELECT *, {greatest} AS best FROM scored)
-  )
+  SELECT doc_id, text, n_tokens, predicted_lang FROM lbl
   WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
     AND predicted_lang != 'und'
 ),
@@ -649,6 +650,96 @@ keepers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) = id)
 SELECT e.doc_id, e.predicted_lang, e.n_tokens
 FROM exact e JOIN keepers USING (doc_id)
 """
+
+
+def _drop_reasons_sql() -> str:
+    """Per-document audit trail over the SAME pipeline CTE chain as
+    clean_corpus (spliced, not copied — the chain is generated once):
+    the first stage that rejected each document, or 'kept'."""
+    from depositaja_spark.plans.corpus_pipeline import MIN_ALPHA, MIN_TOKENS
+
+    clean = _clean_corpus_sql().rstrip()
+    final = (
+        "SELECT e.doc_id, e.predicted_lang, e.n_tokens"
+        "\nFROM exact e JOIN keepers USING (doc_id)"
+    )
+    assert clean.endswith(final), "clean_corpus SQL shape changed"
+    prologue = clean[: -len(final)].rstrip()
+    return f"""{prologue}
+SELECT l.doc_id,
+       CASE WHEN l.n_tokens < {MIN_TOKENS} OR l.alpha_ratio < {MIN_ALPHA}
+              THEN 'gate_quality'
+            WHEN l.predicted_lang = 'und' THEN 'gate_lang'
+            WHEN e.doc_id IS NULL THEN 'exact_dup'
+            WHEN k.doc_id IS NULL THEN 'near_dup'
+            ELSE 'kept' END AS reason
+FROM lbl l
+LEFT JOIN exact e ON e.doc_id = l.doc_id
+LEFT JOIN keepers k ON k.doc_id = l.doc_id
+"""
+
+
+@query("corpus_drop_reasons", _drop_reasons_sql())
+def q_corpus_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop-reason audit for the cleaning pipeline — the
+    lineage table behind every "why was my document removed?" support
+    question: the FIRST stage that rejected each document
+    (gate_quality → gate_lang → exact_dup → near_dup) or 'kept'.
+
+    Runs the same staged plan as clean_corpus with the filters turned
+    into labels: the unfiltered gate scoring
+    (plans/corpus_pipeline.py:corpus_gate_scored) provides every
+    rejected document's gate columns, the exact-dedup representative
+    and near-dup keeper sets attach as two broadcastable id markers,
+    and one CASE folds them into the reason — no stage recomputes
+    anything the pipeline didn't already compute."""
+    from depositaja_spark.functions.graph import duplicate_ids
+    from depositaja_spark.plans.corpus_pipeline import (
+        MIN_ALPHA,
+        MIN_TOKENS,
+        NEAR_DUP_THRESHOLD,
+        corpus_gate_scored,
+    )
+
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.cache import tracked_persist
+
+    docs = _docs(spark, sf_dir)
+    scored = corpus_gate_scored(docs)
+    base = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("alpha_ratio") >= MIN_ALPHA)
+        & (F.col("predicted_lang") != "und")
+    )
+    w = W.partitionBy(F.md5(F.col("text")))
+    exact = tracked_persist(
+        base.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
+    dupes = duplicate_ids(
+        dd.jaccard_pairs(exact, n=3, threshold=NEAR_DUP_THRESHOLD)
+    ).withColumnRenamed("id", "doc_id")
+    exact_ids = exact.select("doc_id", F.lit(1).alias("_in_exact"))
+    dupe_ids = dupes.select("doc_id", F.lit(1).alias("_is_dupe"))
+    return (
+        scored.join(exact_ids, "doc_id", "left")
+        .join(F.broadcast(dupe_ids), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("n_tokens") < MIN_TOKENS)
+                | (F.col("alpha_ratio") < MIN_ALPHA),
+                "gate_quality",
+            )
+            .when(F.col("predicted_lang") == "und", "gate_lang")
+            .when(F.col("_in_exact").isNull(), "exact_dup")
+            .when(F.col("_is_dupe").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+    )
 
 
 @query("clean_corpus", _clean_corpus_sql())

@@ -589,6 +589,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ngram_novelty",
     "event_path_trigrams",
     "bootstrap_value_ci",
+    "corpus_drop_reasons",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -638,7 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_pca_projection",
     "embedding_pca_variance",
     "semantic_cluster_dedup",
-    "dsir_importance_weights",
 )
 
 

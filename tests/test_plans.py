@@ -415,3 +415,22 @@ def test_semdedup_assignment_runs_once(spark):
         assert p.count("InMemoryTableScan (") >= 2
     finally:
         release_caches()
+
+
+def test_drop_reasons_partition_the_corpus(spark):
+    """corpus_drop_reasons must classify EVERY document exactly once,
+    and its 'kept' set must equal clean_corpus's survivors — the audit
+    and the pipeline can never disagree."""
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    reasons = {r.doc_id: r.reason for r in QUERIES["corpus_drop_reasons"](spark, sf).collect()}
+    all_ids = {r.doc_id for r in load_table(spark, sf, "documents").select("doc_id").collect()}
+    assert set(reasons) == all_ids
+    kept = {d for d, r in reasons.items() if r == "kept"}
+    survivors = {r.doc_id for r in QUERIES["clean_corpus"](spark, sf).collect()}
+    assert kept == survivors
+    assert set(reasons.values()) <= {
+        "kept", "gate_quality", "gate_lang", "exact_dup", "near_dup"
+    }
