@@ -128,6 +128,83 @@ def q_domain_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAL_TILES = 10
+
+
+@query(
+    "classifier_calibration",
+    f"""
+WITH {_CLF_CTES},
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN source IN ({_TGT_SQL}) THEN 1 ELSE 0 END)
+              AS DOUBLE)
+            / sum(CASE WHEN source IN ({_TGT_SQL}) THEN 0 ELSE 1 END)) AS p
+  FROM documents
+),
+sums AS (SELECT t.doc_id, sum(w.weight) AS sw
+         FROM toks t JOIN w ON t.token = w.token
+         GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id, round(coalesce(sums.sw, 0) + p, 6) AS score,
+         CASE WHEN d.source IN ({_TGT_SQL}) THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN sums ON sums.doc_id = d.doc_id
+  CROSS JOIN prior
+),
+tiled AS (
+  SELECT doc_id, score, y,
+         CAST(ntile({_CAL_TILES}) OVER (ORDER BY score DESC, doc_id) AS INT)
+           AS decile
+  FROM scored
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_target
+FROM tiled GROUP BY 1
+""",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the NB domain classifier: documents
+    bucketed into score deciles, each decile's mean score next to its
+    TRUE target fraction — the calibration table that tells you whether
+    a score of 0.9 means 90% (and where to put a filtering threshold).
+
+    The decile assignment uses the exact distributed ntile
+    (functions/windows.py:distributed_ntile — quantile-bucketed
+    decomposition, no single-task global sort) over the ROUNDED score
+    with a doc_id tie-break, so ordering is deterministic and
+    engine-identical; per-decile stats are one keyed aggregation."""
+    from depositaja_spark.functions.cache import tracked_persist
+    from depositaja_spark.functions.windows import distributed_ntile
+
+    docs = _docs(spark, sf_dir)
+    w = clf.token_log_odds(docs, _is_target())
+    t = _is_target()
+    prior = docs.agg(
+        F.log(
+            F.sum(F.when(t, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(t, 0).otherwise(1))
+        ).alias("p")
+    )
+    scored = clf.score_documents(docs, w, prior=prior).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    labels = docs.select("doc_id", F.when(t, 1).otherwise(0).alias("y"))
+    frame = tracked_persist(scored.join(labels, "doc_id"))
+    n = frame.count()
+    tiled = distributed_ntile(frame, "score", "doc_id", _CAL_TILES, n, "decile")
+    return (
+        tiled.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_target"),
+        )
+    )
+
+
 # --- PageRank over the customer→supplier purchase graph ----------------------
 
 _PR_ITERS = 4

@@ -590,6 +590,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "event_path_trigrams",
     "bootstrap_value_ci",
     "corpus_drop_reasons",
+    "classifier_calibration",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -638,7 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_covariance",
     "embedding_pca_projection",
     "embedding_pca_variance",
-    "semantic_cluster_dedup",
 )
 
 

@@ -105,3 +105,20 @@ def test_prior_frame_shifts_scores(spark):
     prior = spark.createDataFrame([(3.5,)], "p double")
     got = clf.score_documents(held, w, prior=prior).collect()[0]
     assert got["score"] == 3.5 and got["is_target_pred"] is True
+
+
+def test_calibration_deciles_are_separable(spark):
+    """The calibration table must show the classifier actually ranks:
+    the top decile's true-target fraction exceeds the bottom decile's,
+    mean scores strictly decrease with decile, and sizes are balanced."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["classifier_calibration"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    assert abs(max(r.n for r in rows) - min(r.n for r in rows)) <= 1
+    scores = [r.mean_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert rows[0].frac_target > rows[-1].frac_target

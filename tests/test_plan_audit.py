@@ -50,6 +50,9 @@ CARTESIAN_OK = {
     # prior are 1-row broadcast scalars onto vocab/doc frames
     "domain_classifier_weights",
     "domain_classifier_scores",
+    # calibration inherits the scorer's 1-row prior broadcast (plus the
+    # distributed-ntile bucket-offset scalar)
+    "classifier_calibration",
     # PageRank: N and the per-iteration dangling mass are 1-row broadcast
     # scalars onto the node frame (personalized adds the 1-row seed-count
     # scalar for the teleport vector)
