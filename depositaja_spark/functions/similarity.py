@@ -549,6 +549,9 @@ def hard_negative_pairs(
     measured against.
 
     Returns (anchor_id, cand_id, cos, rank), rank 1..k per anchor.
+    Labels must be non-null integers (the Arrow kernel packs them with
+    ``np.fromiter(int64)``) — filter or impute unlabeled vectors
+    upstream.
     """
     from pyspark.sql import Window as W
 

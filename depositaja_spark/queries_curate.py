@@ -2083,8 +2083,10 @@ def q_weak_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: four of the five LFs are scan-local integer expressions
     in one codegen stage; the repetition LF needs the per-document max
     token multiplicity — one (doc, token)-keyed count and a doc-keyed
-    max joined back.  All thresholds compare via cross-multiplication,
-    so there is no float anywhere in the plan."""
+    max joined back (the inner join means a document with NULL text —
+    zero exploded tokens — gets no vote row; the oracle mirrors the
+    same join, and the fixture has none).  All thresholds compare via
+    cross-multiplication, so there is no float anywhere in the plan."""
     docs = _docs(spark, sf_dir)
     toks = tx.tokens("text")
     base = docs.select(
