@@ -185,6 +185,7 @@ def grouped_ntile_cume(
     cume_col: str = "cdist",
     n_buckets: int = 64,
     accuracy: int = 10_000,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact per-group ``ntile(n) OVER (PARTITION BY part ORDER BY value,
     tiebreak)`` and ``cume_dist() OVER (PARTITION BY part ORDER BY
@@ -204,7 +205,9 @@ def grouped_ntile_cume(
       cume_dist = (last rank among the row's value ties) / group total
 
     Row-identical to the flat windows; asserted against them in tests
-    and against the DuckDB oracle."""
+    and against the DuckDB oracle.  ``rank_col`` optionally keeps the
+    exact per-group rank itself (consumers like the Gini query need the
+    rank, not just its tile)."""
     d = F.col(value_col).cast("double")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(part_col).agg(
@@ -250,8 +253,9 @@ def grouped_ntile_cume(
     tile = F.when(q == F.lit(0), F.col("_rank")).otherwise(
         F.when(F.col("_rank") <= (q + 1) * r, head).otherwise(tail)
     )
-    return (
-        ranked.withColumn(tile_col, tile.cast("int"))
-        .withColumn(cume_col, F.round(F.col("_rank_le") / F.col("_n"), 6))
-        .drop("_vb", "_boff", "_n", "_rank", "_rank_le")
+    out = ranked.withColumn(tile_col, tile.cast("int")).withColumn(
+        cume_col, F.round(F.col("_rank_le") / F.col("_n"), 6)
     )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_rank"))
+    return out.drop("_vb", "_boff", "_n", "_rank", "_rank_le")

@@ -2072,6 +2072,82 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "r_quartile", "f_quartile", "m_quartile")
 
 
+@query(
+    "revenue_gini_by_nation",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, n.n_name AS nation,
+         coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                  CAST(0 AS DECIMAL(18,2))) AS rev
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, rev,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY CAST(rev AS DOUBLE), c_custkey) AS r,
+         count(*) OVER (PARTITION BY nation) AS n
+  FROM rev
+)
+SELECT nation,
+       CASE WHEN sum(rev) = 0 THEN NULL ELSE
+         round((2.0 * CAST(sum(r * rev) AS DOUBLE)
+                - (max(n) + 1.0) * CAST(sum(rev) AS DOUBLE))
+               / (max(n) * CAST(sum(rev) AS DOUBLE)), 6) END AS gini
+FROM ranked GROUP BY nation
+""",
+)
+def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as the exact Gini coefficient
+    over per-customer revenue (customers with no orders count at 0) —
+    the market-concentration number behind "do 20% of customers drive
+    80% of revenue?".
+
+    Gini needs each customer's RANK within its nation — the classic
+    single-task-window trap on a low-cardinality partition key — so
+    ranks come from the exact grouped decomposition
+    (functions/windows.py:grouped_ntile_cume with rank_col): per-group
+    value buckets, cumulated counts, bounded within-bucket ranking.
+    Σ r·x and Σ x accumulate in exact DECIMAL (rank ties carry equal x,
+    so the tie-broken rank never changes the sum) and only the final
+    Gini ratio is float — bit-stable at any partitioning."""
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.coalesce(
+                F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    ranked = grouped_ntile_cume(
+        rev, "nation", "rev", "c_custkey", 4, rank_col="r"
+    )
+    agg = ranked.groupBy("nation").agg(
+        F.sum(F.col("r") * F.col("rev")).alias("srx"),
+        F.sum("rev").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gini = (
+        2.0 * F.col("srx").cast("double")
+        - (F.col("n") + 1.0) * F.col("sx").cast("double")
+    ) / (F.col("n") * F.col("sx").cast("double"))
+    return agg.select(
+        "nation",
+        F.when(F.col("sx") == 0, F.lit(None))
+        .otherwise(F.round(gini, 6))
+        .alias("gini"),
+    )
+
+
 # --- market-basket affinity: part co-occurrence ------------------------------
 
 _BASKET_MIN_SUPPORT = 3

@@ -591,6 +591,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "bootstrap_value_ci",
     "corpus_drop_reasons",
     "classifier_calibration",
+    "revenue_gini_by_nation",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -638,7 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_dim_stats",
     "embedding_covariance",
     "embedding_pca_projection",
-    "embedding_pca_variance",
 )
 
 
