@@ -2148,6 +2148,105 @@ def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "revenue_lorenz_curve",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, n.n_name AS nation,
+         coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                  CAST(0 AS DECIMAL(18,2))) AS rev
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tiled AS (
+  SELECT nation, rev,
+         ntile(10) OVER (PARTITION BY nation
+                         ORDER BY CAST(rev AS DOUBLE), c_custkey) AS tile
+  FROM rev
+),
+per_tile AS (
+  SELECT nation, tile, count(*) AS cnt, sum(rev) AS trev
+  FROM tiled GROUP BY 1, 2
+),
+cum AS (
+  SELECT nation, tile,
+         sum(cnt) OVER w AS ccnt, sum(trev) OVER w AS crev,
+         sum(cnt) OVER (PARTITION BY nation) AS n,
+         sum(trev) OVER (PARTITION BY nation) AS tot
+  FROM per_tile
+  WINDOW w AS (PARTITION BY nation ORDER BY tile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT nation, CAST(tile AS INT) AS tile,
+       round(CAST(ccnt AS DOUBLE) / n, 6) AS cum_cust_share,
+       CASE WHEN tot = 0 THEN NULL ELSE
+         round(CAST(crev AS DOUBLE) / CAST(tot AS DOUBLE), 6) END
+         AS cum_rev_share
+FROM cum
+""",
+)
+def q_revenue_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve per nation — the concentration curve the Gini
+    coefficient summarizes: for each revenue decile (customers ordered
+    poorest-first), the cumulative customer share against the
+    cumulative revenue share.  The "20% of customers drive 80% of
+    revenue" chart, point by point.
+
+    Same exact-rank machinery as revenue_gini_by_nation (grouped value
+    buckets, no low-cardinality single-task window over customers);
+    after the decile assignment everything runs on the
+    nations×10-bounded tile grid — the cumulative windows order ≤10
+    rows per nation.  Per-tile revenue sums stay in exact DECIMAL until
+    the two final share divisions."""
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.coalesce(
+                F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    tiled = grouped_ntile_cume(rev, "nation", "rev", "c_custkey", 10, tile_col="tile")
+    per_tile = tiled.groupBy("nation", "tile").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev").alias("trev")
+    )
+    wc = (
+        W.partitionBy("nation")
+        .orderBy("tile")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("nation")
+    cum = per_tile.select(
+        "nation",
+        F.col("tile").cast("int").alias("tile"),
+        F.sum("cnt").over(wc).alias("ccnt"),
+        F.sum("trev").over(wc).alias("crev"),
+        F.sum("cnt").over(wn).alias("n"),
+        F.sum("trev").over(wn).alias("tot"),
+    )
+    return cum.select(
+        "nation",
+        "tile",
+        F.round(F.col("ccnt").cast("double") / F.col("n"), 6).alias(
+            "cum_cust_share"
+        ),
+        F.when(F.col("tot") == 0, F.lit(None))
+        .otherwise(
+            F.round(F.col("crev").cast("double") / F.col("tot").cast("double"), 6)
+        )
+        .alias("cum_rev_share"),
+    )
+
+
 # --- market-basket affinity: part co-occurrence ------------------------------
 
 _BASKET_MIN_SUPPORT = 3

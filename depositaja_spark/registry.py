@@ -592,6 +592,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_drop_reasons",
     "classifier_calibration",
     "revenue_gini_by_nation",
+    "revenue_lorenz_curve",
     "asof_next_click",
     "part_price_size_skyline",
     "basket_part_triples",
@@ -638,7 +639,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "span_clipped_corpus",
     "embedding_dim_stats",
     "embedding_covariance",
-    "embedding_pca_projection",
 )
 
 

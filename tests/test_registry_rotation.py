@@ -98,6 +98,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "value_mad_by_type", "ngram_novelty", "event_path_trigrams",
         "bootstrap_value_ci", "corpus_drop_reasons",
         "classifier_calibration", "revenue_gini_by_nation",
+        "revenue_lorenz_curve",
         "asof_next_click", "part_price_size_skyline",
         "basket_part_triples", "weak_label_votes",
         "nation_seeded_pagerank", "prefix_jaccard_near_dups",
