@@ -16,13 +16,16 @@ Scale shape (textbook two-phase distributed skyline):
    a point dominated by ANY point is dominated by some local survivor —
    dropping locally-dominated points never loses a global survivor.
 2. **Global pass, no single-partition stage** — survivors are
-   range-partitioned on (x, y).  Range partitioning co-locates equal x
-   values, so every point in an EARLIER partition has strictly smaller
-   x than every point in partition p; such a point dominates (x, y) iff
-   its y ≤ y.  Cross-partition dominance therefore reduces to ONE
-   number per partition — the running minimum y over all earlier
-   partitions — computed from a ≤P-row per-partition summary and
-   broadcast back.  The local kernel then re-runs per partition for
+   range-partitioned on (x, y).  Range partitioning may SPLIT an
+   equal-x run across a boundary, but the invariant that matters is
+   lexicographic: every point q in an EARLIER partition is (x, y)
+   lex-smaller than every point p in a later one, i.e. q.x < p.x, or
+   q.x = p.x with q.y < p.y.  In either case q.y ≤ p.y implies q
+   dominates p (coords are distinct post-``distinct()``, so q ≠ p and
+   at least one strict inequality holds).  Cross-partition dominance
+   therefore reduces to ONE number per partition — the running minimum
+   y over all earlier partitions — computed from a ≤P-row
+   per-partition summary and broadcast back.  The local kernel then re-runs per partition for
    intra-partition dominance.  Even the anti-correlated worst case
    (every point a survivor) never funnels through one task.
 

@@ -1097,7 +1097,11 @@ def q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records rows-only; tests/test_extensions.py asserts hash
     parity against a pure-Python replay and bandedness == all-pairs."""
     docs = _docs(spark, sf_dir)
-    body = F.encode(F.rpad(F.substring("text", 1, 192), 192, " "), "UTF-8")
+    # Truncate/pad AFTER encoding: substring/rpad on the UTF-8 BYTES,
+    # not on characters — a multi-byte character inside the first 192
+    # chars would otherwise make the body longer than the 192 pixel
+    # bytes the P6 8x8 header declares, silently shifting every pixel.
+    body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
     payloads = docs.select(
         "doc_id",
         F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"), body).alias("payload"),

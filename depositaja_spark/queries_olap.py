@@ -2315,10 +2315,13 @@ def q_part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRIPLE_MIN_SUPPORT = 2
 
 
-@query(
-    "basket_part_triples",
-    f"""
-WITH li2 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+def _triples_sql() -> str:
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET
+
+    return f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+kept AS (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= {MINING_MAX_BASKET}),
+li2 AS (SELECT li0.* FROM li0 JOIN kept USING (ok))
 SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
        CAST(count(*) AS BIGINT) AS support
 FROM li2 a
@@ -2326,17 +2329,21 @@ JOIN li2 b ON a.ok = b.ok AND a.p < b.p
 JOIN li2 c ON b.ok = c.ok AND b.p < c.p
 GROUP BY 1, 2, 3
 HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
-""",
-)
+"""
+
+
+@query("basket_part_triples", _triples_sql())
 def q_basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori level-3 frequent itemsets: part triples co-ordered in ≥
     2 orders.  The Spark plan implements the A-PRIORI PRUNE the oracle
     doesn't need — support monotonicity guarantees the pruned plan's
     answer equals the clean brute count (the oracle).  The shared plan
-    lives in ``functions/mining.py:frequent_triples`` (the basket-pair
-    join built ONCE and persisted, all three faces semi-joined before
-    the support count); tests/test_mining.py runs the SAME function
-    against a pure-Python brute force on adversarial baskets."""
+    lives in ``functions/mining.py:frequent_triples`` (hot-basket cap
+    MINING_MAX_BASKET first — mirrored in the oracle's ``kept`` CTE —
+    then the basket-pair join built ONCE and persisted, all three faces
+    semi-joined before the support count); tests/test_mining.py runs
+    the SAME function against a pure-Python brute force on adversarial
+    baskets, including a planted 1000-line basket."""
     from depositaja_spark.functions.mining import frequent_triples
 
     li = _t(spark, sf_dir, "lineitem")
@@ -2350,20 +2357,21 @@ _ITEMSIM_MIN_CO = 2
 _ITEMSIM_K = 3
 
 
-@query(
-    "item_similarity_topk",
-    f"""
-WITH deg AS (
-  SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
-  FROM lineitem GROUP BY 1
+def _itemsim_sql() -> str:
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET
+
+    return f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+keptok AS (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= {MINING_MAX_BASKET}),
+li2 AS (SELECT li0.* FROM li0 JOIN keptok USING (ok)),
+deg AS (
+  SELECT p AS part, CAST(count(*) AS BIGINT) AS n FROM li2 GROUP BY 1
 ),
 co AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS co
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
+  FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p
   GROUP BY 1, 2
-  HAVING count(DISTINCT a.l_orderkey) >= {_ITEMSIM_MIN_CO}
+  HAVING count(*) >= {_ITEMSIM_MIN_CO}
 ),
 sym AS (
   SELECT pa AS part, pb AS other, co FROM co
@@ -2382,8 +2390,10 @@ SELECT part, other, sim,
                                ORDER BY sim DESC, other) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {_ITEMSIM_K}
-""",
-)
+"""
+
+
+@query("item_similarity_topk", _itemsim_sql())
 def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering: cosine similarity over binary
     basket-occurrence vectors — sim(a,b) = |orders with both| /
@@ -2391,47 +2401,23 @@ def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbours (min co-occurrence {_ITEMSIM_MIN_CO} prunes
     support-1 noise).  The classic "customers also bought" model.
 
-    Scale shape: the pair join is ORDER-KEYED (fan-out bounded by max
-    basket size squared, never catalog²); degrees are one keyed agg;
-    the top-k window partitions by part.  At web scale the one extra
-    guard is capping pathological baskets (a crawler's 10^5-line
-    "order") before the self-join — the fixture's baskets are ≤7
-    lines, the TPC-H generator's bound."""
+    Scale shape: distinct (order, part) rows first (duplicate lines
+    collapse BEFORE the join), then the MINING_MAX_BASKET hot-basket
+    cap — mirrored in the oracle's ``keptok`` CTE — so the order-keyed
+    pair join's per-key fan-out is ≤ cap² even on a crawler's
+    10^5-line "order" (the fixture's baskets are ≤7 lines, the TPC-H
+    generator's bound, so the fixture answer is cap-invariant);
+    degrees are one keyed agg; the top-k window partitions by part.
+    The shared plan lives in ``functions/mining.py:item_similarity_topk``;
+    tests/test_mining.py runs the SAME function against a pure-Python
+    brute force, including a planted 1000-line basket."""
+    from depositaja_spark.functions.mining import item_similarity_topk
+
     li = _t(spark, sf_dir, "lineitem")
-    deg = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.count_distinct("l_orderkey").alias("n")
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count_distinct("ok").alias("co"))
-        .filter(F.col("co") >= _ITEMSIM_MIN_CO)
-    )
-    sym = co.select(F.col("pa").alias("part"), F.col("pb").alias("other"), "co").unionByName(
-        co.select(F.col("pb").alias("part"), F.col("pa").alias("other"), "co")
-    )
-    da = deg.select(F.col("part"), F.col("n").alias("na"))
-    db = deg.select(F.col("part").alias("other"), F.col("n").alias("nb"))
-    scored = (
-        sym.join(da, "part")
-        .join(db, "other")
-        .select(
-            "part",
-            "other",
-            F.round(
-                F.col("co").cast("double") / F.sqrt(F.col("na") * F.col("nb")), 6
-            ).alias("sim"),
-        )
-    )
-    w = W.partitionBy("part").orderBy(F.desc("sim"), F.asc("other"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ITEMSIM_K)
-        .select("part", "other", "sim", F.col("rank").cast("int").alias("rank"))
-    )
+    li2 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return item_similarity_topk(li2, _ITEMSIM_K, _ITEMSIM_MIN_CO)
 
 
 # --- Z-order layout keys ------------------------------------------------------

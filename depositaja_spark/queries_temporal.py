@@ -2,7 +2,7 @@
 
 * ``asof_last_click`` — purchase→click attribution: each purchase picks the
   same user's most recent click at or before it (backward as-of join).
-  Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+  Oracle: explicit row_number-pinned as-of (tie-break matched to the engine).
 * ``purchase_error_pairs`` — binned range join: purchase/error event pairs
   of the same user within ±10 minutes, exact microsecond boundaries.
 * ``ann_topk_ivf`` — IVF-cell-pruned approximate nearest neighbors.
@@ -25,19 +25,29 @@ from depositaja_spark.sources import load_table
 
 # --- as-of join ---------------------------------------------------------------
 
+# Explicit row_number formulation rather than DuckDB's native ASOF: the
+# engine breaks duplicate right-timestamp ties deterministically
+# (backward -> GREATEST payload), while native ASOF leaves tie selection
+# unspecified — pinning the identical tie-break here removes the latent
+# oracle flake if the fixture ever gains duplicate (user_id, ts) clicks.
 _ASOF_SQL = """
 WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS amount
            FROM events WHERE event_type = 'purchase'),
      c AS (SELECT user_id, ts, event_id AS click_event_id
-           FROM events WHERE event_type = 'click')
-SELECT p.user_id,
-       p.p_event_id,
-       epoch_us(p.ts) AS p_ts_us,
-       round(p.amount, 4) AS amount,
-       c.click_event_id,
-       epoch_us(c.ts) AS click_ts_us
-FROM p ASOF LEFT JOIN c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+           FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.user_id, p.p_event_id, p.ts AS p_ts, p.amount,
+         c.click_event_id, c.ts AS c_ts,
+         row_number() OVER (PARTITION BY p.user_id, p.p_event_id
+                            ORDER BY c.ts DESC, c.click_event_id DESC) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT user_id, p_event_id,
+       epoch_us(p_ts) AS p_ts_us,
+       round(amount, 4) AS amount,
+       click_event_id,
+       epoch_us(c_ts) AS click_ts_us
+FROM cand WHERE rn = 1
 """
 
 
@@ -64,19 +74,26 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same pinned-tie-break rationale as _ASOF_SQL (forward -> SMALLEST
+# payload at duplicate right timestamps, per functions/temporal.py).
 _ASOF_FWD_SQL = """
 WITH p AS (SELECT user_id, ts, event_id AS p_event_id, value AS amount
            FROM events WHERE event_type = 'purchase'),
      c AS (SELECT user_id, ts, event_id AS click_event_id
-           FROM events WHERE event_type = 'click')
-SELECT p.user_id,
-       p.p_event_id,
-       epoch_us(p.ts) AS p_ts_us,
-       round(p.amount, 4) AS amount,
-       c.click_event_id,
-       epoch_us(c.ts) AS click_ts_us
-FROM p ASOF LEFT JOIN c
-  ON p.user_id = c.user_id AND p.ts <= c.ts
+           FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.user_id, p.p_event_id, p.ts AS p_ts, p.amount,
+         c.click_event_id, c.ts AS c_ts,
+         row_number() OVER (PARTITION BY p.user_id, p.p_event_id
+                            ORDER BY c.ts ASC, c.click_event_id ASC) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+)
+SELECT user_id, p_event_id,
+       epoch_us(p_ts) AS p_ts_us,
+       round(amount, 4) AS amount,
+       click_event_id,
+       epoch_us(c_ts) AS click_ts_us
+FROM cand WHERE rn = 1
 """
 
 
@@ -86,8 +103,9 @@ def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest click at or after it (post-purchase behaviour attribution —
     pandas merge_asof(direction='forward')).  Same union-merge
     one-shuffle plan as the backward join, walked in descending
-    timestamp order (functions/temporal.py:asof_join); the oracle is
-    DuckDB's native ASOF with the inequality flipped."""
+    timestamp order (functions/temporal.py:asof_join); the oracle pins
+    the engine's duplicate-ts tie-break (smallest payload) explicitly
+    via row_number instead of DuckDB's tie-unspecified native ASOF."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("amount")

@@ -413,6 +413,12 @@ def streaming_psi_drift(
     range_schema = f"{type_col} string, mn double, mx double"
 
     def _bin_counts(batch: DataFrame, ranges: DataFrame, period: str):
+        # NULL values must not reach the fold: psi_bin_col(NULL) is a
+        # NULL bin, and a None bin key would crash the sorted() cell
+        # canonicalization — the batch twin already excludes NULL bins
+        # via its grid left-join, so filtering here keeps both paths
+        # counting the identical population.
+        batch = batch.filter(F.col(value_col).isNotNull())
         binned = batch.join(F.broadcast(ranges), type_col).select(
             type_col,
             psi_bin_col(

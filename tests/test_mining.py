@@ -62,51 +62,15 @@ def test_triples_match_brute_force(spark):
         assert got == want, seed
 
 
-def test_item_similarity_matches_brute_force(spark):
-    """Cosine over binary basket vectors + deterministic top-k, vs a
-    pure-Python recomputation (including the min-co prune)."""
-    from depositaja_spark.queries_olap import _ITEMSIM_K, _ITEMSIM_MIN_CO
-
-    rows = _random_baskets(7, n_orders=80, n_parts=10)
-    li = _li(spark, rows)
-
-    deg = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.count_distinct("l_orderkey").alias("n")
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count_distinct("ok").alias("co"))
-        .filter(F.col("co") >= _ITEMSIM_MIN_CO)
-    )
-    sym = co.select(
-        F.col("pa").alias("part"), F.col("pb").alias("other"), "co"
-    ).unionByName(co.select(F.col("pb").alias("part"), F.col("pa").alias("other"), "co"))
-    from pyspark.sql import Window as W
-
-    scored = (
-        sym.join(deg.select("part", F.col("n").alias("na")), "part")
-        .join(deg.select(F.col("part").alias("other"), F.col("n").alias("nb")), "other")
-        .select(
-            "part",
-            "other",
-            F.round(F.col("co").cast("double") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("sim"),
-        )
-    )
-    w = W.partitionBy("part").orderBy(F.desc("sim"), F.asc("other"))
-    got = {
-        (r.part, r.rank): (r.other, r.sim)
-        for r in scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ITEMSIM_K)
-        .collect()
-    }
-
+def _itemsim_brute(rows, k, min_co, max_basket=None):
+    """Pure-Python item-item CF replay (capped semantics when
+    max_basket is given: oversized baskets excluded from degrees AND
+    co-occurrence, matching mining.item_similarity_topk)."""
     baskets: dict[int, set[int]] = {}
     for ok, p in rows:
         baskets.setdefault(ok, set()).add(p)
+    if max_basket is not None:
+        baskets = {ok: bs for ok, bs in baskets.items() if len(bs) <= max_basket}
     deg_py: dict[int, int] = {}
     co_py: dict = {}
     for bs in baskets.values():
@@ -116,13 +80,86 @@ def test_item_similarity_matches_brute_force(spark):
             co_py[(x, y)] = co_py.get((x, y), 0) + 1
     neigh: dict[int, list] = {}
     for (x, y), c in co_py.items():
-        if c < _ITEMSIM_MIN_CO:
+        if c < min_co:
             continue
         s = round(c / math.sqrt(deg_py[x] * deg_py[y]), 6)
         neigh.setdefault(x, []).append((-s, y))
         neigh.setdefault(y, []).append((-s, x))
     want = {}
     for part, lst in neigh.items():
-        for rank, (negs, other) in enumerate(sorted(lst)[: _ITEMSIM_K], 1):
+        for rank, (negs, other) in enumerate(sorted(lst)[:k], 1):
             want[(part, rank)] = (other, -negs)
-    assert got == want
+    return want
+
+
+def test_item_similarity_matches_brute_force(spark):
+    """Cosine over binary basket vectors + deterministic top-k, vs a
+    pure-Python recomputation (including the min-co prune) — runs the
+    SAME shared plan as the registered query
+    (functions/mining.py:item_similarity_topk), not a copy of it."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.mining import item_similarity_topk
+    from depositaja_spark.queries_olap import _ITEMSIM_K, _ITEMSIM_MIN_CO
+
+    rows = _random_baskets(7, n_orders=80, n_parts=10)
+    li2 = (
+        _li(spark, rows)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    got = {
+        (r.part, r.rank): (r.other, r.sim)
+        for r in item_similarity_topk(li2, _ITEMSIM_K, _ITEMSIM_MIN_CO).collect()
+    }
+    release_caches()
+    assert got == _itemsim_brute(rows, _ITEMSIM_K, _ITEMSIM_MIN_CO)
+
+
+def test_hot_basket_cap_excludes_planted_pathological_basket(spark):
+    """MINING_MAX_BASKET property test: plant a 1000-line basket among
+    normal ones — both mining plans must return exactly the capped-
+    semantics answer (the pathological basket contributes NOTHING to
+    support, degree, or co-occurrence), and they must do it without
+    materializing that basket's ~5·10^5 within-basket pairs."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.mining import (
+        MINING_MAX_BASKET,
+        frequent_triples,
+        item_similarity_topk,
+    )
+
+    assert MINING_MAX_BASKET < 1000
+    rows = _random_baskets(11, n_orders=50, n_parts=10)
+    # the planted crawler "order": 1000 distinct parts in one basket
+    rows += [(999_999, 100_000 + i) for i in range(1000)]
+    li2 = (
+        _li(spark, rows)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+    kept_rows = [(ok, p) for ok, p in rows if ok != 999_999]
+    baskets: dict[int, set[int]] = {}
+    for ok, p in kept_rows:
+        baskets.setdefault(ok, set()).add(p)
+    want_tri: dict = {}
+    for bs in baskets.values():
+        for tri in itertools.combinations(sorted(bs), 3):
+            want_tri[tri] = want_tri.get(tri, 0) + 1
+    want_tri = {k: v for k, v in want_tri.items() if v >= 2}
+
+    got_tri = {
+        (r.part_a, r.part_b, r.part_c): r.support
+        for r in frequent_triples(li2, 2).collect()
+    }
+    assert got_tri == want_tri
+    # none of the planted parts may appear anywhere in the output
+    assert all(p < 100_000 for tri in got_tri for p in tri)
+
+    got_sim = {
+        (r.part, r.rank): (r.other, r.sim)
+        for r in item_similarity_topk(li2, 3, 2).collect()
+    }
+    release_caches()
+    assert got_sim == _itemsim_brute(rows, 3, 2, max_basket=MINING_MAX_BASKET)
+    assert all(p < 100_000 for p, _ in got_sim)

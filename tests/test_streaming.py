@@ -1088,3 +1088,64 @@ def test_streaming_psi_drift_matches_python_fold(spark, tmp_path):
     q2.awaitTermination(300)
     assert load_psi_state(spark, state_dir) == want
     assert _mg_commits(state_dir)[-1][0] == last_commit
+
+
+def test_streaming_psi_drift_ignores_null_values(spark, tmp_path):
+    """Dirty input: NULL values must not reach the fold (a NULL bin key
+    would crash the sorted() cell canonicalization) — the monitor must
+    count exactly the non-NULL population, matching the batch twin's
+    grid-left-join behavior."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.pipeline import (
+        load_psi_state,
+        streaming_psi_drift,
+    )
+
+    splits = [
+        [("a", 0.0), ("a", 10.0), ("a", None), ("a", 5.0)],
+        [("a", None), ("a", 2.0), ("a", 9.0), ("a", None)],
+    ]
+    d = tmp_path / "psi_null_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([t for t, _ in chunk], pa.string()),
+                    "value": pa.array([v for _, v in chunk], pa.float64()),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "psi_null_state")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_psi_drift(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = load_psi_state(spark, state_dir)
+    # ranges fit on batch 0's non-NULLs: [0, 10]; bins = floor(v/10*10)
+    want = {
+        ("a", "baseline", 0): 1,   # 0.0
+        ("a", "baseline", 9): 1,   # 10.0 clamps to bin 9
+        ("a", "baseline", 5): 1,   # 5.0
+        ("a", "current", 2): 1,    # 2.0
+        ("a", "current", 9): 1,    # 9.0
+    }
+    assert got == want
