@@ -123,6 +123,22 @@ def pca_fit(
     return means, comps.T, w[order]
 
 
+def projection_terms(
+    means: list[float], comp, vec_col: str = "embedding", one_based: bool = False
+) -> str:
+    """The fused multiply-add chain ``Σ (vec[i] − μ_i)·w_i`` as a SQL
+    expression string.  ONE generator for the Spark expression
+    (0-based array indexing) and its DuckDB oracle twin (1-based list
+    indexing) so the two engines always evaluate the identical float64
+    op sequence term-for-term — left-associated adds in the same order
+    are then bit-identical before any shared rounding."""
+    off = 1 if one_based else 0
+    return " + ".join(
+        f"(CAST({vec_col}[{i + off}] AS DOUBLE) - ({means[i]!r})) * ({float(w)!r})"
+        for i, w in enumerate(comp)
+    )
+
+
 def pca_project(
     emb: DataFrame,
     means: list[float],
@@ -139,9 +155,84 @@ def pca_project(
     orderings."""
     projs = []
     for c, comp in enumerate(components):
-        terms = " + ".join(
-            f"(CAST({vec_col}[{i}] AS DOUBLE) - ({means[i]!r})) * ({float(w)!r})"
-            for i, w in enumerate(comp)
-        )
+        terms = projection_terms(means, comp, vec_col)
         projs.append(F.expr(f"round({terms}, {round_to})").alias(f"pc_{c}"))
     return emb.select(id_col, *projs)
+
+
+def pca_project_sql(
+    means: list[float],
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of ``pca_project``: the SAME fused multiply-add chain
+    term-for-term (so float64 evaluation order is identical and the two
+    engines agree bit-for-bit before the shared rounding), with DuckDB's
+    1-based list indexing.  Lives next to pca_project so the expression
+    pair can never drift apart."""
+    projs = []
+    for c, comp in enumerate(components):
+        terms = projection_terms(means, comp, vec_col, one_based=True)
+        projs.append(f"round({terms}, {round_to}) AS pc_{c}")
+    cols = ",\n       ".join(projs)
+    return f"SELECT {id_col},\n       {cols}\nFROM {table}"
+
+
+_MOMENT_SCHEMA = "label int, kind int, i int, j int, s double"
+
+
+def label_moments(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label first and second moments in ONE distributed pass:
+    (label, kind, i, j, s) rows where kind 0 = row count (i=j=0),
+    kind 1 = per-dimension value sum (i=dim, j=0), kind 2 = uncentered
+    Gram sum Σ v_i·v_j.  Each Arrow batch contributes one numpy matmul
+    per label present in it; the aggregated frame is L·(1 + d + d²)
+    rows — bounded by label cardinality and embedding width, never by
+    corpus size (the same bounded-summary contract as
+    ``covariance_cells``).  Uncentered moments make the kernel
+    mean-free (no broadcast prepass); covariance follows exactly as
+    E[vv^T] − μμ^T at the consumer."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list] = {}
+        d_seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lab, grp in pdf.groupby(label_col):
+                x = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                d_seen = x.shape[1]
+                ent = acc.setdefault(
+                    int(lab),
+                    [0, np.zeros(d_seen), np.zeros((d_seen, d_seen))],
+                )
+                ent[0] += len(x)
+                ent[1] = ent[1] + x.sum(axis=0)
+                ent[2] = ent[2] + x.T @ x
+        if not acc:
+            return
+        d = d_seen
+        ii, jj = np.meshgrid(
+            np.arange(d, dtype=np.int32), np.arange(d, dtype=np.int32), indexing="ij"
+        )
+        ii, jj = ii.ravel(), jj.ravel()
+        for lab, (n, s1, s2) in acc.items():
+            yield pd.DataFrame(
+                {
+                    "label": np.concatenate(
+                        [[lab], np.full(d, lab), np.full(d * d, lab)]
+                    ).astype(np.int32),
+                    "kind": np.concatenate([[0], np.full(d, 1), np.full(d * d, 2)]).astype(np.int32),
+                    "i": np.concatenate([[0], np.arange(d), ii]).astype(np.int32),
+                    "j": np.concatenate([[0], np.zeros(d), jj]).astype(np.int32),
+                    "s": np.concatenate([[float(n)], s1, s2.ravel()]),
+                }
+            )
+
+    cells = emb.select(label_col, vec_col).mapInPandas(partials, _MOMENT_SCHEMA)
+    return cells.groupBy("label", "kind", "i", "j").agg(F.sum("s").alias("s"))

@@ -146,6 +146,7 @@ def pq_ann_topk(
     rerank: int = PQ_RERANK,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k by PQ+ADC with exact re-rank: unit-
     normalize, train codebooks on a sample, encode once, ADC-score every
@@ -153,11 +154,18 @@ def pq_ann_topk(
     literals — pure JVM expression over the codes column), keep the top
     ``rerank`` per query, then re-rank those exactly against their full
     vectors.  Output matches the other ANN tiers:
-    (query_id, cand_id, cos, rank)."""
+    (query_id, cand_id, cos, rank).
+
+    ``books`` optionally supplies PINNED codebooks (the deployed-index
+    scoring mode, functions/pq_artifact.py) instead of training; ADC
+    scores are rounded to 6 before the candidate cut so the pool is
+    deterministic across engines and summation orders (ties then break
+    on cand_id)."""
     from pyspark.sql import Window as W
 
     unit = unit_vectors(corpus, id_col, vec_col)
-    books = pq_train(unit, m=m, ksub=ksub, vec_col="unit", id_col=id_col)
+    if books is None:
+        books = pq_train(unit, m=m, ksub=ksub, vec_col="unit", id_col=id_col)
     mats = [np.asarray(b) for b in books]
     dsub = mats[0].shape[1]
 
@@ -190,7 +198,7 @@ def pq_ann_topk(
             encoded.filter(~F.col(id_col).isin(QUERY_IDS)).select(
                 F.lit(qid).alias("query_id"),
                 F.col(id_col).alias("cand_id"),
-                score.alias("adc"),
+                F.round(score, 6).alias("adc"),
             )
         )
     scored = per_query[0]

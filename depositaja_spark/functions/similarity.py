@@ -813,6 +813,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings, then search
     for near-duplicates ONLY within each cluster → (id, cluster, keep).
@@ -830,7 +831,14 @@ def semdedup(
     a skewed mega-cluster is handled by raising k (or blocking inside
     the cluster exactly as embedding_near_dup blocks the full corpus).
     The centroid list is driver-side by construction (k·d doubles) —
-    same bounded-summary pattern as kmeans/IVF."""
+    same bounded-summary pattern as kmeans/IVF.
+
+    ``centroids`` optionally supplies a PINNED clustering model (k·d
+    literals, e.g. functions/kmeans_artifact.py) instead of fitting —
+    the deployed-model scoring mode, which is also what makes the
+    registered query fully oracle-checkable (assignment argmin +
+    within-cluster cosine sweep are plain SQL once the model is
+    literal)."""
     from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
 
     if not corpus.head(1):  # k-means seeding cannot run on zero vectors
@@ -840,7 +848,7 @@ def semdedup(
             .withColumn("cluster", F.lit(0))
             .withColumn("keep", F.lit(True))
         )
-    cents = kmeans_fit(corpus, k, iterations, vec_col, id_col)
+    cents = kmeans_fit(corpus, k, iterations, vec_col, id_col) if centroids is None else centroids
     # persisted: the (cluster, unit) frame feeds BOTH sides of the pair
     # join and the final decision join re-reads the assignment — without
     # the persist Catalyst replays the scan + Arrow assignment UDF once

@@ -204,3 +204,105 @@ def clip_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
+
+
+#: multi-scale widths: n · 2^k for k in range(SPAN_LEVELS) — 8/16/32
+#: token spans at the default SPAN_NGRAM
+SPAN_LEVELS = 3
+
+
+def multiscale_duplicate_spans(
+    docs: DataFrame,
+    n: int = SPAN_NGRAM,
+    levels: int = SPAN_LEVELS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, width, span_start, span_end): duplicated-span detection
+    at DOUBLING gram widths n, 2n, 4n, … over ONE positional-gram
+    index.  Short boilerplate shows up at width n; a width-4n span is a
+    much stronger signal (a 4n-token verbatim cross-document match) and
+    long syndicated passages merge at the coarse scales without ever
+    re-hashing the text at those widths.
+
+    The scale trick is PREFIX DOUBLING (the suffix-array construction
+    idea): level-0 hashes are the usual n-token gram md5s; level k+1's
+    hash at position i is H(g_k at i, g_k at i + step) with
+    step = n·2^k — ONE keyed equi-join of the persisted level-k frame
+    with itself on (doc_id, pos + step), partitioned by doc_id.  Total
+    hashing cost is O(total_tokens · n) md5 bytes for level 0 plus
+    O(total_tokens) per extra level (two 20-digit strings per gram),
+    instead of O(total_tokens · width) per width — the "same index,
+    wider spans without quadratic cost" property.  (An array-side zip
+    of per-document hash arrays would avoid the join but collapses into
+    one projection whose level-k expression inlines level k−1 TWICE —
+    exponential codegen blowup; the keyed join keeps every level
+    computed exactly once.)  Everything after hashing is the proven
+    single-scale shape, keyed by (width, gh): one aggregation for the
+    dup set, one semi-join back, one gaps-and-islands window per
+    (doc_id, width).
+
+    Levels inherit level 0's p ≈ 2⁻⁶⁰ collision budget (each doubling
+    hashes the decimal concatenation of two 60-bit values)."""
+    from functools import reduce
+
+    from depositaja_spark.functions.cache import tracked_persist
+
+    comb = _H64_SQL.format(x="concat(cast(ha AS STRING), ':', cast(hb AS STRING))")
+    level = tracked_persist(positional_gram_hashes(docs, n, text_col))
+    pieces = [
+        level.select(
+            "doc_id", F.lit(n).cast("int").alias("width"), "pos", "gh"
+        )
+    ]
+    for k in range(1, levels):
+        step = n * (2 ** (k - 1))
+        joined = (
+            level.alias("a")
+            .join(
+                level.alias("b"),
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.pos") == F.col("a.pos") + step),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.pos").alias("pos"),
+                F.col("a.gh").alias("ha"),
+                F.col("b.gh").alias("hb"),
+            )
+        )
+        level = tracked_persist(
+            joined.select("doc_id", "pos", F.expr(comb).alias("gh"))
+        )
+        pieces.append(
+            level.select(
+                "doc_id",
+                F.lit(n * (2 ** k)).cast("int").alias("width"),
+                "pos",
+                "gh",
+            )
+        )
+    grams = tracked_persist(reduce(DataFrame.unionByName, pieces))
+    dup = (
+        grams.groupBy("width", "gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("width", "gh")
+    )
+    pos = grams.join(dup, ["width", "gh"], "left_semi").select(
+        "doc_id", "width", "pos"
+    )
+    w = Window.partitionBy("doc_id", "width").orderBy("pos")
+    prevp = F.lag("pos").over(w)
+    flag = F.when(prevp.isNull() | (F.col("pos") - prevp > F.col("width")), 1).otherwise(0)
+    islands = pos.withColumn(
+        "island",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy("doc_id", "width", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.col("width")).cast("int").alias("span_end"),
+        )
+        .drop("island")
+    )

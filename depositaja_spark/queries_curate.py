@@ -416,20 +416,84 @@ from depositaja_spark.queries_ext import _emb  # noqa: E402
 from depositaja_spark.registry import NO_ORACLE_OK  # noqa: E402
 
 
-@query("ann_topk_pq")
+def _pq_sql() -> str:
+    from depositaja_spark.functions.pq import PQ_RERANK
+    from depositaja_spark.functions.pq_artifact import PQ_BOOKS
+    from depositaja_spark.functions.similarity import QUERY_IDS, TOP_K
+
+    dsub = len(PQ_BOOKS[0][0])
+    m = len(PQ_BOOKS)
+    qids = ", ".join(str(q) for q in QUERY_IDS)
+    rows = ",\n       ".join(
+        f"({s}, {j}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
+        for s, book in enumerate(PQ_BOOKS)
+        for j, w in enumerate(book)
+    )
+    return f"""
+WITH cb(s, j, w) AS (VALUES
+       {rows}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS unit
+      FROM v),
+ss AS (SELECT unnest(range({m})) AS s),
+sub AS (SELECT vec_id, s,
+               list_slice(unit, s * {dsub} + 1, s * {dsub} + {dsub}) AS sv
+        FROM u CROSS JOIN ss),
+enc AS (SELECT vec_id, s, j AS code FROM (
+          SELECT sub.vec_id, sub.s, cb.j,
+                 row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_inner_product(cb.w, cb.w)
+                            - 2 * list_inner_product(sub.sv, cb.w), cb.j) AS rn
+          FROM sub JOIN cb ON cb.s = sub.s)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, unit AS qu FROM u WHERE vec_id IN ({qids})),
+qsub AS (SELECT query_id, s,
+                list_slice(qu, s * {dsub} + 1, s * {dsub} + {dsub}) AS qv
+         FROM q CROSS JOIN ss),
+lut AS (SELECT qsub.query_id, qsub.s, cb.j,
+               list_inner_product(qsub.qv, cb.w) AS val
+        FROM qsub JOIN cb ON cb.s = qsub.s),
+adc AS (SELECT l.query_id, e.vec_id AS cand_id, round(sum(l.val), 6) AS adc
+        FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+        WHERE e.vec_id NOT IN ({qids})
+        GROUP BY 1, 2),
+cand AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, cand_id) AS crank
+           FROM adc)
+         WHERE crank <= {PQ_RERANK}),
+cos AS (SELECT c.query_id, c.cand_id,
+               round(list_inner_product(q.qu, u.unit), 6) AS cos
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN u ON u.vec_id = c.cand_id)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM cos QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("ann_topk_pq", _pq_sql())
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ+ADC approximate cosine top-k (functions/pq.py): codebook-
     compressed vectors (m subspace codes per vector) scored by per-query
-    lookup tables inlined as literals.  k-means codebook training is
-    iterative (driver-coordinated like kmeans_cluster_sizes), so this is
-    a rows-only check; recall vs the exact scan is asserted in
+    lookup tables inlined as literals, top-R pool exactly re-ranked.
+    Scores against the PINNED codebooks (functions/pq_artifact.py —
+    trained once at sf0.01 with the repo's own sampler + k-means, frozen
+    as literals): a deployed PQ index ships its codebooks as a versioned
+    artifact, and pinning makes encode → LUT → ADC → re-rank plain
+    relational algebra, so the query carries a full DuckDB value oracle
+    (rows-only through round 7, when it re-trained per run).  Training
+    keeps its gates: recall bounds + provenance re-fit in
     tests/test_pq.py."""
     from depositaja_spark.functions.pq import pq_ann_topk
+    from depositaja_spark.functions.pq_artifact import PQ_BOOKS
 
-    return pq_ann_topk(_emb(spark, sf_dir))
-
-
-NO_ORACLE_OK.add("ann_topk_pq")
+    return pq_ann_topk(_emb(spark, sf_dir), books=PQ_BOOKS)
 
 
 # --- distributed BPE tokenizer training --------------------------------------

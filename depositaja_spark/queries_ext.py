@@ -1619,6 +1619,68 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.duplicate_spans(_docs(spark, sf_dir))
 
 
+def _multiscale_spans_sql() -> str:
+    n = sp.SPAN_NGRAM
+    levels = sp.SPAN_LEVELS
+    lv_selects = [f"SELECT doc_id, pos, gh, {n} AS width FROM h0"]
+    level_ctes = []
+    comb = _H64.format(x="a.gh::VARCHAR || ':' || b.gh::VARCHAR")
+    for k in range(1, levels):
+        step = n * (2 ** (k - 1))
+        lv_selects.append(
+            f"SELECT doc_id, pos, gh, {n * (2 ** k)} AS width FROM h{k}"
+        )
+        level_ctes.append(
+            f"h{k} AS (SELECT a.doc_id, a.pos, {comb} AS gh\n"
+            f"      FROM h{k - 1} a JOIN h{k - 1} b\n"
+            f"        ON b.doc_id = a.doc_id AND b.pos = a.pos + {step})"
+        )
+    h_ctes = ",\n".join(level_ctes)
+    lv = "\nUNION ALL\n".join(lv_selects)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= {n}),
+g AS (SELECT doc_id, unnest(range(0, len(toks) - {n} + 1)) AS pos, toks FROM t),
+h0 AS (SELECT doc_id, pos,
+              {_H64.format(x=f"array_to_string(toks[pos + 1 : pos + {n}], ' ')")} AS gh
+       FROM g),
+{h_ctes},
+lv AS ({lv}),
+d AS (SELECT width, gh FROM lv GROUP BY width, gh
+      HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT lv.doc_id, lv.width, lv.pos FROM lv
+      JOIN d ON d.width = lv.width AND d.gh = lv.gh),
+i AS (SELECT doc_id, width, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > width
+                  THEN 1 ELSE 0 END AS flag
+      FROM p WINDOW w AS (PARTITION BY doc_id, width ORDER BY pos)),
+s AS (SELECT doc_id, width, pos,
+             sum(flag) OVER (PARTITION BY doc_id, width ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM i)
+SELECT doc_id, CAST(width AS INT) AS width,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + width AS INT) AS span_end
+FROM s GROUP BY doc_id, width, island
+"""
+
+
+@query("multiscale_duplicate_spans", _multiscale_spans_sql())
+def q_multiscale_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection at DOUBLING widths (8/16/32 tokens)
+    from ONE positional-gram index via prefix doubling — level k+1's
+    hash at position i is H(g_k[i], g_k[i + n·2^k]), an array-side zip,
+    so wider spans cost O(tokens) extra instead of O(tokens·width)
+    (functions/spans.py:multiscale_duplicate_spans).  A width-32 span
+    is a verbatim 32-token cross-document match — the high-confidence
+    tier a span-clipping pipeline removes first.  The oracle replays
+    the identical doubling with keyed self-joins per level;
+    tests/test_spans.py asserts each width's spans equal a brute-force
+    token-window recomputation on adversarial corpora."""
+    return sp.multiscale_duplicate_spans(_docs(spark, sf_dir))
+
+
 @query(
     "span_clipped_corpus",
     f"""

@@ -485,56 +485,293 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_pca_projection")
+def _pca_projection_sql() -> str:
+    from depositaja_spark.functions.pca import pca_project_sql
+    from depositaja_spark.functions.pca_artifact import PCA_COMPONENTS, PCA_MEANS
+
+    return pca_project_sql(PCA_MEANS, PCA_COMPONENTS[:2])
+
+
+@query("embedding_pca_projection", _pca_projection_sql())
 def q_embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal-component projection of every embedding — the 2-D
-    corpus map.  Eigensolve is driver-side over the d×d covariance (no
-    SQL equivalent → rows-only here); numpy parity + sign-convention
-    determinism are pinned by tests/test_pca.py."""
+    corpus map, scored with the PINNED model artifact
+    (functions/pca_artifact.py: axes fit once at sf0.01 with the repo's
+    own distributed ``pca_fit`` and frozen as literals, exactly how a
+    production job ships a trained projection).  Pinning makes the
+    distributed SCORING operator fully oracle-checkable: the DuckDB twin
+    (``pca_project_sql``) evaluates the identical float64 FMA chain over
+    the identical literals.  The FIT machinery keeps its own gates —
+    ``embedding_covariance`` oracles the distributed Gram phase
+    and tests/test_pca.py pins eigensolve parity vs numpy plus the
+    artifact's provenance (a re-fit at sf0.01 must reproduce it)."""
+    from depositaja_spark.functions.pca_artifact import PCA_COMPONENTS, PCA_MEANS
+
     emb = load_table(spark, sf_dir, "embeddings")
-    means, comps, _ = pca.pca_fit(emb, k=2)
-    return pca.pca_project(emb, means, comps)
+    return pca.pca_project(emb, PCA_MEANS, PCA_COMPONENTS[:2])
 
 
-NO_ORACLE_OK.add("embedding_pca_projection")
+def _pca_variance_sql() -> str:
+    from depositaja_spark.functions.pca import projection_terms
+    from depositaja_spark.functions.pca_artifact import PCA_COMPONENTS, PCA_MEANS
+
+    s_cols, v_cols = [], []
+    for c, comp in enumerate(PCA_COMPONENTS):
+        t = projection_terms(PCA_MEANS, comp, one_based=True)
+        s_cols.append(f"sum({t}) AS s1_{c}, sum(({t}) * ({t})) AS s2_{c}")
+        v_cols.append(
+            f"SELECT {c} AS component,"
+            f" round((s2_{c} - s1_{c} * s1_{c} / n) / n, 6) AS explained_variance,"
+            f" round(((s2_{c} - s1_{c} * s1_{c} / n) / n) / tv, 6) AS variance_ratio"
+            f" FROM s CROSS JOIN tv"
+        )
+    sums = ",\n       ".join(s_cols)
+    union = "\nUNION ALL\n".join(v_cols)
+    return f"""
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+       {sums}
+  FROM embeddings
+),
+e AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+pd AS (SELECT dim, sum(v) AS sv, sum(v * v) AS svv FROM e GROUP BY 1),
+tv AS (SELECT sum((svv - sv * sv / (SELECT n FROM s)) / (SELECT n FROM s)) AS tv
+       FROM pd)
+{union}
+"""
 
 
-@query("embedding_pca_variance")
+@query("embedding_pca_variance", _pca_variance_sql())
 def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explained variance of the top-4 principal components (absolute +
-    ratio vs total variance) — the 'how many dims do I actually need'
-    diagnostic.  Rows-only for the same eigensolve reason; parity vs
-    numpy in tests/test_pca.py."""
+    """Explained variance of the four PINNED principal axes measured ON
+    THE DATA (population variance of each axis's projection), plus each
+    axis's share of the corpus's total per-dimension variance — the
+    'how much of today's corpus do my model's axes still capture'
+    drift-style diagnostic.  Every quantity is a moment sum, so both
+    engines run the identical (Σp² − (Σp)²/n)/n arithmetic over the
+    identical pinned-literal projections; variance is translation-
+    invariant but the projections center on the pinned means anyway so
+    the two FMA chains stay term-for-term equal.  (Until round 8 this
+    query returned the eigensolve's eigenvalues and was rows-only; the
+    pinned-artifact reformulation is what makes a full value oracle
+    possible.)"""
+    from depositaja_spark.functions.pca import projection_terms
+    from depositaja_spark.functions.pca_artifact import PCA_COMPONENTS, PCA_MEANS
+
     emb = load_table(spark, sf_dir, "embeddings")
-    _, _, ev = pca.pca_fit(emb, k=4)
-    total = float(ev.sum()) if len(ev) else 1.0
-    spark_sess = spark
-    rows = [
-        (int(c), round(float(v), 6), round(float(v / max(total, 1e-12)), 6))
-        for c, v in enumerate(ev)
-    ]
-    return spark_sess.createDataFrame(
-        rows, "component int, explained_variance double, variance_ratio double"
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c, comp in enumerate(PCA_COMPONENTS):
+        p = F.expr(projection_terms(PCA_MEANS, comp))
+        aggs.append(F.sum(p).alias(f"s1_{c}"))
+        aggs.append(F.sum(p * p).alias(f"s2_{c}"))
+    s = emb.agg(*aggs)
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .select("dim", F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("sv"), F.sum(F.col("v") * F.col("v")).alias("svv"))
+    )
+    # 1-row scalar broadcast (CARTESIAN_OK pattern): n into the per-dim
+    # variance fold, then total variance back beside the moment sums
+    tv = (
+        per_dim.join(F.broadcast(s.select("n")))
+        .select(
+            ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")).alias("var")
+        )
+        .agg(F.sum("var").alias("tv"))
+    )
+    one = s.join(F.broadcast(tv))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("component"),
+                F.round(
+                    (F.col(f"s2_{c}") - F.col(f"s1_{c}") * F.col(f"s1_{c}") / F.col("n"))
+                    / F.col("n"),
+                    6,
+                ).alias("explained_variance"),
+                F.round(
+                    (
+                        (F.col(f"s2_{c}") - F.col(f"s1_{c}") * F.col(f"s1_{c}") / F.col("n"))
+                        / F.col("n")
+                    )
+                    / F.col("tv"),
+                    6,
+                ).alias("variance_ratio"),
+            )
+            for c in range(len(PCA_COMPONENTS))
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        F.col("r.component").cast("int").alias("component"),
+        "r.explained_variance",
+        "r.variance_ratio",
     )
 
 
-NO_ORACLE_OK.add("embedding_pca_variance")
+_LABEL_DRIFT_SQL = """
+WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+p AS (SELECT a.vec_id, a.label, a.dim AS i, b.dim AS j, a.v * b.v AS vv
+      FROM e a JOIN e b ON a.vec_id = b.vec_id),
+nl AS (SELECT label, CAST(count(*) AS DOUBLE) AS n FROM embeddings GROUP BY 1),
+na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+mul AS (SELECT e.label, e.dim, sum(e.v) / max(nl.n) AS mu
+        FROM e JOIN nl USING (label) GROUP BY e.label, e.dim),
+mua AS (SELECT dim, sum(v) / (SELECT n FROM na) AS mu FROM e GROUP BY 1),
+graml AS (SELECT p.label, p.i, p.j, sum(p.vv) / max(nl.n) AS g
+          FROM p JOIN nl USING (label) GROUP BY p.label, p.i, p.j),
+grama AS (SELECT i, j, sum(vv) / (SELECT n FROM na) AS g FROM p GROUP BY 1, 2),
+covl AS (SELECT g.label, g.i, g.j, g.g - mi.mu * mj.mu AS c
+         FROM graml g
+         JOIN mul mi ON mi.label = g.label AND mi.dim = g.i
+         JOIN mul mj ON mj.label = g.label AND mj.dim = g.j),
+cova AS (SELECT g.i, g.j, g.g - mi.mu * mj.mu AS c
+         FROM grama g
+         JOIN mua mi ON mi.dim = g.i
+         JOIN mua mj ON mj.dim = g.j),
+shift AS (SELECT l.label, sqrt(sum((l.mu - a.mu) * (l.mu - a.mu))) AS cs
+          FROM mul l JOIN mua a USING (dim) GROUP BY 1),
+frob AS (SELECT l.label, sqrt(sum((l.c - a.c) * (l.c - a.c))) AS fd
+         FROM covl l JOIN cova a ON a.i = l.i AND a.j = l.j GROUP BY 1)
+SELECT nl.label, CAST(nl.n AS BIGINT) AS n,
+       round(shift.cs, 6) AS centroid_shift,
+       round(frob.fd, 6) AS cov_frobenius
+FROM nl JOIN shift USING (label) JOIN frob USING (label)
+"""
+
+
+@query("embedding_label_drift", _LABEL_DRIFT_SQL)
+def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-SPACE drift per label slice: each label's centroid
+    shift (L2 distance from the global centroid) and covariance-shape
+    distance (Frobenius norm of cov_label − cov_global) — the
+    geometric companion to the token-level KL/JS and value-level PSI
+    monitors: token stats can hold steady while a source's embedding
+    cloud migrates or collapses, and these two scalars catch exactly
+    that.
+
+    Scale shape: ONE distributed pass (functions/pca.py:label_moments —
+    per-batch per-label numpy Gram/sum/count partials via mapInPandas)
+    aggregates to an L·(1 + d + d²) moment frame, bounded by label
+    cardinality × embedding width, never corpus size; the collect and
+    the final L-row algebra are driver-side on that bounded summary
+    (the kmeans-centroid / codebook pattern).  Global moments are the
+    label-sorted sum of per-label moments, so drift math never rescans
+    the data.  The oracle recomputes everything from raw unnested
+    pairs; both engines share the E[vv^T] − μμ^T formula and round at
+    6 (float noise across summation orders is ~1e-12)."""
+    import numpy as np
+
+    from depositaja_spark.functions.pca import label_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    moment_rows = label_moments(emb).collect()
+    d = 1 + max(r["i"] for r in moment_rows if r["kind"] == 1)
+    stats: dict[int, tuple[float, np.ndarray, np.ndarray]] = {}
+    for lab in {r["label"] for r in moment_rows}:
+        stats[lab] = [0.0, np.zeros(d), np.zeros((d, d))]
+    for r in moment_rows:
+        ent = stats[r["label"]]
+        if r["kind"] == 0:
+            ent[0] = r["s"]
+        elif r["kind"] == 1:
+            ent[1][r["i"]] = r["s"]
+        else:
+            ent[2][r["i"], r["j"]] = r["s"]
+    labels = sorted(stats)
+    n_g = sum(stats[lab][0] for lab in labels)
+    s1_g = np.sum([stats[lab][1] for lab in labels], axis=0)
+    s2_g = np.sum([stats[lab][2] for lab in labels], axis=0)
+    mu_g = s1_g / n_g
+    cov_g = s2_g / n_g - np.outer(mu_g, mu_g)
+    out = []
+    for lab in labels:
+        n_l, s1_l, s2_l = stats[lab]
+        mu_l = s1_l / n_l
+        cov_l = s2_l / n_l - np.outer(mu_l, mu_l)
+        out.append(
+            (
+                int(lab),
+                int(n_l),
+                round(float(np.sqrt(((mu_l - mu_g) ** 2).sum())), 6),
+                round(float(np.sqrt(((cov_l - cov_g) ** 2).sum())), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out, "label int, n bigint, centroid_shift double, cov_frobenius double"
+    )
 
 
 # --- SemDeDup ----------------------------------------------------------------
 
 
-@query("semantic_cluster_dedup")
+#: fixture-scaled epsilon (the synthetic embeddings are near-orthogonal,
+#: max pairwise cosine ~0.51 — the same scaling embedding_near_dups uses)
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def _semdedup_sql() -> str:
+    from depositaja_spark.functions.kmeans_artifact import KMEANS_CENTROIDS
+
+    rows = ",\n       ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
+        for c, w in enumerate(KMEANS_CENTROIDS)
+    )
+    return f"""
+WITH cent(cluster, w) AS (VALUES
+       {rows}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT v.vec_id, c.cluster,
+             list_inner_product(v.v, v.v)
+             - 2 * list_inner_product(v.v, c.w)
+             + list_inner_product(c.w, c.w) AS d2
+      FROM v CROSS JOIN cent c),
+asg AS (SELECT vec_id, cluster
+        FROM (SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster) AS rn
+              FROM d)
+        WHERE rn = 1),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS unit
+      FROM v),
+cu AS (SELECT asg.vec_id AS id, asg.cluster, u.unit
+       FROM asg JOIN u USING (vec_id)),
+dropped AS (SELECT DISTINCT b.id AS vec_id
+            FROM cu a JOIN cu b ON a.cluster = b.cluster AND a.id < b.id
+            WHERE round(list_inner_product(a.unit, b.unit), 6)
+                  >= {_SEMDEDUP_THRESHOLD})
+SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+       (dropped.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dropped USING (vec_id)
+"""
+
+
+@query("semantic_cluster_dedup", _semdedup_sql())
 def q_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means partition, then near-duplicate removal ONLY
     within clusters (functions/similarity.py:semdedup) → per-vector keep
-    decision.  The clustering is iterative (no SQL oracle); the keep
-    rule itself is replicated brute-force in tests/test_semdedup.py."""
+    decision.  Scores against the PINNED clustering model
+    (functions/kmeans_artifact.py — centroids fit once at sf0.01 with
+    the repo's own distributed Lloyd iteration, frozen as literals),
+    which is both how a deployed SemDeDup pass runs (the clustering is
+    a versioned artifact, re-fit on a schedule — not per scoring job)
+    and what makes the query fully oracle-checkable: assignment argmin
+    and the within-cluster cosine sweep are plain SQL over the same
+    literals.  (Rows-only through round 7, when the query re-fit the
+    clustering per run.)  The FIT keeps its gates: tests/test_kmeans.py
+    invariants + the brute-force keep-rule replica and provenance
+    re-fit in tests/test_semdedup.py."""
+    from depositaja_spark.functions.kmeans_artifact import KMEANS_CENTROIDS
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.semdedup(emb, k=8, iterations=3, threshold=0.9)
-
-
-NO_ORACLE_OK.add("semantic_cluster_dedup")
+    return sim.semdedup(
+        emb, threshold=_SEMDEDUP_THRESHOLD, centroids=KMEANS_CENTROIDS
+    )
 
 
 # --- DSIR: hashed n-gram importance weights ----------------------------------

@@ -584,7 +584,21 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- new in round 7 ----------------------------------------------------
+    # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
+    #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    "embedding_label_drift",
+    "multiscale_duplicate_spans",
+    "embedding_pca_projection",
+    "embedding_pca_variance",
+    "semantic_cluster_dedup",
+    "ann_topk_pq",
+    "basket_part_triples",
+    "item_similarity_topk",
+    "asof_last_click",
+    "asof_next_click",
+    "image_ahash_dups",
+    "embedding_covariance",
+    # -- round-7 batch, re-sampled for continuity --------------------------
     "value_mad_by_type",
     "ngram_novelty",
     "event_path_trigrams",
@@ -593,35 +607,21 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "classifier_calibration",
     "revenue_gini_by_nation",
     "revenue_lorenz_curve",
-    "asof_next_click",
     "part_price_size_skyline",
-    "basket_part_triples",
     "weak_label_votes",
     "nation_seeded_pagerank",
     "prefix_jaccard_near_dups",
     "hard_negative_pairs",
-    "item_similarity_topk",
     "seasonal_decompose_revenue",
     "psi_value_drift",
-    "image_ahash_dups",
-    # -- code changed round 7 (r6 verdict/advice fixes): capped drift
-    #    support, zero-variance regression guard, NB score back-join,
-    #    bloom probe row-tagging ------------------------------------------
     "source_token_divergence",
-    "value_hour_regression",
-    "domain_classifier_scores",
-    "incremental_dedup_bloom",
-    "ewma_monthly_revenue",
-    "holt_revenue_forecast",
-    # -- round-6 batch, re-sampled for continuity --------------------------
+    # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "exact_detector_replay",
     "sketch_distinct_users",
     "kmeans_cluster_sizes",
     "embedding_near_dups_bucketed",
     "embedding_near_dups",
-    "simhash_signatures",
-    "simhash_near_dups",
     "simhash_near_dups_banded",
     "large_volume_orders",
     "revenue_range_frame_avg",
@@ -638,7 +638,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "duplicate_ngram_spans",
     "span_clipped_corpus",
     "embedding_dim_stats",
-    "embedding_covariance",
 )
 
 

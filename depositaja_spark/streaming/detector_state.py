@@ -68,10 +68,16 @@ _OUT_COLS = [
 
 
 def _replay(
-    wallet_id: str, pdf: pd.DataFrame, start: int, received: float
+    wallet_id: str,
+    pdf: pd.DataFrame,
+    start: int,
+    received: float,
+    period_s: int = ROLLING_PERIOD_SECONDS,
 ) -> tuple[list[tuple], int, float]:
     """The literal detector/detector.go:51-71 transition over one key's
-    rows in arrival order; returns emitted events + final state."""
+    rows in arrival order; returns emitted events + final state.
+    ``period_s`` defaults to the reference's rolling period — tests pass
+    a short one so the timer variant can be compared in real time."""
     out: list[tuple] = []
     # per-key arrival order (Kafka offset / seq) — Goka guarantees this by
     # processing one callback at a time per partition
@@ -81,7 +87,7 @@ def _replay(
         received += float(row.amount)
         if start == 0:
             start = now
-        elif now - start > ROLLING_PERIOD_SECONDS:
+        elif now - start > period_s:
             # reset swallows the current deposit too (add happened first)
             start = 0
             received = 0.0
@@ -92,25 +98,38 @@ def _replay(
     return out, start, received
 
 
-def _transition(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (wallet_id,) = key
-    if state.exists:
-        start, received = state.get
-    else:
-        start, received = 0, 0.0
+def _make_transition(period_s: int):
+    def _transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (wallet_id,) = key
+        if state.exists:
+            start, received = state.get
+        else:
+            start, received = 0, 0.0
 
-    out: list[tuple] = []
-    for pdf in pdfs:
-        emitted, start, received = _replay(wallet_id, pdf, start, received)
-        out.extend(emitted)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            emitted, start, received = _replay(
+                wallet_id, pdf, start, received, period_s
+            )
+            out.extend(emitted)
 
-    state.update((start, received))
-    yield pd.DataFrame(out, columns=_OUT_COLS)
+        state.update((start, received))
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return _transition
 
 
-def exact_detector(deposits: DataFrame, clock_col: str = "ts") -> DataFrame:
+#: default-period transition (kept for checkpoint-restored callers)
+_transition = _make_transition(ROLLING_PERIOD_SECONDS)
+
+
+def exact_detector(
+    deposits: DataFrame,
+    clock_col: str = "ts",
+    period_s: int = ROLLING_PERIOD_SECONDS,
+) -> DataFrame:
     """deposits(wallet_id, amount, ts, seq) stream → FlagEvent stream with
     the reference's exact add-then-maybe-reset semantics.
 
@@ -119,7 +138,7 @@ def exact_detector(deposits: DataFrame, clock_col: str = "ts") -> DataFrame:
     horizontally exactly like adding Goka processor instances."""
     prepared = deposits.withColumn("clock", F.col(clock_col).cast("long"))
     return prepared.groupBy("wallet_id").applyInPandasWithState(
-        _transition,
+        _make_transition(period_s),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -180,3 +199,120 @@ def exact_detector_batch(deposits: DataFrame, clock_col: str = "ts") -> DataFram
 
     prepared = deposits.withColumn("clock", F.col(clock_col).cast("long"))
     return prepared.groupBy("wallet_id").applyInPandas(replay_group, OUTPUT_SCHEMA)
+
+
+#: timer-variant state adds the pending-reset marker set by the expired
+#: processing-time timer (consumed, swallow-style, by the next deposit)
+TIMER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rolling_period_start_unix", T.LongType()),
+        T.StructField("received", T.DoubleType()),
+        T.StructField("pending_reset", T.IntegerType()),
+        T.StructField("timer_ms", T.LongType()),
+    ]
+)
+
+
+class TimerDetectorProcessor(StatefulProcessor):
+    """The detector with the rolling period enforced by a PROCESSING-TIME
+    TIMER instead of the lazy gap check — the faithful analog of Goka's
+    wall clock (``detector/detector.go:57,59`` reads ``time.Now()``; a
+    registered timer at start + period is the push-model equivalent of
+    re-reading the clock at the next callback).
+
+    Mechanics: the first deposit of a period sets ``start`` and registers
+    a timer at now_processing + period; when the timer fires,
+    ``handleExpiredTimer`` marks ``pending_reset`` (it does NOT zero the
+    counter — the reference's reset runs inside a deposit callback AFTER
+    the add, swallowing that deposit, so the marker defers the reset to
+    the next deposit to preserve the quirk bit-for-bit).  The next
+    deposit adds, consumes the marker (start = 0, received = 0),
+    and the following deposit opens a fresh period + timer.  A consumed
+    or superseded timer is deleted so a stale expiry can never mark a
+    fresh period.
+
+    Output-equal to ``exact_detector`` whenever timer firings and clock-
+    column gaps agree on which deposits open a new period — which is the
+    definition of the two clocks measuring the same thing; the streaming
+    test pins this equality under a controlled clock (a short period,
+    real sleeps between micro-batches, clock column stamped to match).
+
+    ``period_s`` parameterizes the rolling period (default: the
+    reference's ROLLING_PERIOD_SECONDS) so tests can run second-scale
+    periods instead of sleeping out the production window."""
+
+    def __init__(self, period_s: int = ROLLING_PERIOD_SECONDS) -> None:
+        self._period_s = period_s
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("counter_t", TIMER_STATE_SCHEMA)
+
+    def _get(self) -> tuple[int, float, int, int]:
+        existing = self._st.get()
+        if existing is None:
+            return 0, 0.0, 0, 0
+        return existing[0], existing[1], existing[2], existing[3]
+
+    def handleInputRows(self, key: tuple, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (wallet_id,) = key
+        start, received, pending, timer_ms = self._get()
+        out: list[tuple] = []
+        for pdf in rows:
+            pdf = pdf.sort_values("seq")
+            for row in pdf.itertuples(index=False):
+                received += float(row.amount)
+                if start == 0:
+                    start = int(row.clock)
+                    if timer_ms:
+                        self._handle.deleteTimer(timer_ms)
+                    timer_ms = (
+                        timerValues.getCurrentProcessingTimeInMs()
+                        + self._period_s * 1000
+                    )
+                    self._handle.registerTimer(timer_ms)
+                elif pending:
+                    # the timer fired since the period opened: reset, and
+                    # (reference quirk) swallow the current deposit too
+                    start = 0
+                    received = 0.0
+                    pending = 0
+                    timer_ms = 0
+                flagged = received >= MAX_AMOUNT and start != 0
+                out.append(
+                    (
+                        wallet_id,
+                        int(row.seq),
+                        not flagged,
+                        start if flagged else 0,
+                        received,
+                    )
+                )
+        self._st.update((start, received, pending, timer_ms))
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    def handleExpiredTimer(self, key: tuple, timerValues, expiredTimerInfo):
+        start, received, pending, timer_ms = self._get()
+        if timer_ms and expiredTimerInfo.getExpiryTimeInMs() >= timer_ms:
+            self._st.update((start, received, 1, 0))
+        yield from ()
+
+    def close(self) -> None:
+        pass
+
+
+def exact_detector_timer(
+    deposits: DataFrame,
+    clock_col: str = "ts",
+    period_s: int = ROLLING_PERIOD_SECONDS,
+) -> DataFrame:
+    """``exact_detector`` with the rolling period driven by processing-
+    time timers (``TimerDetectorProcessor``) — requires
+    ``timeMode="processingTime"`` so the store tracks timers."""
+    prepared = deposits.withColumn("clock", F.col(clock_col).cast("long"))
+    return prepared.groupBy("wallet_id").transformWithStateInPandas(
+        statefulProcessor=TimerDetectorProcessor(period_s),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )

@@ -92,3 +92,46 @@ def test_projection_is_shuffle_free(emb):
 def test_empty_input(spark):
     e = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert pca.covariance_cells(e).count() == 0
+
+
+def test_pinned_artifact_provenance(spark):
+    """The frozen PCA model (functions/pca_artifact.py) must be exactly
+    reproducible by the repo's own distributed fit over its recorded
+    fit corpus (sf0.01) — so the literals can never silently drift from
+    the fit machinery they claim to come from."""
+    from depositaja_spark.functions.pca_artifact import PCA_COMPONENTS, PCA_MEANS
+    from depositaja_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    means, comps, _ = pca.pca_fit(emb, k=4)
+    assert means == PCA_MEANS
+    assert comps.tolist() == PCA_COMPONENTS
+
+
+def test_label_moments_match_numpy(spark):
+    """One-pass per-label moment accumulation (count, Σv, Σvv^T) must
+    equal a per-label numpy recomputation, including labels split
+    across partitions and Arrow batches."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)], int(i % 3)) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(7)
+    got = {}
+    for r in pca.label_moments(emb).collect():
+        got[(r["label"], r["kind"], r["i"], r["j"])] = r["s"]
+    x = np.array([np.asarray(v, dtype=np.float32).astype(np.float64) for _, v, _ in rows])
+    labs = np.array([l for _, _, l in rows])
+    for lab in (0, 1, 2):
+        xl = x[labs == lab]
+        assert got[(lab, 0, 0, 0)] == float(len(xl))
+        s1 = xl.sum(axis=0)
+        s2 = xl.T @ xl
+        for i in range(4):
+            assert got[(lab, 1, i, 0)] == pytest.approx(float(s1[i]), rel=1e-12)
+            for j in range(4):
+                assert got[(lab, 2, i, j)] == pytest.approx(float(s2[i, j]), rel=1e-12)

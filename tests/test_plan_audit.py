@@ -74,6 +74,10 @@ CARTESIAN_OK = {
     # corpus-sized — plus 1-row broadcast scalar joins for the tail
     # mass / support width
     "source_token_divergence",
+    # pinned-axes variance: the corpus count n and total-variance tv are
+    # 1-row broadcast scalars joined onto the ≤d-row per-dim frame and
+    # the 1-row moment frame
+    "embedding_pca_variance",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

@@ -67,3 +67,15 @@ def test_pq_recall_vs_exact(spark, emb):
     # k-means): measured 0.84 — the bound leaves margin for small
     # fixture changes only
     assert recall >= 0.8, f"PQ recall@{k} too low: {recall}"
+
+
+def test_pinned_codebook_artifact_provenance(spark, emb):
+    """The frozen PQ codebooks (functions/pq_artifact.py) must be exactly
+    reproducible by the repo's own trainer over the recorded fit corpus."""
+    from depositaja_spark.functions.pq import pq_train
+    from depositaja_spark.functions.pq_artifact import PQ_BOOKS
+    from depositaja_spark.functions.similarity import unit_vectors
+    from depositaja_spark.sources import load_table
+
+    fit_emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert pq_train(unit_vectors(fit_emb), vec_col="unit") == PQ_BOOKS

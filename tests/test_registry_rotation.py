@@ -72,50 +72,25 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round6_changed_queries_are_prioritized():
-    """Queries whose implementation changed in round 6 (driver-red
-    multimodal fix, banded embedding dedup, broadcast-hint removal,
-    64-bit SimHash) must sit in the driver window so the change is
-    re-verified by the external gate, not only locally."""
+def test_round8_changed_queries_are_prioritized():
+    """Queries whose implementation or oracle changed in round 8 (the
+    pinned-artifact oracles, the mining hot-basket cap, the as-of
+    tie-break pin, the aHash byte fix) must sit in the driver window so
+    the change is re-verified by the external gate, not only locally."""
     changed = {
-        "multimodal_features", "exact_detector_replay",
-        "embedding_near_dups_bucketed", "embedding_near_dups",
-        "large_volume_orders", "simhash_signatures",
-        "simhash_near_dups", "simhash_near_dups_banded",
-        "sketch_distinct_users", "kmeans_cluster_sizes",
-        "revenue_range_frame_avg",
+        "embedding_pca_projection", "embedding_pca_variance",
+        "semantic_cluster_dedup", "ann_topk_pq",
+        "basket_part_triples", "item_similarity_topk",
+        "asof_last_click", "asof_next_click", "image_ahash_dups",
+        "embedding_covariance",
     }
-    window = set(list(R.QUERIES)[:50])
-    assert changed <= window
+    assert changed <= set(list(R.QUERIES)[:50])
 
 
 def test_never_driver_sampled_queries_lead_the_window():
     """Queries no driver round has ever sampled must sit at the very
-    front of the window.  r6 closed the r1–r5 gap (union coverage
-    184/184), so the never-sampled set is now exactly the round-7
+    front of the window.  r1-r7 union coverage is 203/203 of the r7
+    registry, so the never-sampled set is exactly the round-8
     additions."""
-    never = [
-        "value_mad_by_type", "ngram_novelty", "event_path_trigrams",
-        "bootstrap_value_ci", "corpus_drop_reasons",
-        "classifier_calibration", "revenue_gini_by_nation",
-        "revenue_lorenz_curve",
-        "asof_next_click", "part_price_size_skyline",
-        "basket_part_triples", "weak_label_votes",
-        "nation_seeded_pagerank", "prefix_jaccard_near_dups",
-        "hard_negative_pairs", "item_similarity_topk",
-        "seasonal_decompose_revenue", "psi_value_drift",
-        "image_ahash_dups",
-    ]
+    never = ["embedding_label_drift", "multiscale_duplicate_spans"]
     assert list(R.QUERIES)[: len(never)] == never
-
-
-def test_round7_changed_queries_are_prioritized():
-    """Queries whose implementation changed in round 7 (r6 verdict and
-    advice fixes) must sit in the driver window so the change is
-    re-verified by the external gate, not only locally."""
-    changed = {
-        "source_token_divergence", "value_hour_regression",
-        "domain_classifier_scores", "incremental_dedup_bloom",
-        "ewma_monthly_revenue", "holt_revenue_forecast",
-    }
-    assert changed <= set(list(R.QUERIES)[:50])

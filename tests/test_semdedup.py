@@ -85,3 +85,58 @@ def test_deterministic_across_runs(spark, emb):
         for r in semdedup(emb, k=4, iterations=2, threshold=0.9).collect()
     )
     assert a == b
+
+
+def test_pinned_centroid_artifact_provenance(spark):
+    """The frozen clustering model (functions/kmeans_artifact.py) must be
+    exactly reproducible by the repo's own distributed fit over its
+    recorded fit corpus — literals can never drift from the machinery."""
+    from depositaja_spark.functions.kmeans import kmeans_fit
+    from depositaja_spark.functions.kmeans_artifact import (
+        KMEANS_CENTROIDS,
+        KMEANS_ITERATIONS,
+        KMEANS_K,
+    )
+    from depositaja_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = kmeans_fit(emb, KMEANS_K, KMEANS_ITERATIONS)
+    assert [[float(x) for x in c] for c in cents] == KMEANS_CENTROIDS
+
+
+def test_pinned_centroids_skip_the_fit_and_match_bruteforce(spark, emb):
+    """semdedup(centroids=...) must score against the given model (no
+    re-fit) and its keep decisions must equal the brute-force keep rule
+    over the pinned assignment."""
+    import itertools
+    import math
+
+    from depositaja_spark.functions.kmeans_artifact import KMEANS_CENTROIDS
+
+    out = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semdedup(emb, threshold=0.4, centroids=KMEANS_CENTROIDS).collect()
+    }
+    rows = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+
+    def nearest(v):
+        best, bd = None, None
+        for c, w in enumerate(KMEANS_CENTROIDS):
+            d = sum((a - b) * (a - b) for a, b in zip(v, w))
+            if bd is None or d < bd:
+                best, bd = c, d
+        return best
+
+    asg = {i: nearest(v) for i, v in rows.items()}
+    assert {i: c for i, (c, _) in out.items()} == asg
+    unit = {
+        i: [x / math.sqrt(sum(y * y for y in v)) for x in v]
+        for i, v in rows.items()
+    }
+    dropped = set()
+    for a, b in itertools.combinations(sorted(rows), 2):
+        if asg[a] == asg[b]:
+            cos = round(sum(x * y for x, y in zip(unit[a], unit[b])), 6)
+            if cos >= 0.4:
+                dropped.add(b)
+    assert {i for i, (_, k) in out.items() if not k} == dropped

@@ -240,3 +240,58 @@ def test_clean_corpus_full_is_not_a_noop_splice(spark):
     plain = {r.doc_id for r in registry.QUERIES["clean_corpus"](spark, sf).collect()}
     full = {r.doc_id for r in registry.QUERIES["clean_corpus_full"](spark, sf).collect()}
     assert plain != full
+
+
+def _multiscale_collect(spark_df):
+    from depositaja_spark.functions.cache import release_caches
+
+    rows = sp.multiscale_duplicate_spans(spark_df).collect()
+    release_caches()
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r.width, set()).add((r.doc_id, r.span_start, r.span_end))
+    return out
+
+
+def test_multiscale_matches_bruteforce_per_width(spark):
+    """Prefix-doubling spans at widths n/2n/4n must equal a direct
+    brute-force duplicated-token-window recomputation AT EACH WIDTH —
+    the doubling construction is exact, not approximate: level-k hash
+    equality ⟺ 2^k·n-token window equality (mod the 2⁻⁶⁰ collision
+    budget)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = _multiscale_collect(docs)
+    n = sp.SPAN_NGRAM
+    for k in range(sp.SPAN_LEVELS):
+        w = n * (2 ** k)
+        assert got.get(w, set()) == _python_spans(texts, w), f"width {w}"
+
+
+def test_multiscale_long_boilerplate_surfaces_at_coarse_width(spark):
+    """A 40-token passage shared verbatim by two docs must appear at
+    ALL THREE widths (a 32-token window fits inside it), while an
+    8-token shared phrase appears only at width 8."""
+    passage = _words("p", 40)
+    phrase = _words("q", 8)
+    docs = _docs(
+        spark,
+        [
+            (1, passage + " " + _words("a", 12)),
+            (2, _words("b", 7) + " " + passage),
+            (3, phrase + " " + _words("c", 30)),
+            (4, _words("d", 11) + " " + phrase),
+        ],
+    )
+    got = _multiscale_collect(docs)
+    assert (1, 0, 40) in got[8] and (2, 7, 47) in got[8]
+    assert (1, 0, 40) in got[16] and (2, 7, 47) in got[16]
+    assert (1, 0, 40) in got[32] and (2, 7, 47) in got[32]
+    assert (3, 0, 8) in got[8] and (4, 11, 19) in got[8]
+    assert not any(d in (3, 4) for d, _, _ in got.get(16, set()))
+    assert not any(d in (3, 4) for d, _, _ in got.get(32, set()))
+    # every width's spans over this corpus also equal the brute replay
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for w in (8, 16, 32):
+        assert got.get(w, set()) == _python_spans(texts, w), f"width {w}"

@@ -1149,3 +1149,91 @@ def test_streaming_psi_drift_ignores_null_values(spark, tmp_path):
         ("a", "current", 9): 1,    # 9.0
     }
     assert got == want
+
+
+def test_timer_detector_equals_lazy_under_controlled_clock(spark, tmp_path):
+    """The processing-time-TIMER detector (TimerDetectorProcessor — the
+    faithful analog of Goka's wall clock) must emit exactly the lazy
+    gap-check detector's output when the two clocks agree: a 2-second
+    period, real sleeps between micro-batches, and clock-column stamps
+    matching the wall-time schedule.  Covers both the in-period path and
+    the timer-fired reset (which must still SWALLOW the next deposit,
+    the reference quirk).
+
+    Env-gated like the sibling TWS test: the transformWithState runtime
+    needs the google.protobuf wheel, absent in this container."""
+    import time
+
+    pytest.importorskip("google.protobuf")
+    from depositaja_spark.streaming.detector_state import exact_detector_timer
+
+    base = 1_700_000_000
+    batch0 = [("w1", 6000.0, base, 1), ("w1", 5000.0, base + 1, 2)]
+    # written after the 2 s period expires: clock gap 10 s > 2 s on both
+    # clocks → lazy resets via the gap check, timer via pending_reset
+    batch1 = [("w1", 70.0, base + 10, 3), ("w1", 9999.0, base + 11, 4)]
+
+    src = tmp_path / "timer_src"
+    src.mkdir()
+    _write_deposit_file(str(src / "b0.parquet"), batch0)
+    stream = (
+        spark.readStream.schema(DEPOSIT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        exact_detector_timer(stream, period_s=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("timer_det")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "timer_ck"))
+        .start()
+    )
+
+    def _wait_rows(view, want, deadline_s=90):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {view}").first()["c"] >= want:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"{view}: timed out waiting for {want} rows")
+
+    _wait_rows("timer_det", len(batch0))
+    time.sleep(3.5)  # let the 2 s period timer fire
+    _write_deposit_file(str(src / "b1.parquet"), batch1)
+    _wait_rows("timer_det", len(batch0) + len(batch1))
+    q.stop()
+
+    # lazy twin: same rows, same 2 s period — time-agnostic, one batch
+    src2 = tmp_path / "lazy_src"
+    src2.mkdir()
+    _write_deposit_file(str(src2 / "all.parquet"), batch0 + batch1)
+    stream2 = spark.readStream.schema(DEPOSIT).parquet(str(src2))
+    ql = (
+        exact_detector(stream2, period_s=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lazy_det")
+        .trigger(availableNow=True)
+        .start()
+    )
+    ql.awaitTermination(120)
+
+    def rows_of(view):
+        return {
+            r.seq: (
+                r.wallet_id,
+                r.flag_removed,
+                r.rolling_period_start_unix,
+                round(r.received, 4),
+            )
+            for r in spark.sql(f"SELECT * FROM {view}").collect()
+        }
+
+    timer, lazy = rows_of("timer_det"), rows_of("lazy_det")
+    assert timer == lazy and len(timer) == 4
+    # the reset swallowed seq 3 (received back to 0), and seq 4 opened a
+    # fresh period whose single deposit stays under the flag threshold
+    assert timer[3] == ("w1", True, 0, 0.0)
+    assert timer[4] == ("w1", True, 0, 9999.0)
