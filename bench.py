@@ -185,6 +185,66 @@ def main() -> None:
         "cache_policy": "warm-best-of-5 contention-retried, cleared between queries",
         "stats": stats,
     }
+
+    # Second series over COMPACTED fixtures (SPARK_GRAFT_COMPACT_SERIES=1,
+    # set by the end-of-round idle run): the raw driver fixtures are one
+    # row group per table, so every scan serializes on one task — a floor
+    # that hides plan-level regressions (SCALING.md "single-row-group
+    # floor").  compact_table rewrites each table into CPUS files once;
+    # the same queries re-measured against that layout show engine cost
+    # with real scan parallelism.  The PRINTED headline stays the raw
+    # series for cross-round comparability; this one lives in
+    # BENCH_LOCAL.json under "compacted".
+    if os.environ.get("SPARK_GRAFT_COMPACT_SERIES") == "1":
+        import shutil
+
+        from depositaja_spark.functions.layout import compact_table
+
+        cdir = f"/tmp/bench_compacted_sf{sf}"
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir, exist_ok=True)
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            compact_table(
+                spark, f"{SF_DIR}/{t}.parquet", f"{cdir}/{t}.parquet",
+                n_files=int(CPUS),
+            )
+        ctimings: dict[str, float] = {}
+        cstats: dict[str, dict] = {}
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            release_caches()
+            spark.catalog.clearCache()
+            load1 = _load1()
+            samples = []
+            blocks = 0
+            while blocks < MAX_BLOCKS:
+                block = []
+                for _ in range(REPEATS):
+                    t0 = time.perf_counter()
+                    fn(spark, cdir).write.format("noop").mode("overwrite").save()
+                    block.append(time.perf_counter() - t0)
+                samples.extend(block)
+                blocks += 1
+                if max(block) / max(min(block), 1e-9) <= SPREAD_LIMIT:
+                    break
+            samples.sort()
+            ctimings[name] = round(samples[0], 3)
+            cstats[name] = {
+                "med": round(samples[len(samples) // 2], 3),
+                "spread": round(samples[-1] / max(samples[0], 1e-9), 2),
+                "load1": load1,
+                "n": len(samples),
+            }
+        release_caches()
+        spark.catalog.clearCache()
+        detail["compacted"] = {
+            "dir": cdir,
+            "n_files": int(CPUS),
+            "total_sec": round(sum(ctimings.values()), 3),
+            "queries": ctimings,
+            "stats": cstats,
+        }
     # round-over-round visibility: per-query delta vs the latest recorded
     # BENCH file so regressions stand out at a glance
     prev = _previous_bench()

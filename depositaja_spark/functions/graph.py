@@ -459,3 +459,83 @@ def k_core_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
         f" UNION ALL SELECT v AS id FROM e{int(rounds)}) t\n"
         f"GROUP BY id"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge frame, run for a FIXED number of rounds: every node
+    starts labeled with its own id; each round every node adopts the
+    most frequent label among its NEIGHBORS (ties → the smallest label,
+    making the whole algorithm deterministic — the async/random-order
+    variants in the literature are not, which is why GraphX's LPA also
+    runs synchronously).  Unlike min-label propagation this is NOT
+    connected components: labels compete by frequency, so dense regions
+    keep distinct communities inside one component.
+
+    Returns (node, label) after the last round.
+
+    Scale shape: per round, ONE join of the symmetrized edge frame
+    against the current label frame (keyed on node) + one
+    (node, label)-keyed count + one per-node arg-min — all keyed
+    shuffles partitioned by node id, state is exactly |V| rows, and the
+    round count is fixed (the judge of convergence at 100 TB is a
+    bounded-round contract, not a data-dependent loop).  The
+    symmetrized edge frame feeds every round, so it is persisted once.
+
+    The oracle replays the identical rounds as chained CTEs
+    (``label_propagation_oracle_sql``) — same tie-break, same counts."""
+    from depositaja_spark.functions.cache import tracked_persist
+
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = tracked_persist(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iterations):
+        neigh = und.join(
+            labels.select(F.col("node").alias("v"), "lbl"), "v"
+        ).select(F.col("u").alias("node"), "lbl")
+        counts = neigh.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("n")).alias("nn"), F.col("lbl"))).alias("b"))
+            .select("node", F.col("b.lbl").alias("lbl"))
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int, out_node: str = "node", out_label: str = "label"
+) -> str:
+    """DuckDB twin of ``label_propagation``: one CTE pair per round,
+    row_number tie-break (n DESC, lbl ASC) ≡ the engine's
+    min(struct(-n, lbl))."""
+    ctes = [
+        f"e AS ({edges_sql})",
+        "und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT und.u AS node, l{i - 1}.lbl, count(*) AS n\n"
+            f"      FROM und JOIN l{i - 1} ON l{i - 1}.node = und.v\n"
+            f"      GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, lbl FROM (\n"
+            f"        SELECT node, lbl, row_number() OVER (\n"
+            f"          PARTITION BY node ORDER BY n DESC, lbl) AS rn FROM c{i})\n"
+            f"      WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS {out_node}, CAST(lbl AS BIGINT) AS {out_label}"
+        + f" FROM l{iterations}"
+    )

@@ -2501,3 +2501,109 @@ def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js"),
     )
+
+
+_KAPPA_LFS = ("v_len", "v_stop", "v_lang", "v_rep", "v_alpha")
+
+
+def _kappa_sql() -> str:
+    # reuse the exact vote CTE chain from _WEAK_SQL (everything up to the
+    # final SELECT), so the two queries can never disagree on what an LF
+    # voted
+    prefix = _WEAK_SQL[: _WEAK_SQL.index("\nSELECT doc_id, v_len")]
+    melt = "\nUNION ALL ".join(
+        f"SELECT doc_id, '{lf}' AS lf, {lf} AS vote FROM votes"
+        for lf in _KAPPA_LFS
+    )
+    return f"""{prefix},
+m AS ({melt}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM votes),
+marg AS (SELECT lf, vote, CAST(count(*) AS DOUBLE) AS c FROM m GROUP BY 1, 2),
+agree AS (SELECT a.lf AS lf_a, b.lf AS lf_b,
+                 CAST(sum(CASE WHEN a.vote = b.vote THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS agr
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.lf < b.lf
+          GROUP BY 1, 2),
+chance AS (SELECT ma.lf AS lf_a, mb.lf AS lf_b, sum(ma.c * mb.c) AS pp
+           FROM marg ma JOIN marg mb ON ma.vote = mb.vote AND ma.lf < mb.lf
+           GROUP BY 1, 2)
+SELECT a.lf_a, a.lf_b,
+       round(a.agr / n.n, 6) AS po,
+       round(coalesce(c.pp, 0) / (n.n * n.n), 6) AS pe,
+       CASE WHEN coalesce(c.pp, 0) >= n.n * n.n THEN NULL
+            ELSE round((a.agr / n.n - coalesce(c.pp, 0) / (n.n * n.n))
+                       / (1 - coalesce(c.pp, 0) / (n.n * n.n)), 6) END AS kappa
+FROM agree a
+LEFT JOIN chance c ON c.lf_a = a.lf_a AND c.lf_b = a.lf_b
+CROSS JOIN n
+"""
+
+
+@query("labeler_agreement_kappa", _kappa_sql())
+def q_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between every pair of the five weak-supervision
+    labeling functions — the inter-annotator-agreement audit a
+    Snorkel-style pipeline runs before trusting a label model: po is raw
+    agreement, pe the agreement two independent labelers with these
+    marginals would produce by chance, kappa the chance-corrected score
+    (NULL when pe = 1 leaves it undefined).  Reuses weak_label_votes'
+    exact vote construction (and its oracle reuses that query's CTE
+    chain verbatim), melted to (doc, lf, vote) rows: agreement is a
+    doc-keyed self-join with constant L² = 25 fan-out per document,
+    marginals one keyed count, chance agreement a join of two ≤ 3L-row
+    aggregate frames, and n a 1-row broadcast scalar — every
+    corpus-sized shuffle is keyed on doc_id."""
+    from depositaja_spark.functions.cache import tracked_persist
+
+    votes = q_weak_label_votes(spark, sf_dir).select("doc_id", *_KAPPA_LFS)
+    stack_args = ", ".join(f"'{lf}', {lf}" for lf in _KAPPA_LFS)
+    m = tracked_persist(
+        votes.select(
+            "doc_id",
+            F.expr(f"stack({len(_KAPPA_LFS)}, {stack_args}) AS (lf, vote)"),
+        ).select("doc_id", "lf", "vote")
+    )
+    n = votes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    marg = m.groupBy("lf", "vote").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a = m.select("doc_id", F.col("lf").alias("lf_a"), F.col("vote").alias("va"))
+    b = m.select("doc_id", F.col("lf").alias("lf_b"), F.col("vote").alias("vb"))
+    agree = (
+        a.join(b, "doc_id")
+        .filter(F.col("lf_a") < F.col("lf_b"))
+        .groupBy("lf_a", "lf_b")
+        .agg(
+            F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
+            .cast("double")
+            .alias("agr")
+        )
+    )
+    ma = marg.select(F.col("lf").alias("lf_a"), "vote", F.col("c").alias("ca"))
+    mb = marg.select(F.col("lf").alias("lf_b"), "vote", F.col("c").alias("cb"))
+    chance = (
+        ma.join(mb, "vote")
+        .filter(F.col("lf_a") < F.col("lf_b"))
+        .groupBy("lf_a", "lf_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("pp"))
+    )
+    joined = (
+        agree.join(chance, ["lf_a", "lf_b"], "left_outer")
+        .join(F.broadcast(n))
+        .select(
+            "lf_a",
+            "lf_b",
+            "agr",
+            F.coalesce(F.col("pp"), F.lit(0.0)).alias("pp"),
+            "n",
+        )
+    )
+    po = F.col("agr") / F.col("n")
+    pe = F.col("pp") / (F.col("n") * F.col("n"))
+    return joined.select(
+        "lf_a",
+        "lf_b",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(F.col("pp") >= F.col("n") * F.col("n"), F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (1 - pe), 6))
+        .alias("kappa"),
+    )

@@ -307,6 +307,56 @@ _TRI_EDGES_SQL = f"""SELECT a.l_partkey AS u, b.l_partkey AS v
   HAVING count(DISTINCT a.l_orderkey) >= {_TRI_MIN_SUPPORT}"""
 
 
+_LPA_ITERATIONS = 4
+
+
+def _lpa_sql() -> str:
+    from depositaja_spark.functions.graph import label_propagation_oracle_sql
+
+    return label_propagation_oracle_sql(
+        _TRI_EDGES_SQL, _LPA_ITERATIONS, out_node="part", out_label="community"
+    )
+
+
+@query("copurchase_communities", _lpa_sql())
+def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the part
+    co-purchase graph, {_LPA_ITERATIONS} fixed rounds with the
+    deterministic most-frequent-neighbor-label rule (ties → smallest
+    label) — the community-detection tier of the graph family, distinct
+    from connected components (labels compete by FREQUENCY, so dense
+    regions keep separate communities inside one component) and from
+    PageRank (membership, not importance).
+    ``functions/graph.py:label_propagation``; the oracle replays the
+    identical rounds as chained CTEs with the row_number twin of the
+    engine's min(struct(-n, lbl)) tie-break."""
+    from depositaja_spark.functions.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    out = label_propagation(edges, _LPA_ITERATIONS)
+    return out.select(F.col("node").alias("part"), F.col("lbl").alias("community"))
+
+
+@query(
+    "copurchase_triangles",
+    f"""
+WITH e AS ({_TRI_EDGES_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
 @query(
     "copurchase_triangles",
     f"""

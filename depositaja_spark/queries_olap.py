@@ -2610,3 +2610,170 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
     ).select("p.*")
+
+
+# --- two-sample inference (experimentation surface) ---------------------------
+
+_TTEST_SQL = """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS s1,
+         sum(CASE WHEN event_type = 'purchase' THEN value * value ELSE 0 END) AS q1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s2,
+         sum(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END) AS q2
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+d AS (
+  SELECT n1, n2,
+         s1 / n1 - s2 / n2 AS mean_diff,
+         (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n_purchase,
+       CAST(n2 AS BIGINT) AS n_click,
+       round(mean_diff, 6) AS mean_diff,
+       round(mean_diff / sqrt(se1 + se2), 6) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4) AS dof
+FROM d
+"""
+
+
+@query("purchase_click_ttest", _TTEST_SQL)
+def q_purchase_click_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on event values, purchase vs click —
+    the unequal-variance experimentation primitive (A/B readouts, data-
+    slice comparisons) as ONE scan-local aggregation: conditional count
+    / Σx / Σx² per arm, then closed-form t statistic and Welch–
+    Satterthwaite degrees of freedom.  No joins, no shuffle beyond the
+    single global agg (map-side combined); the closed form is what makes
+    it run at 100 TB — the resampling alternative is the already-
+    registered bootstrap_value_ci.  Both engines share the identical
+    (Σx² − (Σx)²/n)/(n−1) moment arithmetic."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    is_p = F.col("event_type") == "purchase"
+    v = F.col("value")
+    s = ev.agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(is_p, v).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(is_p, v * v).otherwise(0.0)).alias("q1"),
+        F.sum(F.when(~is_p, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(~is_p, v).otherwise(0.0)).alias("s2"),
+        F.sum(F.when(~is_p, v * v).otherwise(0.0)).alias("q2"),
+    )
+    d = s.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")).alias("mean_diff"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1) / F.col("n1")).alias("se1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1) / F.col("n2")).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return d.select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_click"),
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round(F.col("mean_diff") / F.sqrt(se), 6).alias("t_stat"),
+        F.round(
+            se * se
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("dof"),
+    )
+
+
+# --- skew engineering: salted join / salted aggregation ------------------------
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "salted_nation_revenue",
+    """
+SELECT n_name,
+       CAST(sum(o_totalprice) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+)
+def q_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue per customer nation computed through the SALTED
+    join (functions/skew.py:salted_join): the fact side takes a random
+    salt in [0, 8), the dimension is replicated once per bucket,
+    and the join runs on (custkey, salt) — the classic hot-key spreader
+    for when one key dominates AND the dim side is too big to broadcast
+    AND the layout is pre-bucketed so AQE's skew split can't re-plan.
+    The ORACLE is the plain unsalted join: salting is a physical
+    transform with identical relational semantics, and this query makes
+    the driver prove that equivalence on every run (the property test
+    in tests/test_skew.py proves it on adversarial skew).  Revenue
+    accumulates in DECIMAL — exact under any salt routing — so the
+    equality is bit-level, not approximate."""
+    from depositaja_spark.functions.skew import salted_join
+
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    j = salted_join(fact, dim, "custkey", buckets=_SALT_BUCKETS)
+    return (
+        j.join(F.broadcast(nation), j.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("o_totalprice").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "salted_user_value_sum",
+    """
+SELECT user_id,
+       round(sum(value), 4) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_salted_user_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value totals via the SALTED two-phase aggregation
+    (functions/skew.py:salted_sum): groupBy(user, salt) first so a viral
+    user's rows spread over 8 tasks, then one tiny re-combine
+    keyed by user.  The oracle is the plain GROUP BY — salting a keyed
+    SUM is semantics-preserving because sum is associative, and the
+    driver proves that equality per run.  The count rides the same
+    salted partial (one extra associative aggregate, zero extra
+    shuffles) — the salted_sum pattern widened to multiple aggregates,
+    which is why the plan is inlined here rather than calling the
+    single-aggregate library helper."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    salt = (F.rand(seed=0) * _SALT_BUCKETS).cast("int")
+    partial = (
+        ev.withColumn("__salt", salt)
+        .groupBy("user_id", "__salt")
+        .agg(F.sum("value").alias("pv"), F.count(F.lit(1)).alias("pn"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.round(F.sum("pv"), 4).alias("total_value"),
+        F.sum("pn").alias("n_events"),
+    )

@@ -516,3 +516,62 @@ def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the decimal string vs DuckDB float rounding — a knife-edge on
     # tie values like x.xxxx5)
     return out.select("nation", "month_unix", "revenue", "level", "trend", "forecast")
+
+
+# --- OHLC downsampling ---------------------------------------------------------
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hour_unix,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, hour_unix, value,
+         row_number() OVER w AS rn_open,
+         row_number() OVER (PARTITION BY event_type, hour_unix
+                            ORDER BY ts_s DESC, event_id DESC) AS rn_close
+  FROM e
+  WINDOW w AS (PARTITION BY event_type, hour_unix ORDER BY ts_s, event_id)
+)
+SELECT event_type, hour_unix,
+       round(max(CASE WHEN rn_open = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rn_close = 1 THEN value END), 4) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("hourly_value_ohlc", _OHLC_SQL)
+def q_hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close/volume) downsampling of event values
+    per type per hour — the candlestick resample every time-series store
+    ships.  Open/close are ``min_by``/``max_by`` over the (ts, event_id)
+    struct (a unique total order, so ties are impossible and both
+    engines pick the identical row — the oracle uses the row_number
+    twin); high/low/volume are plain aggregates.  ONE keyed aggregation
+    with map-side combine, no window over the raw events, no self-join —
+    the shape that survives a 100 TB event stream."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ts_s = F.col("ts").cast("long")
+    key = F.struct(ts_s.alias("t"), F.col("event_id").alias("e"))
+    return (
+        ev.select(
+            "event_type",
+            (ts_s - ts_s % 3600).alias("hour_unix"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "hour_unix")
+        .agg(
+            F.round(F.min_by("value", F.col("k")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("k")), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )

@@ -588,6 +588,12 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
     "embedding_label_drift",
     "multiscale_duplicate_spans",
+    "copurchase_communities",
+    "purchase_click_ttest",
+    "hourly_value_ohlc",
+    "labeler_agreement_kappa",
+    "salted_nation_revenue",
+    "salted_user_value_sum",
     "embedding_pca_projection",
     "embedding_pca_variance",
     "semantic_cluster_dedup",
@@ -632,12 +638,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "orders_profile",
     "domain_classifier_weights",
     "supplier_pagerank",
-    "copurchase_triangles",
-    "fuzzy_name_pairs",
-    "copurchase_kcore",
-    "duplicate_ngram_spans",
-    "span_clipped_corpus",
-    "embedding_dim_stats",
 )
 
 

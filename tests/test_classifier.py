@@ -122,3 +122,44 @@ def test_calibration_deciles_are_separable(spark):
     scores = [r.mean_score for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert rows[0].frac_target > rows[-1].frac_target
+
+
+def test_kappa_matches_python_replay(spark):
+    """labeler_agreement_kappa vs a direct pure-Python Cohen's kappa over
+    the same vote table — po, pe, and kappa per LF pair."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.queries_curate import _KAPPA_LFS, q_weak_label_votes
+    from depositaja_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    votes = {
+        r.doc_id: {lf: r[lf] for lf in _KAPPA_LFS}
+        for r in q_weak_label_votes(spark, sf).collect()
+    }
+    got = {
+        (r.lf_a, r.lf_b): (r.po, r.pe, r.kappa)
+        for r in QUERIES["labeler_agreement_kappa"](spark, sf).collect()
+    }
+    release_caches()
+    n = len(votes)
+    lfs = sorted(_KAPPA_LFS)
+    want = {}
+    for i, a in enumerate(lfs):
+        for b in lfs[i + 1 :]:
+            agr = sum(1 for v in votes.values() if v[a] == v[b])
+            po = agr / n
+            pe = sum(
+                (sum(1 for v in votes.values() if v[a] == k) / n)
+                * (sum(1 for v in votes.values() if v[b] == k) / n)
+                for k in (-1, 0, 1)
+            )
+            kappa = None if pe >= 1 else round((po - pe) / (1 - pe), 6)
+            want[(a, b)] = (round(po, 6), round(pe, 6), kappa)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 1e-6, k
+        if want[k][2] is None:
+            assert got[k][2] is None, k
+        else:
+            assert abs(got[k][2] - want[k][2]) <= 2e-6, k

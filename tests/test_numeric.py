@@ -70,3 +70,28 @@ def test_scaled_long_rounds_half_like_oracle(spark):
         for v in vals
     }
     assert got == want
+
+
+def test_welch_ttest_matches_numpy_replay(spark):
+    """purchase_click_ttest vs the closed-form Welch statistic computed
+    directly in numpy over the same rows (sample variance, ddof=1, and
+    Welch–Satterthwaite dof)."""
+    import numpy as np
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
+    a = np.array([r.value for r in ev if r.event_type == "purchase" and r.value is not None])
+    b = np.array([r.value for r in ev if r.event_type == "click" and r.value is not None])
+    se1 = a.var(ddof=1) / len(a)
+    se2 = b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se1 + se2)
+    dof = (se1 + se2) ** 2 / (se1**2 / (len(a) - 1) + se2**2 / (len(b) - 1))
+
+    row = QUERIES["purchase_click_ttest"](spark, sf).collect()[0]
+    assert row.n_purchase == len(a) and row.n_click == len(b)
+    assert abs(row.mean_diff - (a.mean() - b.mean())) <= 2e-6
+    assert abs(row.t_stat - t) <= 2e-6
+    assert abs(row.dof - dof) <= 2e-4

@@ -78,6 +78,10 @@ CARTESIAN_OK = {
     # 1-row broadcast scalars joined onto the ≤d-row per-dim frame and
     # the 1-row moment frame
     "embedding_pca_variance",
+    # kappa: the corpus count n is a 1-row broadcast scalar joined onto
+    # the ≤C(L,2)=10-row agreement frame; every corpus-sized shuffle is
+    # keyed on doc_id
+    "labeler_agreement_kappa",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

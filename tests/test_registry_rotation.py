@@ -92,5 +92,10 @@ def test_never_driver_sampled_queries_lead_the_window():
     front of the window.  r1-r7 union coverage is 203/203 of the r7
     registry, so the never-sampled set is exactly the round-8
     additions."""
-    never = ["embedding_label_drift", "multiscale_duplicate_spans"]
+    never = [
+        "embedding_label_drift", "multiscale_duplicate_spans",
+        "copurchase_communities", "purchase_click_ttest",
+        "hourly_value_ohlc", "labeler_agreement_kappa",
+        "salted_nation_revenue", "salted_user_value_sum",
+    ]
     assert list(R.QUERIES)[: len(never)] == never

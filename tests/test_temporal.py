@@ -449,3 +449,48 @@ def test_asof_forward_equals_reversed_backward(spark):
         ).collect()
     }
     assert fwd == back and fwd
+
+
+def test_ohlc_golden(spark):
+    """Hand-built candle: open/close pick by (ts, event_id) order
+    including an equal-timestamp tie broken by event_id."""
+    import datetime as dt
+
+    rows = [
+        # one hour bucket, type 'x': open=5 (earliest), close=9 (latest,
+        # tie on ts with event_id 4 > 3)
+        (1, "u", "x", 5.0, dt.datetime(2024, 1, 1, 10, 0, 5)),
+        (2, "u", "x", 1.0, dt.datetime(2024, 1, 1, 10, 20, 0)),
+        (3, "u", "x", 7.0, dt.datetime(2024, 1, 1, 10, 59, 59)),
+        (4, "u", "x", 9.0, dt.datetime(2024, 1, 1, 10, 59, 59)),
+        # second bucket
+        (5, "u", "x", 2.0, dt.datetime(2024, 1, 1, 11, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, value double, ts timestamp"
+    )
+    from pyspark.sql import functions as F
+
+    ev = df
+    ts_s = F.col("ts").cast("long")
+    key = F.struct(ts_s.alias("t"), F.col("event_id").alias("e"))
+    got = {
+        (r.event_type, r.hour_unix): (r.open, r.high, r.low, r.close, r.volume)
+        for r in ev.select(
+            "event_type", (ts_s - ts_s % 3600).alias("hour_unix"), "value", key.alias("k")
+        )
+        .groupBy("event_type", "hour_unix")
+        .agg(
+            F.round(F.min_by("value", F.col("k")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("k")), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .collect()
+    }
+    # resolve the 10:00 bucket from the data (session tz independence)
+    h10 = [k for k in got if got[k][4] == 4][0][1]
+    h11 = h10 + 3600
+    assert got[("x", h10)] == (5.0, 9.0, 1.0, 9.0, 4)
+    assert got[("x", h11)] == (2.0, 2.0, 2.0, 2.0, 1)
