@@ -59,28 +59,21 @@ def _residual_udf(cids: np.ndarray, cents: np.ndarray):
     return residual
 
 
-def ivfpq_ann_topk(
+def ivfpq_residual_frame(
     corpus: DataFrame,
-    k: int = TOP_K,
     nprobe: int = NPROBE,
-    m: int = PQ_M,
-    ksub: int = PQ_KSUB,
-    rerank: int = PQ_RERANK,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ approximate cosine top-k with exact re-rank.  Output
-    matches the other ANN tiers: (query_id, cand_id, cos, rank)."""
-    from pyspark.sql import Window as W
-
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """ONE corpus-sized pass shared by the query path and codebook
+    (re-)training (functions/ivfpq_artifact.py): unit-normalize, rank
+    coarse cells, keep (id, unit, cell, probe_cells, resid) with
+    resid = unit − unit_centroid(cell).  Returns (frame, centroid ids,
+    centroid matrix) so callers don't re-collect the centroids."""
     unit = unit_vectors(corpus, id_col, vec_col)
     cids, cents = _centroid_matrix(unit, id_col, "unit")
     ranked = _ranked_cells_udf(cids, cents)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    index_of = {int(c): i for i, c in enumerate(cids)}
-
-    # ONE corpus-sized pass: cell assignment + residual; encode once.
-    assigned = tracked_persist(
+    frame = (
         unit.withColumn("cells", ranked(F.col("unit")))
         .select(
             id_col,
@@ -90,7 +83,39 @@ def ivfpq_ann_topk(
         )
         .withColumn("resid", _residual_udf(cids, cents)(F.col("unit"), F.col("cell")))
     )
-    books = pq_train(assigned, m=m, ksub=ksub, vec_col="resid", id_col=id_col)
+    return frame, cids, cents
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k with exact re-rank.  Output
+    matches the other ANN tiers: (query_id, cand_id, cos, rank).
+
+    ``books`` optionally supplies PINNED residual codebooks
+    (functions/ivfpq_artifact.py — deployed-index scoring mode) instead
+    of training; ADC totals are rounded to 6 before the candidate cut
+    so the pool is deterministic across engines and summation orders
+    (ties then break on cand_id), which is what makes the registered
+    query fully oracle-checkable (the coarse quantizer is already
+    data-derived from the fixed CENTROID_IDS, SQL-readable as-is)."""
+    from pyspark.sql import Window as W
+
+    # ONE corpus-sized pass: cell assignment + residual; encode once.
+    frame, cids, cents = ivfpq_residual_frame(corpus, nprobe, id_col, vec_col)
+    assigned = tracked_persist(frame)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    index_of = {int(c): i for i, c in enumerate(cids)}
+    if books is None:
+        books = pq_train(assigned, m=m, ksub=ksub, vec_col="resid", id_col=id_col)
     mats = [np.asarray(b) for b in books]
     dsub = mats[0].shape[1]
     encoded = pq_encode(assigned, books, vec_col="resid", id_col=id_col).join(
@@ -140,7 +165,7 @@ def ivfpq_ann_topk(
             .select(
                 "query_id",
                 F.col(id_col).alias("cand_id"),
-                (F.col("bias") + adc).alias("adc"),
+                F.round(F.col("bias") + adc, 6).alias("adc"),
             )
         )
     scored = per_query[0]

@@ -172,3 +172,86 @@ def item_similarity_topk(
         .filter(F.col("rank") <= k)
         .select("part", "other", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def association_rules(
+    li2: DataFrame,
+    min_support: int,
+    min_conf_pct: int,
+    ok_col: str = "ok",
+    p_col: str = "p",
+    max_basket: int = MINING_MAX_BASKET,
+) -> DataFrame:
+    """Association rules a → b over keyed baskets with the three classic
+    strength measures (Agrawal/Srikant A-priori level 2 plus scoring):
+
+      confidence(a→b) = supp(ab) / supp(a)       (conditional probability)
+      lift(a→b)       = supp(ab)·N / (supp(a)·supp(b))   (>1 ⇒ positive
+                        association beyond independence; symmetric)
+      leverage(a→b)   = supp(ab)/N − supp(a)·supp(b)/N²  (additive twin)
+
+    ``li2`` must be DISTINCT on (ok_col, p_col); baskets above
+    ``max_basket`` are dropped first (see MINING_MAX_BASKET), and N —
+    the basket population every measure is normalized by — counts only
+    kept baskets, so the probabilities are exact over the population
+    actually joined.  Pairs need ``min_support`` baskets; rules need
+    confidence ≥ min_conf_pct/100, enforced as the integer
+    cross-multiplication 100·supp(ab) ≥ min_conf_pct·supp(a) (no float
+    threshold).  The measures themselves ship RAW doubles with one
+    fixed op order (engine/oracle bit parity; the driver rounds at
+    compare time).
+
+    Plan: one capped pair self-join (fan-out ≤ cap² per basket), one
+    item-support agg, a 1-row N frame broadcast by cross join, two
+    equi-joins against the |items|-sized support frame.  Returns
+    (antecedent, consequent, support, confidence, lift, leverage)."""
+    li2 = li2.select(F.col(ok_col).alias("ok"), F.col(p_col).alias("p"))
+    li2 = tracked_persist(cap_baskets(li2, "ok", max_basket))
+    nb = li2.agg(F.count_distinct("ok").alias("nb"))
+    item = li2.groupBy(F.col("p").alias("item")).agg(
+        F.count(F.lit(1)).alias("supp_item")
+    )
+    co = (
+        li2.alias("a")
+        .join(
+            li2.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= min_support)
+    )
+    rules = co.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "supp_ab"
+    ).unionByName(
+        co.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "supp_ab"
+        )
+    )
+    scored = (
+        rules.join(
+            item.select(F.col("item").alias("antecedent"), F.col("supp_item").alias("supp_a")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("item").alias("consequent"), F.col("supp_item").alias("supp_b")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .filter(F.lit(100) * F.col("supp_ab") >= F.lit(min_conf_pct) * F.col("supp_a"))
+    )
+    return scored.select(
+        "antecedent",
+        "consequent",
+        F.col("supp_ab").alias("support"),
+        (F.col("supp_ab").cast("double") / F.col("supp_a")).alias("confidence"),
+        (
+            (F.col("supp_ab").cast("double") * F.col("nb"))
+            / (F.col("supp_a") * F.col("supp_b"))
+        ).alias("lift"),
+        (
+            F.col("supp_ab").cast("double") / F.col("nb")
+            - (F.col("supp_a").cast("double") * F.col("supp_b"))
+            / (F.col("nb").cast("double") * F.col("nb"))
+        ).alias("leverage"),
+    )

@@ -279,6 +279,95 @@ def resample_ffill(
     )
 
 
+def resample_interp(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid with LINEAR
+    interpolation: where ``resample_ffill`` carries the last observation
+    flat across a gap, this draws the line between the surrounding
+    anchors — the resampling mode numeric telemetry wants (a flat fill
+    biases every gap toward its left edge).
+
+    Same scale shape as ``resample_ffill`` (shared grid + last-per-
+    bucket observation stages): per-key bounded grid, every stage
+    key-partitioned.  The interpolation itself is two key-ordered
+    windows — previous anchor (value, bucket) via ``last(...,
+    ignorenulls)`` over the preceding frame and next anchor via
+    ``first(..., ignorenulls)`` over the following frame — then one
+    row-local expression v_prev + (v_next − v_prev) · Δt_left / Δt_span
+    on epoch-ms integers.  Grid edges are always anchored because the
+    grid spans exactly [first, last] observed bucket per key, so no
+    extrapolation branch exists.  Output: (key, bucket_ms,
+    value_interp, interpolated flag).  value_interp ships RAW (no
+    engine-side round): midpoint interpolations of 2-decimal amounts
+    land exactly on round-tie boundaries where Spark's BigDecimal
+    HALF_UP and a float-multiply round() disagree — identical IEEE op
+    order on identical inputs is bit-stable, an engine round() is
+    not."""
+    from pyspark.sql import Window as W
+
+    step_s = _step_seconds(step)
+    hour = F.timestamp_seconds(
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(1_000_000 * step_s))
+        * F.lit(step_s)
+    )
+    bounds = events.groupBy(key_col).agg(
+        F.min(hour).alias("mn"), F.max(hour).alias("mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("mn", "mx", F.expr(f"interval {step}"))).alias("bucket"),
+    )
+    obs = (
+        events.withColumn("rn", F.row_number().over(
+            W.partitionBy(key_col, hour).orderBy(F.desc(ts_col), *[F.desc(c) for c in order_cols])
+        ))
+        .filter(F.col("rn") == 1)
+        .select(key_col, hour.alias("bucket"), F.col(value_col).alias("obs_value"))
+    )
+    joined = grid.join(obs, [key_col, "bucket"], "left_outer").select(
+        key_col, F.unix_millis("bucket").alias("bucket_ms"), "obs_value"
+    )
+    wprev = W.partitionBy(key_col).orderBy("bucket_ms").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wnext = W.partitionBy(key_col).orderBy("bucket_ms").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    anchored = joined.select(
+        key_col,
+        "bucket_ms",
+        "obs_value",
+        F.last("obs_value", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(
+            F.when(F.col("obs_value").isNotNull(), F.col("bucket_ms")),
+            ignorenulls=True,
+        ).over(wprev).alias("pb"),
+        F.first("obs_value", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(
+            F.when(F.col("obs_value").isNotNull(), F.col("bucket_ms")),
+            ignorenulls=True,
+        ).over(wnext).alias("nb"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("bucket_ms") - F.col("pb")).cast("double")
+        / (F.col("nb") - F.col("pb")).cast("double")
+    )
+    return anchored.select(
+        key_col,
+        "bucket_ms",
+        F.when(F.col("obs_value").isNotNull(), F.col("obs_value"))
+        .otherwise(interp)
+        .alias("value_interp"),
+        F.col("obs_value").isNull().alias("interpolated"),
+    )
+
+
 def _assert_no_ord_ties(pairs: DataFrame, ord_col: str, op: str) -> DataFrame:
     """Fail loudly if a key's collected ``_series`` has duplicate order
     values — the sequential folds below would otherwise silently consume

@@ -606,20 +606,120 @@ def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(load_table(spark, sf_dir, "events"), "user_id")
 
 
-@query("ann_topk_ivfpq")
+def _ivfpq_sql() -> str:
+    from depositaja_spark.functions.ivfpq_artifact import IVFPQ_BOOKS
+    from depositaja_spark.functions.pq import PQ_RERANK
+    from depositaja_spark.functions.similarity import (
+        CENTROID_IDS,
+        NPROBE,
+        QUERY_IDS,
+        TOP_K,
+    )
+
+    dsub = len(IVFPQ_BOOKS[0][0])
+    m = len(IVFPQ_BOOKS)
+    dim = m * dsub
+    qids = ", ".join(str(q) for q in QUERY_IDS)
+    cids = ", ".join(str(c) for c in CENTROID_IDS)
+    rows = ",\n       ".join(
+        f"({s}, {j}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
+        for s, book in enumerate(IVFPQ_BOOKS)
+        for j, w in enumerate(book)
+    )
+    return f"""
+WITH cb(s, j, w) AS (VALUES
+       {rows}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS unit
+      FROM v),
+-- coarse centroids are corpus rows; the engine re-normalizes the
+-- collected unit rows once more, mirrored here (cu2)
+cent AS (SELECT vec_id AS cid,
+                list_transform(unit, x -> x / sqrt(list_inner_product(unit, unit))) AS cu2
+         FROM u WHERE vec_id IN ({cids})),
+cell_scores AS (SELECT u.vec_id, c.cid, c.cu2,
+                       round(list_inner_product(u.unit, c.cu2), 6) AS ccos
+                FROM u CROSS JOIN cent c),
+assigned AS (SELECT vec_id, cid AS cell FROM cell_scores
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, cid) = 1),
+-- residual = unit − unit centroid of the assigned cell
+r AS (SELECT u.vec_id, a.cell,
+             list_transform(range(1, {dim + 1}),
+                            i -> u.unit[i] - c.cu2[i]) AS resid
+      FROM u JOIN assigned a ON a.vec_id = u.vec_id
+      JOIN cent c ON c.cid = a.cell),
+ss AS (SELECT unnest(range({m})) AS s),
+sub AS (SELECT vec_id, cell, s,
+               list_slice(resid, s * {dsub} + 1, s * {dsub} + {dsub}) AS sv
+        FROM r CROSS JOIN ss),
+enc AS (SELECT vec_id, cell, s, j AS code FROM (
+          SELECT sub.vec_id, sub.cell, sub.s, cb.j,
+                 row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_inner_product(cb.w, cb.w)
+                            - 2 * list_inner_product(sub.sv, cb.w), cb.j) AS rn
+          FROM sub JOIN cb ON cb.s = sub.s)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, unit AS qu FROM u WHERE vec_id IN ({qids})),
+-- nprobe nearest cells per query; bias = q · unit centroid (full
+-- precision, like the engine's driver-side probe table)
+probes AS (SELECT cs.vec_id AS query_id, cs.cid AS cell,
+                  list_inner_product(q.qu, cs.cu2) AS bias
+           FROM cell_scores cs JOIN q ON q.query_id = cs.vec_id
+           QUALIFY row_number() OVER (PARTITION BY cs.vec_id
+                                      ORDER BY cs.ccos DESC, cs.cid) <= {NPROBE}),
+qsub AS (SELECT query_id, s,
+                list_slice(qu, s * {dsub} + 1, s * {dsub} + {dsub}) AS qv
+         FROM q CROSS JOIN ss),
+lut AS (SELECT qsub.query_id, qsub.s, cb.j,
+               list_inner_product(qsub.qv, cb.w) AS val
+        FROM qsub JOIN cb ON cb.s = qsub.s),
+adc AS (SELECT p.query_id, e.vec_id AS cand_id,
+               round(any_value(p.bias) + sum(l.val), 6) AS adc
+        FROM enc e
+        JOIN probes p ON p.cell = e.cell AND e.vec_id != p.query_id
+        JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.j = e.code
+        GROUP BY 1, 2),
+cand AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, cand_id) AS crank
+           FROM adc)
+         WHERE crank <= {PQ_RERANK}),
+cos AS (SELECT c.query_id, c.cand_id,
+               round(list_inner_product(q.qu, u.unit), 6) AS cos
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN u ON u.vec_id = c.cand_id)
+SELECT query_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM cos QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("ann_topk_ivfpq", _ivfpq_sql())
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (functions/ivfpq.py): coarse cells prune the
     scan to nprobe probes, product-quantized residuals shrink the
     scanned bytes to m codes/vector, per-query literal LUTs score
-    bias + ADC JVM-side, and the top-R pool is exactly re-ranked.
-    Iterative codebook training → rows-only; recall and cell-pruning
-    are asserted in tests/test_ivfpq.py."""
+    bias + ADC JVM-side (totals rounded to 6 before the candidate cut
+    so the pool is order-independent), and the top-R pool is exactly
+    re-ranked.  Scores against the PINNED residual codebooks
+    (functions/ivfpq_artifact.py — trained once at sf0.01 with the
+    repo's own sampler + k-means, frozen as literals); the coarse
+    quantizer needs no pinning because its centroids ARE corpus rows
+    (similarity.py:CENTROID_IDS), so the full pipeline is relational
+    algebra and the query carries a DuckDB value oracle (rows-only
+    through round 7, when it re-trained per run).  Training keeps its
+    gates: recall + cell-pruning + provenance re-fit in
+    tests/test_ivfpq.py."""
     from depositaja_spark.functions.ivfpq import ivfpq_ann_topk
+    from depositaja_spark.functions.ivfpq_artifact import IVFPQ_BOOKS
 
-    return ivfpq_ann_topk(_emb(spark, sf_dir))
-
-
-NO_ORACLE_OK.add("ann_topk_ivfpq")
+    return ivfpq_ann_topk(_emb(spark, sf_dir), books=IVFPQ_BOOKS)
 
 
 # --- incremental dedup (daily-ingest shape) ----------------------------------
@@ -733,6 +833,66 @@ def q_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from depositaja_spark.functions.temporal import resample_ffill
 
     return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "resample_interp_hourly",
+    """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+obs AS (
+  SELECT user_id, bucket, value AS obs_value
+  FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+anchored AS (
+  SELECT g.user_id, epoch_ms(g.bucket) AS bucket_ms, o.obs_value,
+         last_value(o.obs_value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN o.obs_value IS NOT NULL THEN epoch_ms(g.bucket) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(o.obs_value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN o.obs_value IS NOT NULL THEN epoch_ms(g.bucket) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+)
+SELECT user_id, bucket_ms,
+       CASE WHEN obs_value IS NOT NULL THEN obs_value
+            ELSE pv + (nv - pv) * (CAST(bucket_ms - pb AS DOUBLE)
+                                   / CAST(nb - pb AS DOUBLE)) END AS value_interp,
+       obs_value IS NULL AS interpolated
+FROM anchored
+""",
+)
+def q_resample_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling with LINEAR interpolation
+    (functions/temporal.py:resample_interp): empty buckets take the
+    straight line between the surrounding observed anchors instead of
+    the flat carry-forward — the unbiased resampling mode for numeric
+    telemetry.  Same scale shape as resample_ffill_hourly: per-key
+    bounded grid, two key-ordered anchor windows, one row-local
+    interpolation expression on epoch-ms integers; edges never
+    extrapolate because the grid spans exactly [first, last] per key."""
+    from depositaja_spark.functions.temporal import resample_interp
+
+    return resample_interp(load_table(spark, sf_dir, "events"))
 
 
 # --- rolling anomaly detection on the resampled grid -------------------------

@@ -1797,6 +1797,99 @@ def q_text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hybrid retrieval: lexical + semantic legs fused by RRF -------------------
+
+_RRF_POOL = 20  # per-leg top-N pool
+_RRF_TOPK = 10
+_RRF_QIDS = "0, 1, 2"
+
+
+def _rrf_sql() -> str:
+    from depositaja_spark.functions.retrieval import RRF_K
+
+    return f"""
+WITH {_EMBED_CELLS_SQL},
+q AS (SELECT * FROM cells WHERE doc_id IN ({_RRF_QIDS})),
+qn (doc_id, nrm) AS (SELECT doc_id, sqrt(sum(value * value)) FROM q GROUP BY doc_id),
+cn (doc_id, nrm) AS (SELECT doc_id, sqrt(sum(value * value)) FROM cells GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, sum(q.value * c.value) AS dot
+  FROM q JOIN cells c USING (dim)
+  WHERE c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+sem AS (
+  SELECT query_id, cand_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(d.dot / (qn.nrm * cn.nrm), 6) DESC,
+                                          cand_id) AS INT) AS sem_rank
+  FROM dots d
+  JOIN qn ON qn.doc_id = d.query_id
+  JOIN cn ON cn.doc_id = d.cand_id
+  QUALIFY sem_rank <= {_RRF_POOL}
+),
+dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1),
+sh AS (
+  SELECT qt.doc_id AS query_id, c.doc_id AS cand_id, CAST(count(*) AS BIGINT) AS sh
+  FROM (SELECT * FROM dt WHERE doc_id IN ({_RRF_QIDS})) qt
+  JOIN dt c USING (tok)
+  WHERE c.doc_id <> qt.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, cand_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY CAST(sh.sh AS DOUBLE)
+                                          / (qs.n + cs.n - sh.sh) DESC,
+                                          cand_id) AS INT) AS lex_rank
+  FROM sh
+  JOIN sz qs ON qs.doc_id = sh.query_id
+  JOIN sz cs ON cs.doc_id = sh.cand_id
+  QUALIFY lex_rank <= {_RRF_POOL}
+)
+SELECT COALESCE(sem.query_id, lex.query_id) AS query_id,
+       COALESCE(sem.cand_id, lex.cand_id) AS cand_id,
+       sem.sem_rank, lex.lex_rank,
+       COALESCE(1.0 / ({RRF_K} + sem.sem_rank), 0.0)
+         + COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0.0) AS rrf,
+       CAST(row_number() OVER (
+         PARTITION BY COALESCE(sem.query_id, lex.query_id)
+         ORDER BY COALESCE(1.0 / ({RRF_K} + sem.sem_rank), 0.0)
+                  + COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0.0) DESC,
+                  COALESCE(sem.cand_id, lex.cand_id)) AS INT) AS rank
+FROM sem FULL OUTER JOIN lex
+  ON sem.query_id = lex.query_id AND sem.cand_id = lex.cand_id
+QUALIFY rank <= {_RRF_TOPK}
+"""
+
+
+@query("hybrid_search_rrf", _rrf_sql())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for three query documents: the semantic leg
+    (hashed-embedding cosine top-{_RRF_POOL}, the text_ann_topk ranking)
+    and the lexical leg (token-set Jaccard top-{_RRF_POOL},
+    functions/retrieval.py:jaccard_topk) fused by Reciprocal Rank
+    Fusion (1/(60+rank) per leg, the SIGIR-2009 score-free fusion) into
+    a final top-{_RRF_TOPK} — the standard RAG retrieval stack shape,
+    where each leg recalls what the other misses.
+
+    Scale shape: both legs are per-query top-N frames; the fusion is
+    one (query, cand) full-outer equi-join plus a per-query window —
+    nothing corpus-sized past the legs.  The reciprocal terms are added
+    in one fixed expression order (bit-stable); ties break on cand_id."""
+    from depositaja_spark.functions.cache import tracked_persist
+    from depositaja_spark.functions.retrieval import jaccard_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    dense = tracked_persist(em.hashed_embeddings(docs))
+    corpus = dense.select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = corpus.filter(F.col("vec_id").isin(0, 1, 2))
+    sem = sim.cosine_topk(corpus, queries, k=_RRF_POOL)
+    lex = jaccard_topk(docs, [0, 1, 2], _RRF_POOL)
+    return rrf_fuse(sem, lex.drop("jac"), _RRF_TOPK)
+
+
 #: intra-doc repeats need a tighter gram than the cross-doc detector:
 #: the fixture (and natural text) repeats short phrases within a
 #: document far more often than 8-token runs

@@ -2420,6 +2420,65 @@ def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_similarity_topk(li2, _ITEMSIM_K, _ITEMSIM_MIN_CO)
 
 
+_RULE_MIN_SUPPORT = 2
+_RULE_MIN_CONF_PCT = 6  # confidence ≥ 0.06, enforced as 100·supp(ab) ≥ 6·supp(a)
+
+
+def _assoc_sql() -> str:
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET
+
+    return f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+keptok AS (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= {MINING_MAX_BASKET}),
+li2 AS (SELECT li0.* FROM li0 JOIN keptok USING (ok)),
+nbt AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM li2),
+item AS (SELECT p AS item, CAST(count(*) AS BIGINT) AS supp_item FROM li2 GROUP BY 1),
+co AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS supp_ab
+       FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p
+       GROUP BY 1, 2
+       HAVING count(*) >= {_RULE_MIN_SUPPORT}),
+rules AS (SELECT pa AS antecedent, pb AS consequent, supp_ab FROM co
+          UNION ALL
+          SELECT pb, pa, supp_ab FROM co)
+SELECT r.antecedent, r.consequent, r.supp_ab AS support,
+       CAST(r.supp_ab AS DOUBLE) / ia.supp_item AS confidence,
+       (CAST(r.supp_ab AS DOUBLE) * nbt.nb) / (ia.supp_item * ib.supp_item) AS lift,
+       CAST(r.supp_ab AS DOUBLE) / nbt.nb
+         - (CAST(ia.supp_item AS DOUBLE) * ib.supp_item)
+           / (CAST(nbt.nb AS DOUBLE) * nbt.nb) AS leverage
+FROM rules r
+JOIN item ia ON ia.item = r.antecedent
+JOIN item ib ON ib.item = r.consequent
+CROSS JOIN nbt
+WHERE 100 * r.supp_ab >= {_RULE_MIN_CONF_PCT} * ia.supp_item
+"""
+
+
+@query("assoc_rules_lift", _assoc_sql())
+def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a → b with confidence, lift, and leverage —
+    the scoring layer on top of the pair-mining candidates (the model
+    behind "frequently bought together" ranking, where lift > 1
+    separates real association from popularity coincidence).
+
+    Scale shape (functions/mining.py:association_rules): distinct
+    (order, part) rows, the MINING_MAX_BASKET hot-basket cap —
+    mirrored in the oracle's ``keptok`` CTE, with N counting only kept
+    baskets so every probability is exact over the joined population —
+    then ONE capped pair self-join, an |items|-sized support agg
+    equi-joined twice, and a 1-row N frame broadcast by cross join.
+    The confidence threshold is an integer cross-multiplication (no
+    float compare); the measures ship RAW doubles with one fixed op
+    order on both engines."""
+    from depositaja_spark.functions.mining import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    li2 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return association_rules(li2, _RULE_MIN_SUPPORT, _RULE_MIN_CONF_PCT)
+
+
 # --- Z-order layout keys ------------------------------------------------------
 
 def _zorder_sql() -> str:

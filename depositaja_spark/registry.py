@@ -586,6 +586,9 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    "assoc_rules_lift",
+    "resample_interp_hourly",
+    "hybrid_search_rrf",
     "embedding_label_drift",
     "multiscale_duplicate_spans",
     "copurchase_communities",
@@ -598,6 +601,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_pca_variance",
     "semantic_cluster_dedup",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "basket_part_triples",
     "item_similarity_topk",
     "asof_last_click",
@@ -633,11 +637,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "revenue_range_frame_avg",
     "zorder_layout_keys",
     "peak_concurrent_sessions",
-    "cms_event_counts",
-    "attribution_weights",
-    "orders_profile",
     "domain_classifier_weights",
-    "supplier_pagerank",
 )
 
 

@@ -77,3 +77,33 @@ def test_incremental_verified_pairs_subset_of_full_jaccard(spark):
     sym = pairs | {(b, a) for a, b in pairs}
     for new_id, old_id in got:
         assert (new_id, old_id) in sym, f"invented pair {(new_id, old_id)}"
+
+
+def test_pinned_residual_codebook_artifact_provenance(spark):
+    """The frozen IVF-PQ residual codebooks (functions/ivfpq_artifact.py)
+    must be exactly reproducible by the repo's own pipeline (cell assign
+    -> residual -> pq_train) over the recorded fit corpus."""
+    from depositaja_spark.functions.ivfpq import ivfpq_residual_frame
+    from depositaja_spark.functions.ivfpq_artifact import IVFPQ_BOOKS
+    from depositaja_spark.functions.pq import pq_train
+
+    fit_emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    frame, _, _ = ivfpq_residual_frame(fit_emb)
+    assert pq_train(frame, vec_col="resid") == IVFPQ_BOOKS
+
+
+def test_ivfpq_pinned_books_match_trained_at_fit_sf(spark):
+    """At the artifact's own fit corpus (sf0.01), scoring with the pinned
+    books and retraining in-process give the SAME result set — pinning
+    changed the deployment mode, not the answer."""
+    from depositaja_spark.functions.ivfpq_artifact import IVFPQ_BOOKS
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    pinned = {
+        (r.query_id, r.cand_id, r.rank)
+        for r in ivfpq_ann_topk(emb, books=IVFPQ_BOOKS).collect()
+    }
+    trained = {
+        (r.query_id, r.cand_id, r.rank) for r in ivfpq_ann_topk(emb).collect()
+    }
+    assert pinned == trained

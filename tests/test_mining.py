@@ -163,3 +163,61 @@ def test_hot_basket_cap_excludes_planted_pathological_basket(spark):
     release_caches()
     assert got_sim == _itemsim_brute(rows, 3, 2, max_basket=MINING_MAX_BASKET)
     assert all(p < 100_000 for p, _ in got_sim)
+
+
+def test_association_rules_match_brute_force(spark):
+    """association_rules vs a pure-Python replay on randomized baskets,
+    including the capped semantics with a planted oversized basket:
+    support / confidence / lift / leverage all exact, thresholds applied
+    identically (integer cross-multiplication for confidence)."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.mining import association_rules
+
+    min_support, min_conf_pct, cap = 2, 10, 8
+    for seed in (11, 12):
+        rows = _random_baskets(seed)
+        # planted pathological basket: bigger than the cap, must vanish
+        # from supports, pairs, AND the N normalizer
+        rows += [(999, p) for p in range(10)]
+        li2 = _li(spark, rows).select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        ).distinct()
+        got = {
+            (r.antecedent, r.consequent): (
+                r.support,
+                round(r.confidence, 9),
+                round(r.lift, 9),
+                round(r.leverage, 9),
+            )
+            for r in association_rules(
+                li2, min_support, min_conf_pct, max_basket=cap
+            ).collect()
+        }
+        release_caches()
+
+        baskets: dict[int, set[int]] = {}
+        for ok, p in rows:
+            baskets.setdefault(ok, set()).add(p)
+        kept = {ok: bs for ok, bs in baskets.items() if len(bs) <= cap}
+        n = len(kept)
+        supp: dict[int, int] = {}
+        pair: dict[tuple, int] = {}
+        for bs in kept.values():
+            for p in bs:
+                supp[p] = supp.get(p, 0) + 1
+            for a, b in itertools.combinations(sorted(bs), 2):
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+        want = {}
+        for (a, b), s in pair.items():
+            if s < min_support:
+                continue
+            for ante, cons in ((a, b), (b, a)):
+                if 100 * s < min_conf_pct * supp[ante]:
+                    continue
+                want[(ante, cons)] = (
+                    s,
+                    round(s / supp[ante], 9),
+                    round(s * n / (supp[ante] * supp[cons]), 9),
+                    round(s / n - supp[ante] * supp[cons] / (n * n), 9),
+                )
+        assert got == want, seed

@@ -34,6 +34,9 @@ CARTESIAN_OK = {
     # 1-row broadcast scalar joins (corpus count / thresholds) plan as
     # BroadcastNestedLoopJoin with a single-row build side
     "tfidf_top_terms",
+    # association rules: the basket-population normalizer N is a 1-row
+    # broadcast cross join onto the rule frame (same scalar shape)
+    "assoc_rules_lift",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

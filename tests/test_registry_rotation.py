@@ -82,7 +82,7 @@ def test_round8_changed_queries_are_prioritized():
         "semantic_cluster_dedup", "ann_topk_pq",
         "basket_part_triples", "item_similarity_topk",
         "asof_last_click", "asof_next_click", "image_ahash_dups",
-        "embedding_covariance",
+        "embedding_covariance", "ann_topk_ivfpq",
     }
     assert changed <= set(list(R.QUERIES)[:50])
 
@@ -93,6 +93,7 @@ def test_never_driver_sampled_queries_lead_the_window():
     registry, so the never-sampled set is exactly the round-8
     additions."""
     never = [
+        "assoc_rules_lift", "resample_interp_hourly", "hybrid_search_rrf",
         "embedding_label_drift", "multiscale_duplicate_spans",
         "copurchase_communities", "purchase_click_ttest",
         "hourly_value_ohlc", "labeler_agreement_kappa",

@@ -174,3 +174,56 @@ def test_divergence_detects_a_drifted_source(spark):
         return out
 
     assert kl("drift") > kl("same1") and kl("drift") > kl("same2")
+
+
+def test_rrf_fusion_replays_leg_arithmetic(spark):
+    """hybrid_search_rrf ≡ a pure-Python RRF over the two legs computed
+    independently: same pools, same 1/(60+rank) sums, same final order
+    (ties on cand_id)."""
+    from depositaja_spark.functions import embed as em
+    from depositaja_spark.functions import similarity as sim
+    from depositaja_spark.functions.retrieval import RRF_K, jaccard_topk
+    from depositaja_spark.queries_ext import _RRF_POOL, _RRF_TOPK
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dense = em.hashed_embeddings(docs)
+    corpus = dense.select(F.col("doc_id").alias("vec_id"), "embedding")
+    sem = {
+        (r.query_id, r.cand_id): r.rank
+        for r in sim.cosine_topk(
+            corpus, corpus.filter(F.col("vec_id").isin(0, 1, 2)), k=_RRF_POOL
+        ).collect()
+    }
+    lex = {
+        (r.query_id, r.cand_id): r.lex_rank
+        for r in jaccard_topk(docs, [0, 1, 2], _RRF_POOL).collect()
+    }
+    want = {}
+    for q in (0, 1, 2):
+        scores = {}
+        for (qq, c), rk in sem.items():
+            if qq == q:
+                scores[c] = scores.get(c, 0.0) + 1.0 / (RRF_K + rk)
+        for (qq, c), rk in lex.items():
+            if qq == q:
+                scores[c] = scores.get(c, 0.0) + 1.0 / (RRF_K + rk)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOPK]
+        for i, (c, s) in enumerate(top):
+            want[(q, c)] = (i + 1, round(s, 12))
+    got = {
+        (r.query_id, r.cand_id): (r.rank, round(r.rrf, 12))
+        for r in registry.QUERIES["hybrid_search_rrf"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_rrf_double_top1_wins(spark):
+    """A candidate ranked #1 in BOTH legs attains the maximum possible
+    RRF score, so if one exists it must be fused rank 1."""
+    got = registry.QUERIES["hybrid_search_rrf"](spark, SF).collect()
+    from depositaja_spark.functions.retrieval import RRF_K
+
+    top_score = 2.0 / (RRF_K + 1)
+    for r in got:
+        if r.sem_rank == 1 and r.lex_rank == 1:
+            assert r.rank == 1 and abs(r.rrf - top_score) < 1e-15

@@ -494,3 +494,46 @@ def test_ohlc_golden(spark):
     h11 = h10 + 3600
     assert got[("x", h10)] == (5.0, 9.0, 1.0, 9.0, 4)
     assert got[("x", h11)] == (2.0, 2.0, 2.0, 2.0, 1)
+
+
+def test_resample_interp_linear_between_anchors(spark):
+    """Gap buckets take the exact straight line between the surrounding
+    anchors; observed buckets keep their (last-per-bucket) value; edges
+    never extrapolate (grid spans [first, last] per key)."""
+    from depositaja_spark.functions.temporal import resample_interp
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # key 1: anchors at h0=10.0 and h3=40.0 -> h1=20.0, h2=30.0
+        (1, base, 10.0, 100),
+        (1, base + dt.timedelta(hours=3), 40.0, 101),
+        # key 2: single observation -> single grid row, no interpolation
+        (2, base + dt.timedelta(hours=1), 7.25, 200),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = {
+        (r.user_id, r.bucket_ms): (r.value_interp, r.interpolated)
+        for r in resample_interp(ev).collect()
+    }
+    # session-tz independence: recover the key-1 buckets from the data
+    k1 = sorted(ms for (u, ms) in out if u == 1)
+    assert len(k1) == 4
+    assert [out[(1, ms)] for ms in k1] == [
+        (10.0, False), (20.0, True), (30.0, True), (40.0, False),
+    ]
+    k2 = [ms for (u, ms) in out if u == 2]
+    assert len(k2) == 1 and out[(2, k2[0])] == (7.25, False)
+
+
+def test_resample_interp_agrees_with_ffill_on_observed(spark):
+    """On observed buckets the two resamplers are the same function —
+    both report the bucket's last observation."""
+    from depositaja_spark.functions.temporal import resample_ffill, resample_interp
+
+    ev = load_table(spark, SF_SMALL, "events")
+    fi = resample_interp(ev).filter(~F.col("interpolated"))
+    ff = resample_ffill(ev)
+    j = fi.join(ff, ["user_id", "bucket_ms"])
+    n = j.count()
+    assert n == fi.count()
+    assert j.filter(F.col("value_interp") != F.col("value_ffill")).count() == 0
