@@ -80,6 +80,89 @@ def jaccard_topk(
     )
 
 
+def mmr_rerank(
+    pool: DataFrame,
+    sims: DataFrame,
+    k: int,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``k`` of each query's candidate pool,
+    each step taking argmax  λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    relevance traded against redundancy with what's already picked, the
+    standard diversification pass between retrieval and the context
+    window.
+
+    ``pool``: (query_id, cand_id, rel) — the per-query top-N candidates.
+    ``sims``: (query_id, a, b, sim) — pairwise candidate similarities
+    within each query's pool (≤ N² rows per query).
+
+    The greedy argmax is inherently sequential PER QUERY, so it runs as
+    one ``applyInPandas`` over query groups — each group is its ≤ N-row
+    pool + ≤ N²-row sim table (constant-bounded), queries distribute
+    freely; nothing corpus-sized reaches the driver or any single task.
+    Determinism: scores are computed with literal λ and (1−λ) passed in
+    as-is (callers supply e.g. 0.7/0.3 — NEVER derive 0.3 as 1−0.7,
+    which is a different double), ties break on ascending cand_id, and
+    both rel and sim are consumed as already-rounded values, so a
+    step-generated SQL oracle replays the selection exactly.
+
+    Returns (query_id, cand_id, mmr_rank, mmr_score)."""
+    import pandas as pd
+
+    one_minus = _exact_one_minus(lam)
+    joined = pool.select("query_id", "cand_id", "rel").join(
+        sims.select(
+            "query_id", F.col("a").alias("cand_id"), F.col("b").alias("other"), "sim"
+        ),
+        ["query_id", "cand_id"],
+        "left_outer",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {
+            int(c): float(r)
+            for c, r in pdf.drop_duplicates("cand_id")[["cand_id", "rel"]].itertuples(
+                index=False, name=None
+            )
+        }
+        sim = {
+            (int(a), int(b)): float(s)
+            for a, b, s in pdf.dropna(subset=["other"])[
+                ["cand_id", "other", "sim"]
+            ].itertuples(index=False, name=None)
+        }
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        out = []
+        remaining = set(rel)
+        while remaining and len(selected) < k:
+            best = None
+            for c in sorted(remaining):
+                red = max((sim.get((c, s), 0.0) for s in selected), default=0.0)
+                score = lam * rel[c] - one_minus * red
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            remaining.remove(best[0])
+            out.append((qid, best[0], len(selected), best[1]))
+        return pd.DataFrame(
+            out, columns=["query_id", "cand_id", "mmr_rank", "mmr_score"]
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, cand_id long, mmr_rank int, mmr_score double"
+    )
+
+
+def _exact_one_minus(lam: float) -> float:
+    """The caller-visible complement of λ without float subtraction
+    drift: 1−0.7 as doubles is 0.30000000000000004, which would diverge
+    from an oracle's literal 0.3.  Round-trip through the shortest
+    decimal repr instead (exact for the λ values anyone writes)."""
+    return float(repr(round(1.0 - lam, 12)))
+
+
 def rrf_fuse(
     sem: DataFrame,
     lex: DataFrame,

@@ -91,6 +91,78 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_score(_docs(spark, sf_dir))
 
 
+def _qnorm_sql() -> str:
+    fracs = ", ".join(repr(i / 100.0) for i in range(101))
+    return f"""
+WITH m AS (
+  SELECT doc_id, source,
+         least(1000, len({_TOKS}) * 20) AS length_sat,
+         least(1000, floor(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) * 5000
+                           / len({_TOKS}))) AS stop_sig
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         CAST(floor(length_sat * (1000 + stop_sig) / 2) AS DOUBLE) / 1000000.0 AS quality
+  FROM m
+),
+p AS (
+  SELECT doc_id, source, quality,
+         round(cume_dist() OVER (PARTITION BY source ORDER BY quality), 6) AS cdist
+  FROM q
+),
+g AS (SELECT quantile_cont(quality, [{fracs}]) AS gq FROM q)
+SELECT p.doc_id, p.source, p.quality, p.cdist,
+       CASE WHEN floor(p.cdist * 100.0) >= 100 THEN gq[101]
+            ELSE gq[CAST(floor(p.cdist * 100.0) AS INT) + 1]
+                 + (p.cdist * 100.0 - floor(p.cdist * 100.0))
+                   * (gq[CAST(floor(p.cdist * 100.0) AS INT) + 2]
+                      - gq[CAST(floor(p.cdist * 100.0) AS INT) + 1])
+       END AS norm_quality
+FROM p CROSS JOIN g
+"""
+
+
+@query("quality_quantile_norm", _qnorm_sql())
+def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the quality score — the
+    curation step that makes one global quality threshold meaningful
+    when sources have different score distributions (a p90 news doc and
+    a p90 forum doc should survive the same cut): each doc's score maps
+    to its WITHIN-SOURCE cumulative rank, then to the GLOBAL score
+    distribution's value at that rank (piecewise-linear over a 101-point
+    exact percentile grid).
+
+    Scale shape: the within-source cume_dist comes from the
+    grouped-bucket decomposition (functions/windows.py — no
+    low-cardinality single-task sort over the corpus; the oracle uses
+    DuckDB's flat window); the global grid is ONE exact-percentile
+    aggregation emitting a 101-value row broadcast by cross join; the
+    remap is row-local arithmetic on the rounded-6 cdist, identical on
+    both engines.  norm_quality ships RAW (interpolated values can land
+    on round ties)."""
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    docs = _docs(spark, sf_dir)
+    q = tx.quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    p = grouped_ntile_cume(
+        q, "source", "quality", "doc_id", 4, cume_col="cdist"
+    ).select("doc_id", "source", "quality", "cdist")
+    g = q.agg(
+        F.percentile(F.col("quality"), F.array(*[F.lit(i / 100.0) for i in range(101)])).alias("gq")
+    )
+    idx = F.floor(F.col("cdist") * F.lit(100.0))
+    lo = idx.cast("int") + 1
+    frac = F.col("cdist") * F.lit(100.0) - idx
+    norm = F.when(idx >= 100, F.element_at("gq", 101)).otherwise(
+        F.element_at(F.col("gq"), lo)
+        + frac * (F.element_at(F.col("gq"), lo + 1) - F.element_at(F.col("gq"), lo))
+    )
+    return p.crossJoin(F.broadcast(g)).select(
+        "doc_id", "source", "quality", "cdist", norm.alias("norm_quality")
+    )
+
+
 @query(
     "token_entropy",
     f"""
@@ -1888,6 +1960,139 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = sim.cosine_topk(corpus, queries, k=_RRF_POOL)
     lex = jaccard_topk(docs, [0, 1, 2], _RRF_POOL)
     return rrf_fuse(sem, lex.drop("jac"), _RRF_TOPK)
+
+
+# --- MMR diversified re-ranking ----------------------------------------------
+
+_MMR_POOL = 10
+_MMR_K = 5
+_MMR_LAM = 0.7
+_MMR_ONE_MINUS = 0.3  # literal, NEVER 1−λ (different double)
+
+
+def _mmr_sql() -> str:
+    """Chained-CTE replay of the greedy MMR selection: one CTE pair
+    (remaining pool → argmax) per step, the exact-iteration-unrolling
+    technique the PPR and detector-replay oracles use."""
+    steps = []
+    prev_sel = "sel1"
+    for s in range(2, _MMR_K + 1):
+        selu_prev = "selu1" if s == 2 else f"selu{s - 1}"
+        steps.append(f"""
+rem{s} AS (SELECT p.* FROM pool p
+           WHERE NOT EXISTS (SELECT 1 FROM {selu_prev} u
+                             WHERE u.query_id = p.query_id
+                               AND u.cand_id = p.cand_id)),
+red{s} AS (SELECT r.query_id, r.cand_id, r.rel, max(ps.sim) AS red
+           FROM rem{s} r
+           JOIN {selu_prev} u ON u.query_id = r.query_id
+           JOIN psim ps ON ps.query_id = r.query_id
+                       AND ps.a = r.cand_id AND ps.b = u.cand_id
+           GROUP BY 1, 2, 3),
+sel{s} AS (SELECT query_id, cand_id,
+                  {_MMR_LAM} * rel - {_MMR_ONE_MINUS} * red AS score,
+                  {s} AS step
+           FROM red{s}
+           QUALIFY row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_MMR_LAM} * rel - {_MMR_ONE_MINUS} * red DESC,
+                      cand_id) = 1),
+selu{s} AS (SELECT query_id, cand_id FROM {selu_prev}
+            UNION ALL SELECT query_id, cand_id FROM sel{s})""")
+        prev_sel = f"sel{s}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, cand_id, CAST(step AS INT) AS mmr_rank, score AS mmr_score FROM sel{s}"
+        for s in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH {_EMBED_CELLS_SQL},
+q AS (SELECT * FROM cells WHERE doc_id IN ({_RRF_QIDS})),
+qn (doc_id, nrm) AS (SELECT doc_id, sqrt(sum(value * value)) FROM q GROUP BY doc_id),
+cn (doc_id, nrm) AS (SELECT doc_id, sqrt(sum(value * value)) FROM cells GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, sum(q.value * c.value) AS dot
+  FROM q JOIN cells c USING (dim)
+  WHERE c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+pool AS (
+  SELECT query_id, cand_id, round(d.dot / (qn.nrm * cn.nrm), 6) AS rel
+  FROM dots d
+  JOIN qn ON qn.doc_id = d.query_id
+  JOIN cn ON cn.doc_id = d.cand_id
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, cand_id) <= {_MMR_POOL}
+),
+pairdots AS (
+  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+         sum(ca.value * cb.value) AS dot
+  FROM pool x
+  JOIN pool y ON y.query_id = x.query_id AND y.cand_id <> x.cand_id
+  JOIN cells ca ON ca.doc_id = x.cand_id
+  JOIN cells cb ON cb.doc_id = y.cand_id AND cb.dim = ca.dim
+  GROUP BY 1, 2, 3
+),
+psim AS (
+  SELECT pd.query_id, pd.a, pd.b, round(pd.dot / (na.nrm * nb.nrm), 6) AS sim
+  FROM pairdots pd
+  JOIN cn na ON na.doc_id = pd.a
+  JOIN cn nb ON nb.doc_id = pd.b
+),
+sel1 AS (SELECT query_id, cand_id, {_MMR_LAM} * rel AS score, 1 AS step
+         FROM pool
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_MMR_LAM} * rel DESC, cand_id) = 1),
+selu1 AS (SELECT query_id, cand_id FROM sel1),{",".join(steps)}
+{union}
+"""
+
+
+@query("mmr_diverse_topk", _mmr_sql())
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (functions/retrieval.py:mmr_rerank):
+    each query's semantic top-{_MMR_POOL} pool greedily re-ranked to
+    {_MMR_K} picks by λ·relevance − (1−λ)·max-similarity-to-selected
+    (λ={_MMR_LAM}) — the diversification pass between retrieval and a
+    RAG context window, killing near-duplicate passages that RRF alone
+    keeps.
+
+    Scale shape: the sequential greedy runs per query group in ONE
+    applyInPandas over constant-bounded pools (≤{_MMR_POOL} rel rows +
+    ≤{_MMR_POOL}² sim rows per group); pools and pairwise sims are
+    DataFrame joins over per-query frames.  Both rel and sim enter the
+    kernel as rounded-6 values and the score uses literal λ/(1−λ)
+    doubles, so the step-unrolled chained-CTE oracle replays the greedy
+    argmax exactly (ties on cand_id)."""
+    from depositaja_spark.functions.cache import tracked_persist
+    from depositaja_spark.functions.retrieval import mmr_rerank
+
+    docs = _docs(spark, sf_dir)
+    dense = tracked_persist(em.hashed_embeddings(docs))
+    corpus = dense.select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = corpus.filter(F.col("vec_id").isin(0, 1, 2))
+    pool = tracked_persist(
+        sim.cosine_topk(corpus, queries, k=_MMR_POOL).select(
+            "query_id", "cand_id", F.col("cos").alias("rel")
+        )
+    )
+    pv = pool.join(
+        corpus.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id"
+    )
+    pairs = (
+        pv.alias("x")
+        .join(
+            pv.alias("y"),
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.cand_id") != F.col("y.cand_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.cand_id").alias("a"),
+            F.col("y.cand_id").alias("b"),
+            sim.pair_cos_udf()(F.col("x.embedding"), F.col("y.embedding")).alias("sim"),
+        )
+    )
+    return mmr_rerank(pool, pairs, _MMR_K, _MMR_LAM)
 
 
 #: intra-doc repeats need a tighter gram than the cross-doc detector:

@@ -653,6 +653,109 @@ def q_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_value_stats",
+    """
+WITH ev AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+b AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN rn = n // 20 + 1 THEN value END) AS lo,
+         max(CASE WHEN rn = n - n // 20 THEN value END) AS hi
+  FROM r GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, b.n, b.lo, b.hi,
+         CAST(round(LEAST(GREATEST(e.value, b.lo), b.hi) * 100) AS BIGINT) AS v100
+  FROM ev e JOIN b USING (event_type)
+),
+s AS (
+  SELECT event_type, max(n) AS n, max(lo) AS lo, max(hi) AS hi,
+         CAST(sum(CAST(v100 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(v100 * v100 AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       lo AS p05_value, hi AS p95_value,
+       s1 / (100.0 * n) AS win_mean,
+       CASE WHEN n > 1 THEN
+         sqrt(GREATEST((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n)
+                       / (n - 1), 0.0))
+       END AS win_std
+FROM s
+""",
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean and stddev per event type — the robust-moment
+    companion to value_mad_by_type: clip at the exact p05/p95 ORDER
+    STATISTICS (rank k+1 and n−k with k = n div 20, integer arithmetic
+    — no float-percentile boundary), then moments over the clipped
+    values.  Clipping at data values keeps every clipped value an exact
+    2-decimal amount, so the sums ride the scaled-long DECIMAL(38,0)
+    fast path (functions/numeric.py) and every downstream double is
+    bit-identical across engines and partitionings.
+
+    Scale shape: ranks come from the grouped-bucket decomposition
+    (functions/windows.py:grouped_ntile_cume with rank_col — no
+    low-cardinality single-task sort over the events table; the oracle
+    uses the flat window DuckDB-side, where scale is not a concern),
+    the boundary frame is |types| rows broadcast back, and the moment
+    aggregation is one keyed pass."""
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ranked = grouped_ntile_cume(
+        ev.select("event_type", "event_id", "value"),
+        "event_type", "value", "event_id", 4, rank_col="vrank",
+    )
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    kb = cnt.select("event_type", "n", F.expr("n div 20").alias("k"))
+    bounds = (
+        ranked.join(F.broadcast(kb), "event_type")
+        .filter((F.col("vrank") == F.col("k") + 1) | (F.col("vrank") == F.col("n") - F.col("k")))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("vrank") == F.col("k") + 1, F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("vrank") == F.col("n") - F.col("k"), F.col("value"))).alias("hi"),
+        )
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "n", "lo", "hi",
+        F.expr("CAST(round(LEAST(GREATEST(value, lo), hi) * 100) AS BIGINT)").alias("v100"),
+    )
+    s = clipped.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.max("lo").alias("lo"), F.max("hi").alias("hi"),
+        F.sum(F.col("v100").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("v100") * F.col("v100")).cast("decimal(38,0)")).cast("double").alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("lo").alias("p05_value"),
+        F.col("hi").alias("p95_value"),
+        (F.col("s1") / (F.lit(100.0) * F.col("n"))).alias("win_mean"),
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                F.greatest(
+                    (
+                        F.col("s2") / F.lit(10000.0)
+                        - (F.col("s1") / F.lit(100.0)) * (F.col("s1") / F.lit(100.0)) / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        ).alias("win_std"),
+    )
+
+
+@query(
     "session_window_stats",
     """
 WITH gaps AS (

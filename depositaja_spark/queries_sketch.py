@@ -99,6 +99,67 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_event_type_overlap",
+    """
+WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+i AS (SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS inter
+      FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       ca.n AS users_a, cb.n AS users_b,
+       ca.n + cb.n - COALESCE(i.inter, 0) AS users_union,
+       COALESCE(i.inter, 0) AS users_intersect,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / (ca.n + cb.n - COALESCE(i.inter, 0)) AS jaccard
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+""",
+)
+def q_hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every event-type pair via HLL SKETCH
+    ALGEBRA: per-type DataSketches HLL built in ONE corpus pass, pair
+    union by hll_union on the |types|-row sketch frame, intersection by
+    inclusion–exclusion |A|+|B|−|A∪B|, Jaccard from the estimates.
+    This is how audience/reach overlap is computed at 100 TB — sketches
+    are mergeable summaries, so the pair stage touches |types|² sketch
+    bytes, never the corpus, and the same sketches serve any later
+    union (mergeability is the whole point).
+
+    Oracle-checkable for the same reason sketch_distinct_users is: at
+    driver cardinalities every sketch (and every union of them — the
+    union of sparse sketches stays sparse) is in its exact regime, so
+    the estimates equal the exact distinct counts the oracle computes;
+    the sketch error bound outside that regime is asserted separately
+    in tests/test_sketch.py."""
+    events = load_table(spark, sf_dir, "events")
+    # ONE sketch aggregation; the per-type estimate is a projection over
+    # the aggregated sketch, not a second pass
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).select("event_type", "sk", F.hll_sketch_estimate(F.col("sk")).alias("n"))
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), F.col("n").alias("users_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"), F.col("n").alias("users_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", "users_a", "users_b",
+        F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b"))).alias("users_union"),
+    )
+    return pairs.select(
+        "type_a", "type_b", "users_a", "users_b", "users_union",
+        (F.col("users_a") + F.col("users_b") - F.col("users_union")).alias("users_intersect"),
+        (
+            (F.col("users_a") + F.col("users_b") - F.col("users_union")).cast("double")
+            / F.col("users_union")
+        ).alias("jaccard"),
+    )
+
+
 #: the GK sketch stores ≤ accuracy values, so results are EXACT while a
 #: group holds fewer rows — pinning the exact regime under the DuckDB
 #: oracle (quantile_disc agrees value-for-value there).  Above it the

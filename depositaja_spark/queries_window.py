@@ -375,6 +375,56 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CDC cutoff: events strictly before are the "snapshot" load, at/after
+#: are the incoming changelog.  Late in the fixture month so BOTH merge
+#: branches are populated: users quiet after the cutoff carry their
+#: snapshot row, active ones take the delta fold
+_CDC_CUT_US = 1_706_616_000_000_000  # 2024-01-30T12:00:00Z
+
+
+@query(
+    "cdc_user_state",
+    f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, value AS last_value, ts_us AS last_ts_us,
+       CASE WHEN ts_us >= {_CDC_CUT_US} THEN 'delta' ELSE 'snapshot' END AS src
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (lakehouse upsert): the pre-cutoff events fold into a
+    key-unique snapshot (tombstones already applied), the post-cutoff
+    changelog folds to its final op per key, and ``changelog_merge``
+    (functions/cdc.py) applies delta-wins / tombstone-deletes /
+    snapshot-carries — the Delta/Iceberg ``MERGE INTO`` shape as a
+    plan.  'error' events are the tombstone op; every other event
+    upserts its value.
+
+    The oracle is the ONE-PASS global fold: last-write-wins is
+    associative, so fold(all) ≡ merge(fold(pre), fold(post)) — each
+    driver run proves the staged merge preserves semantics (the salted-
+    query oracle trick).  Scale shape: two keyed windows + one keyed
+    full-outer join of key-unique frames; a bucketed snapshot makes the
+    merge co-located."""
+    from depositaja_spark.functions.cdc import changelog_merge, changelog_state
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    snapshot = (
+        changelog_state(events.filter(us < _CDC_CUT_US))
+        .filter(F.col("op") != "error")
+        .select("user_id", "last_value", "last_ts_us")
+    )
+    delta = changelog_state(events.filter(us >= _CDC_CUT_US))
+    return changelog_merge(snapshot, delta)
+
+
 @query(
     "user_activity_streaks",
     """

@@ -587,6 +587,11 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
     "assoc_rules_lift",
+    "quality_quantile_norm",
+    "winsorized_value_stats",
+    "hll_event_type_overlap",
+    "cdc_user_state",
+    "mmr_diverse_topk",
     "resample_interp_hourly",
     "hybrid_search_rrf",
     "embedding_label_drift",
@@ -627,17 +632,12 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "source_token_divergence",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
-    "exact_detector_replay",
     "sketch_distinct_users",
     "kmeans_cluster_sizes",
-    "embedding_near_dups_bucketed",
     "embedding_near_dups",
     "simhash_near_dups_banded",
-    "large_volume_orders",
     "revenue_range_frame_avg",
     "zorder_layout_keys",
-    "peak_concurrent_sessions",
-    "domain_classifier_weights",
 )
 
 

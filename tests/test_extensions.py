@@ -711,3 +711,26 @@ def test_image_ahash_dups_recalls_planted_near_dups(spark):
     got = {(r.a_id, r.b_id) for r in QUERIES["image_ahash_dups"](spark, sf).collect()}
     assert len(strong & got) / len(strong) >= 0.9
     assert len(loose & got) / len(loose) >= 0.8
+
+
+def test_quantile_norm_properties(spark):
+    """Quantile normalization invariants: within a source the map is
+    monotone in the raw score; outputs live inside the global score
+    range; the within-source top doc maps to the global maximum."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = QUERIES["quality_quantile_norm"](spark, SF).collect()
+    qmin = min(r.quality for r in rows)
+    qmax = max(r.quality for r in rows)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+        assert qmin - 1e-12 <= r.norm_quality <= qmax + 1e-12
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.quality, r.doc_id))
+        for a, b in zip(rs, rs[1:]):
+            if b.quality > a.quality:
+                assert b.norm_quality >= a.norm_quality - 1e-12, src
+        top = max(rs, key=lambda r: r.cdist)
+        assert abs(top.cdist - 1.0) < 1e-9
+        assert abs(top.norm_quality - qmax) < 1e-9, src

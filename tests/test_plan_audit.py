@@ -28,6 +28,11 @@ CARTESIAN_OK = {
     # text ANN: the exact brute scan IS corpus × (broadcast, 3-doc IN-list
     # query set) — same baseline shape as ann_topk_brute
     "text_ann_topk",
+    # hybrid RRF / MMR: their semantic leg (candidate pool) is the SAME
+    # cosine_topk brute scan over the 3-doc broadcast query set; the
+    # fusion / greedy stages themselves touch only per-query top-N frames
+    "hybrid_search_rrf",
+    "mmr_diverse_topk",
     # the non-banded SimHash pair join is the all-pairs BASELINE kept so
     # the banded scale path can be asserted result-equal to it
     "simhash_near_dups",
@@ -37,6 +42,13 @@ CARTESIAN_OK = {
     # association rules: the basket-population normalizer N is a 1-row
     # broadcast cross join onto the rule frame (same scalar shape)
     "assoc_rules_lift",
+    # quantile normalization: the 101-value global percentile grid is a
+    # 1-row broadcast cross join onto the per-doc frame
+    "quality_quantile_norm",
+    # HLL overlap: the pair stage is an inequality join over the
+    # |types|-row SKETCH frame (bounded aggregate, never the corpus) —
+    # mergeable-sketch algebra is exactly the operator's point
+    "hll_event_type_overlap",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

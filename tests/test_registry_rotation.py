@@ -93,7 +93,10 @@ def test_never_driver_sampled_queries_lead_the_window():
     registry, so the never-sampled set is exactly the round-8
     additions."""
     never = [
-        "assoc_rules_lift", "resample_interp_hourly", "hybrid_search_rrf",
+        "assoc_rules_lift", "quality_quantile_norm",
+        "winsorized_value_stats", "hll_event_type_overlap",
+        "cdc_user_state", "mmr_diverse_topk",
+        "resample_interp_hourly", "hybrid_search_rrf",
         "embedding_label_drift", "multiscale_duplicate_spans",
         "copurchase_communities", "purchase_click_ttest",
         "hourly_value_ohlc", "labeler_agreement_kappa",

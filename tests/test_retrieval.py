@@ -227,3 +227,69 @@ def test_rrf_double_top1_wins(spark):
     for r in got:
         if r.sem_rank == 1 and r.lex_rank == 1:
             assert r.rank == 1 and abs(r.rrf - top_score) < 1e-15
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Hand-built pool: c2 is more relevant than c3 but near-identical
+    to the already-picked c1, so step 2 must pick c3 — the defining MMR
+    behavior no pure-relevance ranker shows."""
+    from depositaja_spark.functions.retrieval import mmr_rerank
+
+    pool = spark.createDataFrame(
+        [(7, 1, 0.95), (7, 2, 0.90), (7, 3, 0.60)],
+        "query_id long, cand_id long, rel double",
+    )
+    sims = spark.createDataFrame(
+        [(7, 1, 2, 0.99), (7, 2, 1, 0.99), (7, 1, 3, 0.05),
+         (7, 3, 1, 0.05), (7, 2, 3, 0.05), (7, 3, 2, 0.05)],
+        "query_id long, a long, b long, sim double",
+    )
+    got = {r.mmr_rank: r.cand_id for r in mmr_rerank(pool, sims, 3, 0.7).collect()}
+    # step2: c2 scores .7*.9-.3*.99=0.333, c3 scores .7*.6-.3*.05=0.405
+    assert got == {1: 1, 2: 3, 3: 2}
+
+
+def test_mmr_replays_greedy_in_python(spark):
+    """The registered query ≡ a pure-Python greedy over the same pool
+    and pairwise sims (collected once) — selection order, scores, and
+    tie-breaks all reproduced."""
+    from depositaja_spark.functions import embed as em
+    from depositaja_spark.functions import similarity as sim
+    from depositaja_spark.queries_ext import _MMR_K, _MMR_LAM, _MMR_ONE_MINUS, _MMR_POOL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dense = em.hashed_embeddings(docs)
+    corpus = dense.select(F.col("doc_id").alias("vec_id"), "embedding")
+    pool_rows = sim.cosine_topk(
+        corpus, corpus.filter(F.col("vec_id").isin(0, 1, 2)), k=_MMR_POOL
+    ).collect()
+    pv = {(r.query_id, r.cand_id): r.cos for r in pool_rows}
+    emb = {r.vec_id: r.embedding for r in corpus.filter(
+        F.col("vec_id").isin(*{c for (_, c) in pv})).collect()}
+
+    import numpy as np
+    def cos6(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    want = {}
+    for q in (0, 1, 2):
+        rel = {c: r for (qq, c), r in pv.items() if qq == q}
+        selected, remaining = [], set(rel)
+        step = 0
+        while remaining and step < _MMR_K:
+            best = None
+            for c in sorted(remaining):
+                red = max((cos6(emb[c], emb[s]) for s in selected), default=0.0)
+                score = _MMR_LAM * rel[c] - _MMR_ONE_MINUS * red
+                if best is None or score > best[1]:
+                    best = (c, score)
+            step += 1
+            selected.append(best[0])
+            remaining.remove(best[0])
+            want[(q, best[0])] = (step, round(best[1], 12))
+    got = {
+        (r.query_id, r.cand_id): (r.mmr_rank, round(r.mmr_score, 12))
+        for r in registry.QUERIES["mmr_diverse_topk"](spark, SF).collect()
+    }
+    assert got == want

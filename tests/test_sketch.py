@@ -195,3 +195,41 @@ def test_bootstrap_ci_brackets_true_mean(spark):
     assert {t: (r.ci_lo, r.boot_median, r.ci_hi) for t, r in rows.items()} == {
         t: (r.ci_lo, r.boot_median, r.ci_hi) for t, r in again.items()
     }
+
+
+def test_hll_union_estimate_bound_beyond_exact_regime(spark):
+    """The overlap query's union sketches outside the exact regime:
+    two 60k-key sets with a known 20k overlap — union and
+    inclusion-exclusion intersection estimates must land within the
+    HLL error envelope (lgK=12 → ~1.6% rsd; intersection amplifies to
+    the sum of the absolute errors, bounded generously)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 60_000).select(F.lit("a").alias("t"), F.col("id"))
+    b = spark.range(40_000, 100_000).select(F.lit("b").alias("t"), F.col("id"))
+    sk = a.unionByName(b).groupBy("t").agg(F.hll_sketch_agg("id").alias("sk"),
+                                           F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("n"))
+    row = (
+        sk.filter(F.col("t") == "a").select(F.col("sk").alias("ska"), F.col("n").alias("na"))
+        .crossJoin(sk.filter(F.col("t") == "b").select(F.col("sk").alias("skb"), F.col("n").alias("nb")))
+        .select("na", "nb",
+                F.hll_sketch_estimate(F.hll_union("ska", "skb")).alias("u"))
+        .collect()[0]
+    )
+    assert abs(row.na - 60_000) / 60_000 < 0.05
+    assert abs(row.u - 100_000) / 100_000 < 0.05
+    inter = row.na + row.nb - row.u
+    assert abs(inter - 20_000) < 0.05 * 100_000
+
+
+def test_hll_overlap_query_internally_consistent(spark):
+    """Every pair row: intersect = a + b − union, 0 ≤ intersect ≤
+    min(a, b), and jaccard = intersect / union."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = QUERIES["hll_event_type_overlap"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10  # 5 types choose 2
+    for r in rows:
+        assert r.users_intersect == r.users_a + r.users_b - r.users_union
+        assert 0 <= r.users_intersect <= min(r.users_a, r.users_b)
+        assert abs(r.jaccard - r.users_intersect / r.users_union) < 1e-12
