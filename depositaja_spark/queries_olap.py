@@ -2939,3 +2939,97 @@ def q_salted_user_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("pv"), 4).alias("total_value"),
         F.sum("pn").alias("n_events"),
     )
+
+
+@query(
+    "benford_price_audit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, count(*) AS observed FROM d GROUP BY digit
+), t AS (
+  SELECT CAST(sum(observed) AS DOUBLE) AS total FROM c
+), e AS (
+  SELECT c.digit, c.observed, t.total,
+         CAST(CASE c.digit
+           WHEN 1 THEN 0.3010299956639812
+           WHEN 2 THEN 0.17609125905568124
+           WHEN 3 THEN 0.12493873660829992
+           WHEN 4 THEN 0.09691001300805642
+           WHEN 5 THEN 0.07918124604762482
+           WHEN 6 THEN 0.06694678963061322
+           WHEN 7 THEN 0.05799194697768673
+           WHEN 8 THEN 0.05115252244738129
+           WHEN 9 THEN 0.04575749056067514
+         END AS DOUBLE) AS expected
+  FROM c, t
+), g AS (
+  SELECT digit, observed, expected,
+         CAST(observed AS DOUBLE) / total AS share,
+         expected * total AS exp_n,
+         CAST(observed AS DOUBLE) AS obs_d
+  FROM e
+)
+SELECT digit, observed, share, expected,
+       ((obs_d - exp_n) * (obs_d - exp_n)) / exp_n AS chi2_term
+FROM g
+""",
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / corruption screen for any money column.  The
+    leading digit is extracted EXACTLY (decimal×100 → integral BIGINT →
+    first character): never via log10/floor, whose 1-ulp libm
+    differences flip the digit at powers of ten across engines.
+    Expected shares are pinned 17-digit literals shared by both engines
+    (log10 itself is NOT cross-engine bit-stable), and the χ² terms are
+    a fixed-op-order expression over exact counts.  One keyed agg over
+    orders into a 9-row frame; the total is a 1-row broadcast scalar.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    t = c.agg(F.sum("observed").cast("double").alias("total"))
+    _BENFORD = {
+        1: 0.3010299956639812,
+        2: 0.17609125905568124,
+        3: 0.12493873660829992,
+        4: 0.09691001300805642,
+        5: 0.07918124604762482,
+        6: 0.06694678963061322,
+        7: 0.05799194697768673,
+        8: 0.05115252244738129,
+        9: 0.04575749056067514,
+    }
+    expected = F.lit(None).cast("double")
+    for dgt, p in _BENFORD.items():
+        expected = F.when(F.col("digit") == dgt, F.lit(p)).otherwise(expected)
+    # 1-row broadcast scalar join (CARTESIAN_OK): the aggregate total.
+    g = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("expected", expected)
+        .withColumn("share", F.col("observed").cast("double") / F.col("total"))
+        .withColumn("exp_n", F.col("expected") * F.col("total"))
+        .withColumn("obs_d", F.col("observed").cast("double"))
+    )
+    return g.select(
+        "digit",
+        "observed",
+        "share",
+        "expected",
+        (
+            ((F.col("obs_d") - F.col("exp_n")) * (F.col("obs_d") - F.col("exp_n")))
+            / F.col("exp_n")
+        ).alias("chi2_term"),
+    )

@@ -575,3 +575,66 @@ def q_hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
         )
     )
+
+
+@query(
+    "user_value_twap",
+    """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+), seq AS (
+  SELECT user_id, v,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+  FROM ev
+)
+SELECT user_id,
+       CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS BIGINT) AS twap,
+       CAST(sum(dur) AS BIGINT) AS span_seconds
+FROM seq WHERE dur IS NOT NULL
+GROUP BY user_id HAVING sum(dur) > 0
+""",
+)
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over an IRREGULAR event
+    series — each observation holds until the user's next event, so the
+    integral of the step function divided by the covered span (the TWAP
+    every market-data store ships; the row-mean would over-weight
+    bursts).  One lead() window partitioned by the HIGH-cardinality
+    user key (ordered by the unique (ts, event_id) pair — no tie
+    ambiguity), one keyed agg: durations are exact BIGINT seconds,
+    value×duration stays DECIMAL, and a single final double division is
+    the only float op.  Same-second runs get zero weight (harmless
+    exact zeros); single-event users have no covered span and drop via
+    HAVING on both engines."""
+    from depositaja_spark.functions.numeric import dec
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("t"),
+            "event_id",
+            dec("value").alias("v"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    seq = ev.select(
+        "user_id",
+        "v",
+        (F.lead("t").over(w) - F.col("t")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("dur")).cast("double")
+                / F.sum("dur")
+            ).alias("twap"),
+            F.sum("dur").alias("span_seconds"),
+        )
+        .filter(F.col("span_seconds") > 0)
+    )

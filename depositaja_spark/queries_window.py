@@ -461,3 +461,222 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("streak_days"),
         (F.min("day") * 86400).cast("long").alias("streak_start_unix"),
     ).drop("island")
+
+
+@query(
+    "cusum_value_shift",
+    """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+), hourly AS (
+  SELECT event_type, t - t % 3600 AS hour_unix,
+         CAST(sum(v) AS DECIMAL(18,2)) AS s_dec, count(*) AS n
+  FROM ev GROUP BY 1, 2
+), scalars AS (
+  SELECT event_type, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+  FROM ev GROUP BY event_type
+), z AS (
+  SELECT h.event_type, h.hour_unix,
+         (CAST(h.s_dec AS DOUBLE) / h.n) - 1.05 * s.mu AS z
+  FROM hourly h JOIN scalars s ON h.event_type = s.event_type
+), p AS (
+  SELECT event_type, hour_unix,
+         sum(z) OVER (PARTITION BY event_type ORDER BY hour_unix
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+  FROM z
+)
+SELECT event_type, hour_unix,
+       pt - least(CAST(0.0 AS DOUBLE),
+                  min(pt) OVER (PARTITION BY event_type ORDER BY hour_unix
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS cusum
+FROM p
+""",
+)
+def q_cusum_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic over each event type's
+    hourly mean value — the classic sequential shift detector
+    (Page 1954), rendered WITHOUT a sequential fold via its closed
+    form: with z_t = x_t − (1.05·μ) (μ + 5% slack) and prefix sum
+    P_t = Σ z, the recursion S_t = max(0, S_{t−1} + z_t) equals
+    S_t = P_t − min(0, min_{j≤t} P_j).  Two ordered window passes over
+    the HOURLY frame (bounded by the calendar domain, not by sf — the
+    raw corpus sees only one keyed aggregation with map-side combine).
+
+    Determinism: hourly means and μ divide exact DECIMAL sums by exact
+    counts; z and both window folds then accumulate doubles in frame
+    order with identical op order on both engines, so the raw doubles
+    are bit-stable (no output round(), which diverges on decimal ties).
+    """
+    from depositaja_spark.functions.numeric import dec
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("long").alias("t"),
+            dec("value").alias("v"),
+        )
+    )
+    hourly = ev.groupBy(
+        "event_type", (F.col("t") - F.col("t") % 3600).alias("hour_unix")
+    ).agg(
+        F.sum("v").cast("decimal(18,2)").alias("s_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scalars = ev.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    z = hourly.join(F.broadcast(scalars), "event_type").select(
+        "event_type",
+        "hour_unix",
+        (
+            (F.col("s_dec").cast("double") / F.col("n"))
+            - F.lit(1.05) * F.col("mu")
+        ).alias("z"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_unix")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    p = z.select(
+        "event_type", "hour_unix", F.sum("z").over(w).alias("pt")
+    )
+    return p.select(
+        "event_type",
+        "hour_unix",
+        (
+            F.col("pt") - F.least(F.lit(0.0), F.min("pt").over(w))
+        ).alias("cusum"),
+    )
+
+
+@query(
+    "hourly_value_acf",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER (PARTITION BY event_type ORDER BY hour_unix) AS x1,
+         lag(x, 2) OVER (PARTITION BY event_type ORDER BY hour_unix) AS x2,
+         lag(x, 3) OVER (PARTITION BY event_type ORDER BY hour_unix) AS x3
+  FROM hourly
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sxa, sum(x * x) AS sxx,
+         sum(x * x1) AS sxy1, CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS DOUBLE) AS sx1,
+         CAST(sum(x1) AS DOUBLE) AS sy1, count(x1) AS m1,
+         sum(x * x2) AS sxy2, CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS DOUBLE) AS sx2,
+         CAST(sum(x2) AS DOUBLE) AS sy2, count(x2) AS m2,
+         sum(x * x3) AS sxy3, CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS DOUBLE) AS sx3,
+         CAST(sum(x3) AS DOUBLE) AS sy3, count(x3) AS m3
+  FROM lagged GROUP BY event_type
+), f AS (
+  SELECT event_type, n, CAST(n AS BIGINT) AS n_hours, sxa / n AS xbar,
+         CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sxy1 AS DOUBLE) AS sxy1d, sx1, sy1, m1,
+         CAST(sxy2 AS DOUBLE) AS sxy2d, sx2, sy2, m2,
+         CAST(sxy3 AS DOUBLE) AS sxy3d, sx3, sy3, m3
+  FROM m
+), g AS (
+  SELECT event_type, n_hours, xbar,
+         sxxd - CAST(n AS DOUBLE) * xbar * xbar AS den,
+         ((sxy1d - xbar * sx1) - xbar * sy1) + CAST(m1 AS DOUBLE) * xbar * xbar AS num1, m1,
+         ((sxy2d - xbar * sx2) - xbar * sy2) + CAST(m2 AS DOUBLE) * xbar * xbar AS num2, m2,
+         ((sxy3d - xbar * sx3) - xbar * sy3) + CAST(m3 AS DOUBLE) * xbar * xbar AS num3, m3
+  FROM f
+)
+SELECT event_type, n_hours,
+       CASE WHEN m1 > 0 AND den <> 0 THEN num1 / den END AS acf_lag1,
+       CASE WHEN m2 > 0 AND den <> 0 THEN num2 / den END AS acf_lag2,
+       CASE WHEN m3 > 0 AND den <> 0 THEN num3 / den END AS acf_lag3
+FROM g
+""",
+)
+def q_hourly_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1–3) of each event type's hourly total
+    value — the seasonality / burst-memory diagnostic behind every
+    time-series monitor.  The numerator Σ(x_t−x̄)(x_{t−k}−x̄) is
+    EXPANDED into exact-decimal moments (Σx·x_k, Σx, Σx_k, m) so no
+    float accumulates across rows: hourly totals are DECIMAL(18,2),
+    products DECIMAL(37,4), and the only float arithmetic is a fixed
+    op-order expression over per-type scalars — bit-stable on both
+    engines regardless of partitioning.  One keyed agg over the raw
+    corpus, one lag window over the bounded hourly frame."""
+    from depositaja_spark.functions.numeric import dec
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 3600
+            ).alias("hour_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour_unix")
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sxa"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ]
+    for k in (1, 2, 3):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("x") * xk).alias(f"sxy{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x")))
+            .cast("double")
+            .alias(f"sx{k}"),
+            F.sum(xk).cast("double").alias(f"sy{k}"),
+            F.count(xk).alias(f"m{k}"),
+        ]
+    m = lagged.groupBy("event_type").agg(*aggs)
+    xbar = F.col("sxa") / F.col("n")
+    f = m.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        xbar.alias("xbar"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("n").cast("double") * xbar * xbar
+        ).alias("den"),
+        *[c for k in (1, 2, 3) for c in (
+            (
+                (
+                    (F.col(f"sxy{k}").cast("double") - xbar * F.col(f"sx{k}"))
+                    - xbar * F.col(f"sy{k}")
+                )
+                + F.col(f"m{k}").cast("double") * xbar * xbar
+            ).alias(f"num{k}"),
+            F.col(f"m{k}"),
+        )],
+    )
+    return f.select(
+        "event_type",
+        "n_hours",
+        *[
+            F.when(
+                (F.col(f"m{k}") > 0) & (F.col("den") != 0),
+                F.col(f"num{k}") / F.col("den"),
+            ).alias(f"acf_lag{k}")
+            for k in (1, 2, 3)
+        ],
+    )

@@ -586,6 +586,10 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    "cusum_value_shift",
+    "hourly_value_acf",
+    "user_value_twap",
+    "benford_price_audit",
     "assoc_rules_lift",
     "quality_quantile_norm",
     "winsorized_value_stats",
@@ -634,10 +638,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "sketch_distinct_users",
     "kmeans_cluster_sizes",
-    "embedding_near_dups",
-    "simhash_near_dups_banded",
-    "revenue_range_frame_avg",
-    "zorder_layout_keys",
 )
 
 

@@ -49,6 +49,9 @@ CARTESIAN_OK = {
     # |types|-row SKETCH frame (bounded aggregate, never the corpus) —
     # mergeable-sketch algebra is exactly the operator's point
     "hll_event_type_overlap",
+    # Benford audit: the grand total over the 9-row digit frame is a
+    # 1-row broadcast cross join (same scalar shape as tfidf_top_terms)
+    "benford_price_audit",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

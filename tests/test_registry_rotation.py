@@ -93,6 +93,8 @@ def test_never_driver_sampled_queries_lead_the_window():
     registry, so the never-sampled set is exactly the round-8
     additions."""
     never = [
+        "cusum_value_shift", "hourly_value_acf",
+        "user_value_twap", "benford_price_audit",
         "assoc_rules_lift", "quality_quantile_norm",
         "winsorized_value_stats", "hll_event_type_overlap",
         "cdc_user_state", "mmr_diverse_topk",

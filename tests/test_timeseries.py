@@ -1,0 +1,258 @@
+"""Behavioral tests for the round-8 time-series / audit analytics:
+CUSUM closed form (≡ the textbook recursion), exact-moment ACF,
+time-weighted average, and the Benford first-digit audit — golden and
+planted-shift cases the oracle differential can't isolate."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from depositaja_spark.registry import QUERIES
+from depositaja_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, t_seconds, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(eid, t, uid, et, v, None) for eid, t, uid, et, v in rows],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("t").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+# --- CUSUM --------------------------------------------------------------------
+
+
+def _cusum_replay(spark):
+    """Pure-Python replay of cusum_value_shift at SF_SMALL with the
+    engine's exact op order (Decimal sums, one float division, forward
+    float accumulation)."""
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, dict[int, list[Decimal]]] = {}
+    for r in ev:
+        h = r.t - r.t % 3600
+        by_type.setdefault(r.event_type, {}).setdefault(h, []).append(
+            Decimal(str(r.value)).quantize(Decimal("0.01"))
+        )
+    out = {}
+    for et, hours in by_type.items():
+        total = sum(v for vs in hours.values() for v in vs)
+        n_all = sum(len(vs) for vs in hours.values())
+        mu = float(total) / n_all
+        p, m, series = 0.0, 0.0, {}
+        for h in sorted(hours):
+            mean_h = float(sum(hours[h])) / len(hours[h])
+            p += mean_h - 1.05 * mu
+            m = min(m, p)  # min(0, running min) folded with the 0 seed
+            series[h] = p - min(0.0, m)
+        out[et] = series
+    return out
+
+
+def test_cusum_closed_form_matches_python_replay(spark):
+    got = {
+        (r.event_type, r.hour_unix): r.cusum
+        for r in QUERIES["cusum_value_shift"](spark, SF_SMALL).collect()
+    }
+    want = _cusum_replay(spark)
+    assert len(got) == sum(len(s) for s in want.values())
+    for (et, h), v in got.items():
+        assert v == want[et][h], (et, h, v, want[et][h])
+
+
+def test_cusum_equals_textbook_recursion(spark):
+    """S_t = max(0, S_{t-1} + z_t) ≡ P_t − min(0, min_{j≤t} P_j) —
+    algebraically identical; float paths agree to relative 1e-9."""
+    want = _cusum_replay(spark)
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, dict[int, list[Decimal]]] = {}
+    for r in ev:
+        h = r.t - r.t % 3600
+        by_type.setdefault(r.event_type, {}).setdefault(h, []).append(
+            Decimal(str(r.value)).quantize(Decimal("0.01"))
+        )
+    for et, hours in by_type.items():
+        total = sum(v for vs in hours.values() for v in vs)
+        n_all = sum(len(vs) for vs in hours.values())
+        mu = float(total) / n_all
+        s = 0.0
+        for h in sorted(hours):
+            mean_h = float(sum(hours[h])) / len(hours[h])
+            s = max(0.0, s + (mean_h - 1.05 * mu))
+            assert math.isclose(s, want[et][h], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_cusum_planted_shift(spark, tmp_path):
+    """Flat series then a +100% level shift: the statistic is exactly 0
+    through the flat prefix and climbs monotonically after the shift."""
+    rows = [(i, 3600 * i, 1, "a", 10.0) for i in range(20)] + [
+        (i, 3600 * i, 1, "a", 20.0) for i in range(20, 30)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.hour_unix // 3600: r.cusum
+        for r in QUERIES["cusum_value_shift"](spark, d).collect()
+    }
+    assert len(got) == 30
+    for h in range(20):
+        assert got[h] == 0.0  # z < 0 throughout → statistic pinned at 0
+    for h in range(21, 30):
+        assert got[h] > got[h - 1]  # strictly climbing after the shift
+    # mu = 400/30, offset = 1.05*mu ≈ 14: ten hours of z ≈ +6 ≈ 60
+    assert math.isclose(got[29], 60.0, rel_tol=1e-9)
+
+
+# --- ACF ----------------------------------------------------------------------
+
+
+def test_acf_matches_numpy_definition(spark):
+    """Engine ACF (exact-moment expansion) ≡ the direct numpy definition
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² on the same hourly series."""
+    import numpy as np
+
+    hourly = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("ts").cast("long") - F.col("ts").cast("long") % 3600).alias(
+                "h"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.h, float(r.x)))
+    got = {
+        r.event_type: r for r in QUERIES["hourly_value_acf"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        x = np.array([v for _, v in sorted(pts)])
+        xbar = x.mean()
+        den = ((x - xbar) ** 2).sum()
+        assert got[et].n_hours == len(x)
+        for k in (1, 2, 3):
+            want = (
+                float(((x[k:] - xbar) * (x[:-k] - xbar)).sum() / den)
+                if len(x) > k and den != 0
+                else None
+            )
+            have = got[et][f"acf_lag{k}"]
+            if want is None:
+                assert have is None
+            else:
+                # moment expansion vs direct deviations: identical value up
+                # to benign cancellation noise in the comparison itself
+                assert math.isclose(have, want, rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_acf_alternating_and_constant(spark, tmp_path):
+    """An alternating series anti-correlates at lag 1 and correlates at
+    lag 2; a constant series has zero variance → NULL ACF at every lag."""
+    rows = [
+        (i, 3600 * i, 1, "alt", 10.0 if i % 2 == 0 else 20.0) for i in range(12)
+    ] + [(100 + i, 3600 * i, 2, "flat", 7.0) for i in range(8)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in QUERIES["hourly_value_acf"](spark, d).collect()}
+    assert got["alt"].acf_lag1 < -0.8
+    assert got["alt"].acf_lag2 > 0.7
+    assert got["alt"].acf_lag3 < -0.6
+    for k in (1, 2, 3):
+        assert got["flat"][f"acf_lag{k}"] is None
+
+
+# --- TWAP ---------------------------------------------------------------------
+
+
+def test_twap_golden(spark, tmp_path):
+    """Step-integral golden case + tie handling + degenerate users."""
+    rows = [
+        # user 1: 10 held 10s, 20 held 30s, 30 terminal → (100+600)/40
+        (1, 0, 1, "a", 10.0),
+        (2, 10, 1, "a", 20.0),
+        (3, 40, 1, "a", 30.0),
+        # user 2: single event → no covered span → dropped
+        (4, 0, 2, "a", 99.0),
+        # user 3: two same-second events → span 0 → dropped by HAVING
+        (5, 0, 3, "a", 1.0),
+        (6, 0, 3, "a", 2.0),
+        # user 4: same-second tie resolved by event_id, zero weight on the
+        # first; 7 then holds the full 100s
+        (7, 0, 4, "a", 5.0),
+        (8, 0, 4, "a", 7.0),
+        (9, 100, 4, "a", 9.0),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in QUERIES["user_value_twap"](spark, d).collect()}
+    assert set(got) == {1, 4}
+    assert got[1].twap == 17.5 and got[1].span_seconds == 40
+    assert got[4].twap == 7.0 and got[4].span_seconds == 100
+
+
+def test_twap_unweighted_mean_disagrees(spark, tmp_path):
+    """The row mean over-weights bursts; TWAP must not equal it on an
+    irregular series (the operator's reason to exist)."""
+    rows = [(1, 0, 1, "a", 10.0), (2, 1, 1, "a", 10.0), (3, 2, 1, "a", 10.0),
+            (4, 3, 1, "a", 100.0), (5, 1000, 1, "a", 0.0)]
+    d = _write_events(spark, tmp_path, rows)
+    r = QUERIES["user_value_twap"](spark, d).collect()[0]
+    # 10 held 3s, 100 held 997s → TWAP ≈ 99.73, row mean = 44
+    assert r.twap > 99.0
+
+
+# --- Benford ------------------------------------------------------------------
+
+
+def test_benford_digits_match_python_replay(spark):
+    prices = [
+        r.o_totalprice
+        for r in load_table(spark, SF_SMALL, "orders").select("o_totalprice").collect()
+    ]
+    counts: dict[int, int] = {}
+    for p in prices:
+        cents = int(Decimal(str(p)).quantize(Decimal("0.01")) * 100)
+        d = int(str(cents)[0])
+        counts[d] = counts.get(d, 0) + 1
+    got = {
+        r.digit: r for r in QUERIES["benford_price_audit"](spark, SF_SMALL).collect()
+    }
+    assert {d: r.observed for d, r in got.items()} == counts
+    total = sum(counts.values())
+    chi2 = 0.0
+    for d, r in got.items():
+        exp = math.log10(1 + 1 / d)
+        assert math.isclose(r.expected, exp, rel_tol=1e-15)
+        assert math.isclose(r.share, counts[d] / total, rel_tol=1e-12)
+        term = (counts[d] - exp * total) ** 2 / (exp * total)
+        assert math.isclose(r.chi2_term, term, rel_tol=1e-9)
+        chi2 += term
+    # shares are a partition of the order population
+    assert math.isclose(sum(r.share for r in got.values()), 1.0, rel_tol=1e-12)
