@@ -515,3 +515,114 @@ def psi_from_state(cells: dict, bins: int = PSI_BINS, a: float = PSI_SMOOTH):
         )
         for t in sorted(types)
     }
+
+
+#: CUSUM allowance: target = SLACK × μ — the same +5% no-alarm band the
+#: batch ``cusum_value_shift`` query bakes into its oracle (literal 1.05
+#: on both engines there; shared here so the monitor can't drift).
+CUSUM_SLACK = 1.05
+
+
+def streaming_cusum_shift(
+    events: DataFrame,
+    state_dir: str,
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming CUSUM level-shift monitor: the FIRST micro-batch's
+    per-type mean becomes the frozen target μ; every later batch folds
+    its own mean through Page's recursion S ← max(0, S + (x̄_b −
+    CUSUM_SLACK·μ)).  The continuously-maintained twin of the batch
+    ``cusum_value_shift`` query: same statistic and slack, sampled at
+    micro-batch grain instead of the hourly calendar — in a stream the
+    arrival order IS the sequence, so the textbook recursion (which the
+    batch side must reshape into its prefix-min closed form) is the
+    natural streaming form.
+
+    Per batch the heavy work is ONE distributed keyed aggregation
+    (exact DECIMAL sum + count per type, map-side combined); only the
+    ≤|types|-row (sum, n) summary reaches the driver, and state is the
+    per-type (μ, S, batches) triple — cap-bounded forever, like the MG
+    and PSI tiers.  NULL values are excluded on both the fit and fold
+    paths (the batch twin's WHERE value IS NOT NULL).
+
+    Types unseen in the baseline batch have no target and are dropped
+    from later folds (a shift needs a level to shift FROM); re-seed the
+    state dir when the type universe changes.  Replay-safe under
+    foreachBatch's at-least-once contract via the same
+    commit_<batch_id> staged-rename protocol as the MG/PSI monitors.
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    state_schema = f"{type_col} string, mu double, s double, batches long"
+
+    def _batch_means(batch: DataFrame) -> dict:
+        rows = (
+            batch.filter(F.col(value_col).isNotNull())
+            .groupBy(type_col)
+            .agg(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sd"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        # float(Decimal)/int is the identical one-division arithmetic the
+        # batch query's CAST(sum AS DOUBLE)/count performs
+        return {r[type_col]: float(r["sd"]) / r["n"] for r in rows}
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return  # at-least-once replay of an already-folded batch
+        means = _batch_means(batch)
+        if commits:
+            path = _os.path.join(state_dir, commits[-1][1])
+            state = {
+                r[type_col]: (r.mu, r.s, r.batches)
+                for r in spark.read.schema(state_schema)
+                .parquet(_os.path.join(path, "state"))
+                .collect()
+            }
+            for t, (mu, s, b) in state.items():
+                if t in means:
+                    state[t] = (
+                        mu,
+                        max(0.0, s + (means[t] - CUSUM_SLACK * mu)),
+                        b + 1,
+                    )
+        else:
+            # baseline batch: its mean IS the target; S starts at 0
+            state = {t: (m, 0.0, 1) for t, m in means.items()}
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
+        _shutil.rmtree(staged, ignore_errors=True)
+        rows = sorted((t, mu, s, b) for t, (mu, s, b) in state.items())
+        spark.createDataFrame(rows, state_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(staged, "state"))
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def load_cusum_state(spark, state_dir: str, type_col: str = "event_type"):
+    """The newest committed CUSUM state as {type: (mu, s, batches)}
+    (empty before the first commit)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        r[type_col]: (r.mu, r.s, r.batches)
+        for r in spark.read.schema(
+            f"{type_col} string, mu double, s double, batches long"
+        ).parquet(_os.path.join(path, "state")).collect()
+    }

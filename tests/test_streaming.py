@@ -1237,3 +1237,101 @@ def test_timer_detector_equals_lazy_under_controlled_clock(spark, tmp_path):
     # fresh period whose single deposit stays under the flag threshold
     assert timer[3] == ("w1", True, 0, 0.0)
     assert timer[4] == ("w1", True, 0, 9999.0)
+
+
+def test_streaming_cusum_matches_python_fold_and_detects_shift(spark, tmp_path):
+    """The foreachBatch CUSUM monitor over a 3-file stream: batch 0
+    freezes per-type targets, later batches fold their means through
+    Page's recursion; maintained state must equal a pure-Python replay
+    of the same splits bit-for-bit, and a planted +200% level shift on
+    one type must raise its statistic while unshifted types stay near
+    zero."""
+    import os
+    import time
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.pipeline import (
+        CUSUM_SLACK,
+        load_cusum_state,
+        streaming_cusum_shift,
+    )
+
+    rows = [
+        (r.event_type, float(r.value))
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ]
+    splits = [rows[i::3] for i in range(3)]
+    splits = [
+        split
+        if m == 0
+        else [(t, v * 3 if t == "click" else v) for t, v in split]
+        for m, split in enumerate(splits)
+    ]
+    d = tmp_path / "cusum_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([t for t, _ in chunk], pa.string()),
+                    "value": pa.array([v for _, v in chunk], pa.float64()),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "cusum_state")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_cusum_shift(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = load_cusum_state(spark, state_dir)
+
+    # pure-Python replay with the engine's exact arithmetic: Decimal(18,2)
+    # sums, ONE float division per (type, batch), driver-side recursion
+    def batch_means(chunk):
+        agg: dict = {}
+        for t, v in chunk:
+            sd, n = agg.get(t, (Decimal(0), 0))
+            agg[t] = (sd + Decimal(str(v)).quantize(Decimal("0.01")), n + 1)
+        return {t: float(sd) / n for t, (sd, n) in agg.items()}
+
+    want = {t: (m, 0.0, 1) for t, m in batch_means(splits[0]).items()}
+    for chunk in splits[1:]:
+        means = batch_means(chunk)
+        for t, (mu, s, b) in want.items():
+            if t in means:
+                want[t] = (mu, max(0.0, s + (means[t] - CUSUM_SLACK * mu)), b + 1)
+
+    assert got == want  # bit-exact: same Decimal sums, same fold order
+
+    # planted-shift sanity: 'click' tripled after the baseline → each
+    # folded batch adds ≈ (3 − SLACK)·μ_click; unshifted types sit within
+    # the 5% slack band
+    mu_click, s_click, _ = got["click"]
+    assert s_click > 1.5 * mu_click
+    for t, (mu, s, b) in got.items():
+        assert b == 3  # every type appears in every stride split
+        if t != "click":
+            # unshifted types carry only sampling noise around their own
+            # baseline; the planted shift must dominate it by an order
+            # of magnitude in relative terms
+            assert s < 0.6 * mu
+            assert s_click / mu_click > 3 * (s / mu)
