@@ -680,3 +680,179 @@ def q_hourly_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in (1, 2, 3)
         ],
     )
+
+
+@query(
+    "seasonal_naive_backtest",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), a24 AS (
+  SELECT a.event_type, sum(abs(a.x - b.x)) AS sae24, count(*) AS n24
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.hour_unix = a.hour_unix - 86400
+  GROUP BY a.event_type
+), a1 AS (
+  SELECT a.event_type, sum(abs(a.x - b.x)) AS sae1, count(*) AS n1
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.hour_unix = a.hour_unix - 3600
+  GROUP BY a.event_type
+)
+SELECT a24.event_type, n24 AS n_forecasts,
+       CAST(sae24 AS DOUBLE) / n24 AS mae_seasonal,
+       CASE WHEN n1 > 0 AND sae1 <> 0
+            THEN (CAST(sae24 AS DOUBLE) / n24) / (CAST(sae1 AS DOUBLE) / n1)
+       END AS mase
+FROM a24 LEFT JOIN a1 ON a24.event_type = a1.event_type
+""",
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest per event type: the seasonal-naive
+    forecast (x̂_t = the value 24 h earlier) scored by MAE and by MASE —
+    MAE scaled by the in-sample naive (lag-1 h) MAE, the scale-free
+    skill measure (Hyndman–Koehler) that makes types with wildly
+    different volumes comparable.  Both error legs are equi-joins of
+    the hourly frame onto itself at an exact time shift (no windows, no
+    gap-filling — hours missing the shifted observation simply don't
+    score), and |errors| stay exact DECIMAL until one final division
+    per leg.  Everything after the single corpus aggregation touches
+    only calendar-bounded frames; types with no 24 h-apart pairs drop,
+    types with no 1 h-apart pairs (or a constant series) get NULL MASE
+    on both engines."""
+    from depositaja_spark.functions.numeric import dec
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 3600
+            ).alias("hour_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+
+    def leg(shift: int, sae: str, n: str) -> DataFrame:
+        a = hourly.alias("a")
+        b = hourly.select(
+            F.col("event_type").alias("bt"),
+            F.col("hour_unix").alias("bh"),
+            F.col("x").alias("bx"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("bt"))
+                & (F.col("bh") == F.col("a.hour_unix") - shift),
+            )
+            .groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(
+                F.sum(F.abs(F.col("a.x") - F.col("bx"))).alias(sae),
+                F.count(F.lit(1)).alias(n),
+            )
+        )
+
+    a24 = leg(86400, "sae24", "n24")
+    a1 = leg(3600, "sae1", "n1")
+    mae24 = F.col("sae24").cast("double") / F.col("n24")
+    mae1 = F.col("sae1").cast("double") / F.col("n1")
+    return a24.join(F.broadcast(a1), "event_type", "left").select(
+        "event_type",
+        F.col("n24").alias("n_forecasts"),
+        mae24.alias("mae_seasonal"),
+        F.when((F.col("n1") > 0) & (F.col("sae1") != 0), mae24 / mae1).alias(
+            "mase"
+        ),
+    )
+
+
+@query(
+    "theil_sen_hourly_trend",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.x - a.x AS DOUBLE) / (b.hour_unix - a.hour_unix) * 3600 AS slope,
+         a.hour_unix AS t1, b.hour_unix AS t2
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type
+   AND b.hour_unix > a.hour_unix
+   AND b.hour_unix <= a.hour_unix + 604800
+), r AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope, t1, t2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       slope AS trend_per_hour
+FROM r WHERE rn = (n + 1) // 2
+""",
+)
+def q_theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the median of pairwise
+    slopes over the hourly series, banded to pairs ≤7 days apart (the
+    estimator keeps its breakdown point on any window; the band keeps
+    the pair count at hours×168 — calendar-bounded and sf-INVARIANT,
+    since more data densifies hours rather than adding them).  The
+    median is the LOWER order statistic selected by row_number with a
+    full (slope, t1, t2) tie-break — pure selection, no interpolation
+    arithmetic to diverge across engines.  Slopes are exact-decimal
+    differences over exact integer seconds, one division each."""
+    from depositaja_spark.functions.numeric import dec
+    from pyspark.sql import Window as W2
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 3600
+            ).alias("hour_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+    b = hourly.select(
+        F.col("event_type").alias("bt"),
+        F.col("hour_unix").alias("t2"),
+        F.col("x").alias("bx"),
+    )
+    pairs = hourly.join(
+        b,
+        (F.col("event_type") == F.col("bt"))
+        & (F.col("t2") > F.col("hour_unix"))
+        & (F.col("t2") <= F.col("hour_unix") + 604800),
+    ).select(
+        "event_type",
+        (
+            (F.col("bx") - F.col("x")).cast("double")
+            / (F.col("t2") - F.col("hour_unix"))
+            * 3600
+        ).alias("slope"),
+        F.col("hour_unix").alias("t1"),
+        "t2",
+    )
+    w = W2.partitionBy("event_type").orderBy("slope", "t1", "t2")
+    wn = W2.partitionBy("event_type")
+    r = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.col("slope").alias("trend_per_hour"),
+    )

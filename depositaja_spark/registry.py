@@ -586,6 +586,8 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    "seasonal_naive_backtest",
+    "theil_sen_hourly_trend",
     "cusum_value_shift",
     "hourly_value_acf",
     "user_value_twap",
@@ -631,12 +633,10 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "nation_seeded_pagerank",
     "prefix_jaccard_near_dups",
     "hard_negative_pairs",
-    "seasonal_decompose_revenue",
     "psi_value_drift",
     "source_token_divergence",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
-    "sketch_distinct_users",
     "kmeans_cluster_sizes",
 )
 

@@ -256,3 +256,134 @@ def test_benford_digits_match_python_replay(spark):
         chi2 += term
     # shares are a partition of the order population
     assert math.isclose(sum(r.share for r in got.values()), 1.0, rel_tol=1e-12)
+
+
+# --- seasonal-naive backtest --------------------------------------------------
+
+
+def test_mase_perfect_seasonality_and_replay(spark, tmp_path):
+    """A perfectly 24h-periodic series has zero seasonal-naive error
+    (MASE 0); a constant series has NULL MASE (0/0 guarded); a type
+    too short for any 24h pair is absent."""
+    rows = []
+    # 'daily': 3 days of a repeating 24h pattern
+    for day in range(3):
+        for h in range(24):
+            rows.append(
+                (day * 100 + h, (day * 24 + h) * 3600, 1, "daily", 10.0 + h)
+            )
+    # 'flat': constant over 48 hours → sae1 = 0 → NULL mase
+    rows += [(1000 + h, h * 3600, 2, "flat", 5.0) for h in range(48)]
+    # 'short': 3 hours only → no 24h pair → absent
+    rows += [(2000 + h, h * 3600, 3, "short", 1.0 + h) for h in range(3)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in QUERIES["seasonal_naive_backtest"](spark, d).collect()
+    }
+    assert set(got) == {"daily", "flat"}
+    assert got["daily"].n_forecasts == 48  # days 2,3 each score 24 hours
+    assert got["daily"].mae_seasonal == 0.0
+    assert got["daily"].mase == 0.0
+    assert got["flat"].mae_seasonal == 0.0
+    assert got["flat"].mase is None
+
+
+def test_mase_python_replay_on_real_data(spark):
+    hourly: dict = {}
+    for r in (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    ):
+        h = r.t - r.t % 3600
+        key = (r.event_type, h)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(str(r.value)).quantize(
+            Decimal("0.01")
+        )
+    legs: dict = {}
+    for (et, h), x in hourly.items():
+        for shift, leg in ((86400, "s24"), (3600, "s1")):
+            prev = hourly.get((et, h - shift))
+            if prev is not None:
+                sae, n = legs.get((et, leg), (Decimal(0), 0))
+                legs[(et, leg)] = (sae + abs(x - prev), n + 1)
+    got = {
+        r.event_type: r
+        for r in QUERIES["seasonal_naive_backtest"](spark, SF_SMALL).collect()
+    }
+    types24 = {et for (et, leg) in legs if leg == "s24"}
+    assert set(got) == types24
+    for et in types24:
+        sae24, n24 = legs[(et, "s24")]
+        assert got[et].n_forecasts == n24
+        mae24 = float(sae24) / n24
+        assert got[et].mae_seasonal == mae24
+        if (et, "s1") in legs and legs[(et, "s1")][0] != 0:
+            sae1, n1 = legs[(et, "s1")]
+            assert got[et].mase == mae24 / (float(sae1) / n1)
+
+
+# --- Theil–Sen ----------------------------------------------------------------
+
+
+def test_theil_sen_linear_and_outlier_robust(spark, tmp_path):
+    """On an exactly linear hourly series every pair slope equals the
+    true slope; corrupting ONE point leaves the median slope exact
+    (the estimator's 29% breakdown point is the reason it exists)."""
+    rows = [(h, h * 3600, 1, "lin", 100.0 + 2.5 * h) for h in range(30)]
+    rows += [
+        (100 + h, h * 3600, 2, "dirty", 100.0 + 2.5 * h)
+        if h != 15
+        else (100 + h, h * 3600, 2, "dirty", 9999.0)
+        for h in range(30)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in QUERIES["theil_sen_hourly_trend"](spark, d).collect()
+    }
+    assert got["lin"].trend_per_hour == 2.5
+    assert got["dirty"].trend_per_hour == 2.5
+    # 30 in-band points → all C(30,2) pairs (band is 7 days)
+    assert got["lin"].n_pairs == 30 * 29 // 2
+
+
+def test_theil_sen_python_replay_on_real_data(spark):
+    """Lower-median selection replayed exactly: sort (slope, t1, t2),
+    pick rank (n+1)//2."""
+    hourly: dict = {}
+    for r in (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    ):
+        h = r.t - r.t % 3600
+        key = (r.event_type, h)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(str(r.value)).quantize(
+            Decimal("0.01")
+        )
+    series: dict = {}
+    for (et, h), x in hourly.items():
+        series.setdefault(et, []).append((h, x))
+    got = {
+        r.event_type: r
+        for r in QUERIES["theil_sen_hourly_trend"](spark, SF_SMALL).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        slopes = [
+            (float(x2 - x1) / (t2 - t1) * 3600, t1, t2)
+            for i, (t1, x1) in enumerate(pts)
+            for (t2, x2) in pts[i + 1 :]
+            if t2 <= t1 + 604800
+        ]
+        if not slopes:
+            assert et not in got
+            continue
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert got[et].n_pairs == len(slopes)
+        assert got[et].trend_per_hour == med
