@@ -856,3 +856,120 @@ def q_theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.col("slope").alias("trend_per_hour"),
     )
+
+
+@query(
+    "hourly_crosscorr_leadlag",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), lags(lag_hours) AS (VALUES (-2), (-1), (0), (1), (2)),
+pairs AS (
+  SELECT h1.event_type AS type_a, h2.event_type AS type_b, l.lag_hours,
+         h1.x AS xa, h2.x AS xb
+  FROM hourly h1 CROSS JOIN lags l
+  JOIN hourly h2
+    ON h2.hour_unix = h1.hour_unix - l.lag_hours * 3600
+   AND h1.event_type < h2.event_type
+), m AS (
+  SELECT type_a, type_b, lag_hours, count(*) AS n,
+         CAST(sum(xa) AS DOUBLE) AS sx, CAST(sum(xb) AS DOUBLE) AS sy,
+         CAST(sum(xa * xb) AS DOUBLE) AS sxy,
+         CAST(sum(xa * xa) AS DOUBLE) AS sxx,
+         CAST(sum(xb * xb) AS DOUBLE) AS syy
+  FROM pairs GROUP BY type_a, type_b, lag_hours
+), g AS (
+  SELECT type_a, type_b, lag_hours, n,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+         CAST(n AS DOUBLE) * syy - sy * sy AS deny
+  FROM m
+)
+SELECT type_a, type_b, lag_hours, n AS n_pairs,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN num / sqrt(denx * deny) END AS ccf
+FROM g
+""",
+)
+def q_hourly_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between every pair of event types:
+    Pearson r of type_a's hourly total against type_b's observed
+    lag_hours EARLIER (−2…+2; a peak at positive lag means type_b
+    LEADS type_a by that many hours) — the screen behind 'does click
+    volume predict purchases an hour later?'.  All five
+    moments are exact-DECIMAL sums over the matched pairs (the ACF
+    expansion generalized to two series), finished by one fixed-op-
+    order float expression; sqrt IS cross-engine safe (IEEE 754
+    requires correct rounding — unlike log10, which benford avoids).
+    One keyed corpus agg; the pair join matches on the shifted hour
+    over the calendar-bounded frame with a 5-row broadcast lag dim,
+    so the pair stage is |types|²-by-hours sized at any data volume.
+    Zero-variance slices get NULL on both engines."""
+    from depositaja_spark.functions.numeric import dec
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 3600
+            ).alias("hour_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+    lags = spark.range(-2, 3).select(F.col("id").cast("int").alias("lag_hours"))
+    h2 = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hour_unix").alias("h2"),
+        F.col("x").alias("xb"),
+    )
+    # 5-row broadcast lag dimension (CARTESIAN_OK-exempt: crossJoin of a
+    # bounded literal range)
+    pairs = (
+        hourly.crossJoin(F.broadcast(lags))
+        .join(
+            h2,
+            (F.col("h2") == F.col("hour_unix") - F.col("lag_hours") * 3600)
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .select(
+            F.col("event_type").alias("type_a"),
+            "type_b",
+            "lag_hours",
+            F.col("x").alias("xa"),
+            "xb",
+        )
+    )
+    m = pairs.groupBy("type_a", "type_b", "lag_hours").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").cast("double").alias("sx"),
+        F.sum("xb").cast("double").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("double").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    g = m.select(
+        "type_a",
+        "type_b",
+        "lag_hours",
+        "n",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        "lag_hours",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (F.col("denx") > 0) & (F.col("deny") > 0),
+            F.col("num") / F.sqrt(F.col("denx") * F.col("deny")),
+        ).alias("ccf"),
+    )

@@ -586,6 +586,7 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
     "cusum_value_shift",
@@ -620,7 +621,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "image_ahash_dups",
     "embedding_covariance",
     # -- round-7 batch, re-sampled for continuity --------------------------
-    "value_mad_by_type",
     "ngram_novelty",
     "event_path_trigrams",
     "bootstrap_value_ci",

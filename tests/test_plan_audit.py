@@ -52,6 +52,9 @@ CARTESIAN_OK = {
     # Benford audit: the grand total over the 9-row digit frame is a
     # 1-row broadcast cross join (same scalar shape as tfidf_top_terms)
     "benford_price_audit",
+    # cross-correlation: the 5-row literal lag dimension is a bounded
+    # broadcast cross join onto the calendar-bounded hourly frame
+    "hourly_crosscorr_leadlag",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

@@ -93,6 +93,7 @@ def test_never_driver_sampled_queries_lead_the_window():
     registry, so the never-sampled set is exactly the round-8
     additions."""
     never = [
+        "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
         "user_value_twap", "benford_price_audit",

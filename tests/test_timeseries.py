@@ -387,3 +387,71 @@ def test_theil_sen_python_replay_on_real_data(spark):
         med = slopes[(len(slopes) + 1) // 2 - 1][0]
         assert got[et].n_pairs == len(slopes)
         assert got[et].trend_per_hour == med
+
+
+# --- cross-correlation --------------------------------------------------------
+
+
+def test_ccf_planted_lead_lag(spark, tmp_path):
+    """'fol' is an exact one-hour-delayed copy of 'lead': the CCF peaks
+    at exactly 1.0 at lag +1 (type_b observed 1h earlier ≡ type_a now)
+    and stays below it everywhere else."""
+    vals = [float((7 * h * h + 3 * h) % 97) for h in range(40)]
+    rows = [(h, h * 3600, 1, "lead", vals[h]) for h in range(40)]
+    rows += [(100 + h, h * 3600, 2, "fol", vals[h - 1]) for h in range(1, 40)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.lag_hours: r.ccf
+        for r in QUERIES["hourly_crosscorr_leadlag"](spark, d).collect()
+    }
+    assert set(got) == {-2, -1, 0, 1, 2}
+    assert math.isclose(got[1], 1.0, rel_tol=1e-12)
+    for lag in (-2, -1, 0, 2):
+        assert got[lag] < 0.99
+
+
+def test_ccf_matches_numpy_on_real_data(spark):
+    import numpy as np
+
+    hourly: dict = {}
+    for r in (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    ):
+        h = r.t - r.t % 3600
+        key = (r.event_type, h)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(str(r.value)).quantize(
+            Decimal("0.01")
+        )
+    got = {
+        (r.type_a, r.type_b, r.lag_hours): r
+        for r in QUERIES["hourly_crosscorr_leadlag"](spark, SF_SMALL).collect()
+    }
+    types = sorted({et for et, _ in hourly})
+    checked = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            for lag in (-2, -1, 0, 1, 2):
+                xs, ys = [], []
+                for (et, h), x in hourly.items():
+                    if et != ta:
+                        continue
+                    y = hourly.get((tb, h - lag * 3600))
+                    if y is not None:
+                        xs.append(float(x))
+                        ys.append(float(y))
+                key = (ta, tb, lag)
+                if not xs:
+                    assert key not in got
+                    continue
+                r = got[key]
+                assert r.n_pairs == len(xs)
+                if len(xs) < 2 or np.std(xs) == 0 or np.std(ys) == 0:
+                    assert r.ccf is None
+                    continue
+                want = float(np.corrcoef(xs, ys)[0, 1])
+                assert math.isclose(r.ccf, want, rel_tol=1e-6, abs_tol=1e-9)
+                checked += 1
+    assert checked >= 10  # the fixture really exercises the matrix
