@@ -3033,3 +3033,108 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exp_n")
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "ks_test_value_dist",
+    """
+WITH arms AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), hist AS (
+  SELECT v, CAST(sum(p) AS BIGINT) AS c1,
+         CAST(count(*) - sum(p) AS BIGINT) AS c2
+  FROM arms GROUP BY v
+), cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v) AS k1,
+         sum(c2) OVER (ORDER BY v) AS k2
+  FROM hist
+), tot AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n1,
+         CAST(count(*) - sum(p) AS BIGINT) AS n2
+  FROM arms
+), gap AS (
+  SELECT v, n1, n2,
+         abs(CAST(k1 AS HUGEINT) * n2 - CAST(k2 AS HUGEINT) * n1) AS num
+  FROM cum CROSS JOIN tot
+), best AS (
+  SELECT * FROM gap WHERE n1 > 0 AND n2 > 0
+  ORDER BY num DESC, v ASC LIMIT 1
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       CAST(v AS DOUBLE) AS at_value,
+       round(CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+         AS d_stat,
+       CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+         AS reject_95
+FROM best
+""",
+)
+def q_ks_test_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on event values, purchase vs
+    click — the distribution-shape companion to purchase_click_ttest
+    (Welch compares MEANS; KS catches any CDF divergence: variance,
+    skew, bimodality).  D = max_v |F̂₁(v) − F̂₂(v)| is computed entirely
+    in integer arithmetic: per-arm counts on the distinct-VALUE
+    histogram (values are 2-decimal money in a bounded range, so the
+    frame is DOMAIN-bounded — ≤ ~10⁵ rows at any data volume — and the
+    audit-sanctioned global cumulative window runs over that aggregated
+    frame, never the corpus), then the max of |k₁n₂ − k₂n₁| as exact
+    DECIMAL(38,0) cross-multiplication (no float enters the argmax;
+    ties break to the smallest value).  ONE float division finishes D,
+    and reject_95 compares it against the α=0.05 asymptotic critical
+    value c·√((n₁+n₂)/n₁n₂), c = 1.358 — identical fixed-order float
+    ops on both engines.  Scan → keyed agg → bounded-frame window →
+    TakeOrdered(1): no shuffle touches unaggregated rows twice."""
+    from depositaja_spark.functions.numeric import dec
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    arms = ev.select(
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    hist = arms.groupBy("v").agg(
+        F.sum("p").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("p")).cast("long").alias("c2"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "v", F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    tot = arms.agg(
+        F.sum("p").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("p")).cast("long").alias("n2"),
+    )
+    # 1-row broadcast scalar join (CARTESIAN_OK): the per-arm totals.
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("k1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("k2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("num"),
+    )
+    # an empty arm has no defined KS statistic: return zero rows (also
+    # keeps the ANSI session clear of the 0/0 division below)
+    best = (
+        gap.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .orderBy(F.col("num").desc(), F.col("v").asc())
+        .limit(1)
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d_stat = F.col("num").cast("double") / (n1d * n2d)
+    return best.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.col("v").cast("double").alias("at_value"),
+        F.round(d_stat, 6).alias("d_stat"),
+        (d_stat > 1.358 * F.sqrt((n1d + n2d) / (n1d * n2d))).alias("reject_95"),
+    )

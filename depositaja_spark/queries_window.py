@@ -973,3 +973,225 @@ def q_hourly_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num") / F.sqrt(F.col("denx") * F.col("deny")),
         ).alias("ccf"),
     )
+
+
+@query(
+    "mann_kendall_daily_trend",
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS day_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day_unix > a.day_unix
+  GROUP BY 1
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, x)
+  GROUP BY 1
+), v AS (
+  SELECT n.event_type, n.n_days, s.s_stat,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE)
+           / 18.0 AS var_s
+  FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+)
+SELECT event_type, n_days, s_stat, round(var_s, 6) AS var_s,
+       CASE WHEN var_s > 0 THEN round(
+         (CAST(s_stat AS DOUBLE)
+          - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+         / sqrt(var_s), 6) END AS z_stat,
+       CASE WHEN var_s > 0 AND (CAST(s_stat AS DOUBLE)
+              - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+              / sqrt(var_s) > 1.959964 THEN 'increasing'
+            WHEN var_s > 0 AND (CAST(s_stat AS DOUBLE)
+              - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+              / sqrt(var_s) < -1.959964 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM v
+""",
+)
+def q_mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test per event type over DAILY
+    value totals — the distribution-free companion to the Theil–Sen
+    slope (the classic pairing: MK decides WHETHER a monotone trend
+    exists, Theil–Sen estimates HOW steep).  S = Σ_{i<j} sgn(x_j − x_i)
+    is an exact integer (sgn compares exact DECIMAL daily totals, so no
+    float enters the statistic); the tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 is integer arithmetic
+    until ONE division by 18.0, and the continuity-corrected
+    z = (S ∓ 1)/√Var(S) is two float ops (sqrt is IEEE-correctly-rounded
+    → cross-engine safe).  The pair stage is the daily-frame self-join:
+    days are CALENDAR-bounded (a decade is 3 650 rows per type →
+    6.7 M pairs, trivial at any data volume — the reason this runs on
+    daily totals; an hours-grain MK would band pairs like Theil–Sen).
+    Zero-variance series (constant daily totals) return NULL z /
+    'no_trend' on both engines."""
+    from depositaja_spark.functions.numeric import dec
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 86400
+            ).alias("day_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("day_unix").alias("bd"),
+        F.col("x").alias("bx"),
+    )
+    s = (
+        daily.join(
+            b,
+            (F.col("event_type") == F.col("bt")) & (F.col("bd") > F.col("day_unix")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("bx") > F.col("x"), 1)
+                .when(F.col("bx") < F.col("x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tie_term"))
+    )
+    nd = F.col("n_days")
+    v = (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")).cast("double")
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    sd = F.col("s_stat").cast("double")
+    cc = (
+        sd
+        - F.when(F.col("s_stat") > 0, 1.0).when(F.col("s_stat") < 0, -1.0).otherwise(0.0)
+    )
+    # try_divide, not /: z is reused across three output expressions, so
+    # codegen's common-subexpression elimination hoists it OUT of the
+    # var_s > 0 guards and an ANSI session raises DIVIDE_BY_ZERO on a
+    # constant series (sqrt(0) divisor).  NULL from try_divide never
+    # surfaces: every consumer still sits behind the var_s > 0 guard.
+    z = F.try_divide(cc, F.sqrt(F.col("var_s")))
+    return v.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.when(F.col("var_s") > 0, F.round(z, 6)).alias("z_stat"),
+        F.when((F.col("var_s") > 0) & (z > 1.959964), "increasing")
+        .when((F.col("var_s") > 0) & (z < -1.959964), "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+@query(
+    "interarrival_burstiness",
+    """
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) AS s,
+         CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS q
+  FROM seq WHERE gap IS NOT NULL GROUP BY 1
+), g AS (
+  SELECT event_type, n, s / n AS mean_gap,
+         sqrt((q - s * s / n) / n) AS sd_gap
+  FROM m WHERE n > 0
+)
+SELECT event_type, n AS n_gaps,
+       round(mean_gap, 6) AS mean_gap_sec,
+       CASE WHEN mean_gap > 0 THEN round(sd_gap / mean_gap, 6) END AS cv_gap,
+       CASE WHEN sd_gap + mean_gap > 0
+            THEN round((sd_gap - mean_gap) / (sd_gap + mean_gap), 6)
+       END AS burstiness
+FROM g
+""",
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness of user inter-arrival times — the
+    Goh–Barabási B = (σ−μ)/(σ+μ) over the gaps between a user's
+    consecutive events of each type (B→−1 periodic, 0 Poisson, →+1
+    bursty), plus the coefficient of variation.  The lag window
+    partitions by (user_id, event_type) — HIGH-cardinality keys, so no
+    hot window task exists at any scale — and the gaps are exact epoch-
+    second integers: Σgap and Σgap² accumulate exactly (DECIMAL(38,0);
+    gap² ≤ 7·10¹² per row) before the one fixed-order float finish
+    (population σ via the moment identity, sqrt IEEE-safe).  One keyed
+    window + one keyed agg; no joins."""
+    t = F.col("ts").cast("long")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type", (t - F.lag(t).over(w)).alias("gap")
+    )
+    m = (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).cast("double").alias("s"),
+            F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("q"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    g = m.filter(F.col("n") > 0).select(
+        "event_type",
+        "n",
+        (F.col("s") / nd).alias("mean_gap"),
+        F.sqrt((F.col("q") - F.col("s") * F.col("s") / nd) / nd).alias("sd_gap"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round("mean_gap", 6).alias("mean_gap_sec"),
+        F.when(
+            F.col("mean_gap") > 0, F.round(F.col("sd_gap") / F.col("mean_gap"), 6)
+        ).alias("cv_gap"),
+        F.when(
+            F.col("sd_gap") + F.col("mean_gap") > 0,
+            F.round(
+                (F.col("sd_gap") - F.col("mean_gap"))
+                / (F.col("sd_gap") + F.col("mean_gap")),
+                6,
+            ),
+        ).alias("burstiness"),
+    )

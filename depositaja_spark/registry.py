@@ -586,6 +586,9 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
     #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    "mann_kendall_daily_trend",
+    "interarrival_burstiness",
+    "ks_test_value_dist",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -632,9 +635,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "weak_label_votes",
     "nation_seeded_pagerank",
     "prefix_jaccard_near_dups",
-    "hard_negative_pairs",
-    "psi_value_drift",
-    "source_token_divergence",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "kmeans_cluster_sizes",

@@ -143,3 +143,80 @@ def test_winsorized_no_clip_when_tiny_group(spark):
 
     ranked = grouped_ntile_cume(df, "event_type", "value", "event_id", 4, rank_col="vrank")
     assert {r.vrank for r in ranked.collect()} == {1, 2, 3, 4}
+
+
+def test_ks_test_matches_scipy_style_replay(spark):
+    """ks_test_value_dist ≡ the textbook two-sample D computed directly
+    over the fixture (max CDF gap across pooled distinct values, exact
+    Fraction arithmetic so the replay can't float-drift)."""
+    from fractions import Fraction
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
+    from decimal import Decimal
+
+    a = sorted(
+        Decimal(str(r.value)).quantize(Decimal("0.01"))
+        for r in ev
+        if r.event_type == "purchase" and r.value is not None
+    )
+    b = sorted(
+        Decimal(str(r.value)).quantize(Decimal("0.01"))
+        for r in ev
+        if r.event_type == "click" and r.value is not None
+    )
+    import bisect
+
+    best, best_v = Fraction(0), None
+    for v in sorted(set(a) | set(b)):
+        d = abs(
+            Fraction(bisect.bisect_right(a, v), len(a))
+            - Fraction(bisect.bisect_right(b, v), len(b))
+        )
+        if d > best or (d == best and best_v is None):
+            best, best_v = d, v
+    row = QUERIES["ks_test_value_dist"](spark, sf).collect()[0]
+    assert row.n_purchase == len(a) and row.n_click == len(b)
+    assert row.d_stat == round(float(best), 6)
+    assert row.at_value == float(best_v)
+    crit = 1.358 * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
+    assert row.reject_95 == (float(best) > crit)
+
+
+def test_ks_test_planted_shift_rejects(spark, tmp_path):
+    """Two arms drawn from visibly different supports: D must be large
+    and the α=0.05 decision must reject; identical arms must not."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    def write(rows, path):
+        df = spark.createDataFrame(
+            [(i, i * 60, 1, et, v, None) for i, (et, v) in enumerate(rows)],
+            "event_id long, t long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.timestamp_seconds("t").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return str(path)
+
+    shifted = [("purchase", float(10 + i % 40)) for i in range(200)]
+    shifted += [("click", float(200 + i % 40)) for i in range(200)]
+    d = write(shifted, tmp_path / "shift")
+    row = QUERIES["ks_test_value_dist"](spark, d).collect()[0]
+    assert row.d_stat == 1.0 and bool(row.reject_95) is True
+
+    same = [("purchase", float(i % 40)) for i in range(200)]
+    same += [("click", float(i % 40)) for i in range(200)]
+    d = write(same, tmp_path / "same")
+    row = QUERIES["ks_test_value_dist"](spark, d).collect()[0]
+    assert row.d_stat == 0.0 and bool(row.reject_95) is False
+
+    empty = [("purchase", float(i)) for i in range(50)]
+    d = write(empty, tmp_path / "empty")
+    assert QUERIES["ks_test_value_dist"](spark, d).count() == 0

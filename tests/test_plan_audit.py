@@ -55,6 +55,10 @@ CARTESIAN_OK = {
     # cross-correlation: the 5-row literal lag dimension is a bounded
     # broadcast cross join onto the calendar-bounded hourly frame
     "hourly_crosscorr_leadlag",
+    # KS test: the per-arm totals are a 1-row broadcast cross join onto
+    # the domain-bounded distinct-value frame (same scalar shape as the
+    # Benford grand total)
+    "ks_test_value_dist",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

@@ -93,6 +93,8 @@ def test_never_driver_sampled_queries_lead_the_window():
     registry, so the never-sampled set is exactly the round-8
     additions."""
     never = [
+        "mann_kendall_daily_trend", "interarrival_burstiness",
+        "ks_test_value_dist",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",

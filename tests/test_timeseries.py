@@ -455,3 +455,123 @@ def test_ccf_matches_numpy_on_real_data(spark):
                 assert math.isclose(r.ccf, want, rel_tol=1e-6, abs_tol=1e-9)
                 checked += 1
     assert checked >= 10  # the fixture really exercises the matrix
+
+
+# --- Mann–Kendall -------------------------------------------------------------
+
+
+def test_mann_kendall_planted_monotone(spark, tmp_path):
+    """Strictly increasing daily totals: S = n(n-1)/2 (every pair
+    concordant), no ties, z from the closed form, trend='increasing';
+    a strictly decreasing twin mirrors to 'decreasing'."""
+    n = 12
+    rows = [(d, d * 86400, 1, "up", 10.0 + d) for d in range(n)]
+    rows += [(100 + d, d * 86400, 1, "down", 50.0 - d) for d in range(n)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in QUERIES["mann_kendall_daily_trend"](spark, d).collect()}
+    s_max = n * (n - 1) // 2
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert got["up"].s_stat == s_max and got["down"].s_stat == -s_max
+    assert math.isclose(got["up"].var_s, round(var, 6))
+    assert math.isclose(got["up"].z_stat, round((s_max - 1) / math.sqrt(var), 6))
+    assert got["up"].trend == "increasing"
+    assert got["down"].trend == "decreasing"
+    assert math.isclose(got["down"].z_stat, -got["up"].z_stat, abs_tol=1e-9)
+
+
+def test_mann_kendall_constant_series_null_z(spark, tmp_path):
+    """A constant daily series is ONE tie group of size n: the tie term
+    cancels the variance exactly → var_s = 0, z NULL, 'no_trend'."""
+    rows = [(d, d * 86400, 1, "flat", 7.0) for d in range(9)]
+    d = _write_events(spark, tmp_path, rows)
+    (r,) = QUERIES["mann_kendall_daily_trend"](spark, d).collect()
+    assert r.s_stat == 0 and r.var_s == 0.0
+    assert r.z_stat is None and r.trend == "no_trend"
+
+
+def test_mann_kendall_python_replay_on_real_data(spark):
+    """Textbook S / tie-corrected variance replay (exact Decimal daily
+    totals) equals the engine on the real fixture."""
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    )
+    daily: dict = {}
+    for r in ev:
+        key = (r.event_type, r.t - r.t % 86400)
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(str(r.value)).quantize(
+            Decimal("0.01")
+        )
+    got = {
+        r.event_type: r
+        for r in QUERIES["mann_kendall_daily_trend"](spark, SF_SMALL).collect()
+    }
+    types = sorted({et for et, _ in daily})
+    for et in types:
+        xs = [x for (t, _), x in sorted(daily.items()) if t == et]
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        groups: dict = {}
+        for x in xs:
+            groups[x] = groups.get(x, 0) + 1
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in groups.values())
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        r = got[et]
+        assert r.n_days == n and r.s_stat == s
+        assert math.isclose(r.var_s, round(var, 6), abs_tol=1e-9)
+        if var > 0:
+            cc = s - (1 if s > 0 else -1 if s < 0 else 0)
+            assert math.isclose(r.z_stat, round(cc / math.sqrt(var), 6), abs_tol=1e-9)
+
+
+# --- burstiness ---------------------------------------------------------------
+
+
+def test_burstiness_periodic_is_minus_one(spark, tmp_path):
+    """Perfectly periodic per-user arrivals: σ = 0 → CV = 0 and
+    B = (0−μ)/(0+μ) = −1, the Goh–Barabási periodic pole."""
+    rows = [(u * 100 + k, u * 7 + k * 600, u, "tick", 1.0)
+            for u in range(3) for k in range(20)]
+    d = _write_events(spark, tmp_path, rows)
+    (r,) = QUERIES["interarrival_burstiness"](spark, d).collect()
+    assert r.n_gaps == 3 * 19
+    assert r.mean_gap_sec == 600.0 and r.cv_gap == 0.0 and r.burstiness == -1.0
+
+
+def test_burstiness_python_replay_on_real_data(spark):
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            F.col("ts").cast("long").alias("t"), "event_id", "user_id", "event_type"
+        )
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.t, r.event_id)):
+        seqs.setdefault((r.user_id, r.event_type), []).append(r.t)
+    gaps: dict = {}
+    for (_, et), ts in seqs.items():
+        for a, b in zip(ts, ts[1:]):
+            gaps.setdefault(et, []).append(b - a)
+    got = {
+        r.event_type: r
+        for r in QUERIES["interarrival_burstiness"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(gaps)
+    for et, gs in gaps.items():
+        n, s, q = len(gs), float(sum(gs)), float(sum(g * g for g in gs))
+        mean = s / n
+        sd = math.sqrt((q - s * s / n) / n)
+        r = got[et]
+        assert r.n_gaps == n
+        assert r.mean_gap_sec == round(mean, 6)
+        assert math.isclose(r.cv_gap, round(sd / mean, 6), abs_tol=1e-9)
+        assert math.isclose(
+            r.burstiness, round((sd - mean) / (sd + mean), 6), abs_tol=1e-9
+        )
