@@ -12,6 +12,7 @@ PageRank oracle replays the identical k-iteration fold as chained CTEs
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import classifier as clf
@@ -949,4 +950,233 @@ def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_dsir_importance_weights(spark, sf_dir)
         .orderBy(F.desc("logw"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+# --- link prediction over the co-purchase graph --------------------------------
+
+#: wedge-center degree cap: a super-hub neighbor (a part in half the
+#: orders) contributes deg² wedge pairs while adding ~1/deg ≈ 0 to every
+#: resource-allocation score — the same skew class MINING_MAX_BASKET
+#: kills in the basket self-joins, applied here to the common-neighbor
+#: join.  Fixture degrees stay far below the cap (asserted in tests, so
+#: the oracle semantics are cap-invariant there); a planted hub test
+#: exercises the exclusion path.
+LINKPRED_MAX_DEG = 128
+
+#: fixed-point scale for the exact resource-allocation accumulation:
+#: Σ 1/deg(z) is summed as Σ floor(10¹²/deg(z)) in integer arithmetic
+#: (order-independent, cross-engine exact) and divided back ONCE.
+_RA_SCALE = 1_000_000_000_000
+
+
+@query(
+    "copurchase_link_prediction",
+    f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+ctr AS (SELECT node, deg FROM deg WHERE deg <= {LINKPRED_MAX_DEG}),
+wed AS (
+  SELECT a.dst AS x, b.dst AS y, c.deg
+  FROM und a
+  JOIN und b ON a.src = b.src AND a.dst < b.dst
+  JOIN ctr c ON c.node = a.src
+), grp AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+         sum({_RA_SCALE} // deg) AS ras
+  FROM wed GROUP BY 1, 2
+), cand AS (
+  SELECT g.* FROM grp g
+  ANTI JOIN e ON g.x = e.u AND g.y = e.v
+)
+SELECT x AS part_a, y AS part_b, common_neighbors,
+       round(CAST(ras AS DOUBLE) / 1e12, 6) AS ra_score
+FROM cand
+ORDER BY common_neighbors DESC, ras DESC, x ASC, y ASC
+LIMIT 20
+""",
+)
+def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: the top 20
+    NON-adjacent part pairs by common-neighbor count, tie-ranked by the
+    resource-allocation index Σ_z 1/deg(z) (Zhou–Lü–Zhang) — the
+    'customers who bought these also bought' candidate generator.  The
+    wedge join through each common neighbor z is the only quadratic
+    term and is bounded two ways: deg(z) ≤ {LINKPRED_MAX_DEG} excludes
+    super-hubs (their 1/deg contribution is noise, their deg² fan-out
+    is the skew; see LINKPRED_MAX_DEG) and the co-purchase edge set is
+    already support-filtered.  The RA sum accumulates as exact integers
+    (floor(10¹²/deg), one float division at output), so the ranking is
+    order-independent and cross-engine exact; the top-20 carries a full
+    (cn, ras, x, y) tie-break and plans as TakeOrderedAndProject.
+    Existing edges are removed by a left-anti join — predictions are by
+    definition pairs the graph does NOT already contain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ctr = deg.filter(F.col("deg") <= LINKPRED_MAX_DEG)
+    wed = (
+        und.select("src", F.col("dst").alias("x"))
+        .join(und.select("src", F.col("dst").alias("y")), "src")
+        .filter(F.col("x") < F.col("y"))
+        .join(ctr, "src")
+    )
+    grp = wed.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum(
+            F.expr(f"{_RA_SCALE} div deg").cast("decimal(38,0)")
+        ).alias("ras"),
+    )
+    cand = grp.join(
+        edges, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")), "left_anti"
+    )
+    return (
+        cand.orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("ras").desc(),
+            F.col("x").asc(),
+            F.col("y").asc(),
+        )
+        .limit(20)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common_neighbors",
+            F.round(F.col("ras").cast("double") / 1e12, 6).alias("ra_score"),
+        )
+    )
+
+
+# --- decision stump (CART split) ------------------------------------------------
+
+
+@query(
+    "gini_split_stump",
+    """
+WITH ev AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events WHERE value IS NOT NULL
+), hist AS (
+  SELECT v, CAST(sum(p) AS BIGINT) AS np, CAST(count(*) AS BIGINT) AS nc
+  FROM ev GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(sum(np) OVER (ORDER BY v) AS BIGINT) AS npl,
+         CAST(sum(nc) OVER (ORDER BY v) AS BIGINT) AS nl
+  FROM hist
+), tot AS (
+  SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(count(*) AS BIGINT) AS tn FROM ev
+), cand AS (
+  SELECT v, npl, nl, tp, tn,
+         CAST(npl AS DOUBLE) AS npl_d, CAST(nl AS DOUBLE) AS nl_d,
+         CAST(tp - npl AS DOUBLE) AS npr_d, CAST(tn - nl AS DOUBLE) AS nr_d,
+         CAST(tp AS DOUBLE) AS tp_d, CAST(tn AS DOUBLE) AS tn_d
+  FROM cum CROSS JOIN tot WHERE nl < tn
+), sc AS (
+  SELECT *,
+         (npl_d * npl_d + (nl_d - npl_d) * (nl_d - npl_d)) / nl_d
+         + (npr_d * npr_d + (nr_d - npr_d) * (nr_d - npr_d)) / nr_d AS s
+  FROM cand
+), best AS (
+  SELECT * FROM sc ORDER BY s DESC, v ASC LIMIT 1
+)
+SELECT CAST(v AS DOUBLE) AS threshold,
+       nl AS n_left, npl AS n_purchase_left,
+       CAST(tn - nl AS BIGINT) AS n_right,
+       CAST(tp - npl AS BIGINT) AS n_purchase_right,
+       round(s / tn_d
+             - (tp_d * tp_d + (tn_d - tp_d) * (tn_d - tp_d)) / (tn_d * tn_d),
+             6) AS gini_gain
+FROM best
+""",
+)
+def q_gini_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal CART decision stump on event value for the
+    purchase-vs-rest label: the single threshold t maximizing Gini
+    impurity decrease over 'value ≤ t | value > t' — the exact
+    best-first-split a distributed tree learner computes, and the
+    feature-screening primitive (a near-zero best gain says the column
+    can't separate the label).  Every candidate threshold is a distinct
+    2-decimal value, so the search space is the DOMAIN-bounded
+    histogram (≤ ~10⁵ rows at any volume): one corpus scan → keyed agg,
+    cumulative class counts via the window ABOVE that aggregate,
+    totals as a 1-row broadcast, then the impurity score as a
+    fixed-op-order float expression per candidate (counts are exact
+    integers; maximizing Σ_side Σ_c c²/n_side ≡ minimizing weighted
+    Gini) and a TakeOrdered(1) argmax with the v-ascending tie-break.
+    No Python, no iteration, no unbounded shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from depositaja_spark.functions.numeric import dec
+
+    arms = ev.select(
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    hist = arms.groupBy("v").agg(
+        F.sum("p").cast("long").alias("np"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("np").over(w).cast("long").alias("npl"),
+        F.sum("nc").over(w).cast("long").alias("nl"),
+    )
+    tot = arms.agg(
+        F.sum("p").cast("long").alias("tp"),
+        F.count(F.lit(1)).cast("long").alias("tn"),
+    )
+    # 1-row broadcast scalar join (CARTESIAN_OK): the class totals.
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("tn"))
+        .select(
+            "v",
+            "npl",
+            "nl",
+            "tp",
+            "tn",
+            F.col("npl").cast("double").alias("npl_d"),
+            F.col("nl").cast("double").alias("nl_d"),
+            (F.col("tp") - F.col("npl")).cast("double").alias("npr_d"),
+            (F.col("tn") - F.col("nl")).cast("double").alias("nr_d"),
+            F.col("tp").cast("double").alias("tp_d"),
+            F.col("tn").cast("double").alias("tn_d"),
+        )
+    )
+    npl_d, nl_d = F.col("npl_d"), F.col("nl_d")
+    npr_d, nr_d = F.col("npr_d"), F.col("nr_d")
+    sc = cand.withColumn(
+        "s",
+        (npl_d * npl_d + (nl_d - npl_d) * (nl_d - npl_d)) / nl_d
+        + (npr_d * npr_d + (nr_d - npr_d) * (nr_d - npr_d)) / nr_d,
+    )
+    best = sc.orderBy(F.col("s").desc(), F.col("v").asc()).limit(1)
+    tp_d, tn_d = F.col("tp_d"), F.col("tn_d")
+    return best.select(
+        F.col("v").cast("double").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("npl").alias("n_purchase_left"),
+        (F.col("tn") - F.col("nl")).cast("long").alias("n_right"),
+        (F.col("tp") - F.col("npl")).cast("long").alias("n_purchase_right"),
+        F.round(
+            F.col("s") / tn_d
+            - (tp_d * tp_d + (tn_d - tp_d) * (tn_d - tp_d)) / (tn_d * tn_d),
+            6,
+        ).alias("gini_gain"),
     )

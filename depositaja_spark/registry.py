@@ -589,6 +589,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "mann_kendall_daily_trend",
     "interarrival_burstiness",
     "ks_test_value_dist",
+    "copurchase_link_prediction",
+    "gini_split_stump",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -625,9 +627,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_covariance",
     # -- round-7 batch, re-sampled for continuity --------------------------
     "ngram_novelty",
-    "event_path_trigrams",
     "bootstrap_value_ci",
-    "corpus_drop_reasons",
     "classifier_calibration",
     "revenue_gini_by_nation",
     "revenue_lorenz_curve",

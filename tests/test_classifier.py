@@ -163,3 +163,89 @@ def test_kappa_matches_python_replay(spark):
             assert got[k][2] is None, k
         else:
             assert abs(got[k][2] - want[k][2]) <= 2e-6, k
+
+
+# --- decision stump -------------------------------------------------------------
+
+
+def _write_stump_events(spark, tmp_path, rows):
+    """rows: (event_type, value)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, i * 60, 1, et, v, None) for i, (et, v) in enumerate(rows)],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_gini_stump_perfect_split(spark, tmp_path):
+    """Purchases strictly below every non-purchase: the stump lands on
+    the largest purchase value, each side is pure, and the gain equals
+    the parent impurity exactly."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = [("purchase", float(v)) for v in range(1, 21)]       # 1..20
+    rows += [("click", float(v)) for v in range(50, 90)]        # 50..89
+    d = _write_stump_events(spark, tmp_path, rows)
+    (r,) = QUERIES["gini_split_stump"](spark, d).collect()
+    assert r.threshold == 20.0
+    assert r.n_left == 20 and r.n_purchase_left == 20
+    assert r.n_right == 40 and r.n_purchase_right == 0
+    tp, tn = 20.0, 60.0
+    parent = 1.0 - (tp / tn) ** 2 - ((tn - tp) / tn) ** 2
+    assert r.gini_gain == round(parent, 6)
+
+
+def test_gini_stump_matches_bruteforce_replay(spark):
+    """Engine argmax ≡ a python replay that walks every candidate with
+    the same fixed-order float score (bit-identical ops, so the float
+    argmax and tie-break agree exactly)."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    hist: dict = {}
+    for r in ev:
+        v = Decimal(str(r.value)).quantize(Decimal("0.01"))
+        np_, nc = hist.get(v, (0, 0))
+        hist[v] = (np_ + (r.event_type == "purchase"), nc + 1)
+    tp = sum(a for a, _ in hist.values())
+    tn = sum(b for _, b in hist.values())
+    best = None
+    npl = nl = 0
+    for v in sorted(hist):
+        np_, nc = hist[v]
+        npl, nl = npl + np_, nl + nc
+        if nl >= tn:
+            continue
+        npl_d, nl_d = float(npl), float(nl)
+        npr_d, nr_d = float(tp - npl), float(tn - nl)
+        s = (npl_d * npl_d + (nl_d - npl_d) * (nl_d - npl_d)) / nl_d + (
+            npr_d * npr_d + (nr_d - npr_d) * (nr_d - npr_d)
+        ) / nr_d
+        if best is None or s > best[0]:
+            best = (s, v, npl, nl)
+    s, v, npl, nl = best
+    tp_d, tn_d = float(tp), float(tn)
+    gain = s / tn_d - (tp_d * tp_d + (tn_d - tp_d) * (tn_d - tp_d)) / (tn_d * tn_d)
+    (r,) = QUERIES["gini_split_stump"](spark, sf).collect()
+    assert r.threshold == float(v)
+    assert (r.n_left, r.n_purchase_left) == (nl, npl)
+    assert (r.n_right, r.n_purchase_right) == (tn - nl, tp - npl)
+    assert r.gini_gain == round(gain, 6)

@@ -59,6 +59,9 @@ CARTESIAN_OK = {
     # the domain-bounded distinct-value frame (same scalar shape as the
     # Benford grand total)
     "ks_test_value_dist",
+    # decision stump: the class totals are the same 1-row broadcast
+    # scalar join onto the domain-bounded candidate frame
+    "gini_split_stump",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",
