@@ -133,3 +133,113 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- Hilbert curve ------------------------------------------------------------
+
+#: per-dimension bits for the 2-D Hilbert key (32-bit key).  Matches
+#: ZORDER_BITS so the two layouts are directly comparable.
+HILBERT_BITS = 16
+
+
+def hilbert_key(
+    df: DataFrame,
+    xcol: Column,
+    ycol: Column,
+    bits: int = HILBERT_BITS,
+    out_col: str = "hval",
+) -> DataFrame:
+    """Hilbert-curve index of two already-bucketed non-negative int
+    columns — the locality-superior alternative to the Morton key
+    (every consecutive pair of Hilbert cells is Manhattan-adjacent, so
+    range-partitioned files get tighter per-dimension min/max bounds
+    than Z-order's quadrant jumps; Wikipedia's xy2d, unrolled).
+
+    Plan shape: one SELECT per level rewriting (x, y, d) — the nested
+    CASEs reference the previous level's x AND y multiple times, which
+    is exactly what stops CollapseProject from inlining them into an
+    exponential single projection; the result is a LINEAR chain of
+    ``bits`` narrow Projects inside one codegen stage.  Scan-local, no
+    shuffle, no Python."""
+    keep = list(df.columns)
+    out = df.select(
+        "*",
+        xcol.cast("long").alias("_hx"),
+        ycol.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for k in reversed(range(bits)):
+        s = 1 << k
+        rx = F.shiftright(F.col("_hx"), k).bitwiseAND(F.lit(1).cast("long"))
+        ry = F.shiftright(F.col("_hy"), k).bitwiseAND(F.lit(1).cast("long"))
+        quad = (rx * 3).bitwiseXOR(ry)
+        x2 = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(s - 1) - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        y2 = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(s - 1) - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        out = out.select(
+            *keep,
+            x2.cast("long").alias("_hx"),
+            y2.cast("long").alias("_hy"),
+            (F.col("_hd") + F.lit(s * s) * quad).alias("_hd"),
+        )
+    return out.select(*keep, F.col("_hd").alias(out_col))
+
+
+def hilbert_key_sql(
+    base_select: str, key_cols: str, x_expr: str, y_expr: str,
+    bits: int = HILBERT_BITS, out_col: str = "hval",
+) -> str:
+    """The identical unrolled xy2d as chained CTEs (one per level —
+    LINEAR SQL text, where a single expanded expression would be
+    exponential), generated from the same loop as hilbert_key so the
+    oracle reproduces the Spark column bit-for-bit.
+
+    ``base_select`` must be a full SELECT producing ``key_cols`` plus
+    the raw dimension inputs consumed by ``x_expr``/``y_expr``."""
+    ctes = [
+        f"h0 AS (SELECT {key_cols}, CAST({x_expr} AS BIGINT) AS x,"
+        f" CAST({y_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d"
+        f" FROM ({base_select}) hbase)"
+    ]
+    lvl = 0
+    for k in reversed(range(bits)):
+        s = 1 << k
+        rx = f"((x >> {k}) & 1)"
+        ry = f"((y >> {k}) & 1)"
+        quad = f"xor({rx} * 3, {ry})"
+        x2 = f"CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 THEN {s - 1} - y ELSE y END"
+        y2 = f"CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 THEN {s - 1} - x ELSE x END"
+        ctes.append(
+            f"h{lvl + 1} AS (SELECT {key_cols}, CAST({x2} AS BIGINT) AS x,"
+            f" CAST({y2} AS BIGINT) AS y,"
+            f" d + {s * s} * {quad} AS d FROM h{lvl})"
+        )
+        lvl += 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {key_cols}, d AS {out_col} FROM h{lvl}"
+    )
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Pure-Python reference (tests): Wikipedia's iterative xy2d."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d

@@ -3138,3 +3138,172 @@ def q_ks_test_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_stat, 6).alias("d_stat"),
         (d_stat > 1.358 * F.sqrt((n1d + n2d) / (n1d * n2d))).alias("reject_95"),
     )
+
+
+@query(
+    "chi2_type_hour_independence",
+    """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS INT) AS hour
+  FROM events
+), cell AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+), rows_ AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1
+), cols_ AS (
+  SELECT hour, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT hour) AS BIGINT) AS n_hours
+  FROM cell
+), grid AS (
+  SELECT event_type, hour, r, c, coalesce(cell.o, 0) AS o
+  FROM rows_ CROSS JOIN cols_
+  LEFT JOIN cell USING (event_type, hour)
+), term AS (
+  SELECT grid.event_type, grid.hour,
+         (CAST(grid.o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+            / CAST(n AS DOUBLE))
+         * (CAST(grid.o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+            / CAST(n AS DOUBLE))
+         / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS t,
+         n, n_types, n_hours
+  FROM grid
+  CROSS JOIN tot
+), run AS (
+  SELECT n, n_types, n_hours,
+         sum(t) OVER (ORDER BY event_type, hour) AS chi2,
+         row_number() OVER (ORDER BY event_type DESC, hour DESC) AS rn
+  FROM term
+)
+SELECT n AS n_events, n_types, n_hours,
+       CAST((n_types - 1) * (n_hours - 1) AS BIGINT) AS dof,
+       round(chi2, 6) AS chi2,
+       CASE WHEN n_types > 1 AND n_hours > 1 THEN
+         round(sqrt(chi2 / (CAST(n AS DOUBLE)
+               * CAST(least(n_types - 1, n_hours - 1) AS DOUBLE))), 6)
+       END AS cramers_v
+FROM run WHERE rn = 1
+""",
+)
+def q_chi2_type_hour_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between event type and hour-of-
+    day, with Cramér's V effect size — 'is traffic mix time-of-day
+    dependent?', the categorical sibling of the Welch/KS pair.  The
+    contingency table is DOMAIN-bounded (|types| × 24 cells) and every
+    χ² term is the fixed-op-order float (o−rc/n)²/(rc/n) from exact
+    integer marginals; the cross-cell total deliberately avoids a
+    groupBy float sum (addition order would be partition-dependent) by
+    accumulating through an ORDERED running window over the ≤120-row
+    frame and keeping its last row — frame-order accumulation is
+    bit-identical on both engines.  One corpus scan feeds the cell agg;
+    marginals and the grand total are aggregations OF the cell frame,
+    never the corpus; the scalar total joins back as a 1-row broadcast
+    (CARTESIAN_OK)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("ts").cast("long") % 86400) / 3600).cast("int").alias("hour"),
+    )
+    cell = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cell.groupBy("hour").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct("hour").cast("long").alias("n_hours"),
+    )
+    od = F.col("o").cast("double")
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
+    # the full contingency grid: types x hours (both BOUNDED aggregate
+    # frames), zero-filled — a cell with no events still contributes its
+    # expected mass to chi2 (a type confined to one hour would otherwise
+    # score half its true statistic)
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(cell, ["event_type", "hour"], "left")
+        .select("event_type", "hour", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    term = grid.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "hour",
+        ((od - e) * (od - e) / e).alias("t"),
+        "n",
+        "n_types",
+        "n_hours",
+    )
+    wsum = W.orderBy("event_type", "hour").rowsBetween(W.unboundedPreceding, 0)
+    wlast = W.orderBy(F.col("event_type").desc(), F.col("hour").desc())
+    run = term.select(
+        "n",
+        "n_types",
+        "n_hours",
+        F.sum("t").over(wsum).alias("chi2"),
+        F.row_number().over(wlast).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return run.select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        "n_hours",
+        ((F.col("n_types") - 1) * (F.col("n_hours") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        # single-use guarded division: If/CaseWhen branches stay lazy, so
+        # no try_divide is needed (unlike the thrice-used MK z)
+        F.when(
+            (F.col("n_types") > 1) & (F.col("n_hours") > 1),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("n_types") - 1, F.col("n_hours") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+# --- Hilbert layout keys ------------------------------------------------------
+
+def _hilbert_sql() -> str:
+    from depositaja_spark.functions.zorder import HILBERT_BITS, hilbert_key_sql
+
+    return hilbert_key_sql(
+        base_select="SELECT o_orderkey, o_custkey, o_orderdate FROM orders",
+        key_cols="o_orderkey",
+        x_expr="o_custkey % 65536",
+        y_expr="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 % 65536",
+        bits=HILBERT_BITS,
+    )
+
+
+@query("hilbert_layout_keys", _hilbert_sql())
+def q_hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (customer, order-day) — the
+    locality-superior sibling of zorder_layout_keys (consecutive
+    Hilbert cells are always Manhattan-adjacent, so a range-partitioned
+    layout gets strictly tighter per-file min/max bounds than Morton's
+    quadrant jumps; Delta Lake added exactly this as 'liquid
+    clustering').  Same bucketed dimensions as the Z-order query so
+    the two layouts are comparable file-for-file.  The unrolled xy2d
+    state machine is a linear chain of per-level Projects (see
+    functions/zorder.py:hilbert_key — CASEs referencing the previous
+    level twice are what keeps CollapseProject from exponential
+    inlining), scan-local with zero shuffles; the oracle replays the
+    identical levels as chained CTEs."""
+    from depositaja_spark.functions.zorder import hilbert_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return hilbert_key(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        F.col("o_custkey") % 65536,
+        F.floor(F.col("o_orderdate").cast("long") / 86400).cast("long") % 65536,
+    ).select("o_orderkey", "hval")

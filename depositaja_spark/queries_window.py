@@ -1195,3 +1195,122 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("burstiness"),
     )
+
+
+@query(
+    "spearman_daily_corr",
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS day_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.day_unix, a.x AS xa, b.x AS xb
+  FROM daily a JOIN daily b
+    ON a.day_unix = b.day_unix AND a.event_type < b.event_type
+), ranked AS (
+  SELECT type_a, type_b,
+         2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY xa)
+           + count(*) OVER (PARTITION BY type_a, type_b, xa) - 1 AS ua,
+         2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY xb)
+           + count(*) OVER (PARTITION BY type_a, type_b, xb) - 1 AS ub
+  FROM paired
+), m AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ua) AS DOUBLE) AS sa, CAST(sum(ub) AS DOUBLE) AS sb,
+         CAST(sum(ua * ua) AS DOUBLE) AS qa,
+         CAST(sum(ub * ub) AS DOUBLE) AS qb,
+         CAST(sum(ua * ub) AS DOUBLE) AS sab
+  FROM ranked GROUP BY 1, 2
+), g AS (
+  SELECT type_a, type_b, n,
+         CAST(n AS DOUBLE) * sab - sa * sb AS num,
+         CAST(n AS DOUBLE) * qa - sa * sa AS dena,
+         CAST(n AS DOUBLE) * qb - sb * sb AS denb
+  FROM m
+)
+SELECT type_a, type_b, n AS n_days,
+       CASE WHEN dena > 0 AND denb > 0
+            THEN round(num / sqrt(dena * denb), 6) END AS rho
+FROM g
+""",
+)
+def q_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every event-type pair's DAILY
+    value totals — the monotone-association screen that, unlike the
+    Pearson CCF, is outlier-proof and scale-free (one viral day can't
+    fabricate correlation).  Standard tie handling via AVERAGE ranks,
+    kept exact by doubling: 2·avg_rank = 2·min_rank + ties − 1 is an
+    INTEGER, so all five moments accumulate exactly (n ≤ days is
+    calendar-bounded; 4n³ fits a long for multi-century spans) before
+    the one fixed-op-order Pearson finish on doubles (sqrt IEEE-safe).
+    Ranks are windows over the JOINED daily frame (aggregate below, 10
+    pair partitions of ≤days rows); constant series → NULL rho on both
+    engines."""
+    from depositaja_spark.functions.numeric import dec
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 86400
+            ).alias("day_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_unix").alias("bd"),
+        F.col("x").alias("xb"),
+    )
+    paired = daily.join(
+        b,
+        (F.col("day_unix") == F.col("bd")) & (F.col("event_type") < F.col("type_b")),
+    ).select(
+        F.col("event_type").alias("type_a"), "type_b", F.col("x").alias("xa"), "xb"
+    )
+    pw = ["type_a", "type_b"]
+    ua = (
+        2 * F.rank().over(W.partitionBy(*pw).orderBy("xa"))
+        + F.count(F.lit(1)).over(W.partitionBy(*pw, "xa"))
+        - 1
+    )
+    ub = (
+        2 * F.rank().over(W.partitionBy(*pw).orderBy("xb"))
+        + F.count(F.lit(1)).over(W.partitionBy(*pw, "xb"))
+        - 1
+    )
+    ranked = paired.select(
+        "type_a", "type_b", ua.cast("long").alias("ua"), ub.cast("long").alias("ub")
+    )
+    m = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ua").cast("double").alias("sa"),
+        F.sum("ub").cast("double").alias("sb"),
+        F.sum(F.col("ua") * F.col("ua")).cast("double").alias("qa"),
+        F.sum(F.col("ub") * F.col("ub")).cast("double").alias("qb"),
+        F.sum(F.col("ua") * F.col("ub")).cast("double").alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    g = m.select(
+        "type_a",
+        "type_b",
+        "n",
+        (nd * F.col("sab") - F.col("sa") * F.col("sb")).alias("num"),
+        (nd * F.col("qa") - F.col("sa") * F.col("sa")).alias("dena"),
+        (nd * F.col("qb") - F.col("sb") * F.col("sb")).alias("denb"),
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        F.when(
+            (F.col("dena") > 0) & (F.col("denb") > 0),
+            F.round(F.col("num") / F.sqrt(F.col("dena") * F.col("denb")), 6),
+        ).alias("rho"),
+    )

@@ -591,6 +591,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ks_test_value_dist",
     "copurchase_link_prediction",
     "gini_split_stump",
+    "chi2_type_hour_independence",
+    "spearman_daily_corr",
+    "hilbert_layout_keys",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -628,12 +631,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-7 batch, re-sampled for continuity --------------------------
     "ngram_novelty",
     "bootstrap_value_ci",
-    "classifier_calibration",
     "revenue_gini_by_nation",
-    "revenue_lorenz_curve",
     "part_price_size_skyline",
     "weak_label_votes",
-    "nation_seeded_pagerank",
     "prefix_jaccard_near_dups",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",

@@ -220,3 +220,93 @@ def test_ks_test_planted_shift_rejects(spark, tmp_path):
     empty = [("purchase", float(i)) for i in range(50)]
     d = write(empty, tmp_path / "empty")
     assert QUERIES["ks_test_value_dist"](spark, d).count() == 0
+
+
+def test_chi2_independent_table_is_zero(spark, tmp_path):
+    """Counts exactly proportional across hours (every type appears k·c
+    times in hour c): expected == observed everywhere → chi2 = 0,
+    Cramér's V = 0."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows, eid = [], 0
+    for t_i, et in enumerate(["a", "b"]):
+        k = t_i + 1  # type b is 2x type a, uniformly — still independent
+        for hour in range(3):
+            for _ in range(k * 4):
+                rows.append((eid, hour * 3600 + eid % 60, 1, et, 1.0, None))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    (r,) = QUERIES["chi2_type_hour_independence"](spark, str(tmp_path)).collect()
+    assert r.n_events == 36 and r.n_types == 2 and r.n_hours == 3
+    assert r.dof == 2 and r.chi2 == 0.0 and r.cramers_v == 0.0
+
+
+def test_chi2_perfect_dependence_v_is_one(spark, tmp_path):
+    """Each type confined to its own hour: Cramér's V = 1 (chi2 = n·min
+    (R−1, C−1) at perfect association)."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = []
+    for eid in range(60):
+        et = "a" if eid < 30 else "b"
+        hour = 5 if et == "a" else 9
+        rows.append((eid, hour * 3600 + eid, 1, et, 1.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    (r,) = QUERIES["chi2_type_hour_independence"](spark, str(tmp_path)).collect()
+    assert r.cramers_v == 1.0 and r.chi2 == 60.0 and r.dof == 1
+
+
+def test_chi2_python_replay_on_real_data(spark):
+    """Engine ≡ a python replay that accumulates the chi2 terms in the
+    SAME (event_type, hour) order the window does — bit-exact."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .select("event_type", ((F.col("ts").cast("long") % 86400) / 3600).cast("int").alias("h"))
+        .collect()
+    )
+    cells: dict = {}
+    for r in ev:
+        cells[(r.event_type, r.h)] = cells.get((r.event_type, r.h), 0) + 1
+    rmarg: dict = {}
+    cmarg: dict = {}
+    for (t, h), o in cells.items():
+        rmarg[t] = rmarg.get(t, 0) + o
+        cmarg[h] = cmarg.get(h, 0) + o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for t, h in sorted(cells):
+        o = float(cells[(t, h)])
+        e = float(rmarg[t]) * float(cmarg[h]) / float(n)
+        chi2 += (o - e) * (o - e) / e
+    v = (chi2 / (float(n) * float(min(len(rmarg), len(cmarg)) - 1))) ** 0.5
+    (r,) = QUERIES["chi2_type_hour_independence"](spark, sf).collect()
+    assert r.n_events == n
+    assert r.chi2 == round(chi2, 6)
+    assert r.cramers_v == round(v, 6)
+    assert r.dof == (len(rmarg) - 1) * (len(cmarg) - 1)

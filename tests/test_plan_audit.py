@@ -62,6 +62,10 @@ CARTESIAN_OK = {
     # decision stump: the class totals are the same 1-row broadcast
     # scalar join onto the domain-bounded candidate frame
     "gini_split_stump",
+    # chi2 independence: the contingency grid is a cross of the two
+    # BOUNDED marginal frames (|types| x 24) plus the 1-row total —
+    # aggregate algebra, never the corpus
+    "chi2_type_hour_independence",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

@@ -575,3 +575,94 @@ def test_burstiness_python_replay_on_real_data(spark):
         assert math.isclose(
             r.burstiness, round((sd - mean) / (sd + mean), 6), abs_tol=1e-9
         )
+
+
+# --- Spearman -----------------------------------------------------------------
+
+
+def test_spearman_monotone_nonlinear_is_one(spark, tmp_path):
+    """A strictly monotone but wildly nonlinear relation (y = x³ scale)
+    gets rho exactly 1 — the scale-free property Pearson lacks — and
+    the anti-monotone twin gets exactly −1."""
+    rows = []
+    for d in range(15):
+        rows.append((d, d * 86400, 1, "aa", float(1 + d)))
+        rows.append((100 + d, d * 86400, 2, "bb", float((1 + d) ** 3 % 7919) + d * 1e4))
+        rows.append((200 + d, d * 86400, 3, "cc", float(15 - d)))
+    # bb must be monotone in d: (1+d)^3 mod p is not — rebuild plainly
+    rows = []
+    for d in range(15):
+        rows.append((d, d * 86400, 1, "aa", float(1 + d)))
+        rows.append((100 + d, d * 86400, 2, "bb", float((1 + d) ** 3)))
+        rows.append((200 + d, d * 86400, 3, "cc", float(15 - d)))
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.type_a, r.type_b): r.rho
+        for r in QUERIES["spearman_daily_corr"](spark, d).collect()
+    }
+    assert got[("aa", "bb")] == 1.0
+    assert got[("aa", "cc")] == -1.0
+    assert got[("bb", "cc")] == -1.0
+
+
+def test_spearman_average_rank_ties_replay(spark):
+    """Engine ≡ python average-rank Spearman (the textbook tie
+    treatment: Pearson over midranks) on the real fixture."""
+    import numpy as np
+
+    hourly: dict = {}
+    for r in (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "event_type", "value")
+        .collect()
+    ):
+        d = r.t - r.t % 86400
+        key = (r.event_type, d)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(str(r.value)).quantize(
+            Decimal("0.01")
+        )
+    types = sorted({et for et, _ in hourly})
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    got = {
+        (r.type_a, r.type_b): (r.n_days, r.rho)
+        for r in QUERIES["spearman_daily_corr"](spark, SF_SMALL).collect()
+    }
+    checked = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            days = sorted(
+                d for et, d in hourly if et == ta and (tb, d) in hourly
+            )
+            if not days:
+                assert (ta, tb) not in got
+                continue
+            xa = [float(hourly[(ta, d)]) for d in days]
+            xb = [float(hourly[(tb, d)]) for d in days]
+            ra, rb = midranks(xa), midranks(xb)
+            n, rho_want = len(days), None
+            if np.std(ra) > 0 and np.std(rb) > 0:
+                rho_want = float(np.corrcoef(ra, rb)[0, 1])
+            n_got, rho_got = got[(ta, tb)]
+            assert n_got == n
+            if rho_want is None:
+                assert rho_got is None
+            else:
+                # engine ships round(rho, 6); numpy's op order differs in
+                # the last ulps, so compare at the rounding granularity
+                assert math.isclose(rho_got, rho_want, abs_tol=1e-6)
+                checked += 1
+    assert checked >= 8

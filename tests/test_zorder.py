@@ -128,3 +128,54 @@ def test_zorder_key_column_appended_not_reordered(spark):
     keyed = zorder_key(orders, [F.col("o_custkey") % 16, F.col("o_orderkey") % 16], 4)
     assert keyed.columns == orders.columns + ["zval"]
     assert keyed.count() == orders.count()
+
+
+# --- Hilbert ------------------------------------------------------------------
+
+
+def test_hilbert_engine_matches_python_reference(spark):
+    """hilbert_key over the full 16x16 grid at bits=4 ≡ the pure-Python
+    xy2d: a bijection onto 0..255 whose consecutive cells are
+    Manhattan-adjacent — the locality property that distinguishes
+    Hilbert from Morton."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.functions.zorder import hilbert_key, hilbert_xy2d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.hval
+        for r in hilbert_key(grid, F.col("x"), F.col("y"), bits=4).collect()
+    }
+    want = {(x, y): hilbert_xy2d(4, x, y) for x in range(16) for y in range(16)}
+    assert got == want
+    assert sorted(got.values()) == list(range(256))
+    inv = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_shipped_bits_random_coords(spark):
+    """At the shipped 16-bit width: engine ≡ python reference on
+    deterministic pseudo-random coordinates spanning the full range,
+    and keys stay within [0, 2^32)."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.functions.zorder import (
+        HILBERT_BITS,
+        hilbert_key,
+        hilbert_xy2d,
+    )
+
+    coords = [((i * 48271) % 65536, (i * 16807 + 13) % 65536) for i in range(500)]
+    df = spark.createDataFrame(coords, "x long, y long")
+    got = {
+        (r.x, r.y): r.hval
+        for r in hilbert_key(df, F.col("x"), F.col("y"), bits=HILBERT_BITS).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == hilbert_xy2d(HILBERT_BITS, x, y)
+        assert 0 <= d < (1 << (2 * HILBERT_BITS))
