@@ -3307,3 +3307,207 @@ def q_hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey") % 65536,
         F.floor(F.col("o_orderdate").cast("long") / 86400).cast("long") % 65536,
     ).select("o_orderkey", "hval")
+
+
+@query(
+    "signup_purchase_latency",
+    """
+WITH su AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS s
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), fp AS (
+  SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.s
+  GROUP BY 1
+), lat AS (
+  SELECT su.user_id, su.s - su.s % 86400 AS cohort_day,
+         (fp.p - su.s) // 3600 AS lat
+  FROM su LEFT JOIN fp USING (user_id)
+), coh AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_signups,
+         CAST(count(lat) AS BIGINT) AS n_converted
+  FROM lat GROUP BY 1
+), conv AS (
+  SELECT cohort_day, lat,
+         row_number() OVER (PARTITION BY cohort_day
+                            ORDER BY lat, user_id) AS rn
+  FROM lat WHERE lat IS NOT NULL
+)
+SELECT c.cohort_day, c.n_signups, c.n_converted,
+       round(CAST(c.n_converted AS DOUBLE) / c.n_signups, 6) AS conversion,
+       m.lat AS median_hours_to_purchase
+FROM coh c
+LEFT JOIN conv m
+  ON m.cohort_day = c.cohort_day AND m.rn = (c.n_converted + 1) // 2
+""",
+)
+def q_signup_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion per signup cohort: users grouped by signup
+    day, with conversion share and the exact LOWER-median hours from
+    first signup to first subsequent purchase — the activation metric
+    behind onboarding funnels.  Latencies are pure integer arithmetic
+    ((p−s) div 3600 — integer division, never a float floor that can
+    misround at hour boundaries); the median is a pure ORDER STATISTIC
+    (row_number with full (lat, user_id) tie-break, no interpolation
+    arithmetic to diverge across engines), computed through the
+    grouped-bucket rank decomposition (functions/windows.py) so no
+    cohort's converters ever funnel through one window task — cohorts
+    are calendar-days, the hot-partition class the flat window would
+    create over a billion-user table.  Unconverted cohorts ship NULL
+    medians; conversion is one float division from exact counts."""
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("s"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("pt"))
+        .join(su, "user_id")
+        .filter(F.col("pt") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("p"))
+    )
+    lat = su.join(fp, "user_id", "left").select(
+        "user_id",
+        (F.col("s") - F.col("s") % 86400).alias("cohort_day"),
+        F.expr("(p - s) div 3600").alias("lat"),
+    )
+    coh = lat.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("lat").cast("long").alias("n_converted"),
+    )
+    conv = grouped_ntile_cume(
+        lat.filter(F.col("lat").isNotNull()),
+        part_col="cohort_day",
+        value_col="lat",
+        tiebreak_col="user_id",
+        n_tiles=4,
+        rank_col="_r",
+    )
+    med = conv.join(coh, "cohort_day").filter(
+        F.col("_r") == F.expr("(n_converted + 1) div 2")
+    ).select("cohort_day", F.col("lat").alias("median_hours_to_purchase"))
+    return coh.join(med, "cohort_day", "left").select(
+        "cohort_day",
+        "n_signups",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_signups"), 6
+        ).alias("conversion"),
+        "median_hours_to_purchase",
+    )
+
+
+@query(
+    "abc_part_classification",
+    f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum({_EP} * ({_ONE} - {_DISC})) AS DECIMAL(22,4)) AS rev
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+              AS DECIMAL(38,4)) AS c
+  FROM pr
+), tot AS (
+  SELECT CAST(sum(rev) AS DECIMAL(38,4)) AS t,
+         CAST(count(*) AS BIGINT) AS np
+  FROM pr
+), cls AS (
+  SELECT CASE WHEN c * 100 <= t * 80 THEN 'A'
+              WHEN c * 100 <= t * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, t
+  FROM cum CROSS JOIN tot
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS DOUBLE)
+             / CAST(t AS DOUBLE), 6) AS revenue_share
+FROM cls GROUP BY abc_class, t
+""",
+)
+def q_abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by discounted
+    revenue: class A carries the first 80% of cumulative revenue, B the
+    next 15%, C the tail — the 80/20 screen behind assortment and
+    stocking decisions (the per-curve sibling of revenue_lorenz_curve).
+    Classification is EXACT decimal algebra end-to-end: per-part
+    revenue and the running total are DECIMAL sums, and the class
+    boundary test is the cross-multiplication c·100 ≤ t·80 — no float
+    touches the assignment, so ties and knife-edge parts land
+    identically on both engines (order fully pinned by (rev DESC,
+    partkey)).  The engine computes the sf-scaling cumulative sum
+    through the two-level VALUE-bucket decomposition (approx-quantile
+    bounds → exact per-bucket offsets on the bounded bucket frame →
+    within-bucket window), so no single task ever sorts the whole part
+    dimension — the flat window the ORACLE uses is exactly what dies at
+    10⁹ parts.  Output is the cap-bounded 3-row class summary."""
+    from depositaja_spark.functions.numeric import dec
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(22,4)").alias("rev")
+    )
+    # two-level exact cumulative sum over (rev DESC, l_partkey): coarse
+    # value buckets from approx quantiles (equal revs share a bucket and
+    # the bucket index is monotone in the DESC order), exact per-bucket
+    # decimal offsets on the bounded bucket frame, bounded within-bucket
+    # running windows — same decomposition as distributed_ntile
+    d = F.col("rev").cast("double")
+    fracs = [i / 32 for i in range(1, 32)]
+    row = pr.agg(F.percentile_approx(d, fracs, 10_000).alias("q")).collect()[0]
+    bounds = sorted(set(row.q or []))
+    asc = sum(
+        (F.when(d > F.lit(bv), 1).otherwise(0) for bv in bounds),
+        F.lit(0),
+    )
+    b = pr.withColumn("_vb", (F.lit(len(bounds)) - asc).cast("int"))
+    counts = b.groupBy("_vb").agg(F.sum("rev").cast("decimal(38,4)").alias("_bt"))
+    woff = W.orderBy("_vb").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_vb",
+        F.coalesce(F.sum("_bt").over(woff), F.lit(0).cast("decimal(38,4)")).alias(
+            "_boff"
+        ),
+    )
+    wrun = (
+        W.partitionBy("_vb")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(offsets), "_vb").select(
+        "l_partkey",
+        "rev",
+        (F.col("_boff") + F.sum("rev").over(wrun)).cast("decimal(38,4)").alias("c"),
+    )
+    tot = pr.agg(
+        F.sum("rev").cast("decimal(38,4)").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    # 1-row broadcast scalar join (CARTESIAN_OK): the revenue total.
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("c") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("c") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "t",
+    )
+    return cls.groupBy("abc_class", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(
+            F.sum("rev").cast("decimal(38,4)").cast("double")
+            / F.col("t").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    ).drop("t")

@@ -594,6 +594,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "chi2_type_hour_independence",
     "spearman_daily_corr",
     "hilbert_layout_keys",
+    "signup_purchase_latency",
+    "abc_part_classification",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -632,9 +634,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ngram_novelty",
     "bootstrap_value_ci",
     "revenue_gini_by_nation",
-    "part_price_size_skyline",
     "weak_label_votes",
-    "prefix_jaccard_near_dups",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "kmeans_cluster_sizes",

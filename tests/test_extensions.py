@@ -734,3 +734,150 @@ def test_quantile_norm_properties(spark):
         top = max(rs, key=lambda r: r.cdist)
         assert abs(top.cdist - 1.0) < 1e-9
         assert abs(top.norm_quality - qmax) < 1e-9, src
+
+
+# --- signup->purchase latency ---------------------------------------------------
+
+
+def _write_latency_events(spark, tmp_path, rows):
+    """rows: (event_id, t_seconds, user_id, event_type)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(eid, t, uid, et, 1.0, None) for eid, t, uid, et in rows],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_signup_latency_planted_cohort(spark, tmp_path):
+    """Five same-day signups: three convert at 2h/5h/9h (lower median =
+    5), one purchased only BEFORE signup (not a conversion), one never
+    purchases.  Conversion = 3/5."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = [(i, 1000 + i, 10 + i, "signup") for i in range(5)]
+    rows += [
+        (100, 1000 + 0 + 2 * 3600, 10, "purchase"),
+        (101, 1001 + 1 + 5 * 3600, 11, "purchase"),
+        (102, 1002 + 2 + 9 * 3600, 12, "purchase"),
+        (103, 500, 13, "purchase"),  # pre-signup only: no conversion
+    ]
+    d = _write_latency_events(spark, tmp_path, rows)
+    (r,) = QUERIES["signup_purchase_latency"](spark, d).collect()
+    assert r.cohort_day == 0
+    assert r.n_signups == 5 and r.n_converted == 3
+    assert r.conversion == 0.6
+    assert r.median_hours_to_purchase == 5
+
+
+def test_signup_latency_python_replay(spark):
+    """Engine ≡ naive python on the real fixture (first signup, first
+    post-signup purchase, integer-hour floor, lower median)."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .select(F.col("ts").cast("long").alias("t"), "user_id", "event_type")
+        .collect()
+    )
+    s: dict = {}
+    for r in ev:
+        if r.event_type == "signup":
+            s[r.user_id] = min(s.get(r.user_id, r.t), r.t)
+    p: dict = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in s and r.t >= s[r.user_id]:
+            p[r.user_id] = min(p.get(r.user_id, r.t), r.t)
+    coh: dict = {}
+    for uid, su in s.items():
+        day = su - su % 86400
+        lat = (p[uid] - su) // 3600 if uid in p else None
+        coh.setdefault(day, []).append((lat, uid))
+    got = {
+        r.cohort_day: r
+        for r in QUERIES["signup_purchase_latency"](spark, sf).collect()
+    }
+    assert set(got) == set(coh)
+    for day, items in coh.items():
+        conv = sorted((l, u) for l, u in items if l is not None)
+        r = got[day]
+        assert r.n_signups == len(items) and r.n_converted == len(conv)
+        assert r.conversion == round(len(conv) / len(items), 6)
+        if conv:
+            assert r.median_hours_to_purchase == conv[(len(conv) + 1) // 2 - 1][0]
+        else:
+            assert r.median_hours_to_purchase is None
+
+
+# --- ABC classification ----------------------------------------------------------
+
+
+def test_abc_boundary_is_inclusive(spark, tmp_path):
+    """Revenues 80, 15, 5 (one part each): the first part sits EXACTLY
+    at the 80% boundary and must be class A (c·100 ≤ t·80), the second
+    exactly at 95% → B, the tail → C."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = [
+        (1, 1, 80.0, 0.0),
+        (2, 2, 15.0, 0.0),
+        (3, 3, 5.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_share)
+        for r in QUERIES["abc_part_classification"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (1, 0.8), "B": (1, 0.15), "C": (1, 0.05)}
+
+
+def test_abc_replay_on_real_data(spark):
+    """Engine (two-level bucketed cumsum) ≡ flat python replay with the
+    same (rev DESC, partkey) order and exact Decimal arithmetic."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    revs: dict = {}
+    for r in li:
+        ep = Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+        di = Decimal(str(r.l_discount)).quantize(Decimal("0.01"))
+        revs[r.l_partkey] = revs.get(r.l_partkey, Decimal(0)) + ep * (1 - di)
+    total = sum(revs.values())
+    cum = Decimal(0)
+    by_class: dict = {}
+    for pk in sorted(revs, key=lambda k: (-revs[k], k)):
+        cum += revs[pk]
+        cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        n, s = by_class.get(cls, (0, Decimal(0)))
+        by_class[cls] = (n + 1, s + revs[pk])
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_share)
+        for r in QUERIES["abc_part_classification"](spark, sf).collect()
+    }
+    want = {
+        cls: (n, round(float(s) / float(total), 6)) for cls, (n, s) in by_class.items()
+    }
+    assert got == want

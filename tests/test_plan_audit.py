@@ -66,6 +66,9 @@ CARTESIAN_OK = {
     # BOUNDED marginal frames (|types| x 24) plus the 1-row total —
     # aggregate algebra, never the corpus
     "chi2_type_hour_independence",
+    # ABC classification: the revenue total is a 1-row broadcast cross
+    # join onto the per-part cumulative frame
+    "abc_part_classification",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

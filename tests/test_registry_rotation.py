@@ -97,6 +97,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "ks_test_value_dist", "copurchase_link_prediction",
         "gini_split_stump", "chi2_type_hour_independence",
         "spearman_daily_corr", "hilbert_layout_keys",
+        "signup_purchase_latency", "abc_part_classification",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
