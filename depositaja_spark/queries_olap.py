@@ -3511,3 +3511,132 @@ def q_abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     ).drop("t")
+
+
+@query(
+    "mannwhitney_value_dist",
+    """
+WITH arms AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), hist AS (
+  SELECT v, CAST(sum(p) AS BIGINT) AS c1,
+         CAST(count(*) - sum(p) AS BIGINT) AS c2
+  FROM arms GROUP BY v
+), cum AS (
+  SELECT v, c1, c2,
+         CAST(coalesce(sum(c1 + c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cb
+  FROM hist
+), agg AS (
+  SELECT CAST(sum(CAST(c1 AS HUGEINT) * (2 * cb + c1 + c2 + 1)) AS HUGEINT)
+           AS r1x2,
+         CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                  - (c1 + c2)) AS HUGEINT) AS tie3,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM cum
+), u AS (
+  SELECT n1, n2,
+         CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2 AS u1,
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS n12,
+         CAST(n1 + n2 AS DOUBLE) AS n,
+         CAST(tie3 AS DOUBLE) AS t3
+  FROM agg WHERE n1 > 0 AND n2 > 0
+), v AS (
+  SELECT n1, n2, u1, n12,
+         n12 / 12 * ((n + 1) - t3 / (n * (n - 1))) AS var_u
+  FROM u WHERE n > 1
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       round(u1, 2) AS u_stat,
+       round(u1 / n12, 6) AS auc,
+       CASE WHEN var_u > 0
+            THEN round((u1 - n12 / 2) / sqrt(var_u), 6) END AS z_stat
+FROM v
+""",
+)
+def q_mannwhitney_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) on event values, purchase vs
+    click — the nonparametric location test completing the inference
+    family (Welch = means, KS = shape, MWU = stochastic dominance), and
+    U/(n₁n₂) IS the ROC-AUC: the probability a random purchase value
+    exceeds a random click value, the standard scale-free classifier
+    readout.  All rank arithmetic is exact integers on the
+    DOMAIN-bounded distinct-value histogram: doubled midranks 2r̄(v) =
+    2·cum_before + ties + 1 avoid fractions, Σc₁·2r̄ accumulates in
+    128-bit/DECIMAL(38,0), and the tie-corrected normal approximation
+    Var(U) = n₁n₂/12·[(n+1) − Σ(t³−t)/(n(n−1))] divides exact moments
+    in ONE fixed float order (no continuity correction — documented,
+    mirrored in the oracle).  Same scan→keyed-agg→bounded-window shape
+    as the KS test; empty arm or n ≤ 1 → zero rows; all-ties → NULL z
+    but a valid AUC of 0.5."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    from depositaja_spark.functions.numeric import dec
+
+    arms = ev.select(
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    hist = arms.groupBy("v").agg(
+        F.sum("p").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("p")).cast("long").alias("c2"),
+    )
+    wprev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    t = (F.col("c1") + F.col("c2")).cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("c1") + F.col("c2") + 1)
+        ).alias("r1x2"),
+        F.sum(t * t * t - t).alias("tie3"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    u = agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "n1",
+        "n2",
+        (
+            (
+                F.col("r1x2")
+                - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+            ).cast("double")
+            / 2
+        ).alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2").cast("double")).alias("n12"),
+        (F.col("n1") + F.col("n2")).cast("double").alias("n"),
+        F.col("tie3").cast("double").alias("t3"),
+    )
+    v = u.filter(F.col("n") > 1).select(
+        "n1",
+        "n2",
+        "u1",
+        "n12",
+        (
+            F.col("n12")
+            / 12
+            * ((F.col("n") + 1) - F.col("t3") / (F.col("n") * (F.col("n") - 1)))
+        ).alias("var_u"),
+    )
+    return v.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round("u1", 2).alias("u_stat"),
+        F.round(F.col("u1") / F.col("n12"), 6).alias("auc"),
+        F.when(
+            F.col("var_u") > 0,
+            F.round((F.col("u1") - F.col("n12") / 2) / F.sqrt(F.col("var_u")), 6),
+        ).alias("z_stat"),
+    )

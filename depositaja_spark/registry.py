@@ -596,6 +596,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "hilbert_layout_keys",
     "signup_purchase_latency",
     "abc_part_classification",
+    "mannwhitney_value_dist",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -634,7 +635,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ngram_novelty",
     "bootstrap_value_ci",
     "revenue_gini_by_nation",
-    "weak_label_votes",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "kmeans_cluster_sizes",

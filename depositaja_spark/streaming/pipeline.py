@@ -626,3 +626,139 @@ def load_cusum_state(spark, state_dir: str, type_col: str = "event_type"):
             f"{type_col} string, mu double, s double, batches long"
         ).parquet(_os.path.join(path, "state")).collect()
     }
+
+
+def streaming_auc_monitor(
+    events: DataFrame,
+    state_dir: str,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    pos: str = "purchase",
+    neg: str = "click",
+):
+    """Streaming ROC-AUC monitor: maintains the exact two-arm value
+    histogram across micro-batches and lets ``auc_from_state`` read the
+    running Mann–Whitney AUC at any time — the continuously-maintained
+    twin of the batch ``mannwhitney_value_dist`` query (live separation
+    tracking for a score column: 'is the signal that separates
+    purchases from clicks decaying?').
+
+    Per batch the heavy work is ONE distributed keyed count per
+    (value-cents, arm), map-side combined; only the distinct-value
+    summary reaches the driver, and the state IS that histogram —
+    DOMAIN-bounded (2-decimal money in a bounded range, ≤ ~10⁵ cells)
+    no matter how many batches fold in, like the MG/PSI/CUSUM tiers.
+    Values fold at exact cents (DECIMAL(18,2)·100 → BIGINT), so no
+    float ever enters the state.  NULL values and other event types are
+    excluded — the batch twin's WHERE clause.  Replay-safe under
+    foreachBatch's at-least-once contract via the same
+    commit_<batch_id> staged-rename protocol as the other monitors.
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    cell_schema = "cents long, c1 long, c2 long"
+
+    def _batch_cells(batch: DataFrame) -> list:
+        is_pos = F.col(type_col) == pos
+        rows = (
+            batch.filter(
+                F.col(type_col).isin(pos, neg) & F.col(value_col).isNotNull()
+            )
+            .groupBy(
+                (F.col(value_col).cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents")
+            )
+            .agg(
+                F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("c1"),
+                F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("c2"),
+            )
+            .collect()
+        )
+        return [(r.cents, r.c1, r.c2) for r in rows]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return  # at-least-once replay of an already-folded batch
+        folded: dict = {}
+        if commits:
+            path = _os.path.join(state_dir, commits[-1][1])
+            for r in (
+                spark.read.schema(cell_schema)
+                .parquet(_os.path.join(path, "cells"))
+                .collect()
+            ):
+                folded[r.cents] = (r.c1, r.c2)
+        for cents, c1, c2 in _batch_cells(batch):
+            o1, o2 = folded.get(cents, (0, 0))
+            folded[cents] = (o1 + c1, o2 + c2)
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
+        _shutil.rmtree(staged, ignore_errors=True)
+        rows = sorted((c, a, b) for c, (a, b) in folded.items())
+        spark.createDataFrame(rows, cell_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(staged, "cells"))
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def load_auc_state(spark, state_dir: str) -> dict:
+    """The newest committed AUC histogram as {cents: (c1, c2)} (empty
+    before the first commit)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        r.cents: (r.c1, r.c2)
+        for r in spark.read.schema("cents long, c1 long, c2 long")
+        .parquet(_os.path.join(path, "cells"))
+        .collect()
+    }
+
+
+def auc_from_state(cells: dict) -> dict:
+    """Mann–Whitney statistics from the maintained histogram, with the
+    BATCH TWIN'S exact arithmetic (doubled midranks as integers, one
+    float division per output) so the monitor and
+    ``mannwhitney_value_dist`` agree bit-for-bit on identical data.
+    Returns {} until both arms have mass; z is None when the tie-
+    corrected variance is 0 (all values equal)."""
+    import math
+
+    n1 = sum(c1 for c1, _ in cells.values())
+    n2 = sum(c2 for _, c2 in cells.values())
+    if n1 == 0 or n2 == 0 or n1 + n2 <= 1:
+        return {}
+    r1x2 = 0
+    tie3 = 0
+    cb = 0
+    for cents in sorted(cells):
+        c1, c2 = cells[cents]
+        t = c1 + c2
+        r1x2 += c1 * (2 * cb + t + 1)
+        tie3 += t * t * t - t
+        cb += t
+    u1 = float(r1x2 - n1 * (n1 + 1)) / 2
+    n12 = float(n1) * float(n2)
+    n = float(n1 + n2)
+    var_u = n12 / 12 * ((n + 1) - float(tie3) / (n * (n - 1)))
+    z = (u1 - n12 / 2) / math.sqrt(var_u) if var_u > 0 else None
+    return {
+        "n_pos": n1,
+        "n_neg": n2,
+        "u_stat": u1,
+        "auc": u1 / n12,
+        "z_stat": z,
+    }

@@ -310,3 +310,94 @@ def test_chi2_python_replay_on_real_data(spark):
     assert r.chi2 == round(chi2, 6)
     assert r.cramers_v == round(v, 6)
     assert r.dof == (len(rmarg) - 1) * (len(cmarg) - 1)
+
+
+def test_mwu_perfect_separation_auc_one(spark, tmp_path):
+    """Every purchase value above every click value: AUC = 1, z > 0;
+    the flipped arms give AUC = 0 by symmetry (U1 + U2 = n1·n2)."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = [("purchase", float(100 + i)) for i in range(30)]
+    rows += [("click", float(i)) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, i * 60, 1, et, v, None) for i, (et, v) in enumerate(rows)],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    (r,) = QUERIES["mannwhitney_value_dist"](spark, str(tmp_path)).collect()
+    assert r.n_purchase == 30 and r.n_click == 40
+    assert r.auc == 1.0 and r.u_stat == 30.0 * 40.0
+    assert r.z_stat is not None and r.z_stat > 6
+
+
+def test_mwu_all_ties_null_z_auc_half(spark, tmp_path):
+    """Both arms a single shared value: Var(U) collapses to 0 via the
+    tie correction → NULL z, but the midrank AUC is exactly 0.5."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = [("purchase", 7.0)] * 10 + [("click", 7.0)] * 15
+    df = spark.createDataFrame(
+        [(i, i * 60, 1, et, v, None) for i, (et, v) in enumerate(rows)],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    (r,) = QUERIES["mannwhitney_value_dist"](spark, str(tmp_path)).collect()
+    assert r.auc == 0.5 and r.z_stat is None
+
+
+def test_mwu_python_midrank_replay(spark):
+    """Engine ≡ textbook midrank U / tie-corrected z on the fixture,
+    and AUC ≡ the direct pairwise P(purchase > click) + ½P(=) count."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
+    a = [Decimal(str(r.value)).quantize(Decimal("0.01"))
+         for r in ev if r.event_type == "purchase" and r.value is not None]
+    b = [Decimal(str(r.value)).quantize(Decimal("0.01"))
+         for r in ev if r.event_type == "click" and r.value is not None]
+    pooled = sorted(a + b)
+    # midranks per distinct value
+    mid: dict = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j + 1 < len(pooled) and pooled[j + 1] == pooled[i]:
+            j += 1
+        mid[pooled[i]] = Fraction(i + j + 2, 2)  # 1-based average rank
+        i = j + 1
+    r1 = sum(mid[v] for v in a)
+    n1, n2, n = len(a), len(b), len(a) + len(b)
+    u1 = r1 - Fraction(n1 * (n1 + 1), 2)
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(pooled).values())
+    var = float(n1) * n2 / 12 * ((n + 1) - float(tie3) / (n * (n - 1)))
+    # direct AUC cross-check
+    wins = sum(1 for x in a for y in b if x > y)
+    ties = sum(1 for x in a for y in b if x == y)
+    (r,) = QUERIES["mannwhitney_value_dist"](spark, sf).collect()
+    assert r.n_purchase == n1 and r.n_click == n2
+    assert r.u_stat == round(float(u1), 2)
+    assert r.auc == round(float(u1) / (n1 * n2), 6)
+    assert abs(r.auc - (wins + 0.5 * ties) / (n1 * n2)) < 1e-6
+    import math
+
+    z = (float(u1) - n1 * n2 / 2) / math.sqrt(var)
+    assert abs(r.z_stat - z) < 1e-5

@@ -69,6 +69,9 @@ CARTESIAN_OK = {
     # ABC classification: the revenue total is a 1-row broadcast cross
     # join onto the per-part cumulative frame
     "abc_part_classification",
+    # Mann-Whitney U: single global aggregates over the domain-bounded
+    # distinct-value frame; any scalar joins are 1-row broadcasts
+    "mannwhitney_value_dist",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

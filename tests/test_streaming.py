@@ -1335,3 +1335,108 @@ def test_streaming_cusum_matches_python_fold_and_detects_shift(spark, tmp_path):
             # of magnitude in relative terms
             assert s < 0.6 * mu
             assert s_click / mu_click > 3 * (s / mu)
+
+
+def test_streaming_auc_monitor_matches_batch_twin(spark, tmp_path):
+    """The foreachBatch AUC monitor over a 3-file stream: the maintained
+    histogram over ALL folded batches must reproduce the batch
+    mannwhitney_value_dist query bit-for-bit on the same rows, and a
+    planted separated stream must read AUC → 1."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.streaming.pipeline import (
+        auc_from_state,
+        load_auc_state,
+        streaming_auc_monitor,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+    )
+    splits = [ev[i::3] for i in range(3)]
+
+    def write_stream_dir(d, chunks):
+        d.mkdir()
+        for m, chunk in enumerate(chunks):
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_type": pa.array(
+                            [r.event_type for r in chunk], pa.string()
+                        ),
+                        "value": pa.array([r.value for r in chunk], pa.float64()),
+                    }
+                ),
+                d / f"batch_{m}.parquet",
+            )
+            t = time.time() + m * 10
+            os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    d = tmp_path / "auc_stream"
+    write_stream_dir(d, splits)
+    state_dir = str(tmp_path / "auc_state")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_auc_monitor(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_auc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = auc_from_state(load_auc_state(spark, state_dir))
+    # the batch twin over the SAME total population (SF fixture)
+    (want,) = QUERIES["mannwhitney_value_dist"](spark, SF).collect()
+    assert got["n_pos"] == want.n_purchase and got["n_neg"] == want.n_click
+    assert round(got["u_stat"], 2) == want.u_stat
+    assert round(got["auc"], 6) == want.auc
+    assert round(got["z_stat"], 6) == want.z_stat
+
+    # replay safety: re-running the stream from a fresh checkpoint must
+    # skip already-committed batch ids, leaving the state unchanged
+    q2 = (
+        streaming_auc_monitor(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_auc2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    again = auc_from_state(load_auc_state(spark, state_dir))
+    assert again == got
+
+    # planted separation: purchases strictly above clicks → AUC = 1
+    sep_rows = [("purchase", float(500 + i)) for i in range(20)]
+    sep_rows += [("click", float(i)) for i in range(30)]
+
+    class _R:
+        def __init__(self, et, v):
+            self.event_type, self.value = et, v
+
+    d2 = tmp_path / "auc_sep"
+    write_stream_dir(d2, [[_R(*r) for r in sep_rows[i::2]] for i in range(2)])
+    state2 = str(tmp_path / "auc_state2")
+    stream2 = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d2))
+    )
+    q3 = (
+        streaming_auc_monitor(stream2, state2)
+        .option("checkpointLocation", str(tmp_path / "ckpt_auc3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(300)
+    sep = auc_from_state(load_auc_state(spark, state2))
+    assert sep["auc"] == 1.0 and sep["n_pos"] == 20 and sep["n_neg"] == 30
