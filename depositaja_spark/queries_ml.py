@@ -1180,3 +1180,105 @@ def q_gini_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_gain"),
     )
+
+
+@query(
+    "classifier_auc",
+    f"""
+WITH {_CLF_CTES},
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN source IN ({_TGT_SQL}) THEN 1 ELSE 0 END)
+              AS DOUBLE)
+            / sum(CASE WHEN source IN ({_TGT_SQL}) THEN 0 ELSE 1 END)) AS p
+  FROM documents
+),
+sums AS (SELECT t.doc_id, sum(w.weight) AS sw
+         FROM toks t JOIN w ON t.token = w.token
+         GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id, round(coalesce(sums.sw, 0) + p, 6) AS score,
+         CASE WHEN d.source IN ({_TGT_SQL}) THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN sums ON sums.doc_id = d.doc_id
+  CROSS JOIN prior
+),
+r AS (
+  SELECT score, y,
+         row_number() OVER (ORDER BY score, doc_id) AS rn
+  FROM scored
+),
+g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(min(rn) + max(rn) AS BIGINT) AS mm
+  FROM r GROUP BY score
+),
+agg AS (
+  SELECT CAST(sum(CAST(c1 AS HUGEINT) * mm) AS HUGEINT) AS r1x2,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(t - c1) AS BIGINT) AS n2
+  FROM g
+)
+SELECT n1 AS n_target, n2 AS n_rest,
+       round(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS auc,
+       round(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1, 6) AS somers_d
+FROM agg WHERE n1 > 0 AND n2 > 0
+""",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (+ Somers' D = 2·AUC−1) of the NB domain classifier
+    against its own source labels — the threshold-free eval that
+    completes the classifier suite (calibration says whether 0.9 MEANS
+    90%; AUC says how well the score ORDERS target above rest, i.e.
+    P(score_target > score_rest) with ½ credit for ties).  Midranks
+    stay exact: global ranks come from the grouped-bucket rank
+    decomposition (functions/windows.py — quantile value buckets, no
+    single-task sort over the sf-scaling score frame), and per-score
+    min(rank)+max(rank) IS the doubled midrank since tie ranks are
+    consecutive integers; Σc₁·2r̄ accumulates in DECIMAL(38,0)/HUGEINT
+    and TWO float divisions finish AUC and D.  Scores are the same
+    round-6 log-odds the calibration query ships."""
+    from depositaja_spark.functions.cache import tracked_persist
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    docs = _docs(spark, sf_dir)
+    w = clf.token_log_odds(docs, _is_target())
+    t = _is_target()
+    prior = docs.agg(
+        F.log(
+            F.sum(F.when(t, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(t, 0).otherwise(1))
+        ).alias("p")
+    )
+    scored = clf.score_documents(docs, w, prior=prior).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    labels = docs.select("doc_id", F.when(t, 1).otherwise(0).alias("y"))
+    frame = tracked_persist(
+        scored.join(labels, "doc_id").withColumn("_g", F.lit(1))
+    )
+    ranked = grouped_ntile_cume(
+        frame, part_col="_g", value_col="score", tiebreak_col="doc_id",
+        n_tiles=4, rank_col="_r",
+    )
+    g = ranked.groupBy("score").agg(
+        F.sum("y").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+        (F.min("_r") + F.max("_r")).cast("long").alias("mm"),
+    )
+    agg = g.agg(
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("mm")).alias("r1x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).cast("long").alias("n2"),
+    )
+    u1x2 = (
+        F.col("r1x2") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    ).cast("double")
+    n12 = F.col("n1").cast("double") * F.col("n2").cast("double")
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n1").alias("n_target"),
+        F.col("n2").alias("n_rest"),
+        F.round(u1x2 / 2 / n12, 6).alias("auc"),
+        F.round(u1x2 / n12 - 1, 6).alias("somers_d"),
+    )

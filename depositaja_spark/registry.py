@@ -597,6 +597,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "signup_purchase_latency",
     "abc_part_classification",
     "mannwhitney_value_dist",
+    "classifier_auc",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -634,7 +635,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-7 batch, re-sampled for continuity --------------------------
     "ngram_novelty",
     "bootstrap_value_ci",
-    "revenue_gini_by_nation",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "kmeans_cluster_sizes",

@@ -249,3 +249,43 @@ def test_gini_stump_matches_bruteforce_replay(spark):
     assert (r.n_left, r.n_purchase_left) == (nl, npl)
     assert (r.n_right, r.n_purchase_right) == (tn - nl, tp - npl)
     assert r.gini_gain == round(gain, 6)
+
+
+def test_classifier_auc_matches_pairwise_definition(spark):
+    """classifier_auc's midrank formula ≡ the direct definition
+    P(score_target > score_rest) + ½P(=), computed pairwise in python
+    over the same per-doc scores (which calibration already
+    oracle-verifies)."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.functions import classifier as clf
+    from depositaja_spark.queries_ml import _docs, _is_target
+    from depositaja_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf)
+    t = _is_target()
+    w = clf.token_log_odds(docs, t)
+    prior = docs.agg(
+        F.log(
+            F.sum(F.when(t, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(t, 0).otherwise(1))
+        ).alias("p")
+    )
+    scored = clf.score_documents(docs, w, prior=prior).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    labels = docs.select("doc_id", F.when(t, 1).otherwise(0).alias("y"))
+    rows = scored.join(labels, "doc_id").collect()
+    pos = [r.score for r in rows if r.y == 1]
+    neg = [r.score for r in rows if r.y == 0]
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    (r,) = QUERIES["classifier_auc"](spark, sf).collect()
+    assert r.n_target == len(pos) and r.n_rest == len(neg)
+    # engine ships round(auc, 6)
+    assert abs(r.auc - auc) < 1e-6
+    assert abs(r.somers_d - (2 * auc - 1)) < 2e-6
+    assert 0.5 < r.auc <= 1.0  # the classifier does separate its label

@@ -91,6 +91,9 @@ CARTESIAN_OK = {
     # calibration inherits the scorer's 1-row prior broadcast (plus the
     # distributed-ntile bucket-offset scalar)
     "classifier_calibration",
+    # AUC inherits the same 1-row prior broadcast (plus the
+    # grouped-ntile bucket-offset scalar)
+    "classifier_auc",
     # PageRank: N and the per-iteration dangling mass are 1-row broadcast
     # scalars onto the node frame (personalized adds the 1-row seed-count
     # scalar for the teleport vector)

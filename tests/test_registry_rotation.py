@@ -98,7 +98,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "gini_split_stump", "chi2_type_hour_independence",
         "spearman_daily_corr", "hilbert_layout_keys",
         "signup_purchase_latency", "abc_part_classification",
-        "mannwhitney_value_dist",
+        "mannwhitney_value_dist", "classifier_auc",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
