@@ -3640,3 +3640,172 @@ def q_mannwhitney_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("u1") - F.col("n12") / 2) / F.sqrt(F.col("var_u")), 6),
         ).alias("z_stat"),
     )
+
+
+# --- Markov steady state --------------------------------------------------------
+
+_MARKOV_ITERS = 8
+
+_MARKOV_BASE_SQL = """
+tr AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+states AS (
+  SELECT prev_type AS s FROM tr
+  UNION
+  SELECT next_type FROM tr
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+rt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS r FROM tr GROUP BY 1),
+p AS (
+  SELECT prev_type AS src, next_type AS dst, CAST(n AS DOUBLE) / r AS p
+  FROM tr JOIN rt USING (prev_type)
+  UNION ALL
+  -- dangling states teleport uniformly (PageRank's dangling-mass rule)
+  SELECT d.s, t.s, 1.0 / ns.n
+  FROM (SELECT s FROM states
+        WHERE s NOT IN (SELECT prev_type FROM rt)) d
+  CROSS JOIN states t CROSS JOIN ns
+),
+x0 AS (SELECT s, 1.0 / n AS x FROM states CROSS JOIN ns)"""
+
+
+def _markov_iter_sql(k: int) -> str:
+    """One ordered-accumulation power step: contributions sorted by
+    source inside each target's running-sum window, so the float fold
+    order is pinned on both engines (frame-order accumulation is
+    bit-identical; a plain GROUP BY SUM is partition-order dependent)."""
+    return f"""
+c{k} AS (
+  SELECT p.dst AS s, p.src AS src, x.x * p.p AS term
+  FROM x{k - 1} x JOIN p ON x.s = p.src
+),
+x{k} AS (
+  SELECT s, x FROM (
+    SELECT s,
+           sum(term) OVER (PARTITION BY s ORDER BY src
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS x,
+           row_number() OVER (PARTITION BY s ORDER BY src DESC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)"""
+
+
+def _markov_sql() -> str:
+    body = _MARKOV_BASE_SQL + ","
+    body += ",".join(_markov_iter_sql(k) for k in range(1, _MARKOV_ITERS + 1))
+    return f"""
+WITH {body},
+tshare AS (
+  SELECT next_type AS s, CAST(sum(n) AS BIGINT) AS cn FROM tr GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS c FROM tr)
+SELECT x.s AS state,
+       round(x.x, 6) AS steady_prob,
+       round(CAST(coalesce(tshare.cn, 0) AS DOUBLE) / tot.c, 6)
+         AS target_share
+FROM x{_MARKOV_ITERS} x
+LEFT JOIN tshare ON tshare.s = x.s
+CROSS JOIN tot
+"""
+
+
+@query("markov_steady_state", _markov_sql())
+def q_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run share of each action if behavior froze) —
+    8 power-method iterations (_MARKOV_ITERS) over the row-stochastic
+    transition matrix built from event_transition_matrix's counts, with
+    dangling states teleporting uniformly (PageRank's rule, so mass is
+    conserved exactly).  Every frame after the corpus scan is BOUNDED
+    (|types|² + |types| rows); per-iteration sums accumulate through an
+    ORDERED running window (sorted by source state) so the float fold
+    order is pinned on both engines — the tiny-frame analog of the χ²
+    query's ordered total, where a GROUP BY float sum would be
+    partition-order dependent.  target_share (the empirical share of
+    transition TARGETS) ships alongside as the mixing sanity readout.
+    One corpus window + one keyed agg; iterations are driver-free
+    bounded joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from depositaja_spark.functions.cache import tracked_persist
+
+    tr = tracked_persist(tr)
+    states = (
+        tr.select(F.col("prev_type").alias("s"))
+        .union(tr.select("next_type"))
+        .distinct()
+    )
+    ns = states.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rt = tr.groupBy("prev_type").agg(F.sum("n").cast("long").alias("r"))
+    p_obs = tr.join(rt, "prev_type").select(
+        F.col("prev_type").alias("src"),
+        F.col("next_type").alias("dst"),
+        (F.col("n").cast("double") / F.col("r")).alias("p"),
+    )
+    dang = states.join(
+        rt.select(F.col("prev_type").alias("s")), "s", "left_anti"
+    )
+    # bounded-frame cross joins (|types| x |types| x 1-row count)
+    p_dang = (
+        dang.select(F.col("s").alias("src"))
+        .crossJoin(states.select(F.col("s").alias("dst")))
+        .crossJoin(F.broadcast(ns))
+        .select("src", "dst", (F.lit(1.0) / F.col("n")).alias("p"))
+    )
+    p = tracked_persist(p_obs.unionAll(p_dang))
+    x = states.crossJoin(F.broadcast(ns)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("x")
+    )
+    wrun = (
+        W.partitionBy("dst")
+        .orderBy("src")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wlast = W.partitionBy("dst").orderBy(F.col("src").desc())
+    for _ in range(_MARKOV_ITERS):
+        c = x.join(p, x["s"] == p["src"]).select(
+            "dst", "src", (F.col("x") * F.col("p")).alias("term")
+        )
+        x = (
+            c.select(
+                F.col("dst").alias("s"),
+                F.sum("term").over(wrun).alias("x"),
+                F.row_number().over(wlast).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    tshare = tr.groupBy(F.col("next_type").alias("s")).agg(
+        F.sum("n").cast("long").alias("cn")
+    )
+    tot = tr.agg(F.sum("n").cast("long").alias("c"))
+    return (
+        x.join(tshare, "s", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("state"),
+            F.round("x", 6).alias("steady_prob"),
+            F.round(
+                F.coalesce(F.col("cn"), F.lit(0)).cast("double") / F.col("c"), 6
+            ).alias("target_share"),
+        )
+    )

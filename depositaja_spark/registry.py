@@ -598,6 +598,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "abc_part_classification",
     "mannwhitney_value_dist",
     "classifier_auc",
+    "markov_steady_state",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -634,7 +635,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_covariance",
     # -- round-7 batch, re-sampled for continuity --------------------------
     "ngram_novelty",
-    "bootstrap_value_ci",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "kmeans_cluster_sizes",

@@ -72,6 +72,9 @@ CARTESIAN_OK = {
     # Mann-Whitney U: single global aggregates over the domain-bounded
     # distinct-value frame; any scalar joins are 1-row broadcasts
     "mannwhitney_value_dist",
+    # Markov steady state: the dangling teleport grid is a cross of
+    # BOUNDED |types|-row frames plus 1-row count/total scalars
+    "markov_steady_state",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

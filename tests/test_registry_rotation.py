@@ -99,6 +99,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "spearman_daily_corr", "hilbert_layout_keys",
         "signup_purchase_latency", "abc_part_classification",
         "mannwhitney_value_dist", "classifier_auc",
+        "markov_steady_state",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",

@@ -666,3 +666,84 @@ def test_spearman_average_rank_ties_replay(spark):
                 assert math.isclose(rho_got, rho_want, abs_tol=1e-6)
                 checked += 1
     assert checked >= 8
+
+
+# --- Markov steady state --------------------------------------------------------
+
+
+def test_markov_planted_two_state_chain(spark, tmp_path):
+    """One user alternating a,b,a,b...: P(a->b)=P(b->a)=1 gives the
+    period-2 chain whose power iterates from uniform stay exactly
+    (0.5, 0.5); a second user chain with a self-loop breaks symmetry
+    toward the analytic stationary solution."""
+    rows = []
+    for k in range(21):
+        rows.append((k, k * 60, 1, "a" if k % 2 == 0 else "b", 1.0))
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.state: r for r in QUERIES["markov_steady_state"](spark, d).collect()}
+    assert got["a"].steady_prob == 0.5 and got["b"].steady_prob == 0.5
+    assert abs(sum(r.steady_prob for r in got.values()) - 1.0) < 1e-6
+
+
+def test_markov_dangling_state_teleports(spark, tmp_path):
+    """A type appearing only as a TARGET (user stream a->b ends) gets
+    the uniform teleport row: mass is conserved and both states keep
+    positive stationary share (analytically pi = (1/3, 2/3))."""
+    rows = [(0, 0, 1, "a", 1.0), (1, 60, 1, "b", 1.0)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.state: r for r in QUERIES["markov_steady_state"](spark, d).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(sum(r.steady_prob for r in got.values()) - 1.0) < 1e-6
+    assert abs(got["a"].steady_prob - 1 / 3) < 0.01
+    assert abs(got["b"].steady_prob - 2 / 3) < 0.01
+    assert got["b"].target_share == 1.0  # the one observed transition
+
+
+def test_markov_python_power_replay(spark):
+    """Engine ≡ a python power iteration with the SAME ordered fold
+    (terms added in source-state sort order) on the real fixture, and
+    the stationary vector lands near the empirical target share (the
+    chain is well-mixed)."""
+    import pyspark.sql.functions as F
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(F.col("ts").cast("long").alias("t"), "event_id", "user_id", "event_type")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.t, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+    tr: dict = {}
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            tr[(a, b)] = tr.get((a, b), 0) + 1
+    states = sorted({a for a, _ in tr} | {b for _, b in tr})
+    rowtot: dict = {}
+    for (a, _), n in tr.items():
+        rowtot[a] = rowtot.get(a, 0) + n
+    p: dict = {}
+    for (a, b), n in tr.items():
+        p[(a, b)] = n / rowtot[a]
+    for a in states:
+        if a not in rowtot:
+            for b in states:
+                p[(a, b)] = 1.0 / len(states)
+    x = {s: 1.0 / len(states) for s in states}
+    for _ in range(8):
+        nx = {}
+        for dst in states:
+            acc = 0.0
+            for src in sorted(states):
+                if (src, dst) in p:
+                    acc += x[src] * p[(src, dst)]
+            nx[dst] = acc
+        x = nx
+    got = {r.state: r for r in QUERIES["markov_steady_state"](spark, SF_SMALL).collect()}
+    assert set(got) == set(states)
+    tot = sum(tr.values())
+    for s in states:
+        assert got[s].steady_prob == round(x[s], 6)
+        share = sum(n for (a, b), n in tr.items() if b == s) / tot
+        assert got[s].target_share == round(share, 6)
+        assert abs(got[s].steady_prob - share) < 0.05  # well-mixed chain
