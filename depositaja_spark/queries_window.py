@@ -1167,7 +1167,10 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("gap").cast("decimal(38,0)")).cast("double").alias("s"),
-            F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)"))
+            # cast BEFORE the square (the oracle's CAST(gap AS HUGEINT) *
+            # gap): a long*long square is the first thing to overflow at
+            # century-scale gaps, a decimal one never does
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
             .cast("double")
             .alias("q"),
         )
