@@ -252,3 +252,38 @@ def test_compact_empty_table(spark, tmp_path):
     spark.createDataFrame([], "a long, b string").write.parquet(src)
     out = compact_table(spark, src, str(tmp_path / "dst"), n_files=4)
     assert out.count() == 0
+
+
+def test_session4_queries_empty_tables(spark, tmp_path):
+    """Every session-4 registry query returns zero rows (never throws —
+    no hidden 0/0 under the ANSI session, no unguarded collect) when its
+    input tables are empty: the empty-partition-day contract."""
+    from depositaja_spark import registry
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    for name in [
+        "mann_kendall_daily_trend", "interarrival_burstiness",
+        "ks_test_value_dist", "mannwhitney_value_dist",
+        "chi2_type_hour_independence", "spearman_daily_corr",
+        "hourly_crosscorr_leadlag", "copurchase_link_prediction",
+        "gini_split_stump", "hilbert_layout_keys",
+        "signup_purchase_latency", "abc_part_classification",
+        "classifier_auc", "markov_steady_state",
+    ]:
+        assert registry.QUERIES[name](spark, str(tmp_path)).count() == 0, name
