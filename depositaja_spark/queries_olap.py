@@ -3809,3 +3809,201 @@ def q_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target_share"),
         )
     )
+
+
+@query(
+    "ab_conversion_ztest",
+    """
+WITH assign AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+  FROM assign
+), g AS (
+  SELECT n0, c0, n1, c1,
+         CAST(c0 AS DOUBLE) / n0 AS p0,
+         CAST(c1 AS DOUBLE) / n1 AS p1,
+         CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp
+  FROM m WHERE n0 > 0 AND n1 > 0
+)
+SELECT n0 AS n_control, c0 AS conv_control,
+       n1 AS n_treatment, c1 AS conv_treatment,
+       round(p1 - p0, 6) AS lift,
+       CASE WHEN pp > 0 AND pp < 1 THEN
+         round((p1 - p0)
+               / sqrt(pp * (1 - pp)
+                      * (1.0 / n0 + 1.0 / n1)), 6)
+       END AS z_stat
+FROM g
+""",
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (did the user ever
+    purchase) between two DETERMINISTIC hash-split arms — the A/B
+    readout primitive, with the split itself the same md5-parity
+    assignment the train/val splitter uses (reproducible, shuffle-free,
+    engine-portable via the repo's 60-bit md5 prefix hash).  Counts are
+    exact integers from one user-keyed aggregation + one global fold;
+    the pooled-variance z is ONE fixed float expression; degenerate
+    pools (0% or 100% conversion) return NULL z, an empty arm returns
+    zero rows — all ANSI-safe."""
+    ev = _t(spark, sf_dir, "events")
+    from depositaja_spark.functions.text import hash64
+
+    assign = ev.groupBy(
+        "user_id",
+        (hash64(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    m = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    g = m.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        (F.col("c0").cast("double") / F.col("n0")).alias("p0"),
+        (F.col("c1").cast("double") / F.col("n1")).alias("p1"),
+        (
+            (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+        ).alias("pp"),
+    )
+    pp = F.col("pp")
+    return g.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("c1").alias("conv_treatment"),
+        F.round(F.col("p1") - F.col("p0"), 6).alias("lift"),
+        F.when(
+            (pp > 0) & (pp < 1),
+            F.round(
+                (F.col("p1") - F.col("p0"))
+                / F.sqrt(
+                    pp
+                    * (1 - pp)
+                    * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+                ),
+                6,
+            ),
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "cuped_variance_reduction",
+    """
+WITH bounds AS (
+  SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+          + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+  FROM events WHERE value IS NOT NULL
+), split AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+                       THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+              AS DECIMAL(18,2)) AS x,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+                       THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+              AS DECIMAL(18,2)) AS y
+  FROM events CROSS JOIN bounds
+  WHERE value IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM split
+), g AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS varx_n,
+         CAST(n AS DOUBLE) * syy - sy * sy AS vary_n
+  FROM m WHERE n > 1
+)
+SELECT n AS n_users,
+       CASE WHEN varx_n > 0 THEN round(cov_n / varx_n, 6) END AS theta,
+       CASE WHEN varx_n > 0 AND vary_n > 0
+            THEN round(cov_n / varx_n * cov_n / vary_n, 6) END
+         AS variance_reduction
+FROM g
+""",
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): the experimentation-platform variance
+    cut — per-user PRE-period value (first 15 days) as the covariate X
+    for the POST-period metric Y, θ = cov(X,Y)/var(X), and the achieved
+    reduction var(Y−θX)/var(Y) shortfall = ρ² = θ·cov/var(Y).  All five
+    moments are exact-DECIMAL sums over one user-keyed aggregation (the
+    t-test's expansion, two variables); θ and ρ² are fixed-op-order
+    float finishes.  The pre/post boundary is the DATA-DERIVED calendar
+    midpoint ((min+max) div 2 epoch, a 1-row broadcast scalar) — a
+    production run parameterizes it to the experiment start.
+    Zero pre-period variance → NULL θ (CUPED degenerates to the plain
+    estimator); n ≤ 1 → zero rows."""
+    from depositaja_spark.functions.numeric import dec
+
+    t = F.col("ts").cast("long")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # data-derived calendar midpoint: 1-row broadcast scalar (CARTESIAN_OK)
+    bounds = ev.agg(
+        F.expr("(min(cast(ts as long)) + max(cast(ts as long))) div 2").alias("mid")
+    )
+    split = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(t < F.col("mid"), dec("value")).otherwise(F.lit(0)))
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.sum(F.when(t >= F.col("mid"), dec("value")).otherwise(F.lit(0)))
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+    )
+    m = split.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    g = m.filter(F.col("n") > 1).select(
+        "n",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_n"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
+    )
+    return g.select(
+        F.col("n").alias("n_users"),
+        F.when(
+            F.col("varx_n") > 0, F.round(F.col("cov_n") / F.col("varx_n"), 6)
+        ).alias("theta"),
+        F.when(
+            (F.col("varx_n") > 0) & (F.col("vary_n") > 0),
+            F.round(
+                F.col("cov_n") / F.col("varx_n") * F.col("cov_n") / F.col("vary_n"),
+                6,
+            ),
+        ).alias("variance_reduction"),
+    )

@@ -599,6 +599,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "mannwhitney_value_dist",
     "classifier_auc",
     "markov_steady_state",
+    "ab_conversion_ztest",
+    "cuped_variance_reduction",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -632,9 +634,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "asof_last_click",
     "asof_next_click",
     "image_ahash_dups",
-    "embedding_covariance",
     # -- round-7 batch, re-sampled for continuity --------------------------
-    "ngram_novelty",
     # -- older batches, re-sampled for continuity --------------------------
     "multimodal_features",
     "kmeans_cluster_sizes",

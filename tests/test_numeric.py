@@ -401,3 +401,139 @@ def test_mwu_python_midrank_replay(spark):
 
     z = (float(u1) - n1 * n2 / 2) / math.sqrt(var)
     assert abs(r.z_stat - z) < 1e-5
+
+
+def _write_user_events(spark, tmp_path, rows):
+    """rows: (event_id, t_seconds, user_id, event_type, value)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(eid, t, uid, et, v, None) for eid, t, uid, et, v in rows],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _md5_arm(uid):
+    import hashlib
+
+    return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+
+def test_ab_ztest_matches_hash_replay(spark, tmp_path):
+    """Arms replayed with the same md5-prefix parity in python; counts,
+    lift, and pooled z agree with the closed form."""
+    import math
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for uid in range(40):
+        rows.append((eid, 60 * eid, uid, "view", 1.0)); eid += 1
+        if uid % 3 == 0:
+            rows.append((eid, 60 * eid, uid, "purchase", 5.0)); eid += 1
+    d = _write_user_events(spark, tmp_path, rows)
+    (r,) = QUERIES["ab_conversion_ztest"](spark, d).collect()
+    arms = {uid: _md5_arm(uid) for uid in range(40)}
+    conv = {uid: uid % 3 == 0 for uid in range(40)}
+    n0 = sum(1 for u in arms if arms[u] == 0)
+    n1 = 40 - n0
+    c0 = sum(1 for u in arms if arms[u] == 0 and conv[u])
+    c1 = sum(1 for u in arms if arms[u] == 1 and conv[u])
+    assert (r.n_control, r.conv_control) == (n0, c0)
+    assert (r.n_treatment, r.conv_treatment) == (n1, c1)
+    p0, p1, pp = c0 / n0, c1 / n1, (c0 + c1) / 40
+    assert r.lift == round(p1 - p0, 6)
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert abs(r.z_stat - z) < 1e-6
+
+
+def test_ab_ztest_degenerate_pool_null_z(spark, tmp_path):
+    """Every user converts: pooled p = 1 → NULL z, lift 0."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = []
+    for uid in range(20):
+        rows.append((uid, 60 * uid, uid, "purchase", 5.0))
+    d = _write_user_events(spark, tmp_path, rows)
+    (r,) = QUERIES["ab_conversion_ztest"](spark, d).collect()
+    assert r.z_stat is None and r.lift == 0.0
+    assert r.conv_control == r.n_control and r.conv_treatment == r.n_treatment
+
+
+def test_cuped_planted_linear_covariate(spark, tmp_path):
+    """Post-period value exactly 2× the pre-period value per user:
+    θ = 2 and the variance reduction is exactly 1 (ρ² = 1); a
+    constant pre-period yields NULL θ."""
+    from depositaja_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for uid in range(10):
+        pre = float(10 + uid)
+        rows.append((eid, 1000 + uid, uid, "view", pre)); eid += 1          # pre period
+        rows.append((eid, 1296000 + 1000 + uid, uid, "view", 2 * pre)); eid += 1  # post
+    d = _write_user_events(spark, tmp_path, rows)
+    (r,) = QUERIES["cuped_variance_reduction"](spark, d).collect()
+    assert r.n_users == 10
+    assert r.theta == 2.0 and r.variance_reduction == 1.0
+
+    rows = []
+    eid = 0
+    for uid in range(10):
+        rows.append((eid, 1000 + uid, uid, "view", 5.0)); eid += 1
+        rows.append((eid, 1296000 + 1000 + uid, uid, "view", float(uid))); eid += 1
+    d2 = tmp_path / "flatpre"
+    d2.mkdir()
+    d = _write_user_events(spark, d2, rows)
+    (r,) = QUERIES["cuped_variance_reduction"](spark, d).collect()
+    assert r.theta is None and r.variance_reduction is None
+
+
+def test_cuped_python_moment_replay(spark):
+    """Engine ≡ exact-Decimal moment replay on the real fixture, and the
+    reduction equals ρ² of the per-user (pre, post) pairs."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("long").alias("t"), "user_id", "value")
+        .collect()
+    )
+    mid = (min(r.t for r in rows) + max(r.t for r in rows)) // 2
+    per_user: dict = {}
+    for r in rows:
+        x, y = per_user.get(r.user_id, (Decimal(0), Decimal(0)))
+        v = Decimal(str(r.value)).quantize(Decimal("0.01"))
+        if r.t < mid:
+            x += v
+        else:
+            y += v
+        per_user[r.user_id] = (x, y)
+    n = len(per_user)
+    sx = float(sum(x for x, _ in per_user.values()))
+    sy = float(sum(y for _, y in per_user.values()))
+    sxx = float(sum(x * x for x, _ in per_user.values()))
+    syy = float(sum(y * y for _, y in per_user.values()))
+    sxy = float(sum(x * y for x, y in per_user.values()))
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    (r,) = QUERIES["cuped_variance_reduction"](spark, sf).collect()
+    assert r.n_users == n
+    assert r.theta == round(cov_n / varx_n, 6)
+    assert r.variance_reduction == round(cov_n / varx_n * cov_n / vary_n, 6)
+    assert 0 <= r.variance_reduction <= 1

@@ -75,6 +75,9 @@ CARTESIAN_OK = {
     # Markov steady state: the dangling teleport grid is a cross of
     # BOUNDED |types|-row frames plus 1-row count/total scalars
     "markov_steady_state",
+    # CUPED: the data-derived period midpoint is a 1-row broadcast
+    # cross join onto the corpus scan
+    "cuped_variance_reduction",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

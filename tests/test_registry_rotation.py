@@ -99,7 +99,8 @@ def test_never_driver_sampled_queries_lead_the_window():
         "spearman_daily_corr", "hilbert_layout_keys",
         "signup_purchase_latency", "abc_part_classification",
         "mannwhitney_value_dist", "classifier_auc",
-        "markov_steady_state",
+        "markov_steady_state", "ab_conversion_ztest",
+        "cuped_variance_reduction",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
