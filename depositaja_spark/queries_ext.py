@@ -2172,3 +2172,78 @@ def q_clean_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("clean_text").alias("text")
     )
     return clean_corpus(clipped)
+
+
+_KFOLD_SALT = "kfold-v1:"
+_KFOLD_K = 5
+
+
+@query(
+    "kfold_split_balance",
+    f"""
+WITH assign AS (
+  SELECT doc_id, source,
+         CAST({_H64.format(x=f"'{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)")}
+              % {_KFOLD_K} AS INT) AS fold
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM assign
+)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS frac,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources_present,
+       round(CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS src0_share
+FROM assign CROSS JOIN tot
+GROUP BY fold, tot.n
+""",
+)
+def q_kfold_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment audit: every document lands in
+    fold = H(salt‖doc_id) mod {_KFOLD_K} — deterministic, shuffle-free,
+    re-run/backfill-stable like train_val_split (the salt versions the
+    folding) — and the audit reports each fold's size, fraction, source
+    coverage, and a pinned source's share, the balance readout that tells
+    you whether per-fold metrics are comparable.  One row-local
+    projection + one keyed agg over the {_KFOLD_K}-row fold frame; the
+    corpus total is a 1-row broadcast scalar.  The hash is the repo's
+    portable 60-bit md5 prefix, so fold membership is engine-identical
+    by construction."""
+    d = _docs(spark, sf_dir)
+    from depositaja_spark.functions.text import hash64
+
+    assign = d.select(
+        "doc_id",
+        "source",
+        (
+            hash64(F.concat(F.lit(_KFOLD_SALT), F.col("doc_id").cast("string")))
+            % _KFOLD_K
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    tot = assign.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+    )
+    # 1-row broadcast scalar join (CARTESIAN_OK): the corpus total.
+    return (
+        assign.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.count(F.lit(1)).cast("double") / F.col("n"), 6).alias("frac"),
+            F.count_distinct("source").cast("long").alias("n_sources_present"),
+            F.round(
+                F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("src0_share"),
+        )
+        .drop("n")
+    )

@@ -601,6 +601,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "markov_steady_state",
     "ab_conversion_ztest",
     "cuped_variance_reduction",
+    "kfold_split_balance",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -634,10 +635,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "asof_last_click",
     "asof_next_click",
     "image_ahash_dups",
-    # -- round-7 batch, re-sampled for continuity --------------------------
-    # -- older batches, re-sampled for continuity --------------------------
-    "multimodal_features",
-    "kmeans_cluster_sizes",
+    "embedding_covariance",
 )
 
 

@@ -881,3 +881,55 @@ def test_abc_replay_on_real_data(spark):
         cls: (n, round(float(s) / float(total), 6)) for cls, (n, s) in by_class.items()
     }
     assert got == want
+
+
+def test_kfold_assignment_is_stable_and_complete(spark):
+    """Fold membership is a pure function of (salt, doc_id): repeated
+    runs agree row-for-row, every fold is non-empty at fixture scale,
+    fractions sum to 1, and the assignment matches a python md5
+    replay."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.queries_ext import _KFOLD_K, _KFOLD_SALT
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["kfold_split_balance"](spark, sf).collect()
+    assert {r.fold for r in rows} == set(range(_KFOLD_K))
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-5
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+    # python replay of the fold hash on a sample of doc ids
+    docs = load_table(spark, sf, "documents").select("doc_id").limit(50).collect()
+    by_fold: dict = {}
+    for r in docs:
+        h = int(
+            hashlib.md5(f"{_KFOLD_SALT}{r.doc_id}".encode()).hexdigest()[:15], 16
+        )
+        by_fold[r.doc_id] = h % _KFOLD_K
+    # rerun → identical (determinism), and spot-agree with the replay by
+    # reconstructing assignment from per-fold doc membership
+    again = QUERIES["kfold_split_balance"](spark, sf).collect()
+    assert sorted(tuple(r) for r in again) == sorted(tuple(r) for r in rows)
+    from depositaja_spark.functions.text import hash64
+
+    assign = (
+        load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            (
+                hash64(
+                    F.concat(F.lit(_KFOLD_SALT), F.col("doc_id").cast("string"))
+                )
+                % _KFOLD_K
+            ).alias("fold"),
+        )
+        .filter(F.col("doc_id").isin([r.doc_id for r in docs]))
+        .collect()
+    )
+    for r in assign:
+        assert r.fold == by_fold[r.doc_id]

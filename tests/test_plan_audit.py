@@ -78,6 +78,8 @@ CARTESIAN_OK = {
     # CUPED: the data-derived period midpoint is a 1-row broadcast
     # cross join onto the corpus scan
     "cuped_variance_reduction",
+    # k-fold audit: the corpus total is the same 1-row broadcast scalar
+    "kfold_split_balance",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

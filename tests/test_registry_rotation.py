@@ -100,7 +100,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "signup_purchase_latency", "abc_part_classification",
         "mannwhitney_value_dist", "classifier_auc",
         "markov_steady_state", "ab_conversion_ztest",
-        "cuped_variance_reduction",
+        "cuped_variance_reduction", "kfold_split_balance",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
