@@ -285,5 +285,7 @@ def test_session4_queries_empty_tables(spark, tmp_path):
         "gini_split_stump", "hilbert_layout_keys",
         "signup_purchase_latency", "abc_part_classification",
         "classifier_auc", "markov_steady_state",
+        "ab_conversion_ztest", "cuped_variance_reduction",
+        "kfold_split_balance",
     ]:
         assert registry.QUERIES[name](spark, str(tmp_path)).count() == 0, name
