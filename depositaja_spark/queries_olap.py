@@ -3818,7 +3818,8 @@ WITH assign AS (
   SELECT user_id,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
            % 2 AS arm,
-         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         max(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY 1, 2
 ), m AS (
   SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
@@ -3845,8 +3846,10 @@ FROM g
 """,
 )
 def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test on user conversion (did the user ever
-    purchase) between two DETERMINISTIC hash-split arms — the A/B
+    """Two-proportion z-test on user conversion (did the user ever make
+    a HIGH-VALUE purchase, value ≥ 150 — the fixture's ~45% rate; 'ever
+    purchased anything' saturates at 100% and degenerates the test)
+    between two DETERMINISTIC hash-split arms — the A/B
     readout primitive, with the split itself the same md5-parity
     assignment the train/val splitter uses (reproducible, shuffle-free,
     engine-portable via the repo's 60-bit md5 prefix hash).  Counts are
@@ -3862,7 +3865,10 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash64(F.col("user_id").cast("string")) % 2).alias("arm"),
     ).agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
         ).alias("converted")
     )
     m = assign.agg(
@@ -4006,4 +4012,217 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("variance_reduction"),
+    )
+
+
+@query(
+    "session_type_affinity",
+    """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM ids),
+n AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions
+      FROM st),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1
+),
+copresent AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(CAST(n_both AS DOUBLE) * n_sessions
+             / (CAST(sa.n AS DOUBLE) * sb.n), 6) AS lift,
+       round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+FROM copresent
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN n
+""",
+)
+def q_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-occur within one user SESSION (30-min gap,
+    the same F.session_window definition the sessionization queries
+    use): per type pair, co-presence count, lift (co-occurrence vs the
+    independence expectation — the session-level sibling of the order-
+    basket association rules), and session-set Jaccard.  Counts are
+    exact integers from the distinct (session, type) frame — at most
+    |types| rows per session, so the pair self-join fans out ≤|types|²
+    per session key and the outputs are a BOUNDED |types|² frame;
+    lift/jaccard are one fixed float expression each.  The total-
+    sessions scalar is a 1-row broadcast (CARTESIAN_OK).  Sessions are
+    labeled by the gap→island method (lag + running sum over the
+    high-cardinality user key — the user_sessions formulation) rather
+    than F.session_window, because session_window inside a groupBy that
+    ALSO keys on event_type would compute each type's own session
+    boundaries and types sharing a temporal session would never join
+    (found live: the first draft produced zero pairs)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # FRACTIONAL seconds (cast double), matching the oracle's epoch():
+    # a floored-long gap of exactly 1800 would merge where a 1800.5s
+    # real gap must split
+    t = F.col("ts").cast("double")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (t - F.lag(t).over(w) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    st = (
+        gapped.select(
+            "user_id",
+            "event_type",
+            F.sum("new_session").over(wrun).alias("sid"),
+        )
+        .distinct()
+    )
+    from depositaja_spark.functions.cache import tracked_persist
+
+    st = tracked_persist(st)
+    n = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = st.select(
+        F.col("user_id").alias("bu"),
+        F.col("sid").alias("bs"),
+        F.col("event_type").alias("type_b"),
+    )
+    both = (
+        st.join(
+            b,
+            (F.col("user_id") == F.col("bu"))
+            & (F.col("sid") == F.col("bs"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        both.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_sessions")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "ab_power_mde",
+    """
+WITH assign AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(converted) AS BIGINT) AS c
+  FROM assign
+), g AS (
+  SELECT n0, n1,
+         CAST(c AS DOUBLE) / (n0 + n1) AS p
+  FROM m WHERE n0 > 0 AND n1 > 0
+)
+SELECT n0 AS n_control, n1 AS n_treatment,
+       round(p, 6) AS baseline_rate,
+       CASE WHEN p > 0 AND p < 1 THEN
+         round((1.959964 + 0.841621)
+               * sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1)), 6)
+       END AS mde_abs,
+       CASE WHEN p > 0 AND p < 1 THEN
+         round((1.959964 + 0.841621)
+               * sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1)) / p, 6)
+       END AS mde_rel
+FROM g
+""",
+)
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the hash-split conversion
+    experiment at α = 0.05 two-sided / 80% power: MDE = (z_α + z_β) ·
+    √(p(1−p)(1/n₀+1/n₁)) with the z constants as SHARED LITERALS
+    (1.959964, 0.841621 — the same cross-engine literal discipline as
+    the trend thresholds), around the pooled baseline conversion of the
+    same md5-parity arms ab_conversion_ztest reads.  The planning
+    companion to the test itself: 'how small a lift could this traffic
+    even see?'.  One user-keyed agg + one global fold; degenerate
+    baselines (0%/100%) return NULL MDE."""
+    ev = _t(spark, sf_dir, "events")
+    from depositaja_spark.functions.text import hash64
+
+    assign = ev.groupBy(
+        "user_id",
+        (hash64(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    m = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum("converted").cast("long").alias("c"),
+    )
+    g = m.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "n0",
+        "n1",
+        (F.col("c").cast("double") / (F.col("n0") + F.col("n1"))).alias("p"),
+    )
+    p = F.col("p")
+    mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
+        p * (1 - p) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return g.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(p, 6).alias("baseline_rate"),
+        F.when((p > 0) & (p < 1), F.round(mde, 6)).alias("mde_abs"),
+        F.when((p > 0) & (p < 1), F.round(mde / p, 6)).alias("mde_rel"),
     )

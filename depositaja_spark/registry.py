@@ -584,8 +584,9 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- new or changed in round 8 (pinned-artifact oracles, mining cap,
-    #    as-of oracle pin, aHash byte fix, PCA family) -------------------
+    # -- round-8 additions never driver-sampled (41 entries, the
+    #    exact order test_never_driver_sampled_queries_lead_the_window
+    #    pins) ---------------------------------------------------------
     "mann_kendall_daily_trend",
     "interarrival_burstiness",
     "ks_test_value_dist",
@@ -602,6 +603,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ab_conversion_ztest",
     "cuped_variance_reduction",
     "kfold_split_balance",
+    "session_type_affinity",
+    "ab_power_mde",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -625,6 +628,11 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "labeler_agreement_kappa",
     "salted_nation_revenue",
     "salted_user_value_sum",
+    # -- round-8 CHANGED queries re-verified by the external gate
+    #    (9 of 11 fit: the window holds 41 never-sampled + 9 pins;
+    #    image_ahash_dups is rows-only — the driver adds only a row
+    #    count — and embedding_covariance's r8 change is the smallest,
+    #    both are sim-verified locally every session) ------------------
     "embedding_pca_projection",
     "embedding_pca_variance",
     "semantic_cluster_dedup",
@@ -634,8 +642,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "item_similarity_topk",
     "asof_last_click",
     "asof_next_click",
-    "image_ahash_dups",
-    "embedding_covariance",
 )
 
 

@@ -933,3 +933,111 @@ def test_kfold_assignment_is_stable_and_complete(spark):
     )
     for r in assign:
         assert r.fold == by_fold[r.doc_id]
+
+
+def test_session_affinity_planted_sessions(spark, tmp_path):
+    """One user: (a, b) within 10 minutes = one session containing both;
+    c arrives 2h later in its own session.  Expect exactly the (a, b)
+    pair, perfect lift (every a-session is a b-session), and no pair
+    involving c."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = [
+        (0, 1000, 1, "a", 1.0),
+        (1, 1300, 1, "b", 1.0),
+        (2, 9000, 1, "c", 1.0),
+        # second user: a alone, then b alone in separate sessions
+        (3, 1000, 2, "a", 1.0),
+        (4, 9000, 2, "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(eid, t, uid, et, v, None) for eid, t, uid, et, v in rows],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["session_type_affinity"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    # 4 sessions total ({a,b}, {c}, {a}, {b}); a in 2, b in 2, both in 1
+    # → lift = 1·4/(2·2) = 1.0
+    assert r.n_both == 1
+    assert r.lift == 1.0
+    assert r.jaccard == round(1 / 3, 6)
+
+
+def test_session_affinity_python_replay(spark):
+    """Engine ≡ naive python sessionization + pairwise counting on the
+    real fixture."""
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .select(F.col("ts").cast("double").alias("t"), "event_id", "user_id", "event_type")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.t, r.event_id)):
+        seqs.setdefault(r.user_id, []).append((r.t, r.event_type))
+    sessions = []
+    for uid, items in seqs.items():
+        cur, last = set(), None
+        for t, et in items:
+            if last is not None and t - last > 1800:
+                sessions.append(cur)
+                cur = set()
+            cur.add(et)
+            last = t
+        sessions.append(cur)
+    n_sessions = len(sessions)
+    singles: dict = {}
+    pairs: dict = {}
+    for st in sessions:
+        for et in st:
+            singles[et] = singles.get(et, 0) + 1
+        for a, b in combinations(sorted(st), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["session_type_affinity"](spark, sf).collect()
+    }
+    assert set(got) == set(pairs)
+    for (a, b), n_both in pairs.items():
+        r = got[(a, b)]
+        assert r.n_both == n_both
+        assert r.lift == round(n_both * n_sessions / (singles[a] * singles[b]), 6)
+        assert r.jaccard == round(n_both / (singles[a] + singles[b] - n_both), 6)
+
+
+def test_ab_power_mde_closed_form(spark):
+    """MDE ≡ the closed form around the same arm counts the z-test
+    reads; relative MDE = absolute / baseline."""
+    import math
+
+    from depositaja_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    (z,) = QUERIES["ab_conversion_ztest"](spark, sf).collect()
+    (r,) = QUERIES["ab_power_mde"](spark, sf).collect()
+    assert (r.n_control, r.n_treatment) == (z.n_control, z.n_treatment)
+    p = (z.conv_control + z.conv_treatment) / (z.n_control + z.n_treatment)
+    assert r.baseline_rate == round(p, 6)
+    mde = (1.959964 + 0.841621) * math.sqrt(
+        p * (1 - p) * (1 / z.n_control + 1 / z.n_treatment)
+    )
+    assert abs(r.mde_abs - mde) < 1e-6
+    assert abs(r.mde_rel - mde / p) < 1e-5

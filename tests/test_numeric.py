@@ -436,12 +436,15 @@ def test_ab_ztest_matches_hash_replay(spark, tmp_path):
     eid = 0
     for uid in range(40):
         rows.append((eid, 60 * eid, uid, "view", 1.0)); eid += 1
+        # every user purchases, but only uid % 3 == 0 converts at the
+        # high-value (>= 150) threshold the test reads
+        rows.append((eid, 60 * eid, uid, "purchase", 5.0)); eid += 1
         if uid % 3 == 0:
-            rows.append((eid, 60 * eid, uid, "purchase", 5.0)); eid += 1
+            rows.append((eid, 60 * eid, uid, "purchase", 200.0)); eid += 1
     d = _write_user_events(spark, tmp_path, rows)
     (r,) = QUERIES["ab_conversion_ztest"](spark, d).collect()
     arms = {uid: _md5_arm(uid) for uid in range(40)}
-    conv = {uid: uid % 3 == 0 for uid in range(40)}
+    conv = {uid: uid % 3 == 0 for uid in range(40)}  # high-value purchasers
     n0 = sum(1 for u in arms if arms[u] == 0)
     n1 = 40 - n0
     c0 = sum(1 for u in arms if arms[u] == 0 and conv[u])
@@ -460,7 +463,7 @@ def test_ab_ztest_degenerate_pool_null_z(spark, tmp_path):
 
     rows = []
     for uid in range(20):
-        rows.append((uid, 60 * uid, uid, "purchase", 5.0))
+        rows.append((uid, 60 * uid, uid, "purchase", 500.0))
     d = _write_user_events(spark, tmp_path, rows)
     (r,) = QUERIES["ab_conversion_ztest"](spark, d).collect()
     assert r.z_stat is None and r.lift == 0.0

@@ -80,6 +80,9 @@ CARTESIAN_OK = {
     "cuped_variance_reduction",
     # k-fold audit: the corpus total is the same 1-row broadcast scalar
     "kfold_split_balance",
+    # session affinity: the total-sessions scalar is a 1-row broadcast
+    # cross join onto the bounded |types|^2 pair frame
+    "session_type_affinity",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",

@@ -81,9 +81,12 @@ def test_round8_changed_queries_are_prioritized():
         "embedding_pca_projection", "embedding_pca_variance",
         "semantic_cluster_dedup", "ann_topk_pq",
         "basket_part_triples", "item_similarity_topk",
-        "asof_last_click", "asof_next_click", "image_ahash_dups",
-        "embedding_covariance", "ann_topk_ivfpq",
+        "asof_last_click", "asof_next_click", "ann_topk_ivfpq",
     }
+    # image_ahash_dups (rows-only: the driver adds only a row count) and
+    # embedding_covariance (smallest r8 change) ceded their window slots
+    # when the 41 never-sampled round-8 additions filled the 50-window;
+    # both remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
 
 
@@ -101,6 +104,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "mannwhitney_value_dist", "classifier_auc",
         "markov_steady_state", "ab_conversion_ztest",
         "cuped_variance_reduction", "kfold_split_balance",
+        "session_type_affinity", "ab_power_mde",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
