@@ -4226,3 +4226,152 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((p > 0) & (p < 1), F.round(mde, 6)).alias("mde_abs"),
         F.when((p > 0) & (p < 1), F.round(mde / p, 6)).alias("mde_rel"),
     )
+
+
+@query(
+    "daily_active_growth",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS first_day
+  FROM events GROUP BY 1
+),
+dau AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS day_unix,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1
+),
+news AS (
+  SELECT first_day AS day_unix, CAST(count(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY 1
+)
+SELECT d.day_unix, d.dau,
+       coalesce(n.new_users, 0) AS new_users,
+       d.dau - coalesce(n.new_users, 0) AS returning_users,
+       CAST(sum(coalesce(n.new_users, 0))
+            OVER (ORDER BY d.day_unix
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_users
+FROM dau d LEFT JOIN news n ON n.day_unix = d.day_unix
+""",
+)
+def q_daily_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per calendar day, DAU split into NEW (first
+    day ever seen) vs RETURNING users plus the cumulative user count —
+    the product-analytics top panel.  The expensive parts are two
+    exact keyed aggregations (per-day distinct users; per-user first
+    day) that both shuffle once on high-cardinality keys; everything
+    after runs on the CALENDAR-bounded daily frame, including the
+    cumulative window (aggregate below, ≤days rows).  All counts exact
+    integers; no floats anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") - F.col("ts").cast("long") % 86400).alias(
+        "day_unix"
+    )
+    firsts = ev.select("user_id", day).groupBy("user_id").agg(
+        F.min("day_unix").alias("first_day")
+    )
+    dau = ev.select("user_id", day).groupBy("day_unix").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day_unix")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = W.orderBy("day_unix").rowsBetween(W.unboundedPreceding, 0)
+    j = dau.join(news, "day_unix", "left").select(
+        "day_unix",
+        "dau",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return j.select(
+        "day_unix",
+        "dau",
+        "new_users",
+        (F.col("dau") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+_WHALE_PCT = 1  # top percent of users by lifetime value
+
+
+@query(
+    "whale_value_share",
+    f"""
+WITH per_user AS (
+  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v DESC, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM per_user
+),
+k AS (SELECT CAST((n * {_WHALE_PCT} + 99) // 100 AS BIGINT) AS k,
+             CAST(n AS BIGINT) AS n
+      FROM ranked LIMIT 1),
+tot AS (SELECT CAST(sum(v) AS DECIMAL(38,2)) AS t FROM per_user),
+top AS (
+  SELECT CAST(sum(r.v) AS DECIMAL(38,2)) AS tv, max(k.k) AS k, max(k.n) AS n
+  FROM ranked r CROSS JOIN k WHERE r.rn <= k.k
+)
+SELECT n AS n_users, k AS n_whales,
+       CAST(tv AS DOUBLE) AS whale_value,
+       round(CAST(tv AS DOUBLE) / CAST(t AS DOUBLE), 6) AS whale_share
+FROM top CROSS JOIN tot
+""",
+)
+def q_whale_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale concentration: the share of total event value held by the
+    top {_WHALE_PCT}% of users (ceil, ≥1 whale) — the single-number
+    'how much do the biggest customers matter' readout next to the full
+    Lorenz/Gini curves.  The top-k cut is an exact ORDER STATISTIC with
+    a full (value DESC, user_id) tie-break; the engine takes ranks from
+    the grouped-bucket decomposition (functions/windows.py — no single-
+    task sort over the sf-scaling user frame, which is exactly what the
+    oracle's flat row_number window would be), sums stay exact DECIMAL,
+    and ONE float division ends it.  Scalars (k, totals) are 1-row
+    broadcasts."""
+    from depositaja_spark.functions.numeric import dec
+    from depositaja_spark.functions.windows import grouped_ntile_cume
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("v"))
+    )
+    ranked = grouped_ntile_cume(
+        per_user.withColumn("_g", F.lit(1)).withColumn(
+            "_nv", -F.col("v").cast("double")
+        ),
+        part_col="_g",
+        value_col="_nv",
+        tiebreak_col="user_id",
+        n_tiles=4,
+        rank_col="_rn",
+    )
+    kf = per_user.agg(
+        F.expr(f"cast((count(*) * {_WHALE_PCT} + 99) div 100 as bigint)").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = per_user.agg(F.sum("v").cast("decimal(38,2)").alias("t"))
+    top = (
+        ranked.crossJoin(F.broadcast(kf))
+        .filter(F.col("_rn") <= F.col("k"))
+        .agg(
+            F.sum("v").cast("decimal(38,2)").alias("tv"),
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_whales"),
+        F.col("tv").cast("double").alias("whale_value"),
+        F.round(F.col("tv").cast("double") / F.col("t").cast("double"), 6).alias(
+            "whale_share"
+        ),
+    )

@@ -584,7 +584,7 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-8 additions never driver-sampled (41 entries, the
+    # -- round-8 additions never driver-sampled (43 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
     "mann_kendall_daily_trend",
@@ -605,6 +605,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "kfold_split_balance",
     "session_type_affinity",
     "ab_power_mde",
+    "daily_active_growth",
+    "whale_value_share",
     "hourly_crosscorr_leadlag",
     "seasonal_naive_backtest",
     "theil_sen_hourly_trend",
@@ -629,10 +631,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "salted_nation_revenue",
     "salted_user_value_sum",
     # -- round-8 CHANGED queries re-verified by the external gate
-    #    (9 of 11 fit: the window holds 41 never-sampled + 9 pins;
-    #    image_ahash_dups is rows-only — the driver adds only a row
-    #    count — and embedding_covariance's r8 change is the smallest,
-    #    both are sim-verified locally every session) ------------------
+    #    (7 of 11 fit; see the rotation test for the ceded-slot
+    #    rationale — all remain sim-verified locally) ------------------
     "embedding_pca_projection",
     "embedding_pca_variance",
     "semantic_cluster_dedup",
@@ -640,8 +640,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_topk_ivfpq",
     "basket_part_triples",
     "item_similarity_topk",
-    "asof_last_click",
-    "asof_next_click",
 )
 
 

@@ -1041,3 +1041,119 @@ def test_ab_power_mde_closed_form(spark):
     )
     assert abs(r.mde_abs - mde) < 1e-6
     assert abs(r.mde_rel - mde / p) < 1e-5
+
+
+def test_daily_active_growth_planted(spark, tmp_path):
+    """Three days: u1 active all days (new on d0), u2 joins d1, u3 joins
+    d2 — per-day new/returning splits and cumulative total are exact."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = [
+        (0, 0, 1, "view", 1.0),
+        (1, 86400, 1, "view", 1.0), (2, 86400, 2, "view", 1.0),
+        (3, 2 * 86400, 1, "view", 1.0), (4, 2 * 86400, 3, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(eid, t, uid, et, v, None) for eid, t, uid, et, v in rows],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.day_unix // 86400: (r.dau, r.new_users, r.returning_users, r.cumulative_users)
+        for r in QUERIES["daily_active_growth"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (1, 1, 0, 1), 1: (2, 1, 1, 2), 2: (2, 1, 1, 3)}
+
+
+def test_daily_active_growth_replay(spark):
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .select(F.col("ts").cast("long").alias("t"), "user_id")
+        .collect()
+    )
+    per_day: dict = {}
+    first: dict = {}
+    for r in ev:
+        d = r.t - r.t % 86400
+        per_day.setdefault(d, set()).add(r.user_id)
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+    got = {
+        r.day_unix: r for r in QUERIES["daily_active_growth"](spark, sf).collect()
+    }
+    assert set(got) == set(per_day)
+    cum = 0
+    for d in sorted(per_day):
+        new = sum(1 for u, fd in first.items() if fd == d)
+        cum += new
+        r = got[d]
+        assert r.dau == len(per_day[d])
+        assert r.new_users == new
+        assert r.returning_users == len(per_day[d]) - new
+        assert r.cumulative_users == cum
+
+
+def test_whale_share_planted_skew(spark, tmp_path):
+    """200 users: one whale holds most value; k = ceil(1% of 200) = 2 so
+    the top-2 share is (whale + best regular) / total, exactly."""
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+
+    rows = [(uid, 60 * uid, uid, "view", 10.0 + uid * 0.01) for uid in range(199)]
+    rows.append((999, 60 * 999, 999, "view", 100000.0))
+    df = spark.createDataFrame(
+        [(eid, t, uid, et, v, None) for eid, t, uid, et, v in rows],
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    (r,) = QUERIES["whale_value_share"](spark, str(tmp_path)).collect()
+    assert r.n_users == 200 and r.n_whales == 2
+    total = sum(10.0 + u * 0.01 for u in range(199)) + 100000.0
+    top2 = 100000.0 + (10.0 + 198 * 0.01)
+    assert r.whale_value == round(top2, 2)
+    assert r.whale_share == round(top2 / total, 6)
+
+
+def test_whale_share_replay(spark):
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from depositaja_spark.registry import QUERIES
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    per_user: dict = {}
+    for r in (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+        .collect()
+    ):
+        per_user[r.user_id] = per_user.get(r.user_id, Decimal(0)) + Decimal(
+            str(r.value)
+        ).quantize(Decimal("0.01"))
+    n = len(per_user)
+    k = (n * 1 + 99) // 100
+    order = sorted(per_user.items(), key=lambda kv: (-kv[1], kv[0]))
+    tv = sum(v for _, v in order[:k])
+    t = sum(per_user.values())
+    (r,) = QUERIES["whale_value_share"](spark, sf).collect()
+    assert (r.n_users, r.n_whales) == (n, k)
+    assert r.whale_value == float(tv)
+    assert r.whale_share == round(float(tv) / float(t), 6)

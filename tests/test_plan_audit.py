@@ -83,6 +83,8 @@ CARTESIAN_OK = {
     # session affinity: the total-sessions scalar is a 1-row broadcast
     # cross join onto the bounded |types|^2 pair frame
     "session_type_affinity",
+    # whale share: the k/total scalars are 1-row broadcast cross joins
+    "whale_value_share",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",
@@ -217,6 +219,10 @@ _FIXED_DOMAIN_GROUP_COLS = {
     # spark_partition_id(): bounded by the partition count (a cluster
     # config), never by the scale factor (skyline's ≤P-row summary)
     "_pid",
+    # lit(1) constant group key: the single-group trick that reuses
+    # grouped_ntile_cume for a GLOBAL rank (classifier_auc, whale share)
+    # — a 1-value domain by construction
+    "_g",
 }
 
 

@@ -81,12 +81,14 @@ def test_round8_changed_queries_are_prioritized():
         "embedding_pca_projection", "embedding_pca_variance",
         "semantic_cluster_dedup", "ann_topk_pq",
         "basket_part_triples", "item_similarity_topk",
-        "asof_last_click", "asof_next_click", "ann_topk_ivfpq",
+        "ann_topk_ivfpq",
     }
-    # image_ahash_dups (rows-only: the driver adds only a row count) and
-    # embedding_covariance (smallest r8 change) ceded their window slots
-    # when the 41 never-sampled round-8 additions filled the 50-window;
-    # both remain sim-verified locally every session.
+    # Window arithmetic: 43 never-sampled round-8 additions + these 7
+    # pins = 50.  Ceded pin slots, weakest-external-value first:
+    # image_ahash_dups (rows-only — the driver adds only a row count),
+    # embedding_covariance (smallest r8 change), and the as-of pair
+    # (whose r8 change touched only the ORACLE tie-break formulation,
+    # not the engine).  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
 
 
@@ -105,6 +107,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "markov_steady_state", "ab_conversion_ztest",
         "cuped_variance_reduction", "kfold_split_balance",
         "session_type_affinity", "ab_power_mde",
+        "daily_active_growth", "whale_value_share",
         "hourly_crosscorr_leadlag",
         "seasonal_naive_backtest", "theil_sen_hourly_trend",
         "cusum_value_shift", "hourly_value_acf",
