@@ -284,6 +284,73 @@ def dedup_clusters(
     )
 
 
+def copurchase_edges(
+    li: DataFrame,
+    min_support: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """The part co-purchase graph from a lineitem frame: one undirected
+    edge ``(u, v)`` with ``u < v`` per part pair co-ordered in at least
+    ``min_support`` orders — THE shared edge builder for the whole graph
+    family (communities, triangles, k-core, link prediction), extracted
+    so the hot-basket cap can never again be applied to one caller and
+    missed in another.
+
+    Scale shape: distinct-(order, part) first (a part repeated across
+    lines of one order must not double-count), then ``cap_baskets``
+    (``functions/mining.py``) drops any order with more than
+    ``max_basket`` distinct parts BEFORE the within-order pair
+    self-join — the join's per-key fan-out is therefore ≤ cap² forever,
+    killing the Σ basket² skew class a single crawler-shaped 10^5-line
+    "order" would otherwise inject (~10^10 pairs from one key).  The
+    support filter alone cannot do this: it runs AFTER pair generation.
+    TPC-H baskets are ≤7 lines by generator bound, so fixture answers
+    are cap-invariant (the oracles mirror the identical capped
+    semantics via ``copurchase_edges_sql``).
+    """
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET, cap_baskets
+
+    if max_basket is None:
+        max_basket = MINING_MAX_BASKET
+    d = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    d = cap_baskets(d, "ok", max_basket)
+    a = d.select("ok", F.col("p").alias("u"))
+    b = d.select("ok", F.col("p").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= F.lit(min_support))
+        .select("u", "v")
+    )
+
+
+def copurchase_edges_sql(min_support: int = 2, max_basket: int | None = None) -> str:
+    """DuckDB oracle twin of :func:`copurchase_edges` — a single
+    embeddable SELECT (no WITH, so callers can wrap it as a CTE body)
+    with the identical capped semantics: distinct (order, part) rows,
+    orders above ``max_basket`` distinct parts excluded via the ``kept``
+    derived table, pair count == co-order support."""
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET
+
+    if max_basket is None:
+        max_basket = MINING_MAX_BASKET
+    return f"""SELECT a.p AS u, b.p AS v
+  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) b
+    ON a.ok = b.ok AND a.p < b.p
+  JOIN (SELECT l_orderkey AS ok
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         GROUP BY 1 HAVING count(*) <= {max_basket}) kept
+    ON a.ok = kept.ok
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_support}"""
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Exact global triangle count over an undirected edge frame.
 

@@ -300,12 +300,14 @@ def q_nation_seeded_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_MIN_SUPPORT = 2
 
-_TRI_EDGES_SQL = f"""SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(DISTINCT a.l_orderkey) >= {_TRI_MIN_SUPPORT}"""
+from depositaja_spark.functions.graph import (  # noqa: E402
+    copurchase_edges as _copurchase_edges,
+    copurchase_edges_sql as _copurchase_edges_sql,
+)
+
+#: shared oracle edge set for the whole graph family — capped semantics
+#: (MINING_MAX_BASKET) identical to the engine's copurchase_edges()
+_TRI_EDGES_SQL = _copurchase_edges_sql(min_support=_TRI_MIN_SUPPORT)
 
 
 _LPA_ITERATIONS = 4
@@ -334,16 +336,7 @@ def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from depositaja_spark.functions.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count_distinct("ok").alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
     out = label_propagation(edges, _LPA_ITERATIONS)
     return out.select(F.col("node").alias("part"), F.col("lbl").alias("community"))
 
@@ -358,22 +351,13 @@ JOIN e e2 ON e1.v = e2.u
 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 """,
 )
-@query(
-    "copurchase_triangles",
-    f"""
-WITH e AS ({_TRI_EDGES_SQL})
-SELECT CAST(count(*) AS BIGINT) AS n_triangles
-FROM e e1
-JOIN e e2 ON e1.v = e2.u
-JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-""",
-)
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the part co-purchase graph (parts
     co-ordered in ≥ {_TRI_MIN_SUPPORT} orders) — the standard graph
-    clustering-coefficient numerator.  Edge generation is the
-    order-keyed basket self-join (fan-out bounded by basket size);
-    counting is degree-oriented wedge closure
+    clustering-coefficient numerator.  Edge generation is the shared
+    capped builder (``functions/graph.py:copurchase_edges`` — per-order
+    fan-out ≤ MINING_MAX_BASKET² by construction); counting is
+    degree-oriented wedge closure
     (``functions/graph.py:triangle_count``) — O(E^1.5) worst-case work,
     hub skew removed by orientation, all keyed shuffles.  The oracle is
     the textbook 3-way canonical-edge self-join — quadratic per hub and
@@ -382,16 +366,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from depositaja_spark.functions.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count_distinct("ok").alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
     return triangle_count(edges, "u", "v")
 
 
@@ -451,16 +426,7 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from depositaja_spark.functions.graph import k_core
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count_distinct("ok").alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
     return k_core(edges, k=_KCORE_K, max_rounds=20, src_col="u", dst_col="v")
 
 
@@ -1014,16 +980,7 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Existing edges are removed by a left-anti join — predictions are by
     definition pairs the graph does NOT already contain."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count_distinct("ok").alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )

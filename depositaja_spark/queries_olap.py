@@ -2355,33 +2355,47 @@ def q_revenue_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASKET_MIN_SUPPORT = 3
 
 
-@query(
-    "basket_part_pairs",
-    f"""
-SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-       CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS support
-FROM lineitem a JOIN lineitem b
-  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+def _basket_pairs_sql() -> str:
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET
+
+    return f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+kept AS (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= {MINING_MAX_BASKET}),
+li2 AS (SELECT li0.* FROM li0 JOIN kept USING (ok))
+SELECT a.p AS part_a, b.p AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p
 GROUP BY 1, 2
-HAVING count(DISTINCT a.l_orderkey) >= {_BASKET_MIN_SUPPORT}
-""",
-)
+HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+"""
+
+
+@query("basket_part_pairs", _basket_pairs_sql())
 def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: parts co-ordered in ≥
-    {_BASKET_MIN_SUPPORT} orders.  The self-join is ORDER-KEYED — the
-    pair fan-out per order is lines², bounded by the max basket size
-    (single digits in order data), never corpus²; the a<b predicate
-    halves it and dedups.  Support counts distinct orders with
-    map-side partial dedup.  This is the candidate-generation step of
-    any association-rule / co-purchase model at scale."""
+    {_BASKET_MIN_SUPPORT} orders.  The self-join is ORDER-KEYED and
+    HOT-BASKET CAPPED (``cap_baskets`` before pairing, mirrored in the
+    oracle's ``kept`` CTE) — per-order pair fan-out is ≤ cap² by
+    construction, never lines² of an adversarial crawler-shaped order;
+    the a<b predicate halves it and dedups.  Support counts kept
+    baskets with map-side partial aggregation.  This is the
+    candidate-generation step of any association-rule / co-purchase
+    model at scale."""
+    from depositaja_spark.functions.mining import cap_baskets
+
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    d = cap_baskets(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    a = d.select("ok", F.col("p").alias("part_a"))
+    b = d.select("ok", F.col("p").alias("part_b"))
     return (
         a.join(b, "ok")
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
-        .agg(F.count_distinct("ok").alias("support"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
 

@@ -59,6 +59,10 @@ def query(name: str, oracle: str | None = None):
     """Register a query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite here would drop an earlier query from
+        # coverage invisibly (the driver counts names) — fail at import
+        assert name not in QUERIES, f"duplicate query registration: {name}"
+        assert name not in ORACLES, f"duplicate oracle registration: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

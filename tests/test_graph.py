@@ -137,6 +137,42 @@ def _naive_link_prediction(baskets, max_deg, topk=20):
     ]
 
 
+def test_copurchase_edges_cap_excludes_planted_pathological_basket(
+    spark, tmp_path
+):
+    """MINING_MAX_BASKET property test for the GRAPH family's shared
+    edge builder (the round-8 verdict's open flag): plant a 1000-line
+    crawler-shaped "order" among normal baskets — copurchase_edges must
+    return exactly the capped-semantics edge set (the pathological
+    basket contributes NOTHING to support), and the whole graph family
+    inherits the guarantee because every member now builds edges through
+    this one function (enforced structurally by
+    tests/test_plan_audit.py::test_no_uncapped_basket_self_join)."""
+    from itertools import combinations
+
+    from depositaja_spark.functions.graph import copurchase_edges
+    from depositaja_spark.functions.mining import MINING_MAX_BASKET
+
+    assert MINING_MAX_BASKET < 1000
+    baskets = [[1, 2, 3], [2, 3, 4], [3, 4, 5], [1, 5, 6]]
+    d = _write_lineitem_baskets(spark, tmp_path, baskets)
+    # append the planted hot basket: 1000 distinct parts in ONE order
+    hot = spark.createDataFrame(
+        [(999_999, 100_000 + i) for i in range(1000)],
+        "l_orderkey long, l_partkey long",
+    )
+    hot.coalesce(1).write.mode("append").parquet(f"{d}/lineitem.parquet")
+
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    got = {(r.u, r.v) for r in copurchase_edges(li, min_support=2).collect()}
+
+    want = set()
+    for parts in baskets:  # each basket written twice → support 2
+        want |= {tuple(sorted(p)) for p in combinations(set(parts), 2)}
+    assert got == want
+    assert all(p < 100_000 for e in got for p in e)
+
+
 def test_link_prediction_matches_bruteforce(spark, tmp_path):
     """Overlapping cliques: predictions are exactly the brute-force
     non-edges ranked by (common neighbors, exact-integer RA)."""

@@ -400,6 +400,127 @@ def test_no_low_cardinality_window_over_corpus(spark, name):
         )
 
 
+# --- hot-basket net ----------------------------------------------------------
+#
+# The Σ basket² bug class (round-7 mining, round-8 graph family): a
+# within-basket pair self-join `a.join(b, "ok")` keyed on an sf-scaling
+# basket key generates per-key fan-out quadratic in basket size, so ONE
+# crawler-shaped 10^5-line "order" yields ~10^10 pairs from a single key.
+# The fix is always the same — cap_baskets (functions/mining.py) drops
+# oversized baskets with a LeftSemi join BEFORE the pair join — and this
+# net makes the fix structurally unforgettable: every Inner equi-join on
+# a basket-key column whose BOTH inputs scan an sf-scaling table must
+# carry that LeftSemi cap (or a bounded Aggregate) in each input subtree.
+
+#: join-key column names that identify a within-basket self-join: the
+#: raw order key and the repo-wide `ok` alias every basket frame uses
+_BASKET_KEY_COLS = {"ok", "l_orderkey"}
+
+import re as _re
+
+
+def _join_condition_cols(node: str) -> set[str]:
+    """Column names equated in a Join node's condition — pairs like
+    `(ok#12 = ok#45)` contribute 'ok'."""
+    return {
+        m.group(1)
+        for m in _re.finditer(r"\((\w+)#\d+L? = (\w+)#\d+L?\)", node)
+        if m.group(1) == m.group(2)
+    }
+
+
+def _direct_children(rows: list[tuple[int, str]], i: int) -> list[list[str]]:
+    """The subtree row-texts of each DIRECT child of node i."""
+    d = rows[i][0]
+    children, cur = [], None
+    for j in range(i + 1, len(rows)):
+        dj, nj = rows[j]
+        if dj <= d:
+            break
+        if dj == d + 1:
+            cur = [nj]
+            children.append(cur)
+        elif cur is not None:
+            cur.append(nj)
+    return children
+
+
+def _uncapped_basket_joins(rows: list[tuple[int, str]]) -> list[str]:
+    """Inner equi-joins on a basket key whose both inputs scan an
+    sf-scaling table with no LeftSemi cap (and no bounded Aggregate)
+    between scan and join."""
+    bad = []
+    for i, (_, node) in enumerate(rows):
+        if not node.startswith("Join Inner"):
+            continue
+        if not (_join_condition_cols(node) & _BASKET_KEY_COLS):
+            continue
+        kids = _direct_children(rows, i)
+        if len(kids) != 2:
+            continue
+        def scans_scaling(sub: list[str]) -> bool:
+            return any(
+                sig in n
+                for n in sub
+                if n.startswith("Relation")
+                for sig in _SCALING_TABLE_SIGS.values()
+            )
+        def capped(sub: list[str]) -> bool:
+            return any(
+                n.startswith("Join LeftSemi") for n in sub
+            ) or any(
+                n.startswith("Aggregate") and _aggregate_is_bounded(n)
+                for n in sub
+            )
+        if all(scans_scaling(k) for k in kids) and not all(capped(k) for k in kids):
+            bad.append(node)
+    return bad
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(registry.QUERIES) - _SLOW_TO_PLAN)
+)
+def test_no_uncapped_basket_self_join(spark, name):
+    """No registered query may pair-join a basket frame on its basket
+    key without the cap_baskets LeftSemi guard upstream on both sides —
+    the net that would have caught the round-8 graph-family paste."""
+    rows = _analyzed(registry.QUERIES[name](spark, SF))
+    bad = _uncapped_basket_joins(rows)
+    assert not bad, (
+        f"{name}: uncapped within-basket self-join (Σ basket² fan-out; "
+        f"apply cap_baskets before the pair join):\n" + "\n".join(bad)
+    )
+
+
+def test_audit_catches_uncapped_basket_join(spark):
+    """Self-test: the EXACT pre-round-9 graph-family edge build (raw
+    order-keyed lineitem self-join, support filter after pairing) must
+    be flagged — proves the net detects the bug class it exists for."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    bad_edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("ok").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    assert _uncapped_basket_joins(_analyzed(bad_edges)), (
+        "checker failed to flag the uncapped basket self-join"
+    )
+
+    from depositaja_spark.functions.graph import copurchase_edges
+
+    good = copurchase_edges(li)
+    assert not _uncapped_basket_joins(_analyzed(good)), (
+        "checker flags the capped builder — cap join not recognized"
+    )
+
+
 def test_audit_catches_scaling_key_agg_broadcast(spark):
     """Self-test of the tightened broadcast net: the PRE-round-6
     large_volume_orders shape (forced broadcast of a HAVING-pruned

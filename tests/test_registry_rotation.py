@@ -10,6 +10,23 @@ from __future__ import annotations
 from depositaja_spark import registry as R
 
 
+def test_duplicate_registration_fails_loudly():
+    """registry.query() must refuse a name collision instead of silently
+    overwriting (the round-8 stacked-decorator paste would have dropped
+    a query from coverage invisibly — the driver counts names)."""
+    import pytest
+
+    assert "valid_deposits" in R.QUERIES
+    with pytest.raises(AssertionError, match="duplicate query registration"):
+
+        @R.query("valid_deposits", "SELECT 1 AS x")
+        def _clash(spark, sf_dir):  # pragma: no cover
+            raise AssertionError("never called")
+
+    # the original registration survives the rejected attempt
+    assert R.QUERIES["valid_deposits"].__name__ == "q_valid_deposits"
+
+
 def test_priority_entries_exist():
     """Every SAMPLE_PRIORITY name refers to a registered query (a typo
     here would silently waste a driver-sample slot)."""
