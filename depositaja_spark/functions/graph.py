@@ -528,6 +528,108 @@ def k_core_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set over an undirected
+    edge frame, bounded at ``max_hops`` rounds — the 'how far is
+    everything from here' primitive (influence radius, related-item
+    expansion tiers, blast-radius audits).  ``seeds`` is a 1-column
+    ``node`` frame.  Returns (node, hop) for every node reached within
+    the bound, hop = exact shortest-path length.
+
+    Scale shape: per round ONE frontier⋈edges keyed join + one distinct
+    + one anti join against the visited set — all keyed shuffles; state
+    is the visited frame (≤|V| rows).  Each round ends in ONE job: the
+    visited frame is ``localCheckpoint``-ed (lineage truncation — the
+    union references the previous frame twice per round, so an
+    unpruned plan tree grows exponentially in rounds) with the
+    previous round's blocks retired (the k_core round discipline), and
+    the same action observes convergence (empty frontier → remaining
+    rounds are no-ops the oracle's unroll also performs)."""
+    from pyspark.sql import Observation
+
+    from depositaja_spark.functions.cache import (
+        pinned_rdd_ids,
+        track_pinned_rdds,
+        unpersist_rdd_ids,
+    )
+
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = tracked_persist(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    before = pinned_rdd_ids(sc)
+    dist = (
+        seeds.select(F.col("node")).distinct().withColumn("hop", F.lit(0))
+    ).localCheckpoint()
+    n_prev = dist.count()
+    prev_ids = pinned_rdd_ids(sc) - before
+    frontier = dist
+    for i in range(1, int(max_hops) + 1):
+        obs = Observation(f"bfs_round_{i}")
+        round_before = pinned_rdd_ids(sc)
+        nxt = (
+            und.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+        )
+        new_dist = (
+            dist.unionByName(nxt)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_now = int(obs.get["n"] or 0)
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = pinned_rdd_ids(sc) - round_before
+        dist = new_dist
+        # the new frontier is a cheap filter over the checkpointed frame
+        frontier = dist.filter(F.col("hop") == i)
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    # final-round blocks back the returned frame; registry-retire them
+    # on the caller's next release_caches()
+    track_pinned_rdds(sc, prev_ids)
+    return dist
+
+
+def bfs_oracle_sql(
+    edges_sql: str, seed_sql: str, max_hops: int, out_node: str = "node"
+) -> str:
+    """DuckDB twin of ``bfs_hops``: one frontier/visited CTE pair per
+    round.  ``seed_sql`` selects a single ``node`` column."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT u, v FROM e"
+        " UNION ALL SELECT v AS u, u AS v FROM e)",
+        f"d0 AS (SELECT node, 0 AS hop FROM ({seed_sql}))",
+    ]
+    for i in range(1, int(max_hops) + 1):
+        ctes.append(
+            f"f{i} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT und.v AS node FROM und\n"
+            f"  JOIN d{i - 1} ON und.u = d{i - 1}.node\n"
+            f"  ANTI JOIN d{i - 1} dd ON und.v = dd.node)"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, hop FROM d{i - 1}\n"
+            f"  UNION ALL SELECT node, {i} AS hop FROM f{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS {out_node}, CAST(hop AS INT) AS hops"
+        + f" FROM d{int(max_hops)}"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int,

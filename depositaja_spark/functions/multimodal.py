@@ -8,18 +8,21 @@ row objects.
 
 Decode is REAL for every format a pure-numpy/pure-Python codec can cover
 byte-exactly: binary PPM/PGM (P6/P5) and uncompressed BMP (24/32-bit
-BI_RGB) images (``decode_media`` / ``resize_images``), PCM WAV audio
+BI_RGB) images, PNG (stdlib ``zlib`` inflate + per-row unfilter — all
+five filter types, gray/RGB/palette/alpha at bit depth 8)
+(``decode_media`` / ``resize_images``), PCM WAV audio
 (``audio_features``), and YUV4MPEG2 uncompressed video
-(``frame_sample``).  Compressed formats (JPEG/PNG/mp4/mkv) need
-PIL/pyav, which are not installed here: those payloads raise a
-clearly-marked NotImplementedError from the same code paths a real
-codec would slot into.
+(``frame_sample``).  Formats whose entropy coding has no stdlib
+implementation (JPEG/mp4/mkv) need PIL/pyav, which are not installed
+here: those payloads raise a clearly-marked NotImplementedError from
+the same code paths a real codec would slot into.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -112,13 +115,169 @@ def _decode_bmp(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     return h, w, 3, np.ascontiguousarray(px[..., 2::-1])  # BGR(A) → RGB
 
 
+# --- PNG: stdlib zlib inflate + per-row unfilter -----------------------------
+# No PIL needed: PNG's only compression is DEFLATE (stdlib zlib) and its
+# filters are defined byte arithmetic.  Supported honestly: bit depth 8,
+# color types 0/2/3/4/6, interlace 0 — i.e. every PNG a data pipeline
+# writes; exotic variants (16-bit, Adam7) raise clearly.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by PNG color type (3=palette indexes into PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(data: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters (None/Sub/Up/Average/Paeth) → (h, stride)
+    uint8.  Sub and Up are fully vectorized (per-lane cumsum / row add);
+    Average and Paeth carry a true left-to-right data dependence, walked
+    per pixel with the ``bpp`` lanes vectorized."""
+    out = np.empty((h, stride), np.int64)
+    pos = 0
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ft = data[pos]
+        row = np.frombuffer(data, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] → lane cumsum
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = np.empty(stride, np.int64)
+            left = np.zeros(bpp, np.int64)
+            for x in range(0, stride, bpp):
+                left = (row[x : x + bpp] + ((left + prev[x : x + bpp]) >> 1)) & 0xFF
+                cur[x : x + bpp] = left
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, np.int64)
+            left = np.zeros(bpp, np.int64)
+            upleft = np.zeros(bpp, np.int64)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (row[x : x + bpp] + pred) & 0xFF
+                cur[x : x + bpp] = left
+                upleft = up
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _decode_png(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PNG at bit depth 8, non-interlaced.  Returns (h, w, c, uint8
+    h×w×c) with palette expanded to RGB and alpha dropped — the same
+    output convention as the PNM/BMP decoders."""
+    pos = 8
+    ihdr = plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos : pos + 4], "big")
+        typ = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported "
+            "(bit depth 8, non-interlaced only)"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    spp = _PNG_CHANNELS[ctype]
+    data = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(data, h, w * spp, spp).reshape(h, w, spp)
+    if ctype == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return h, w, 3, np.ascontiguousarray(pal[px[..., 0]])
+    if ctype == 4:  # gray+alpha → gray
+        px = px[..., :1]
+    elif ctype == 6:  # RGBA → RGB (alpha dropped, like 32-bit BMP)
+        px = px[..., :3]
+    return h, w, px.shape[2], np.ascontiguousarray(px)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder for h×w×c uint8 (c=1 gray, c=3 RGB) — row
+    filter cycles y % 5 so a round-trip exercises every filter type.
+    The writer half of the codec: lets payload-out operators emit a
+    compressed standard format instead of raw PPM."""
+    arr = np.ascontiguousarray(arr.astype(np.uint8))
+    h, w, c = arr.shape
+    ctype = {1: 0, 3: 2}[c]
+    flat = arr.reshape(h, w * c).astype(np.int64)
+    parts = []
+    prev = np.zeros(w * c, np.int64)
+    for y in range(h):
+        ft = y % 5
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        parts.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_bytes(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     if raw[:2] in (b"P6", b"P5"):
         return _decode_pnm(raw)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
+    if raw[:8] == _PNG_MAGIC:
+        return _decode_png(raw)
     raise NotImplementedError(
-        "only PPM/PGM and uncompressed BMP decode without PIL/pyav; "
+        "only PPM/PGM, uncompressed BMP, and PNG decode without PIL/pyav; "
         f"got magic {raw[:2]!r}"
     )
 

@@ -166,6 +166,14 @@ def hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def py_hash64(s: str) -> int:
+    """Pure-Python twin of :func:`hash64` for replay tests and driver-
+    side constants — same top-15-hex-of-md5 convention."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def content_fingerprint(text: Column | str) -> Column:
     """Exact-content fingerprint (md5 hex)."""
     c = F.col(text) if isinstance(text, str) else text

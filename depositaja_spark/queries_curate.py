@@ -2767,3 +2767,89 @@ def q_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((po - pe) / (1 - pe), 6))
         .alias("kappa"),
     )
+
+
+# --- Fleiss' kappa: all five LFs as one rater panel ---------------------------
+
+
+def _fleiss_sql() -> str:
+    # same vote CTE chain as the pairwise kappa (and weak_label_votes)
+    prefix = _WEAK_SQL[: _WEAK_SQL.index("\nSELECT doc_id, v_len")]
+    melt = "\nUNION ALL ".join(
+        f"SELECT doc_id, {lf} AS vote FROM votes" for lf in _KAPPA_LFS
+    )
+    m = len(_KAPPA_LFS)
+    return f"""{prefix},
+m AS ({melt}),
+nij AS (SELECT doc_id, vote, CAST(count(*) AS BIGINT) AS c
+        FROM m GROUP BY 1, 2),
+s AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM nij),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM votes),
+cj AS (SELECT vote, CAST(sum(c) AS BIGINT) AS cj FROM nij GROUP BY 1),
+c2 AS (SELECT CAST(sum(cj * cj) AS DECIMAL(38,0)) AS c2 FROM cj)
+SELECT nn.n AS n_items,
+       CAST({m} AS INT) AS n_raters,
+       round((CAST(s.s2 AS DOUBLE) - nn.n * {m})
+             / (nn.n * {m} * {m - 1}), 6) AS p_bar,
+       round(CAST(c2.c2 AS DOUBLE) / (CAST(nn.n * {m} AS DOUBLE)
+                                      * (nn.n * {m})), 6) AS p_e,
+       round(((CAST(s.s2 AS DOUBLE) - nn.n * {m})
+              / (nn.n * {m} * {m - 1})
+              - CAST(c2.c2 AS DOUBLE) / (CAST(nn.n * {m} AS DOUBLE)
+                                         * (nn.n * {m})))
+             / (1 - CAST(c2.c2 AS DOUBLE) / (CAST(nn.n * {m} AS DOUBLE)
+                                             * (nn.n * {m}))), 6)
+         AS fleiss_kappa
+FROM s CROSS JOIN nn CROSS JOIN c2
+"""
+
+
+@query("fleiss_kappa_panel", _fleiss_sql())
+def q_fleiss_kappa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the full five-labeler panel — the multi-rater
+    generalization of the pairwise Cohen's kappa grid
+    (labeler_agreement_kappa): one chance-corrected agreement score for
+    the whole weak-supervision panel instead of C(5,2) pairwise cells.
+    Every moment is an EXACT integer before the final float ops:
+    Σ n_ij² (one (doc, vote)-keyed count then a global sum), category
+    totals c_j (≤|votes| rows), N·m literals — so P̄ = (Σn_ij² − Nm) /
+    (Nm(m−1)) and P_e = Σc_j²/(Nm)² are bit-identical across engines
+    and partitionings.  Scale shape: the only corpus-sized shuffle is
+    the (doc_id, vote) count; everything after runs on 1-row / ≤|vote|
+    frames (1-row broadcast cross joins)."""
+    from depositaja_spark.functions.cache import tracked_persist
+
+    m_raters = len(_KAPPA_LFS)
+    votes = q_weak_label_votes(spark, sf_dir).select("doc_id", *_KAPPA_LFS)
+    stack_args = ", ".join(f"'{lf}', {lf}" for lf in _KAPPA_LFS)
+    melted = tracked_persist(
+        votes.select(
+            "doc_id",
+            F.expr(f"stack({m_raters}, {stack_args}) AS (lf, vote)"),
+        ).select("doc_id", "vote")
+    )
+    nij = melted.groupBy("doc_id", "vote").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = nij.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"))
+    nn = votes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c2 = (
+        nij.groupBy("vote")
+        .agg(F.sum("c").cast("long").alias("cj"))
+        .agg(
+            F.sum(F.col("cj").cast("decimal(38,0)") * F.col("cj"))
+            .cast("decimal(38,0)")
+            .alias("c2")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(c2))
+    nm = F.col("n") * m_raters
+    p_bar = (F.col("s2").cast("double") - nm) / (nm * (m_raters - 1))
+    p_e = F.col("c2").cast("double") / (nm.cast("double") * nm)
+    return j.select(
+        F.col("n").alias("n_items"),
+        F.lit(m_raters).cast("int").alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
+    )

@@ -10,6 +10,8 @@ DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1185,6 +1187,71 @@ def q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE_OK.add("image_ahash_dups")
 
 
+_PNG_STATS_SQL = """
+WITH hx AS (
+  SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '20') AS h
+  FROM documents
+),
+byt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) AS v
+  FROM (SELECT doc_id, h, unnest(range(0, 192)) AS i FROM hx)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum((i + 1) * v) AS BIGINT) AS px_wsum
+FROM byt GROUP BY doc_id
+"""
+
+
+@query("png_decode_stats", _PNG_STATS_SQL)
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG round-trip with a FULL value oracle — the round-9 closure of
+    the compressed-image gap: each document's first 192 text bytes are
+    rendered as an 8×8 RGB image, compressed to real PNG (stdlib
+    DEFLATE; row filters cycle None/Sub/Up/Average/Paeth so every
+    filter type is exercised on every image), then decoded back by the
+    vendored pure-numpy PNG decoder
+    (``functions/multimodal.py:_decode_png`` — zlib inflate + per-row
+    unfilter) and reduced to per-image pixel stats (count / sum /
+    position-weighted sum).  The oracle computes the same stats
+    straight from the document bytes in SQL (hex-space truncate+pad,
+    '0x'-cast per byte) — a hash match proves the PNG encoder, the
+    DEFLATE round-trip, and all five unfilter paths are byte-exact on
+    real data.  Scale shape: encode+decode are Arrow-batched pandas
+    kernels, the stats fold is an array aggregate INSIDE the scan
+    projection (zip_with + aggregate, whole-stage codegen) — zero
+    shuffles end to end."""
+    from depositaja_spark.functions.multimodal import encode_png
+
+    docs = _docs(spark, sf_dir)
+    # byte-level truncate/pad (see image_ahash_dups: rpad on UTF-8 BYTES)
+    body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
+
+    @F.pandas_udf("binary")
+    def to_png(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: encode_png(
+                np.frombuffer(bytes(x), np.uint8).reshape(8, 8, 3)
+            )
+        )
+
+    payloads = docs.select("doc_id", to_png(body).alias("payload"))
+    dec = mm.decode_media(payloads)
+    return dec.select(
+        "doc_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(zip_with(pixels, sequence(1, size(pixels)),"
+            " (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y)"
+        ).alias("px_wsum"),
+    )
+
+
 # --- faithful stateful detector (streaming semantics, batch replay) -----------
 
 
@@ -2095,6 +2162,157 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(pool, pairs, _MMR_K, _MMR_LAM)
 
 
+# --- retrieval evaluation (NDCG@k / MRR / recall@k) --------------------------
+#
+# The metric layer every retrieval stack ships with: judge the ranked
+# list against a relevance oracle.  Relevance here is the embedding
+# `label` column (same-label = relevant), the ranked list is the exact
+# cosine top-k with the repo's total-order tie-break.  Float discipline:
+# the per-rank DCG discounts 1/log2(rank+1) and the IDCG prefix sums are
+# PYTHON-GENERATED LITERALS shared by both engines (no engine log2), and
+# DCG accumulates through an ordered running window (identical IEEE op
+# order both sides) — never a partition-order float sum.
+
+_EVAL_K = 10
+
+_DCG_DISCOUNTS: list[float] = [
+    1.0 / __import__("math").log2(i + 1) for i in range(1, _EVAL_K + 1)
+]
+_IDCG_PREFIX: list[float] = [
+    sum(_DCG_DISCOUNTS[: m + 1]) for m in range(_EVAL_K)
+]
+
+_DISC_SQL = "[" + ", ".join(repr(x) for x in _DCG_DISCOUNTS) + "]"
+_IDCG_SQL = "[" + ", ".join(repr(x) for x in _IDCG_PREFIX) + "]"
+
+
+@query(
+    "retrieval_eval_at_k",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
+           FROM embeddings WHERE vec_id IN ({_Q_IDS})),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec, label AS clab
+      FROM embeddings),
+scored AS (
+  SELECT query_id, qlab, cand_id, clab,
+         {_COS.format(a='qvec', b='cvec')} AS cos
+  FROM c CROSS JOIN q WHERE cand_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rank
+  FROM scored QUALIFY rank <= {_EVAL_K}
+),
+contrib AS (
+  SELECT query_id, qlab, rank,
+         CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel,
+         CASE WHEN clab = qlab THEN ({_DISC_SQL})[rank] ELSE 0.0 END AS dg
+  FROM ranked
+),
+run AS (
+  SELECT query_id, qlab, rank,
+         sum(dg) OVER (PARTITION BY query_id ORDER BY rank) AS dcg_run,
+         sum(rel) OVER (PARTITION BY query_id) AS hits,
+         min(CASE WHEN rel = 1 THEN rank END) OVER (PARTITION BY query_id)
+           AS first_rel
+  FROM contrib
+),
+fin AS (SELECT query_id, qlab, dcg_run AS dcg, hits, first_rel
+        FROM run WHERE rank = {_EVAL_K}),
+lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1)
+SELECT f.query_id,
+       lc.n - 1 AS n_rel,
+       CAST(f.hits AS BIGINT) AS hits_at_k,
+       round(CAST(f.hits AS DOUBLE) / (lc.n - 1), 6) AS recall_at_k,
+       round(CAST(f.hits AS DOUBLE) / {_EVAL_K}, 6) AS precision_at_k,
+       round(coalesce(1.0 / f.first_rel, 0.0), 6) AS rr,
+       round(f.dcg / ({_IDCG_SQL})[CAST(least(lc.n - 1, {_EVAL_K}) AS INT)], 6)
+         AS ndcg_at_k
+FROM fin f JOIN lc ON lc.label = f.qlab
+""",
+)
+def q_retrieval_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval quality at k={_EVAL_K}: recall@k,
+    precision@k, reciprocal rank, and binary-gain NDCG@k of the exact
+    cosine top-k against same-label relevance — the evaluation harness
+    of the ANN/retrieval family (`functions/similarity.py:cosine_topk`
+    produces the ranked list; this scores it).  Scale shape: metrics
+    run on the already-k-bounded ranked frame (windows over ≤k rows per
+    query), the relevance totals come from the ≤|labels|-row count
+    frame, and every float enters through shared Python literals or an
+    ordered running sum — bit-stable across engines and partitionings."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    ranked = sim.cosine_topk(emb, queries, k=_EVAL_K)
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    clab = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("clab")
+    )
+    disc = F.array([F.lit(x) for x in _DCG_DISCOUNTS])
+    idcg = F.array([F.lit(x) for x in _IDCG_PREFIX])
+    contrib = (
+        ranked.join(F.broadcast(qlab), "query_id")
+        .join(clab, "cand_id")
+        .select(
+            "query_id",
+            "qlab",
+            "rank",
+            (F.col("clab") == F.col("qlab")).cast("int").alias("rel"),
+            F.when(
+                F.col("clab") == F.col("qlab"),
+                F.element_at(disc, F.col("rank")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dg"),
+        )
+    )
+    w_run = (
+        W.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("query_id")
+    run = contrib.select(
+        "query_id",
+        "qlab",
+        "rank",
+        F.sum("dg").over(w_run).alias("dcg_run"),
+        F.sum("rel").over(w_all).alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).over(w_all).alias(
+            "first_rel"
+        ),
+    )
+    fin = run.filter(F.col("rank") == _EVAL_K)
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return fin.join(
+        F.broadcast(lc), fin["qlab"] == lc["label"]
+    ).select(
+        "query_id",
+        (F.col("n") - 1).alias("n_rel"),
+        F.col("hits").cast("long").alias("hits_at_k"),
+        F.round(F.col("hits").cast("double") / (F.col("n") - 1), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(F.col("hits").cast("double") / _EVAL_K, 6).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("rr"),
+        F.round(
+            F.col("dcg_run")
+            / F.element_at(
+                idcg, F.least(F.col("n") - 1, F.lit(_EVAL_K)).cast("int")
+            ),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
 #: intra-doc repeats need a tighter gram than the cross-doc detector:
 #: the fixture (and natural text) repeats short phrases within a
 #: document far more often than 8-token runs
@@ -2246,4 +2464,66 @@ def q_kfold_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("src0_share"),
         )
         .drop("n")
+    )
+
+
+# --- Heaps'-law vocabulary growth --------------------------------------------
+
+
+@query(
+    "vocab_growth_heaps",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+npd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+dt AS (SELECT DISTINCT doc_id, tok FROM tk),
+ft AS (SELECT tok, min(doc_id) AS fd FROM dt GROUP BY 1),
+nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS new_terms
+       FROM ft GROUP BY 1)
+SELECT n.doc_id,
+       CAST(sum(n.n_tokens) OVER (ORDER BY n.doc_id) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(v.new_terms, 0)) OVER (ORDER BY n.doc_id) AS BIGINT)
+         AS cum_vocab
+FROM npd n LEFT JOIN nv v USING (doc_id)
+""",
+)
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative corpus tokens vs
+    cumulative distinct vocabulary in doc_id order — the dataset-
+    composition diagnostic (a flattening curve means new documents stop
+    contributing new words; the V ≈ K·nᵝ fit drops out of this frame).
+    Per-token first-appearance is one (doc, token)-distinct + one
+    token-keyed min — each doc's NEW-term count then comes from a keyed
+    count, so vocabulary never materializes per prefix.  Both running
+    sums are EXACT integers and go through the two-level bucket-offset
+    decomposition (``functions/windows.py:bucketed_running_sum``) —
+    the flat ORDER BY doc_id window the oracle runs would be a
+    single-task sort over the sf-scaling doc frame."""
+    from depositaja_spark.functions.windows import bucketed_running_sum
+
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("tok")
+    )
+    npd = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    ft = tk.distinct().groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    nv = ft.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    base = npd.join(nv, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("new_terms"), F.lit(0)).alias("new_terms"),
+    )
+    out = bucketed_running_sum(
+        base, [], "doc_id", "n_tokens", out_col="cum_tokens"
+    )
+    out = bucketed_running_sum(
+        out, [], "doc_id", "new_terms", out_col="cum_vocab"
+    )
+    return out.select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )

@@ -1239,3 +1239,234 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1x2 / 2 / n12, 6).alias("auc"),
         F.round(u1x2 / n12 - 1, 6).alias("somers_d"),
     )
+
+
+# --- Brier score + Murphy decomposition ---------------------------------------
+
+#: the decomposition conditions on the DISTINCT forecast value (integer
+#: cents, ≤101 bins) — Murphy's original partition, under which
+#: Brier = REL − RES + UNC holds EXACTLY (coarse binning adds
+#: within-bin variance/covariance residuals)
+_BRIER_BINS = 101
+
+#: salt for the deterministic pseudo-score (the metric plumbing is the
+#: operator under test; a trained model's score column drops in here)
+_BRIER_SALT = "brier:"
+
+
+@query(
+    "brier_decomposition",
+    f"""
+WITH sc AS (
+  SELECT CAST({_H64.format(x=f"'{_BRIER_SALT}' || CAST(event_id AS VARCHAR)")}
+              % 101 AS BIGINT) AS p_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (
+  SELECT p_cents AS bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(p_cents) AS BIGINT) AS p_sum,
+         CAST(sum(y) AS BIGINT) AS y_sum,
+         CAST(sum((p_cents - 100 * y) * (p_cents - 100 * y)) AS BIGINT) AS sq
+  FROM sc GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(y_sum) AS BIGINT) AS yy,
+               CAST(sum(sq) AS BIGINT) AS sqt
+        FROM b),
+terms AS (
+  SELECT bin,
+         CAST((p_sum - 100 * y_sum) * (p_sum - 100 * y_sum) AS DOUBLE)
+           / (n_b * 10000.0) AS rel_t,
+         CAST((CAST(y_sum AS DECIMAL(38,0)) * n - CAST(yy AS DECIMAL(38,0)) * n_b)
+              * (CAST(y_sum AS DECIMAL(38,0)) * n - CAST(yy AS DECIMAL(38,0)) * n_b)
+              AS DOUBLE)
+           / (CAST(n_b AS DOUBLE) * n * n) AS res_t
+  FROM b CROSS JOIN tot
+),
+runs AS (
+  SELECT sum(rel_t) OVER (ORDER BY bin) AS rel_run,
+         sum(res_t) OVER (ORDER BY bin) AS res_run,
+         row_number() OVER (ORDER BY bin) AS rn,
+         count(*) OVER () AS nb
+  FROM terms
+)
+SELECT tot.n AS n_events,
+       round(CAST(tot.sqt AS DOUBLE) / (tot.n * 10000.0), 6) AS brier,
+       round(runs.rel_run / tot.n, 6) AS reliability,
+       round(runs.res_run / tot.n, 6) AS resolution,
+       round(CAST(CAST(tot.yy AS DECIMAL(38,0)) * (tot.n - tot.yy) AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * tot.n), 6) AS uncertainty
+FROM runs CROSS JOIN tot WHERE runs.rn = runs.nb
+""",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy reliability / resolution /
+    uncertainty decomposition over a probabilistic classifier's scores
+    — the calibration audit that says WHY a probability model is good
+    or bad (well-calibrated but uninformative vs sharp but biased).
+    The score column is a deterministic hash-derived pseudo-probability
+    in integer CENTS (a trained model's scores drop into the same
+    plumbing); the outcome is the purchase indicator.  The partition is
+    Murphy's original — condition on each DISTINCT forecast value — so
+    the identity Brier = REL − RES + UNC holds exactly (verified to
+    float tolerance in tests/test_eval_metrics.py; coarse reliability-
+    diagram binning would add within-bin residual terms).  Every moment
+    is integer-exact — per-value (n_b, Σp, Σy, Σ(p−100y)²) from one
+    keyed agg, the decomposition terms' numerators are exact DECIMAL
+    squares — and the ≤{_BRIER_BINS} per-value float terms fold through
+    an ORDERED window sum, so both engines add in the same order.
+    Scale shape: one corpus scan + one ≤{_BRIER_BINS}-row value frame;
+    the totals are a 1-row broadcast."""
+    from pyspark.sql import Window as W
+
+    from depositaja_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sc = ev.select(
+        (
+            hash64(F.concat(F.lit(_BRIER_SALT), F.col("event_id").cast("string")))
+            % 101
+        ).alias("p_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    diff = F.col("p_cents") - 100 * F.col("y")
+    b = sc.groupBy(
+        F.col("p_cents").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("p_cents").cast("long").alias("p_sum"),
+        F.sum("y").cast("long").alias("y_sum"),
+        F.sum(diff * diff).cast("long").alias("sq"),
+    )
+    tot = b.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("y_sum").cast("long").alias("yy"),
+        F.sum("sq").cast("long").alias("sqt"),
+    )
+    rel_num = (F.col("p_sum") - 100 * F.col("y_sum")).cast("decimal(38,0)")
+    res_num = (
+        F.col("y_sum").cast("decimal(38,0)") * F.col("n")
+        - F.col("yy").cast("decimal(38,0)") * F.col("n_b")
+    )
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        ((rel_num * rel_num).cast("double") / (F.col("n_b") * 10000.0)).alias(
+            "rel_t"
+        ),
+        (
+            (res_num * res_num).cast("double")
+            / (F.col("n_b").cast("double") * F.col("n") * F.col("n"))
+        ).alias("res_t"),
+    )
+    w_run = W.partitionBy().orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    runs = terms.select(
+        F.sum("rel_t").over(w_run).alias("rel_run"),
+        F.sum("res_t").over(w_run).alias("res_run"),
+        F.row_number().over(W.partitionBy().orderBy("bin")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("nb"),
+    )
+    return (
+        runs.filter(F.col("rn") == F.col("nb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_events"),
+            F.round(F.col("sqt").cast("double") / (F.col("n") * 10000.0), 6).alias(
+                "brier"
+            ),
+            F.round(F.col("rel_run") / F.col("n"), 6).alias("reliability"),
+            F.round(F.col("res_run") / F.col("n"), 6).alias("resolution"),
+            F.round(
+                (
+                    F.col("yy").cast("decimal(38,0)")
+                    * (F.col("n") - F.col("yy"))
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n")),
+                6,
+            ).alias("uncertainty"),
+        )
+    )
+
+
+# --- BFS hop layers + degree CCDF over the co-purchase graph ------------------
+
+_BFS_MAX_HOPS = 6
+
+from depositaja_spark.functions.graph import bfs_oracle_sql as _bfs_sql  # noqa: E402
+
+
+@query(
+    "copurchase_bfs_hops",
+    _bfs_sql(
+        _TRI_EDGES_SQL,
+        "SELECT min(u) AS node FROM e WHERE u IS NOT NULL",
+        _BFS_MAX_HOPS,
+        out_node="part",
+    ),
+)
+def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shortest-path hop distance from the lowest-id part to every
+    part reachable within {_BFS_MAX_HOPS} hops of the co-purchase graph
+    — the related-item expansion tiers ('bought together' at distance
+    1, 'same aisle' at 2-3) and the blast-radius primitive.
+    ``functions/graph.py:bfs_hops``: per round one keyed frontier join
+    + distinct + anti join against the visited set, O(1) pinned blocks
+    across rounds; bounded-round contract makes the chained-CTE oracle
+    exact (same shape as label propagation / k-core).  Edges come from
+    the shared capped builder."""
+    from depositaja_spark.functions.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
+    seeds = edges.agg(F.min("u").alias("node")).filter(
+        F.col("node").isNotNull()
+    )
+    out = bfs_hops(edges, seeds, max_hops=_BFS_MAX_HOPS)
+    return out.select(
+        F.col("node").alias("part"), F.col("hop").cast("int").alias("hops")
+    )
+
+
+@query(
+    "copurchase_degree_ccdf",
+    f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1)
+SELECT CAST(deg AS BIGINT) AS degree, n_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY deg DESC) AS BIGINT) AS n_nodes_ge
+FROM h
+""",
+)
+def q_copurchase_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph as an exact CCDF
+    (per distinct degree: node count and nodes-with-degree-≥) — the
+    heavy-tail diagnostic read before choosing hub caps
+    (LINKPRED_MAX_DEG, MINING_MAX_BASKET): where the tail bends is
+    where the caps belong.  All integer arithmetic; the cumulative runs
+    over the ≤|distinct degrees| histogram frame, never per node."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    h = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    w = (
+        W.partitionBy()
+        .orderBy(F.col("deg").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return h.select(
+        F.col("deg").cast("long").alias("degree"),
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("n_nodes_ge"),
+    )

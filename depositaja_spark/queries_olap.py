@@ -4389,3 +4389,498 @@ def q_whale_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "whale_share"
         ),
     )
+
+
+# --- survival analysis: Kaplan-Meier over user lifetimes ----------------------
+
+#: inactivity horizon: a user whose last event is more than this many
+#: days before the corpus end is treated as churned (event observed at
+#: their lifetime); later last-events are right-censored (still active)
+_KM_HORIZON_DAYS = 7
+
+
+@query(
+    "kaplan_meier_churn",
+    f"""
+WITH ud AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(d1) AS mday FROM ud),
+life AS (SELECT user_id, d1 - d0 AS dur,
+                CASE WHEN d1 < mday - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END
+                  AS churned
+         FROM ud CROSS JOIN mx),
+g AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM life GROUP BY 1),
+r AS (SELECT dur, c_all, d,
+             sum(c_all) OVER () AS nn,
+             coalesce(sum(c_all) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM g),
+km AS (SELECT dur, d, nn - before AS n_risk,
+              sum(CASE WHEN nn - before > d
+                       THEN ln((CAST(nn - before AS DOUBLE) - d)
+                               / (nn - before))
+                       ELSE 0.0 END) OVER (ORDER BY dur) AS logs,
+              sum(CASE WHEN nn - before <= d THEN 1 ELSE 0 END)
+                OVER (ORDER BY dur) AS zeroed
+       FROM r)
+SELECT CAST(dur AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_churned,
+       CASE WHEN zeroed > 0 THEN 0.0 ELSE round(exp(logs), 6) END AS survival
+FROM km WHERE d > 0
+""",
+)
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (days between a
+    user's first and last event), right-censoring users still active in
+    the last {_KM_HORIZON_DAYS} days of the corpus — the churn-analysis
+    staple that a naive 'average lifetime' gets wrong by ignoring
+    censoring.  S(t) = Π over event times u ≤ t of (n_u − d_u)/n_u with
+    risk sets n_u counted by an ordered cumulative over the
+    duration-grouped frame (calendar-bounded: one row per distinct
+    lifetime, never per user), the product taken as exp of an ORDERED
+    window sum of logs (identical IEEE op order both engines), and an
+    exact zero latch (once a factor hits 0 the curve is pinned at 0.0
+    rather than exp(-inf), which the engines spell differently).  Scale
+    shape: one user-keyed agg, a 1-row broadcast corpus-end scalar,
+    then everything runs on the ≤|days-span| duration frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    )
+    ud = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    mx = ud.agg(F.max("d1").alias("mday"))
+    life = ud.crossJoin(F.broadcast(mx)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        F.when(F.col("d1") < F.col("mday") - _KM_HORIZON_DAYS, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    g = life.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_all = W.partitionBy()
+    w_before = W.partitionBy().orderBy("dur").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_run = W.partitionBy().orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = g.select(
+        "dur",
+        "c_all",
+        "d",
+        F.sum("c_all").over(w_all).alias("nn"),
+        F.coalesce(F.sum("c_all").over(w_before), F.lit(0)).alias("before"),
+    )
+    n_risk = F.col("nn") - F.col("before")
+    km = r.select(
+        "dur",
+        "d",
+        n_risk.alias("n_risk"),
+        F.sum(
+            F.when(
+                n_risk > F.col("d"),
+                F.log((n_risk.cast("double") - F.col("d")) / n_risk),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_run)
+        .alias("logs"),
+        F.sum(F.when(n_risk <= F.col("d"), 1).otherwise(0))
+        .over(w_run)
+        .alias("zeroed"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("dur").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.when(F.col("zeroed") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp("logs"), 6))
+        .alias("survival"),
+    )
+
+
+# --- data-quality profiling ---------------------------------------------------
+
+_EVENTS_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "events_profile",
+    "\nUNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+        for c in _EVENTS_PROFILE_COLS
+    ),
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of the event stream: per column
+    its null count and exact distinct count — the first audit any
+    ingestion pipeline runs (PK candidates, dead columns, null storms
+    after a schema change).  One scan computes every column's
+    (count, count-distinct) pair via Spark's multi-distinct aggregate
+    rewrite (partial aggs per column, keyed expand — no per-column
+    rescans), then the 6-metric row is unpivoted to one row per column
+    on the 1-row result frame."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = []
+    for c in _EVENTS_PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"dist_{c}"),
+        ]
+    one = ev.agg(F.count(F.lit(1)).cast("long").alias("n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _EVENTS_PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_EVENTS_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_null, n_distinct)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+@query(
+    "orders_pk_audit",
+    """
+WITH k AS (
+  SELECT o_orderkey, CAST(count(*) AS BIGINT) AS m
+  FROM orders GROUP BY 1
+)
+SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(max(m) AS BIGINT) AS max_multiplicity
+FROM k
+""",
+)
+def q_orders_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit on orders: row count, distinct key
+    count, duplicated-key count and the worst multiplicity — the CDC /
+    ingestion invariant check (a retried batch or a bad merge shows up
+    here before it corrupts every downstream join).  One keyed count +
+    one 4-metric fold over the key frame; never returns an empty frame,
+    so a clean table is a visible (n, n, 0, 1) row rather than silence."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return k.agg(
+        F.sum("m").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_keys"),
+        F.max("m").cast("long").alias("max_multiplicity"),
+    )
+
+
+# --- deterministic weighted sampling (Efraimidis-Spirakis) --------------------
+
+_WS_K = 25
+_WS_SALT = "wsample:"
+_WS_MOD = 1_000_000_000
+
+
+@query(
+    "weighted_sample_topk",
+    f"""
+WITH sc AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS w,
+         ln((CAST('0x' || substr(md5('{_WS_SALT}' || CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_WS_MOD} + 1)
+            / {float(_WS_MOD + 1)!r}) / CAST(value AS DOUBLE) AS key
+  FROM events WHERE value IS NOT NULL AND value > 0
+)
+SELECT event_id, round(w, 4) AS weight, round(key, 6) AS sample_key,
+       CAST(row_number() OVER (ORDER BY key DESC, event_id) AS INT) AS rank
+FROM sc
+ORDER BY key DESC, event_id
+LIMIT {_WS_K}
+""",
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each row draws a deterministic hash uniform u and ranks by
+    u^(1/w) — equivalently ln(u)/w — so the top-{_WS_K} IS a weighted
+    sample, reproducible across runs/engines/partitionings because u
+    depends only on (salt, event_id), never an RNG stream (same
+    determinism contract as stratified_sample).  The value-weighted
+    sample every debugging/eval pipeline wants ('show me 25 events,
+    big ones more often').  Plan: scan-local key computation, then
+    orderBy().limit() → TakeOrderedAndProject (distributed top-k, no
+    global sort); rank is assigned on the {_WS_K}-row result."""
+    from pyspark.sql.window import Window as W2
+
+    from depositaja_spark.functions.text import hash64
+
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        hash64(F.concat(F.lit(_WS_SALT), F.col("event_id").cast("string")))
+        % _WS_MOD
+        + 1
+    ) / float(_WS_MOD + 1)
+    sc = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "event_id",
+        F.col("value").cast("double").alias("w"),
+        (F.log(u) / F.col("value").cast("double")).alias("key"),
+    )
+    top = sc.orderBy(F.col("key").desc(), F.col("event_id").asc()).limit(_WS_K)
+    return top.select(
+        "event_id",
+        F.round("w", 4).alias("weight"),
+        F.round("key", 6).alias("sample_key"),
+        F.row_number()
+        .over(W2.partitionBy().orderBy(F.col("key").desc(), F.col("event_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+
+
+# --- rolling 7-day active users ----------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+mx AS (SELECT max(day) AS mday FROM pres),
+cover AS (
+  SELECT DISTINCT user_id, day + unnest(range(0, 7)) AS cday
+  FROM pres
+)
+SELECT CAST(cday AS BIGINT) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM cover CROSS JOIN mx
+WHERE cday <= mday
+GROUP BY 1
+""",
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (users with ≥1 event in
+    [d−6, d]) — the WAU trendline.  Rolling DISTINCT does not decompose
+    over a window, so the plan inverts it: each distinct (user, day)
+    presence row covers the 7 days it contributes to (a constant ×7
+    array explode, scan-local), and the count is one keyed
+    distinct-count per covered day — two keyed shuffles total,
+    independent of the window length's interaction with user count.
+    The corpus-end day bounds phantom tail days (1-row broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    ).distinct()
+    mx = pres.agg(F.max("day").alias("mday"))
+    cover = pres.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("cday"),
+    ).distinct()
+    return (
+        cover.crossJoin(F.broadcast(mx))
+        .filter(F.col("cday") <= F.col("mday"))
+        .groupBy(F.col("cday").cast("long").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
+    )
+
+
+# --- one-way ANOVA F (k-group inference) --------------------------------------
+
+
+@query(
+    "anova_value_by_type",
+    """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              AS DECIMAL(38,4)) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s) AS DECIMAL(38,2)) AS st,
+               CAST(sum(q) AS DECIMAL(38,4)) AS qt,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g),
+terms AS (
+  SELECT event_type,
+         CAST(s * s AS DOUBLE) / n AS ssq_over_n
+  FROM g
+),
+fold AS (
+  SELECT sum(ssq_over_n) OVER (ORDER BY event_type) AS run,
+         row_number() OVER (ORDER BY event_type) AS rn,
+         count(*) OVER () AS nk
+  FROM terms
+)
+SELECT tot.k AS n_groups, tot.nn AS n_events,
+       round(fold.run - CAST(tot.st * tot.st AS DOUBLE) / tot.nn, 4) AS ss_between,
+       round(CAST(tot.qt AS DOUBLE) - fold.run, 4) AS ss_within,
+       round(((fold.run - CAST(tot.st * tot.st AS DOUBLE) / tot.nn) / (tot.k - 1))
+             / ((CAST(tot.qt AS DOUBLE) - fold.run) / (tot.nn - tot.k)), 6)
+         AS f_stat,
+       round((fold.run - CAST(tot.st * tot.st AS DOUBLE) / tot.nn)
+             / (CAST(tot.qt AS DOUBLE) - CAST(tot.st * tot.st AS DOUBLE) / tot.nn), 6)
+         AS eta_sq
+FROM fold CROSS JOIN tot WHERE fold.rn = fold.nk
+""",
+)
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL event types on event value — the
+    k-group completion of the inference family (Welch t is the 2-group
+    special case; χ² covers categoricals): F = (SSB/(k−1))/(SSW/(N−k))
+    plus the effect size η².  Per-group moments (n, Σx, Σx²) accumulate
+    as exact DECIMAL in one keyed agg; the only float arithmetic is the
+    ≤|types| per-group S²/n terms, folded through an ORDERED window so
+    both engines add in type order, and the closed-form assembly.  One
+    scan, one |types|-row frame, 1-row broadcast totals."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("value")).cast("decimal(38,2)").alias("s"),
+        F.sum(dec("value") * dec("value")).cast("decimal(38,4)").alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("decimal(38,2)").alias("st"),
+        F.sum("q").cast("decimal(38,4)").alias("qt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    terms = g.select(
+        "event_type",
+        ((F.col("s") * F.col("s")).cast("double") / F.col("n")).alias(
+            "ssq_over_n"
+        ),
+    )
+    w_run = W.partitionBy().orderBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fold = terms.select(
+        F.sum("ssq_over_n").over(w_run).alias("run"),
+        F.row_number().over(W.partitionBy().orderBy("event_type")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nk"),
+    )
+    j = fold.filter(F.col("rn") == F.col("nk")).crossJoin(F.broadcast(tot))
+    grand = (F.col("st") * F.col("st")).cast("double") / F.col("nn")
+    ssb = F.col("run") - grand
+    ssw = F.col("qt").cast("double") - F.col("run")
+    sst = F.col("qt").cast("double") - grand
+    return j.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_events"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+# --- Nelson-Aalen cumulative hazard -------------------------------------------
+
+
+@query(
+    "nelson_aalen_hazard",
+    f"""
+WITH ud AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(d1) AS mday FROM ud),
+life AS (SELECT user_id, d1 - d0 AS dur,
+                CASE WHEN d1 < mday - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END
+                  AS churned
+         FROM ud CROSS JOIN mx),
+g AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM life GROUP BY 1),
+r AS (SELECT dur, c_all, d,
+             sum(c_all) OVER () AS nn,
+             coalesce(sum(c_all) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM g),
+na AS (SELECT dur, d, nn - before AS n_risk,
+              sum(CAST(d AS DOUBLE) / (nn - before)) OVER (ORDER BY dur)
+                AS hazard
+       FROM r)
+SELECT CAST(dur AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_churned,
+       round(hazard, 6) AS cum_hazard
+FROM na WHERE d > 0
+""",
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{{u≤t}} d_u/n_u over the
+    same censored user-lifetime frame as kaplan_meier_churn — the
+    estimator survival texts pair with KM (H is what you plot to judge
+    constant-hazard fit; −ln S approximates it).  Identical risk-set
+    construction; the hazard increments are single float divisions of
+    exact integers folded through an ORDERED window, so no log/exp at
+    all — the numerically simplest member of the survival family."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    )
+    ud = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    mx = ud.agg(F.max("d1").alias("mday"))
+    life = ud.crossJoin(F.broadcast(mx)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        F.when(F.col("d1") < F.col("mday") - _KM_HORIZON_DAYS, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    g = life.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_all = W.partitionBy()
+    w_before = W.partitionBy().orderBy("dur").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_run = W.partitionBy().orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = g.select(
+        "dur",
+        "c_all",
+        "d",
+        F.sum("c_all").over(w_all).alias("nn"),
+        F.coalesce(F.sum("c_all").over(w_before), F.lit(0)).alias("before"),
+    )
+    n_risk = F.col("nn") - F.col("before")
+    na = r.select(
+        "dur",
+        "d",
+        n_risk.alias("n_risk"),
+        F.sum(F.col("d").cast("double") / n_risk).over(w_run).alias("hazard"),
+    )
+    return na.filter(F.col("d") > 0).select(
+        F.col("dur").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.round("hazard", 6).alias("cum_hazard"),
+    )

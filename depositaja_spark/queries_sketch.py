@@ -254,36 +254,58 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(frac < thresh).select("event_id", "event_type", "user_id")
 
 
-@query("kmeans_cluster_sizes")
+def _kmeans_sizes_sql() -> str:
+    from depositaja_spark.functions.kmeans_artifact import centroid_values_sql
+
+    return f"""
+WITH cent(cluster, w) AS (VALUES
+       {centroid_values_sql()}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT v.vec_id, c.cluster,
+             list_inner_product(v.v, v.v)
+             - 2 * list_inner_product(v.v, c.w)
+             + list_inner_product(c.w, c.w) AS d2
+      FROM v CROSS JOIN cent c),
+asg AS (SELECT vec_id, cluster
+        FROM (SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster) AS rn
+              FROM d)
+        WHERE rn = 1)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM asg GROUP BY cluster
+"""
+
+
+@query("kmeans_cluster_sizes", _kmeans_sizes_sql())
 def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means (functions/kmeans.py) trained 3 iterations over the
-    embedding corpus, reporting per-cluster membership — the iterative-
-    algorithm surface (IVF quantizer training, corpus clustering).
-    Iterative fixpoints are not SQL-expressible → rows-only for the
-    driver; but the hash-race seeding makes the result fully
-    deterministic, so tests/test_kmeans.py pins the exact per-cluster
-    sizes golden per fixture (plus objective monotonicity and blob
-    recovery)."""
+    """Per-cluster membership of the embedding corpus under the PINNED
+    k-means model (functions/kmeans_artifact.py — centroids fit once at
+    sf0.01 with the repo's own distributed Lloyd iteration, frozen as
+    literals): the deployed-clustering-model scoring pass, exactly how a
+    production corpus is bucketed (the clustering is a versioned
+    artifact, not re-fit per job).  Pinning makes the query fully
+    oracle-checkable — assignment is relational argmin over the same
+    literals, the size count a GROUP BY.  (Rows-only through round 8,
+    when the query re-fit per run.)  The iterative FIT keeps its own
+    gates: tests/test_kmeans.py invariants (objective monotonicity,
+    blob recovery, hash-race determinism) + the provenance re-fit in
+    tests/test_semdedup.py.  Engine side: one Arrow-batched matmul
+    against the broadcast C×d matrix, then a k-row keyed agg — no
+    shuffle before the k-row aggregation."""
     from pyspark.sql import functions as FF
 
-    from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
+    from depositaja_spark.functions.kmeans import assign_clusters
+    from depositaja_spark.functions.kmeans_artifact import KMEANS_CENTROIDS
 
-    from depositaja_spark.functions.cache import tracked_persist
-
-    # tracked (not a bare .persist()): the entry wrapper's restricted
-    # between-queries sweep must retire it; lineage stays intact, so a
-    # late re-consumer just recomputes from parquet
-    emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
-    cents = kmeans_fit(emb, k=8, iterations=3)
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        assign_clusters(emb, cents)
+        assign_clusters(emb, KMEANS_CENTROIDS)
         .groupBy("cluster")
         .agg(FF.count(FF.lit(1)).alias("n_members"))
         .orderBy("cluster")
     )
-
-
-NO_ORACLE_OK.add("kmeans_cluster_sizes")
 
 
 # --- Misra-Gries heavy hitters ----------------------------------------------

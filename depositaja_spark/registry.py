@@ -588,62 +588,67 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-8 additions never driver-sampled (43 entries, the
+    # -- round-9 additions never driver-sampled (11 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
-    "mann_kendall_daily_trend",
-    "interarrival_burstiness",
-    "ks_test_value_dist",
-    "copurchase_link_prediction",
-    "gini_split_stump",
-    "chi2_type_hour_independence",
-    "spearman_daily_corr",
-    "hilbert_layout_keys",
-    "signup_purchase_latency",
-    "abc_part_classification",
-    "mannwhitney_value_dist",
-    "classifier_auc",
-    "markov_steady_state",
-    "ab_conversion_ztest",
-    "cuped_variance_reduction",
-    "kfold_split_balance",
-    "session_type_affinity",
-    "ab_power_mde",
-    "daily_active_growth",
-    "whale_value_share",
-    "hourly_crosscorr_leadlag",
-    "seasonal_naive_backtest",
-    "theil_sen_hourly_trend",
-    "cusum_value_shift",
-    "hourly_value_acf",
-    "user_value_twap",
-    "benford_price_audit",
-    "assoc_rules_lift",
-    "quality_quantile_norm",
-    "winsorized_value_stats",
-    "hll_event_type_overlap",
-    "cdc_user_state",
-    "mmr_diverse_topk",
-    "resample_interp_hourly",
-    "hybrid_search_rrf",
-    "embedding_label_drift",
-    "multiscale_duplicate_spans",
+    "retrieval_eval_at_k",
+    "kaplan_meier_churn",
+    "fleiss_kappa_panel",
+    "brier_decomposition",
+    "png_decode_stats",
+    "copurchase_bfs_hops",
+    "copurchase_degree_ccdf",
+    "events_profile",
+    "orders_pk_audit",
+    "weighted_sample_topk",
+    "rolling_7d_active_users",
+    "anova_value_by_type",
+    "nelson_aalen_hazard",
+    "vocab_growth_heaps",
+    # -- round-9 CHANGED queries re-verified by the external gate:
+    #    the shared capped co-purchase edge builder rewired the four
+    #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
+    #    switched to pinned-artifact scoring with a new oracle --------
     "copurchase_communities",
-    "purchase_click_ttest",
-    "hourly_value_ohlc",
-    "labeler_agreement_kappa",
-    "salted_nation_revenue",
-    "salted_user_value_sum",
-    # -- round-8 CHANGED queries re-verified by the external gate
-    #    (7 of 11 fit; see the rotation test for the ceded-slot
-    #    rationale — all remain sim-verified locally) ------------------
-    "embedding_pca_projection",
-    "embedding_pca_variance",
-    "semantic_cluster_dedup",
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "basket_part_triples",
-    "item_similarity_topk",
+    "copurchase_triangles",
+    "copurchase_kcore",
+    "copurchase_link_prediction",
+    "basket_part_pairs",
+    "kmeans_cluster_sizes",
+    # -- LRU refill to the 50-slot window: the queries whose latest
+    #    driver sample is OLDEST (r1 vintage first, then the r3 block
+    #    in artifact order) — rotating external coverage through the
+    #    long tail while every oracle still runs locally each session --
+    "bigram_frequencies",
+    "containment_near_dups",
+    "doc_fingerprints",
+    "exact_dedup",
+    "token_counts",
+    "token_frequencies",
+    "above_threshold_windows",
+    "balance_per_wallet",
+    "check_all",
+    "check_many",
+    "check_one",
+    "check_one_unknown",
+    "customer_balance_quartiles",
+    "customers_with_orders",
+    "customers_without_orders",
+    "decode_props",
+    "deposit_history_flat",
+    "deposit_history_sizes",
+    "distinct_parts_per_flag",
+    "doc_quality_metrics",
+    "doc_quality_scores",
+    "events_hourly",
+    "flag_events",
+    "grouping_sets_revenue",
+    "hot_windows",
+    "lang_id",
+    "lang_id_confusion",
+    "lapsed_customers",
+    "late_ship_priority_counts",
+    "latest_flag",
 )
 
 

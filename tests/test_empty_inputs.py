@@ -289,3 +289,53 @@ def test_session4_queries_empty_tables(spark, tmp_path):
         "kfold_split_balance",
     ]:
         assert registry.QUERIES[name](spark, str(tmp_path)).count() == 0, name
+
+
+def test_round9_queries_empty_tables(spark, tmp_path):
+    """Round-9 queries under empty inputs: the zero-row set returns zero
+    rows without throwing; the two profiling queries keep their fixed
+    shape (a profile of an empty table is still a profile); the scalar
+    folds degrade to a single all-NULL/zero row consistently with their
+    oracles."""
+    from depositaja_spark import registry
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    d = str(tmp_path)
+    for name in [
+        "kaplan_meier_churn", "weighted_sample_topk",
+        "rolling_7d_active_users", "retrieval_eval_at_k",
+        "brier_decomposition", "png_decode_stats",
+        "copurchase_bfs_hops", "copurchase_degree_ccdf",
+        "kmeans_cluster_sizes", "anova_value_by_type",
+        "nelson_aalen_hazard", "vocab_growth_heaps",
+    ]:
+        assert registry.QUERIES[name](spark, d).count() == 0, name
+
+    prof = {
+        r.col_name: (r.n_rows, r.n_null, r.n_distinct)
+        for r in registry.QUERIES["events_profile"](spark, d).collect()
+    }
+    assert len(prof) == 6 and all(v == (0, 0, 0) for v in prof.values())
+
+    (pk,) = registry.QUERIES["orders_pk_audit"](spark, d).collect()
+    assert pk.n_keys == 0

@@ -1,0 +1,425 @@
+"""Round-9 query families: planted-input / pure-Python-replay tests for
+retrieval evaluation, survival analysis, multi-rater agreement, Brier
+decomposition, BFS layers, profiling, and deterministic weighted
+sampling.  The DuckDB oracle differential (tests/test_oracle.py) checks
+these on the fixtures; here the referee is an independent replay on
+inputs chosen to exercise the edge cases the fixtures don't."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from depositaja_spark import registry
+
+
+# --- helpers -----------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [
+            (eid, ts, uid, et, val, None)
+            for (eid, ts, uid, et, val) in rows
+        ],
+        "event_id long, _e long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("_e")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+# --- Kaplan-Meier ------------------------------------------------------------
+
+
+def test_kaplan_meier_planted_replay(spark, tmp_path):
+    """Planted lifetimes with censoring: 6 users, corpus end day 100.
+    Users A,B churn at duration 2 (last seen day ≤ 92); C churns at 5;
+    D,E,F still active near the end (censored at durations 5, 0, 1).
+    Replayed with the textbook product-limit estimator."""
+    day = 86400
+    rows = []
+    eid = 0
+
+    def user(uid, d0, d1):
+        nonlocal eid
+        rows.append((eid, d0 * day, uid, "view", 1.0))
+        eid += 1
+        rows.append((eid, d1 * day, uid, "view", 1.0))
+        eid += 1
+
+    user(1, 10, 12)   # dur 2, churned
+    user(2, 20, 22)   # dur 2, churned
+    user(3, 30, 35)   # dur 5, churned
+    user(4, 94, 99)   # dur 5, censored (last day 99 >= 100-7)
+    user(5, 100, 100)  # dur 0, censored — also pins corpus end
+    user(6, 98, 99)   # dur 1, censored
+    d = _write_events(spark, tmp_path, rows)
+
+    got = {
+        r.t_days: (r.n_risk, r.n_churned, r.survival)
+        for r in registry.QUERIES["kaplan_meier_churn"](spark, d).collect()
+    }
+    # replay: durations (dur, churned): (2,1)(2,1)(5,1)(5,0)(0,0)(1,0)
+    # event times: 2 (n=4: durs >=2 are 2,2,5,5; d=2), 5 (n=2, d=1)
+    s2 = (4 - 2) / 4
+    s5 = s2 * (2 - 1) / 2
+    assert set(got) == {2, 5}
+    assert got[2] == (4, 2, round(s2, 6))
+    assert got[5] == (2, 1, round(s5, 6))
+
+
+def test_kaplan_meier_zero_latch(spark, tmp_path):
+    """When every remaining at-risk user churns at the last event time,
+    S must be exactly 0.0 (the latch), not exp(-inf)/NULL."""
+    day = 86400
+    rows = []
+    eid = 0
+    for uid, (d0, d1) in enumerate([(0, 3), (0, 3), (5, 8)]):
+        rows.append((eid, d0 * day, uid, "view", 1.0))
+        eid += 1
+        rows.append((eid, d1 * day, uid, "view", 1.0))
+        eid += 1
+    # corpus end pinned far later by a churned single-day user
+    rows.append((eid, 50 * day, 99, "view", 1.0))
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.t_days: r.survival
+        for r in registry.QUERIES["kaplan_meier_churn"](spark, d).collect()
+    }
+    # all four users churn; the largest duration removes everyone
+    assert got[max(got)] == 0.0
+
+
+# --- retrieval eval ----------------------------------------------------------
+
+
+def test_retrieval_eval_replay_on_fixture(spark):
+    """Replay NDCG/MRR/recall from the ranked list itself (via
+    cosine_topk + labels collected once), using the same literal
+    discount table — checks the metric algebra, not the ranking."""
+    from depositaja_spark.functions import similarity as sim
+    from depositaja_spark.queries_ext import (
+        _DCG_DISCOUNTS,
+        _EVAL_K,
+        _IDCG_PREFIX,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    ranked = sim.cosine_topk(emb, queries, k=_EVAL_K).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    n_lab = {}
+    for v in labels.values():
+        n_lab[v] = n_lab.get(v, 0) + 1
+
+    got = {
+        r.query_id: r
+        for r in registry.QUERIES["retrieval_eval_at_k"](spark, sf).collect()
+    }
+    for qid in sim.QUERY_IDS:
+        rows = sorted((r for r in ranked if r.query_id == qid), key=lambda r: r.rank)
+        rel = [labels[r.cand_id] == labels[qid] for r in rows]
+        hits = sum(rel)
+        n_rel = n_lab[labels[qid]] - 1
+        dcg = 0.0
+        for i, rl in enumerate(rel):
+            dcg += _DCG_DISCOUNTS[i] if rl else 0.0
+        idcg = _IDCG_PREFIX[min(n_rel, _EVAL_K) - 1]
+        rr = next((1.0 / (i + 1) for i, rl in enumerate(rel) if rl), 0.0)
+        g = got[qid]
+        assert g.n_rel == n_rel
+        assert g.hits_at_k == hits
+        assert g.recall_at_k == round(hits / n_rel, 6)
+        assert g.precision_at_k == round(hits / _EVAL_K, 6)
+        assert g.rr == round(rr, 6)
+        assert g.ndcg_at_k == round(dcg / idcg, 6)
+        assert 0.0 <= g.ndcg_at_k <= 1.0
+
+
+# --- Fleiss kappa ------------------------------------------------------------
+
+
+def test_fleiss_kappa_replay_on_fixture(spark):
+    """Pure-Python Fleiss' kappa from the collected vote matrix equals
+    the registered query (and the pairwise-kappa queries' vote
+    construction is shared, so the panel is the same one)."""
+    from depositaja_spark.queries_curate import _KAPPA_LFS, q_weak_label_votes
+
+    sf = "/root/testdata/sf0.001"
+    votes = q_weak_label_votes(spark, sf).select("doc_id", *_KAPPA_LFS).collect()
+    m = len(_KAPPA_LFS)
+    n = len(votes)
+    s2 = 0
+    cj: dict = {}
+    for r in votes:
+        counts: dict = {}
+        for lf in _KAPPA_LFS:
+            v = r[lf]
+            counts[v] = counts.get(v, 0) + 1
+            cj[v] = cj.get(v, 0) + 1
+        s2 += sum(c * c for c in counts.values())
+    p_bar = (s2 - n * m) / (n * m * (m - 1))
+    p_e = sum(c * c for c in cj.values()) / (n * m) ** 2
+    kappa = (p_bar - p_e) / (1 - p_e)
+
+    (row,) = registry.QUERIES["fleiss_kappa_panel"](spark, sf).collect()
+    assert row.n_items == n and row.n_raters == m
+    assert row.p_bar == round(p_bar, 6)
+    assert row.p_e == round(p_e, 6)
+    assert row.fleiss_kappa == round(kappa, 6)
+
+
+def test_fleiss_kappa_perfect_agreement(spark, tmp_path):
+    """Sanity anchor: a panel that always agrees has kappa = 1 — built
+    by replaying the metric on a degenerate planted matrix."""
+    # replay-only check of the formula's fixed point (the query runs on
+    # documents; here we pin the algebra the query implements)
+    n, m = 10, 5
+    s2 = n * m * m  # every item: one category × m raters
+    p_bar = (s2 - n * m) / (n * m * (m - 1))
+    assert p_bar == 1.0
+
+
+# --- Brier -------------------------------------------------------------------
+
+
+def test_brier_decomposition_identity_and_replay(spark, tmp_path):
+    """Murphy identity Brier = REL − RES + UNC holds to float tolerance,
+    and every component matches a pure-Python replay on planted events
+    (including an empty bin range and a single-outcome bin)."""
+    from depositaja_spark.functions.text import py_hash64
+    from depositaja_spark.queries_ml import _BRIER_SALT
+
+    rows = [
+        (i, 1000 + i, i % 7, "purchase" if i % 3 == 0 else "view", 1.0)
+        for i in range(200)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["brier_decomposition"](spark, d).collect()
+
+    recs = []
+    for i, _, _, et, _ in rows:
+        p = py_hash64(f"{_BRIER_SALT}{i}") % 101
+        y = 1 if et == "purchase" else 0
+        recs.append((p, p, y))
+    n = len(recs)
+    yy = sum(y for _, _, y in recs)
+    brier = sum((p - 100 * y) ** 2 for _, p, y in recs) / (n * 10000.0)
+    bins: dict = {}
+    for b, p, y in recs:
+        nb, ps, ys = bins.get(b, (0, 0, 0))
+        bins[b] = (nb + 1, ps + p, ys + y)
+    rel = sum(
+        (ps - 100 * ys) ** 2 / (nb * 10000.0) for nb, ps, ys in bins.values()
+    ) / n
+    res = sum(
+        (ys * n - yy * nb) ** 2 / (nb * n * n) for nb, ps, ys in bins.values()
+    ) / n
+    unc = yy * (n - yy) / (n * n)
+    assert got.n_events == n
+    assert abs(got.brier - brier) < 1e-6
+    assert abs(got.reliability - rel) < 1e-6
+    assert abs(got.resolution - res) < 1e-6
+    assert abs(got.uncertainty - unc) < 1e-6
+    assert abs(got.brier - (got.reliability - got.resolution + got.uncertainty)) < 2e-6
+
+
+# --- BFS ---------------------------------------------------------------------
+
+
+def test_bfs_hops_golden_graph(spark):
+    """Chain with a branch and a disconnected island: exact hop levels,
+    island unreached, early-exit does not truncate levels."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (8, 9)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    release_caches()
+    assert got == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3, 6: 3}
+
+
+def test_bfs_hops_bound_respected(spark):
+    """max_hops truncates: a 5-chain walked with max_hops=2 reaches
+    exactly hops {0,1,2}."""
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    release_caches()
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+# --- profiling / sampling / rolling actives ----------------------------------
+
+
+def test_orders_pk_audit_planted_dupes(spark, tmp_path):
+    rows = [(1,), (2,), (2,), (3,), (3,), (3,)]
+    spark.createDataFrame(rows, "o_orderkey long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/orders.parquet")
+    (r,) = registry.QUERIES["orders_pk_audit"](spark, str(tmp_path)).collect()
+    assert (r.n_rows, r.n_keys, r.n_dup_keys, r.max_multiplicity) == (6, 3, 2, 3)
+
+
+def test_events_profile_planted(spark, tmp_path):
+    rows = [
+        (1, 100, 1, "a", 1.0),
+        (2, 100, 1, "a", None),
+        (3, 200, 2, "b", 2.0),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.col_name: (r.n_rows, r.n_null, r.n_distinct)
+        for r in registry.QUERIES["events_profile"](spark, d).collect()
+    }
+    assert got["event_id"] == (3, 0, 3)
+    assert got["user_id"] == (3, 0, 2)
+    assert got["value"] == (3, 1, 2)
+    assert got["props"] == (3, 3, 0)
+
+
+def test_weighted_sample_deterministic_and_correct(spark, tmp_path):
+    """The sample equals the Python replay of ln(u)/w ranking and is
+    identical across two runs (no RNG state anywhere)."""
+    from depositaja_spark.functions.text import py_hash64
+    from depositaja_spark.queries_olap import _WS_K, _WS_MOD, _WS_SALT
+
+    rows = [(i, 1000 + i, 1, "view", float(1 + i % 9)) for i in range(300)]
+    d = _write_events(spark, tmp_path, rows)
+    want = sorted(
+        (
+            (
+                math.log(
+                    (py_hash64(f"{_WS_SALT}{i}") % _WS_MOD + 1) / float(_WS_MOD + 1)
+                )
+                / w,
+                i,
+            )
+            for i, _, _, _, w in [(r[0], 0, 0, 0, r[4]) for r in rows]
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:_WS_K]
+    got1 = [
+        (r.event_id, r.rank)
+        for r in registry.QUERIES["weighted_sample_topk"](spark, d).collect()
+    ]
+    got2 = [
+        (r.event_id, r.rank)
+        for r in registry.QUERIES["weighted_sample_topk"](spark, d).collect()
+    ]
+    assert got1 == got2
+    assert [e for e, _ in sorted(got1, key=lambda t: t[1])] == [
+        i for _, i in want
+    ]
+
+
+def test_rolling_7d_active_users_planted(spark, tmp_path):
+    """3 users: membership windows overlap correctly and tail days past
+    the corpus end are not emitted."""
+    day = 86400
+    rows = [
+        (1, 0 * day, 1, "view", 1.0),
+        (2, 3 * day, 2, "view", 1.0),
+        (3, 10 * day, 3, "view", 1.0),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.day: r.active_7d
+        for r in registry.QUERIES["rolling_7d_active_users"](spark, d).collect()
+    }
+    want = {}
+    for d0 in (0, 3, 10):
+        for c in range(d0, d0 + 7):
+            if c <= 10:
+                want[c] = want.get(c, 0) + 1
+    assert got == want
+
+
+# --- ANOVA / Nelson-Aalen / Heaps --------------------------------------------
+
+
+def test_anova_planted_replay(spark, tmp_path):
+    """Three planted groups with known within/between structure; exact
+    sums-of-squares replayed in Python (and η² ∈ [0, 1])."""
+    vals = {"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0], "c": [10.0]}
+    rows, eid = [], 0
+    for et, vs in vals.items():
+        for v in vs:
+            rows.append((eid, 1000 + eid, 1, et, v))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["anova_value_by_type"](spark, d).collect()
+
+    all_v = [v for vs in vals.values() for v in vs]
+    n, k = len(all_v), len(vals)
+    grand = sum(all_v) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in vals.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in vals.values() for v in vs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.n_groups == k and got.n_events == n
+    # ss_* are rounded to 4 decimals in the query output
+    assert abs(got.ss_between - ssb) < 1e-4
+    assert abs(got.ss_within - ssw) < 1e-4
+    assert abs(got.f_stat - f) < 1e-4
+    assert 0.0 <= got.eta_sq <= 1.0
+
+
+def test_nelson_aalen_planted_replay(spark, tmp_path):
+    """Same censored cohort as the KM planted test; H(t) = Σ d/n and
+    the −ln S ≈ H relationship (H ≥ −ln S is NOT generally true, but
+    both are nonneg and nondecreasing — assert monotone + exact values)."""
+    day = 86400
+    rows, eid = [], 0
+    for uid, (d0, d1) in enumerate(
+        [(10, 12), (20, 22), (30, 35), (94, 99), (100, 100), (98, 99)]
+    ):
+        rows.append((eid, d0 * day, uid, "view", 1.0))
+        eid += 1
+        rows.append((eid, d1 * day, uid, "view", 1.0))
+        eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.t_days: (r.n_risk, r.n_churned, r.cum_hazard)
+        for r in registry.QUERIES["nelson_aalen_hazard"](spark, d).collect()
+    }
+    h2 = 2 / 4
+    h5 = h2 + 1 / 2
+    assert got == {2: (4, 2, round(h2, 6)), 5: (2, 1, round(h5, 6))}
+
+
+def test_vocab_growth_planted_replay(spark, tmp_path):
+    """Three tiny documents with overlapping vocabulary: cumulative
+    token and vocabulary counts replayed exactly (exact integers)."""
+    docs = [(0, "a b a"), (1, "b c"), (2, "c d d")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.cum_tokens, r.cum_vocab)
+        for r in registry.QUERIES["vocab_growth_heaps"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: (3, 2), 1: (5, 3), 2: (8, 4)}

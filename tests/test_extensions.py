@@ -192,6 +192,94 @@ def test_decode_media_ppm_pgm_bmp(spark):
     assert got[2].pixels == got[0].pixels
 
 
+def test_png_roundtrip_all_filters():
+    """encode_png cycles row filters y % 5, so any image with ≥5 rows
+    round-trips through every filter type (None/Sub/Up/Average/Paeth);
+    decode must recover exact pixels for RGB and grayscale at several
+    shapes, including widths that stress the bpp-lane arithmetic."""
+    import numpy as np
+
+    from depositaja_spark.functions.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w, c in [(8, 8, 3), (5, 1, 3), (7, 13, 1), (6, 3, 3), (5, 2, 1)]:
+        arr = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+        hh, ww, cc, out = _decode_png(encode_png(arr))
+        assert (hh, ww, cc) == (h, w, c)
+        assert np.array_equal(out, arr), f"shape {(h, w, c)}"
+
+
+def test_png_color_types_and_unsupported():
+    """Hand-built PNGs (stdlib zlib, filter-0 rows): palette (type 3)
+    expands through PLTE to RGB, RGBA (6) and gray+alpha (4) drop alpha
+    — same conventions as the BMP decoder; 16-bit depth raises the
+    documented NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from depositaja_spark.functions.multimodal import _PNG_MAGIC, _decode_png
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    def png(w, h, depth, ctype, rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            _PNG_MAGIC + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # palette: 2×1, indexes 1, 0 into [red, green]
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    h, w, c, px = _decode_png(png(2, 1, 8, 3, [bytes([1, 0])], plte))
+    assert (h, w, c) == (1, 2, 3)
+    assert px.tolist() == [[[0, 255, 0], [255, 0, 0]]]
+
+    # RGBA 1×2: alpha dropped
+    rows = [bytes([10, 20, 30, 255]), bytes([40, 50, 60, 0])]
+    h, w, c, px = _decode_png(png(1, 2, 8, 6, rows))
+    assert (h, w, c, px.tolist()) == (2, 1, 3, [[[10, 20, 30]], [[40, 50, 60]]])
+
+    # gray+alpha 2×1
+    h, w, c, px = _decode_png(png(2, 1, 8, 4, [bytes([7, 255, 9, 0])]))
+    assert (h, w, c, px.tolist()) == (1, 2, 1, [[[7], [9]]])
+
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(png(1, 1, 16, 0, [bytes([0, 0])]))
+
+
+def test_png_flows_through_decode_media_and_ahash(spark):
+    """PNG payloads flow through the SAME Spark pipeline as PPM/BMP:
+    decode_media recovers exact pixels, and image_ahash over a PNG
+    payload equals the hash of the identical pixels shipped as PPM —
+    codec-invariance of the perceptual signature."""
+    import numpy as np
+
+    from depositaja_spark.functions.multimodal import encode_png
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    ppm = b"P6\n8 8\n255\n" + arr.tobytes()
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png(arr))), (1, bytearray(ppm))],
+        "doc_id long, payload binary",
+    )
+    dec = {r.doc_id: r for r in mm.decode_media(df).collect()}
+    assert dec[0].pixels == dec[1].pixels == arr.reshape(-1).tolist()
+    hashes = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
+    assert hashes[0] == hashes[1]
+
+
 def test_resize_images_roundtrip(spark):
     """Nearest-neighbor 2×2→4×4 upsample: each source pixel becomes a 2×2
     block; output re-decodes through the same codec (payload→payload)."""

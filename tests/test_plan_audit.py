@@ -28,6 +28,10 @@ CARTESIAN_OK = {
     # text ANN: the exact brute scan IS corpus × (broadcast, 3-doc IN-list
     # query set) — same baseline shape as ann_topk_brute
     "text_ann_topk",
+    # retrieval eval: scores the SAME cosine_topk brute scan over the
+    # 5-vector broadcast query set; the metric math itself runs on the
+    # k-bounded ranked frame
+    "retrieval_eval_at_k",
     # hybrid RRF / MMR: their semantic leg (candidate pool) is the SAME
     # cosine_topk brute scan over the 3-doc broadcast query set; the
     # fusion / greedy stages themselves touch only per-query top-N frames
@@ -85,6 +89,16 @@ CARTESIAN_OK = {
     "session_type_affinity",
     # whale share: the k/total scalars are 1-row broadcast cross joins
     "whale_value_share",
+    # Kaplan-Meier / Nelson-Aalen: the corpus-end day is a 1-row
+    # broadcast cross join onto the per-user lifetime frame
+    "kaplan_meier_churn",
+    "nelson_aalen_hazard",
+    # ANOVA: the (N, ΣX, ΣX², k) totals are a 1-row broadcast cross
+    # join onto the |types|-row moment frame
+    "anova_value_by_type",
+    # rolling 7d actives: the corpus-end day is the same 1-row
+    # broadcast cross join, bounding phantom tail days
+    "rolling_7d_active_users",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",
@@ -107,6 +121,9 @@ CARTESIAN_OK = {
     # AUC inherits the same 1-row prior broadcast (plus the
     # grouped-ntile bucket-offset scalar)
     "classifier_auc",
+    # Brier decomposition: the (N, ΣY, Σsq) totals are a 1-row
+    # broadcast cross join onto the 10-row bin frame
+    "brier_decomposition",
     # PageRank: N and the per-iteration dangling mass are 1-row broadcast
     # scalars onto the node frame (personalized adds the 1-row seed-count
     # scalar for the teleport vector)
@@ -132,6 +149,9 @@ CARTESIAN_OK = {
     # 1-row broadcast scalars joined onto the ≤d-row per-dim frame and
     # the 1-row moment frame
     "embedding_pca_variance",
+    # Fleiss kappa: the three scalar moments (Σn_ij², N, Σc_j²) are
+    # 1-row frames combined by broadcast cross join
+    "fleiss_kappa_panel",
     # kappa: the corpus count n is a 1-row broadcast scalar joined onto
     # the ≤C(L,2)=10-row agreement frame; every corpus-sized shuffle is
     # keyed on doc_id
@@ -209,6 +229,9 @@ _FIXED_DOMAIN_GROUP_COLS = {
     "n_name", "n_nationkey", "r_name", "r_regionkey",
     "supp_nation", "cust_nation", "nation",
     "lang", "predicted_lang", "source", "score",
+    # embeddings.label: 10-class fixed domain (the synthetic corpus's
+    # cluster tag — a class vocabulary, not an sf-scaling key)
+    "label",
     "c_mktsegment", "p_brand", "p_type", "p_container", "p_size",
     "event_type", "o_orderstatus", "o_orderpriority", "l_returnflag",
     "l_linestatus", "l_shipmode", "flagged", "above_threshold",

@@ -89,53 +89,44 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round8_changed_queries_are_prioritized():
-    """Queries whose implementation or oracle changed in round 8 (the
-    pinned-artifact oracles, the mining hot-basket cap, the as-of
-    tie-break pin, the aHash byte fix) must sit in the driver window so
-    the change is re-verified by the external gate, not only locally."""
+def test_round9_changed_queries_are_prioritized():
+    """Queries whose implementation or oracle changed in round 9 (the
+    shared capped co-purchase edge builder behind the four graph
+    queries + basket_part_pairs; kmeans_cluster_sizes' pinned-artifact
+    rewrite) must sit in the driver window so the change is re-verified
+    by the external gate, not only locally."""
     changed = {
-        "embedding_pca_projection", "embedding_pca_variance",
-        "semantic_cluster_dedup", "ann_topk_pq",
-        "basket_part_triples", "item_similarity_topk",
-        "ann_topk_ivfpq",
+        "copurchase_communities", "copurchase_triangles",
+        "copurchase_kcore", "copurchase_link_prediction",
+        "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 43 never-sampled round-8 additions + these 7
-    # pins = 50.  Ceded pin slots, weakest-external-value first:
-    # image_ahash_dups (rows-only — the driver adds only a row count),
-    # embedding_covariance (smallest r8 change), and the as-of pair
-    # (whose r8 change touched only the ORACLE tie-break formulation,
-    # not the engine).  All remain sim-verified locally every session.
+    # Window arithmetic: 14 never-sampled round-9 additions + these 6
+    # pins + 30 LRU refill slots (r1/r3-vintage queries the driver has
+    # not re-checked since, rotating external coverage through the long
+    # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
 
 
 def test_never_driver_sampled_queries_lead_the_window():
     """Queries no driver round has ever sampled must sit at the very
-    front of the window.  r1-r7 union coverage is 203/203 of the r7
-    registry, so the never-sampled set is exactly the round-8
+    front of the window.  r1-r8 union coverage is 246/246 of the r8
+    registry (the r8 window WAS the never-sampled set), so the
+    never-sampled set entering round 9 is exactly the round-9
     additions."""
     never = [
-        "mann_kendall_daily_trend", "interarrival_burstiness",
-        "ks_test_value_dist", "copurchase_link_prediction",
-        "gini_split_stump", "chi2_type_hour_independence",
-        "spearman_daily_corr", "hilbert_layout_keys",
-        "signup_purchase_latency", "abc_part_classification",
-        "mannwhitney_value_dist", "classifier_auc",
-        "markov_steady_state", "ab_conversion_ztest",
-        "cuped_variance_reduction", "kfold_split_balance",
-        "session_type_affinity", "ab_power_mde",
-        "daily_active_growth", "whale_value_share",
-        "hourly_crosscorr_leadlag",
-        "seasonal_naive_backtest", "theil_sen_hourly_trend",
-        "cusum_value_shift", "hourly_value_acf",
-        "user_value_twap", "benford_price_audit",
-        "assoc_rules_lift", "quality_quantile_norm",
-        "winsorized_value_stats", "hll_event_type_overlap",
-        "cdc_user_state", "mmr_diverse_topk",
-        "resample_interp_hourly", "hybrid_search_rrf",
-        "embedding_label_drift", "multiscale_duplicate_spans",
-        "copurchase_communities", "purchase_click_ttest",
-        "hourly_value_ohlc", "labeler_agreement_kappa",
-        "salted_nation_revenue", "salted_user_value_sum",
+        "retrieval_eval_at_k",
+        "kaplan_meier_churn",
+        "fleiss_kappa_panel",
+        "brier_decomposition",
+        "png_decode_stats",
+        "copurchase_bfs_hops",
+        "copurchase_degree_ccdf",
+        "events_profile",
+        "orders_pk_audit",
+        "weighted_sample_topk",
+        "rolling_7d_active_users",
+        "anova_value_by_type",
+        "nelson_aalen_hazard",
+        "vocab_growth_heaps",
     ]
     assert list(R.QUERIES)[: len(never)] == never
