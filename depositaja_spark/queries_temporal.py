@@ -638,3 +638,66 @@ def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_seconds") > 0)
     )
+
+
+# --- ANN quality: IVF recall vs the exact baseline ----------------------------
+
+_BRUTE_SQL = f"""
+SELECT query_id, cand_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id IN ({_Q_IDS})) q
+  WHERE c.vec_id != q.vec_id
+) WHERE rank <= {sim.TOP_K}
+"""
+
+
+@query(
+    "ann_recall_ivf",
+    f"""
+WITH ivf AS ({_IVF_SQL}),
+brute AS ({_BRUTE_SQL})
+SELECT b.query_id,
+       CAST(count(ivf.cand_id) AS BIGINT) AS n_hits,
+       round(CAST(count(ivf.cand_id) AS DOUBLE) / {sim.TOP_K}, 6)
+         AS recall_at_k
+FROM brute b
+LEFT JOIN ivf ON b.query_id = ivf.query_id AND b.cand_id = ivf.cand_id
+GROUP BY b.query_id
+""",
+)
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{sim.TOP_K} of the IVF-pruned ANN against the exact brute
+    top-{sim.TOP_K} — THE standard ANN quality metric (the number every
+    index benchmark reports; here it quantifies exactly what nprobe
+    cell pruning costs).  Both pipelines already exist as registered
+    operators; this composes them: one keyed join of two k-bounded
+    per-query result frames + a per-query count — the metric layer adds
+    no corpus-sized work beyond the two retrieval plans themselves.
+    Complements retrieval_eval_at_k (which judges the EXACT ranking
+    against labels; this judges the APPROXIMATE index against the exact
+    ranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(sim.QUERY_IDS))
+    brute = sim.cosine_topk(emb, queries, k=sim.TOP_K).select(
+        "query_id", "cand_id"
+    )
+    ivf = sim.ann_topk_ivf(emb).select(
+        F.col("query_id").alias("iq"), F.col("cand_id").alias("ic")
+    )
+    j = brute.join(
+        ivf,
+        (F.col("query_id") == F.col("iq")) & (F.col("cand_id") == F.col("ic")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("ic").cast("long").alias("n_hits"),
+        F.round(F.count("ic").cast("double") / sim.TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )

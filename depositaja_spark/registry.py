@@ -605,6 +605,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "anova_value_by_type",
     "nelson_aalen_hazard",
     "vocab_growth_heaps",
+    "ann_recall_ivf",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -648,7 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "lapsed_customers",
     "late_ship_priority_counts",
-    "latest_flag",
 )
 
 

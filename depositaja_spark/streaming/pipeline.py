@@ -762,3 +762,141 @@ def auc_from_state(cells: dict) -> dict:
         "auc": u1 / n12,
         "z_stat": z,
     }
+
+
+# --- streaming distinct-cardinality monitor (HyperLogLog) ---------------------
+
+#: HLL precision: m = 2^p registers — the monitor's whole state is m
+#: rows forever, whatever the stream's cardinality
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+#: width of the rho-domain: hash64 yields 60 bits, p index the register
+_HLL_WBITS = 60 - HLL_P
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
+    """Flajolet HLL estimate from a sparse {register: max_rho} dict —
+    absent registers are zeros.  Includes the standard small-range
+    linear-counting correction (the regime driver fixtures live in)."""
+    import math
+
+    z = float(m - len(registers))  # zero registers contribute 2^0
+    z += sum(2.0 ** (-rho) for rho in registers.values())
+    e = _hll_alpha(m) * m * m / z
+    v = m - len(registers)
+    if e <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return e
+
+
+def streaming_distinct_users(
+    events: DataFrame,
+    state_dir: str,
+    key_col: str = "user_id",
+):
+    """Streaming distinct-cardinality monitor: maintains ONE HyperLogLog
+    register vector over ``key_col`` across micro-batches — the 'how
+    many unique users have we ever seen' gauge that an exact distinct
+    cannot provide unboundedly (its state would grow with the key
+    universe; HLL state is {HLL_M} rows forever).
+    
+    Per batch the heavy work is one distributed keyed aggregation
+    (register index → max rho, map-side combined, output ≤ m rows);
+    only that bounded frame reaches the driver, where merge with the
+    previous state is elementwise max — HLL's merge IS max, so
+    replayed/overlapping batches are absorbed idempotently (on top of
+    the same commit_<batch_id> staged-rename at-least-once protocol as
+    the MG/PSI/CUSUM/AUC monitors).  Hashing is the repo's portable
+    md5-derived hash64, so a pure-Python replay is bit-exact
+    (tests/test_streaming_hll.py).
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+
+    from depositaja_spark.functions.text import hash64
+
+    state_schema = "reg long, rho long"
+
+    def _batch_regs(batch: DataFrame) -> dict[int, int]:
+        h = hash64(F.col(key_col).cast("string"))
+        w = F.shiftrightunsigned(h, HLL_P)
+        # rho = leading zeros of w within the (60-p)-bit window + 1;
+        # bit_length(w) via floor(log2) is float-fragile — use the exact
+        # integer identity rho = wbits - bit_length(w) + 1 computed from
+        # 64 - bit_count of the propagated-suffix mask
+        filled = w
+        for s in (1, 2, 4, 8, 16, 32):
+            filled = filled.bitwiseOR(F.shiftrightunsigned(filled, s))
+        bitlen = F.bit_count(filled)  # == bit_length(w), exact
+        rho = F.lit(_HLL_WBITS) - bitlen + 1
+        rows = (
+            batch.filter(F.col(key_col).isNotNull())
+            .select(
+                (h.bitwiseAND(F.lit(HLL_M - 1))).alias("reg"),
+                rho.cast("long").alias("rho"),
+            )
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        )
+        return {int(r.reg): int(r.rho) for r in rows}
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return
+        regs = _batch_regs(batch)
+        if commits:
+            path = _os.path.join(state_dir, commits[-1][1])
+            prev = {
+                int(r.reg): int(r.rho)
+                for r in spark.read.schema(state_schema)
+                .parquet(_os.path.join(path, "state"))
+                .collect()
+            }
+            for k, v in prev.items():
+                if regs.get(k, 0) < v:
+                    regs[k] = v
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
+        _shutil.rmtree(staged, ignore_errors=True)
+        rows = sorted(regs.items())
+        spark.createDataFrame(rows or [(0, 0)], state_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(_os.path.join(staged, "state"))
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def load_hll_state(spark, state_dir: str) -> dict[int, int]:
+    """The newest committed HLL register vector as {reg: rho} (empty
+    before the first commit; the (0, 0) empty-stream sentinel row is
+    dropped)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        int(r.reg): int(r.rho)
+        for r in spark.read.schema("reg long, rho long")
+        .parquet(_os.path.join(path, "state"))
+        .collect()
+        if r.rho > 0
+    }

@@ -32,6 +32,9 @@ CARTESIAN_OK = {
     # 5-vector broadcast query set; the metric math itself runs on the
     # k-bounded ranked frame
     "retrieval_eval_at_k",
+    # ANN recall: composes the brute baseline (above) with the IVF
+    # plan; the metric join touches only the two k-bounded result frames
+    "ann_recall_ivf",
     # hybrid RRF / MMR: their semantic leg (candidate pool) is the SAME
     # cosine_topk brute scan over the 3-doc broadcast query set; the
     # fusion / greedy stages themselves touch only per-query top-N frames

@@ -100,8 +100,8 @@ def test_round9_changed_queries_are_prioritized():
         "copurchase_kcore", "copurchase_link_prediction",
         "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 14 never-sampled round-9 additions + these 6
-    # pins + 30 LRU refill slots (r1/r3-vintage queries the driver has
+    # Window arithmetic: 15 never-sampled round-9 additions + these 6
+    # pins + 29 LRU refill slots (r1/r3-vintage queries the driver has
     # not re-checked since, rotating external coverage through the long
     # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
@@ -128,5 +128,6 @@ def test_never_driver_sampled_queries_lead_the_window():
         "anova_value_by_type",
         "nelson_aalen_hazard",
         "vocab_growth_heaps",
+        "ann_recall_ivf",
     ]
     assert list(R.QUERIES)[: len(never)] == never

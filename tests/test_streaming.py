@@ -1440,3 +1440,88 @@ def test_streaming_auc_monitor_matches_batch_twin(spark, tmp_path):
     q3.awaitTermination(300)
     sep = auc_from_state(load_auc_state(spark, state2))
     assert sep["auc"] == 1.0 and sep["n_pos"] == 20 and sep["n_neg"] == 30
+
+
+def test_streaming_hll_matches_python_replay_and_estimates(spark, tmp_path):
+    """The foreachBatch HLL monitor over a 3-file stream: the maintained
+    register vector must equal a pure-Python replay of the same hashes
+    bit-for-bit (portable md5 hash64 → same registers), merge must be
+    idempotent (re-running the stream changes nothing), and the
+    estimate must sit within a few percent of the true distinct count
+    (small-range linear-counting regime)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.functions.text import py_hash64
+    from depositaja_spark.streaming.pipeline import (
+        HLL_M,
+        HLL_P,
+        _HLL_WBITS,
+        hll_estimate,
+        load_hll_state,
+        streaming_distinct_users,
+    )
+
+    users = [r.user_id for r in load_table(spark, SF, "events").select("user_id").collect()]
+    splits = [users[i::3] for i in range(3)]
+    d = tmp_path / "hll_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table({"user_id": pa.array(chunk, pa.int64())}),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "hll_state")
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_distinct_users(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = load_hll_state(spark, state_dir)
+
+    # pure-Python replay: same hash, same register/rho decomposition
+    want: dict = {}
+    for u in users:
+        h = py_hash64(str(u))
+        reg = h & (HLL_M - 1)
+        w = h >> HLL_P
+        rho = _HLL_WBITS - w.bit_length() + 1
+        if want.get(reg, 0) < rho:
+            want[reg] = rho
+    assert got == want
+
+    # estimate accuracy: linear-counting regime, expect a few % at most
+    true = len(set(users))
+    est = hll_estimate(got)
+    assert abs(est - true) / true < 0.05
+
+    # idempotent merge: a second identical stream run (fresh checkpoint,
+    # same state dir → replayed batch_ids are skipped, and even a fresh
+    # fold of the same data is absorbed by elementwise max)
+    q2 = (
+        streaming_distinct_users(
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d)),
+            state_dir,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert load_hll_state(spark, state_dir) == want
