@@ -1470,3 +1470,199 @@ def q_copurchase_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.sum("n_nodes").over(w).cast("long").alias("n_nodes_ge"),
     )
+
+
+# --- reliability (calibration) curve ------------------------------------------
+
+
+@query(
+    "calibration_curve",
+    f"""
+WITH sc AS (
+  SELECT CAST({_H64.format(x=f"'{_BRIER_SALT}' || CAST(event_id AS VARCHAR)")}
+              % 101 AS BIGINT) AS p_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+)
+SELECT CAST(least(p_cents // 10, 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(p_cents) AS DOUBLE) / (count(*) * 100), 6) AS avg_pred,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+FROM sc GROUP BY 1
+""",
+)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reliability diagram behind brier_decomposition: per score
+    decile, mean predicted probability vs observed positive rate — the
+    table you plot to SEE miscalibration (the decomposition scores it).
+    Same deterministic integer-cents pseudo-score (a model's score
+    column drops in); one keyed agg with exact integer sums, two float
+    divisions per bin, 10-row output forever."""
+    from depositaja_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sc = ev.select(
+        (
+            hash64(F.concat(F.lit(_BRIER_SALT), F.col("event_id").cast("string")))
+            % 101
+        ).alias("p_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return sc.groupBy(
+        F.least(F.floor(F.col("p_cents") / 10), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("p_cents").cast("double") / (F.count(F.lit(1)) * 100), 6
+        ).alias("avg_pred"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_pos"
+        ),
+    )
+
+
+# --- token-pair PMI over the top-V vocabulary ---------------------------------
+
+_PMI_V = 32
+_PMI_MIN_CO = 5
+
+
+@query(
+    "token_pmi_topv",
+    f"""
+WITH tk AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+topv AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM tk GROUP BY 1
+  ORDER BY df DESC, tok ASC LIMIT {_PMI_V}
+),
+pres AS (SELECT tk.doc_id, tk.tok, topv.df FROM tk JOIN topv USING (tok)),
+pair AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         max(a.df) AS dfa, max(b.df) AS dfb,
+         CAST(count(*) AS BIGINT) AS co
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, dfa AS df_a, dfb AS df_b, co,
+       round(ln(CAST(co AS DOUBLE) * nn.n / (CAST(dfa AS DOUBLE) * dfb)), 6)
+         AS pmi
+FROM pair CROSS JOIN nn
+WHERE co >= {_PMI_MIN_CO}
+""",
+)
+def q_token_pmi_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between top-{_PMI_V} vocabulary
+    tokens by document co-occurrence — the word-association mining
+    primitive (collocations, taxonomy seeds, embedding sanity checks).
+    The cap IS the scale design: presence restricted to the broadcast
+    top-V head bounds the per-doc pair fan-out at V² regardless of
+    corpus or vocabulary size (the same top-V + bounded-frame pattern
+    as the drift monitors; an uncapped token-pair join would be the
+    textual Σ basket² bug).  Doc frequencies and co-occurrence counts
+    are exact integers; PMI is one ln per surviving pair."""
+    from depositaja_spark.functions.text import tokens
+    from depositaja_spark.functions.cache import tracked_persist
+
+    docs = _docs(spark, sf_dir)
+    tk = tracked_persist(
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    )
+    nn = docs.agg(F.count_distinct("doc_id").cast("long").alias("n"))
+    topv = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(_PMI_V)
+    )
+    pres = tk.join(F.broadcast(topv), "tok")
+    a = pres.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("dfa"))
+    b = pres.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("dfb"))
+    pair = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.max("dfa").alias("dfa"),
+            F.max("dfb").alias("dfb"),
+            F.count(F.lit(1)).cast("long").alias("co"),
+        )
+        .filter(F.col("co") >= _PMI_MIN_CO)
+    )
+    return pair.crossJoin(F.broadcast(nn)).select(
+        "tok_a",
+        "tok_b",
+        F.col("dfa").alias("df_a"),
+        F.col("dfb").alias("df_b"),
+        "co",
+        F.round(
+            F.log(
+                F.col("co").cast("double")
+                * F.col("n")
+                / (F.col("dfa").cast("double") * F.col("dfb"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+# --- per-document n-gram novelty ----------------------------------------------
+
+_NOVELTY_N = 3
+
+
+@query(
+    "doc_ngram_novelty",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE len({_TOKS}) >= {_NOVELTY_N}),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(toks[i + 1 : i + {_NOVELTY_N}], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - {_NOVELTY_N} + 1)) AS i
+            FROM t)),
+ft AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN ft.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN ft.fd = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM g JOIN ft USING (gram)
+GROUP BY 1
+""",
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {_NOVELTY_N}-gram novelty: the fraction of a doc's
+    distinct {_NOVELTY_N}-grams appearing for the FIRST time (by doc_id
+    order) — the document-grain complement of vocab_growth_heaps and a
+    cheap memorization/staleness signal for curriculum ordering (docs
+    whose content is entirely recycled score ~0).  First appearance is
+    one gram-keyed min over the distinct (doc, gram) frame (array-side
+    gram construction in one codegen stage, the spans.py idiom); the
+    novelty ratio is exact integers + one division."""
+    from depositaja_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= _NOVELTY_N
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_NOVELTY_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_NOVELTY_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    ft = g.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    j = g.join(ft, "gram")
+    novel = F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        novel.cast("long").alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )

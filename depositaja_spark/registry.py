@@ -606,6 +606,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "nelson_aalen_hazard",
     "vocab_growth_heaps",
     "ann_recall_ivf",
+    "calibration_curve",
+    "token_pmi_topv",
+    "doc_ngram_novelty",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -646,9 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "hot_windows",
     "lang_id",
-    "lang_id_confusion",
-    "lapsed_customers",
-    "late_ship_priority_counts",
 )
 
 

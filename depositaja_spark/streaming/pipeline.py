@@ -800,7 +800,7 @@ def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     return e
 
 
-def streaming_distinct_users(
+def streaming_hll_users(
     events: DataFrame,
     state_dir: str,
     key_col: str = "user_id",

@@ -328,6 +328,7 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "copurchase_bfs_hops", "copurchase_degree_ccdf",
         "kmeans_cluster_sizes", "anova_value_by_type",
         "nelson_aalen_hazard", "vocab_growth_heaps",
+        "calibration_curve", "token_pmi_topv", "doc_ngram_novelty",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 

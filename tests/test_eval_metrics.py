@@ -423,3 +423,98 @@ def test_vocab_growth_planted_replay(spark, tmp_path):
         ).collect()
     }
     assert got == {0: (3, 2), 1: (5, 3), 2: (8, 4)}
+
+
+# --- wave 4: calibration curve / PMI / novelty -------------------------------
+
+
+def test_calibration_curve_planted_replay(spark, tmp_path):
+    from depositaja_spark.functions.text import py_hash64
+    from depositaja_spark.queries_ml import _BRIER_SALT
+
+    rows = [
+        (i, 1000 + i, 1, "purchase" if i % 4 == 0 else "view", 1.0)
+        for i in range(120)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.bin: (r.n, r.avg_pred, r.frac_pos)
+        for r in registry.QUERIES["calibration_curve"](spark, d).collect()
+    }
+    bins: dict = {}
+    for i, _, _, et, _ in rows:
+        p = py_hash64(f"{_BRIER_SALT}{i}") % 101
+        y = 1 if et == "purchase" else 0
+        b = min(p // 10, 9)
+        n, ps, ys = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, ps + p, ys + y)
+    want = {
+        b: (n, round(ps / (n * 100), 6), round(ys / n, 6))
+        for b, (n, ps, ys) in bins.items()
+    }
+    assert got == want
+
+
+def test_token_pmi_planted_replay(spark, tmp_path):
+    """Four tiny docs with engineered co-occurrence: PMI positive for
+    tokens that always co-occur, negative for those that avoid each
+    other — replayed exactly (min-co lowered via planted frequencies
+    means we check only pairs above the shipped threshold)."""
+    import math
+
+    from depositaja_spark.queries_ml import _PMI_MIN_CO, _PMI_V
+
+    # "a b" always together (6 docs), "c" alone in 6 docs, everything
+    # shares filler token "x" so co >= threshold for (a,b) and (a|b, x)
+    texts = ["a b x"] * 6 + ["c x"] * 6
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r.tok_a, r.tok_b): (r.df_a, r.df_b, r.co, r.pmi)
+        for r in registry.QUERIES["token_pmi_topv"](spark, str(tmp_path)).collect()
+    }
+    n = len(texts)
+    # df: a=6 b=6 c=6 x=12; pairs with co>=5: (a,b) co=6, (a,x) 6, (b,x) 6, (c,x) 6
+    def pmi(co, da, db):
+        return round(math.log(co * n / (da * db)), 6)
+
+    assert got == {
+        ("a", "b"): (6, 6, 6, pmi(6, 6, 6)),
+        ("a", "x"): (6, 12, 6, pmi(6, 6, 12)),
+        ("b", "x"): (6, 12, 6, pmi(6, 6, 12)),
+        ("c", "x"): (6, 12, 6, pmi(6, 6, 12)),
+    }
+    # always-together pair carries positive association; the shared
+    # filler pairs are exactly independence (co·n = df_a·df_b → pmi 0)
+    assert got[("a", "b")][3] > 0
+    assert got[("a", "x")][3] == 0.0
+
+
+def test_doc_ngram_novelty_planted_replay(spark, tmp_path):
+    """Doc 0 all-novel, doc 1 fully recycled from doc 0, doc 2 mixed."""
+    texts = [
+        "a b c d",      # grams: abc, bcd — both novel
+        "a b c d",      # same grams — novelty 0
+        "a b c e f",    # grams: abc (old), bce, cef — 2/3 novel
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in registry.QUERIES["doc_ngram_novelty"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        0: (2, 2, 1.0),
+        1: (2, 0, 0.0),
+        2: (3, 2, round(2 / 3, 6)),
+    }

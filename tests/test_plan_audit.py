@@ -127,6 +127,9 @@ CARTESIAN_OK = {
     # Brier decomposition: the (N, ΣY, Σsq) totals are a 1-row
     # broadcast cross join onto the 10-row bin frame
     "brier_decomposition",
+    # PMI: the corpus-size scalar is a 1-row broadcast cross join onto
+    # the ≤V²-row pair frame
+    "token_pmi_topv",
     # PageRank: N and the per-iteration dangling mass are 1-row broadcast
     # scalars onto the node frame (personalized adds the 1-row seed-count
     # scalar for the teleport vector)

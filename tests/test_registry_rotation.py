@@ -100,8 +100,8 @@ def test_round9_changed_queries_are_prioritized():
         "copurchase_kcore", "copurchase_link_prediction",
         "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 15 never-sampled round-9 additions + these 6
-    # pins + 29 LRU refill slots (r1/r3-vintage queries the driver has
+    # Window arithmetic: 18 never-sampled round-9 additions + these 6
+    # pins + 26 LRU refill slots (r1/r3-vintage queries the driver has
     # not re-checked since, rotating external coverage through the long
     # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
@@ -129,5 +129,8 @@ def test_never_driver_sampled_queries_lead_the_window():
         "nelson_aalen_hazard",
         "vocab_growth_heaps",
         "ann_recall_ivf",
+        "calibration_curve",
+        "token_pmi_topv",
+        "doc_ngram_novelty",
     ]
     assert list(R.QUERIES)[: len(never)] == never

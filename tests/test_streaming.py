@@ -1462,7 +1462,7 @@ def test_streaming_hll_matches_python_replay_and_estimates(spark, tmp_path):
         _HLL_WBITS,
         hll_estimate,
         load_hll_state,
-        streaming_distinct_users,
+        streaming_hll_users,
     )
 
     users = [r.user_id for r in load_table(spark, SF, "events").select("user_id").collect()]
@@ -1484,7 +1484,7 @@ def test_streaming_hll_matches_python_replay_and_estimates(spark, tmp_path):
         .parquet(str(d))
     )
     q = (
-        streaming_distinct_users(stream, state_dir)
+        streaming_hll_users(stream, state_dir)
         .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
         .trigger(availableNow=True)
         .start()
@@ -1513,7 +1513,7 @@ def test_streaming_hll_matches_python_replay_and_estimates(spark, tmp_path):
     # same state dir → replayed batch_ids are skipped, and even a fresh
     # fold of the same data is absorbed by elementwise max)
     q2 = (
-        streaming_distinct_users(
+        streaming_hll_users(
             spark.readStream.schema("user_id long")
             .option("maxFilesPerTrigger", 1)
             .parquet(str(d)),
