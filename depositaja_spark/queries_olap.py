@@ -4884,3 +4884,132 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_churned"),
         F.round("hazard", 6).alias("cum_hazard"),
     )
+
+
+# --- recency-weighted user value (exponential time decay) ---------------------
+
+#: decay rate per day (shared literal both engines; half-life ≈ 10 days)
+_DECAY_LAMBDA = 0.07
+
+
+@query(
+    "user_value_time_decay",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(value AS DOUBLE) AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events WHERE value IS NOT NULL
+),
+mx AS (SELECT max(day) AS mday FROM ev),
+w AS (
+  SELECT user_id, event_id,
+         v * exp(-{_DECAY_LAMBDA!r} * (mday - day)) AS dv
+  FROM ev CROSS JOIN mx
+),
+run AS (
+  SELECT user_id,
+         sum(dv) OVER (PARTITION BY user_id ORDER BY event_id) AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM w
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(s, 6) AS decayed_value
+FROM run WHERE rn = n
+""",
+)
+def q_user_value_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value Σ value·exp(−λ·age_days) — the
+    time-decayed LTV / engagement score behind churn targeting and
+    recommendation freshness, where yesterday's purchase outweighs last
+    quarter's.  Ages are exact integer days off the data-derived corpus
+    end (1-row broadcast); each event's decayed contribution is one exp
+    on identical doubles, and the per-user total folds through an
+    event_id-ORDERED window (identical IEEE op order both engines —
+    never a partition-order float sum).  The window partitions on the
+    sf-scaling user key, so no task ever sorts more than one user's
+    events."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    )
+    mx = ev.agg(F.max("day").alias("mday"))
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "event_id",
+        (
+            F.col("v")
+            * F.exp(-F.lit(_DECAY_LAMBDA) * (F.col("mday") - F.col("day")))
+        ).alias("dv"),
+    )
+    wu = W.partitionBy("user_id").orderBy("event_id")
+    run = w.select(
+        "user_id",
+        F.sum("dv").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("s"),
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    )
+    return run.filter(F.col("rn") == F.col("n")).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("s", 6).alias("decayed_value"),
+    )
+
+
+# --- per-user behavioral entropy ----------------------------------------------
+
+
+@query(
+    "user_event_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, event_type, c,
+         sum(c * ln(CAST(c AS DOUBLE))) OVER (PARTITION BY user_id
+                                              ORDER BY event_type) AS clc,
+         sum(c) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_type) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS k
+  FROM c
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(k AS INT) AS n_types,
+       round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy
+FROM t WHERE rn = k
+""",
+)
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix, via the exact
+    identity H = ln(n) − (Σ c·ln c)/n over integer counts — the
+    behavioral-diversity score (bots and single-purpose accounts sit
+    near 0; organic users spread).  One keyed (user, type) count, then
+    everything runs on the ≤|types|-per-user frame with the float fold
+    ORDERED by type — bounded per-user windows on the high-cardinality
+    user key, no single-task stage anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wu = W.partitionBy("user_id").orderBy("event_type")
+    t = c.select(
+        "user_id",
+        F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+        .over(wu.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("clc"),
+        F.sum("c").over(W.partitionBy("user_id")).alias("n"),
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("k"),
+    )
+    return t.filter(F.col("rn") == F.col("k")).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("int").alias("n_types"),
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("clc") / F.col("n"), 6
+        ).alias("entropy"),
+    )

@@ -609,6 +609,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "calibration_curve",
     "token_pmi_topv",
     "doc_ngram_novelty",
+    "user_value_time_decay",
+    "user_event_entropy",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -647,8 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_hourly",
     "flag_events",
     "grouping_sets_revenue",
-    "hot_windows",
-    "lang_id",
 )
 
 

@@ -329,6 +329,7 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "kmeans_cluster_sizes", "anova_value_by_type",
         "nelson_aalen_hazard", "vocab_growth_heaps",
         "calibration_curve", "token_pmi_topv", "doc_ngram_novelty",
+        "user_value_time_decay", "user_event_entropy",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 

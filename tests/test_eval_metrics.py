@@ -518,3 +518,56 @@ def test_doc_ngram_novelty_planted_replay(spark, tmp_path):
         1: (2, 0, 0.0),
         2: (3, 2, round(2 / 3, 6)),
     }
+
+
+# --- wave 5: time-decay value / behavioral entropy ---------------------------
+
+
+def test_user_value_time_decay_planted_replay(spark, tmp_path):
+    import math
+
+    from depositaja_spark.queries_olap import _DECAY_LAMBDA
+
+    day = 86400
+    rows = [
+        (0, 0 * day, 1, "purchase", 100.0),   # age 10
+        (1, 5 * day, 1, "purchase", 100.0),   # age 5
+        (2, 10 * day, 1, "purchase", 100.0),  # age 0
+        (3, 10 * day, 2, "purchase", 50.0),   # age 0
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.user_id: (r.n_events, r.decayed_value)
+        for r in registry.QUERIES["user_value_time_decay"](spark, d).collect()
+    }
+    u1 = 100.0 * math.exp(-_DECAY_LAMBDA * 10)
+    u1 += 100.0 * math.exp(-_DECAY_LAMBDA * 5)
+    u1 += 100.0 * math.exp(-_DECAY_LAMBDA * 0)
+    assert got[1] == (3, round(u1, 6))
+    assert got[2] == (1, 50.0)
+    # recency dominance: the same total raw value scores higher when
+    # recent — user 1's decayed value is strictly below 300
+    assert got[1][1] < 300.0
+
+
+def test_user_event_entropy_planted_replay(spark, tmp_path):
+    import math
+
+    rows = [
+        (0, 1000, 1, "view", 1.0),
+        (1, 1001, 1, "view", 1.0),
+        (2, 1002, 1, "click", 1.0),
+        (3, 1003, 1, "purchase", 1.0),
+        (4, 1004, 2, "view", 1.0),
+        (5, 1005, 2, "view", 1.0),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.entropy)
+        for r in registry.QUERIES["user_event_entropy"](spark, d).collect()
+    }
+    # user 1: counts (2,1,1)/4 → H = ln4 - (2ln2)/4
+    h1 = math.log(4) - (2 * math.log(2)) / 4
+    assert got[1] == (4, 3, round(h1, 6))
+    # single-type user: entropy exactly 0
+    assert got[2] == (2, 1, 0.0)

@@ -102,6 +102,8 @@ CARTESIAN_OK = {
     # rolling 7d actives: the corpus-end day is the same 1-row
     # broadcast cross join, bounding phantom tail days
     "rolling_7d_active_users",
+    # time-decay value: the corpus-end day is the same 1-row broadcast
+    "user_value_time_decay",
     # TPC-H Q11/Q22 shapes: the HAVING-against-a-global-scalar cutoff is
     # a single-row broadcast join by construction
     "important_part_value",
