@@ -5013,3 +5013,340 @@ def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n").cast("double")) - F.col("clc") / F.col("n"), 6
         ).alias("entropy"),
     )
+
+
+# --- log-rank test: do high-value users churn differently? ---------------------
+
+#: cohort split: a user whose single largest event value reaches this
+#: is "high-value" (~45% of users on the fixture — see round-8 notes on
+#: the purchase flag saturating at 100%)
+_LOGRANK_VALUE_CUT = 150
+
+
+@query(
+    "logrank_test_churn",
+    f"""
+WITH ud AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1,
+         max(value) AS mv
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(d1) AS mday FROM ud),
+life AS (SELECT d1 - d0 AS dur,
+                CASE WHEN d1 < mday - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END
+                  AS churned,
+                CASE WHEN mv >= {_LOGRANK_VALUE_CUT} THEN 1 ELSE 0 END AS grp
+         FROM ud CROSS JOIN mx),
+g AS (SELECT dur,
+             CAST(sum(grp) AS BIGINT) AS c1,
+             CAST(sum(1 - grp) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN grp = 1 THEN churned ELSE 0 END) AS BIGINT)
+               AS dh,
+             CAST(sum(CASE WHEN grp = 0 THEN churned ELSE 0 END) AS BIGINT)
+               AS dl
+      FROM life GROUP BY 1),
+r AS (SELECT dur, dh, dl,
+             sum(c1) OVER () AS nn1,
+             sum(c0) OVER () AS nn0,
+             coalesce(sum(c1) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS b1,
+             coalesce(sum(c0) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS b0
+      FROM g),
+evt AS (SELECT dur, dh, dh + dl AS dt,
+               nn1 - b1 AS n1, (nn1 - b1) + (nn0 - b0) AS nt, nn1, nn0
+        FROM r WHERE dh + dl > 0),
+fold AS (SELECT nn1, nn0,
+              sum(dh) OVER (ORDER BY dur) AS o1,
+              sum(dt * (CAST(n1 AS DOUBLE) / nt)) OVER (ORDER BY dur) AS e1,
+              sum(CASE WHEN nt > 1 THEN
+                    dt * (CAST(n1 AS DOUBLE) / nt)
+                       * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                       * (CAST(nt - dt AS DOUBLE) / (nt - 1))
+                  ELSE 0.0 END) OVER (ORDER BY dur) AS vv,
+              row_number() OVER (ORDER BY dur) AS rn,
+              count(*) OVER () AS k
+         FROM evt)
+SELECT CAST(nn1 AS BIGINT) AS n_high,
+       CAST(nn0 AS BIGINT) AS n_low,
+       CAST(o1 AS BIGINT) AS observed_high,
+       round(e1, 6) AS expected_high,
+       round(vv, 6) AS variance,
+       CASE WHEN vv > 0 THEN round((o1 - e1) / sqrt(vv), 6) END AS z_score
+FROM fold WHERE rn = k
+""",
+)
+def q_logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the churn survival curves of
+    high-value users (any single event >= {_LOGRANK_VALUE_CUT}) against
+    the rest — THE standard two-sample censored-survival test, the one
+    question every KM plot provokes ("do the curves actually differ?").
+    Z = (O1 - E1)/sqrt(V) with O1 the observed high-cohort churn events,
+    E1 = sum d_t*n1_t/n_t the expectation under the null, and V the
+    hypergeometric variance sum.  Risk sets are exact integers from
+    ordered cumulatives over the duration-grouped frame (same
+    construction as kaplan_meier_churn); the two float sums fold through
+    ORDERED windows (identical IEEE op order both engines) and the final
+    z is one subtraction, one IEEE-correctly-rounded sqrt, and one
+    division on identical doubles.  Scale shape: one user-keyed agg, a
+    1-row broadcast corpus-end scalar, then everything runs on the
+    <=|days-span| duration frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+        "value",
+    )
+    ud = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.max("value").alias("mv"),
+    )
+    mx = ud.agg(F.max("d1").alias("mday"))
+    life = ud.crossJoin(F.broadcast(mx)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        F.when(F.col("d1") < F.col("mday") - _KM_HORIZON_DAYS, 1)
+        .otherwise(0)
+        .alias("churned"),
+        F.when(F.col("mv") >= _LOGRANK_VALUE_CUT, 1).otherwise(0).alias("grp"),
+    )
+    g = life.groupBy("dur").agg(
+        F.sum("grp").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("dh"),
+        F.sum(F.when(F.col("grp") == 0, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("dl"),
+    )
+    w_all = W.partitionBy()
+    w_before = W.partitionBy().orderBy("dur").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r = g.select(
+        "dur",
+        "dh",
+        "dl",
+        F.sum("c1").over(w_all).alias("nn1"),
+        F.sum("c0").over(w_all).alias("nn0"),
+        F.coalesce(F.sum("c1").over(w_before), F.lit(0)).alias("b1"),
+        F.coalesce(F.sum("c0").over(w_before), F.lit(0)).alias("b0"),
+    )
+    evt = r.filter(F.col("dh") + F.col("dl") > 0).select(
+        "dur",
+        "dh",
+        (F.col("dh") + F.col("dl")).alias("dt"),
+        (F.col("nn1") - F.col("b1")).alias("n1"),
+        ((F.col("nn1") - F.col("b1")) + (F.col("nn0") - F.col("b0"))).alias(
+            "nt"
+        ),
+        "nn1",
+        "nn0",
+    )
+    w_run = W.partitionBy().orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_ord = W.partitionBy().orderBy("dur")
+    frac = F.col("n1").cast("double") / F.col("nt")
+    fold = evt.select(
+        "nn1",
+        "nn0",
+        F.sum("dh").over(w_run).alias("o1"),
+        F.sum(F.col("dt") * frac).over(w_run).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt")
+                * frac
+                * (F.lit(1.0) - frac)
+                * (
+                    (F.col("nt") - F.col("dt")).cast("double")
+                    / (F.col("nt") - 1)
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_run)
+        .alias("vv"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    return fold.filter(F.col("rn") == F.col("k")).select(
+        F.col("nn1").cast("long").alias("n_high"),
+        F.col("nn0").cast("long").alias("n_low"),
+        F.col("o1").cast("long").alias("observed_high"),
+        F.round("e1", 6).alias("expected_high"),
+        F.round("vv", 6).alias("variance"),
+        F.when(
+            F.col("vv") > 0,
+            F.round((F.col("o1") - F.col("e1")) / F.sqrt("vv"), 6),
+        ).alias("z_score"),
+    )
+
+
+# --- multiple linear regression: value ~ hour + weekday (closed form) ----------
+
+
+@query(
+    "ols_value_hour_dow",
+    """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS h,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS w,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(h) AS BIGINT) AS s1,
+         CAST(sum(w) AS BIGINT) AS s2,
+         CAST(sum(h * h) AS BIGINT) AS s11,
+         CAST(sum(w * w) AS BIGINT) AS s22,
+         CAST(sum(h * w) AS BIGINT) AS s12,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(h * y) AS DOUBLE) AS s1y,
+         CAST(sum(w * y) AS DOUBLE) AS s2y,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM e GROUP BY 1
+),
+d AS (
+  SELECT event_type, n, sy, s1y, s2y, syy,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+           + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)
+           AS det,
+         sy * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (s1y * s22 - CAST(s12 AS DOUBLE) * s2y)
+           + CAST(s2 AS DOUBLE) * (s1y * s12 - CAST(s11 AS DOUBLE) * s2y)
+           AS det0,
+         CAST(n AS DOUBLE) * (s1y * s22 - CAST(s12 AS DOUBLE) * s2y)
+           - sy * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+           + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - s1y * s2)
+           AS det1,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - s1y * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - s1y * s2)
+           + sy * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)
+           AS det2
+  FROM m
+),
+b AS (
+  SELECT event_type, n, sy, s1y, s2y, syy,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM d WHERE det <> 0
+)
+SELECT event_type,
+       n AS n_events,
+       round(b0, 6) AS beta0,
+       round(b1, 6) AS beta_hour,
+       round(b2, 6) AS beta_dow,
+       CASE WHEN syy - sy * (sy / n) > 0
+            THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                             / (syy - sy * (sy / n)), 6)
+       END AS r2
+FROM b
+""",
+)
+def q_ols_value_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression value ~ hour-of-day + weekday per event
+    type, solved in closed form from the 3x3 normal equations by
+    Cramer's rule — the workhorse "is there a time-of-day effect after
+    controlling for weekday?" fit that a streaming pipeline computes
+    from sufficient statistics rather than an iterative solver.  Every
+    moment is exact (BIGINT for the integer regressors, DECIMAL cents
+    for value) out of ONE keyed aggregation; the determinants are then
+    fixed-shape arithmetic on identical doubles (same expression tree
+    both engines, so bit-stable), and each beta is one division.  R^2
+    comes from the residual identity SSE = Syy - b.t (no second pass).
+    hour/weekday derive from the epoch integer arithmetic shared with
+    the oracle (1970-01-01 anchored Thursday), never engine date
+    functions.  Scale shape: one map-side-combinable agg to a 5-row
+    frame; everything after is per-row arithmetic."""
+    ts = F.col("ts").cast("long")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor((ts % 86400) / 3600).cast("long").alias("h"),
+            ((F.floor(ts / 86400).cast("long") + 4) % 7).alias("w"),
+            F.col("value").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("h").cast("long").alias("s1"),
+        F.sum("w").cast("long").alias("s2"),
+        F.sum(F.col("h") * F.col("h")).cast("long").alias("s11"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("s22"),
+        F.sum(F.col("h") * F.col("w")).cast("long").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("w") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s11 = F.col("s11").cast("double")
+    s22 = F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    d = m.select(
+        "event_type",
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        (
+            nD * (s11 * F.col("s22") - s12 * F.col("s12"))
+            - s1 * (s1 * F.col("s22") - s12 * F.col("s2"))
+            + s2 * (s1 * F.col("s12") - s11 * F.col("s2"))
+        ).alias("det"),
+        (
+            sy * (s11 * F.col("s22") - s12 * F.col("s12"))
+            - s1 * (s1y * F.col("s22") - s12 * s2y)
+            + s2 * (s1y * F.col("s12") - s11 * s2y)
+        ).alias("det0"),
+        (
+            nD * (s1y * F.col("s22") - s12 * s2y)
+            - sy * (s1 * F.col("s22") - s12 * F.col("s2"))
+            + s2 * (s1 * s2y - s1y * F.col("s2"))
+        ).alias("det1"),
+        (
+            nD * (s11 * s2y - s1y * F.col("s12"))
+            - s1 * (s1 * s2y - s1y * F.col("s2"))
+            + sy * (s1 * F.col("s12") - s11 * F.col("s2"))
+        ).alias("det2"),
+    )
+    b = d.filter(F.col("det") != 0).select(
+        "event_type",
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        (F.col("det0") / F.col("det")).alias("b0"),
+        (F.col("det1") / F.col("det")).alias("b1"),
+        (F.col("det2") / F.col("det")).alias("b2"),
+    )
+    sst = F.col("syy") - F.col("sy") * (F.col("sy") / F.col("n"))
+    sse = (
+        F.col("syy")
+        - F.col("b0") * F.col("sy")
+        - F.col("b1") * F.col("s1y")
+        - F.col("b2") * F.col("s2y")
+    )
+    return b.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta_hour"),
+        F.round("b2", 6).alias("beta_dow"),
+        F.when(sst > 0, F.round(F.lit(1.0) - sse / sst, 6)).alias("r2"),
+    )

@@ -1317,3 +1317,87 @@ def q_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.sqrt(F.col("dena") * F.col("denb")), 6),
         ).alias("rho"),
     )
+
+
+#: pinball-loss quantile levels as (tau, tau-1) DECIMAL literal pairs —
+#: shared verbatim by both engines so the per-row loss stays exact
+_PINBALL_TAUS = (("0.1", "-0.9"), ("0.5", "-0.5"), ("0.9", "-0.1"))
+
+
+@query(
+    "pinball_loss_backtest",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hour_unix,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_forecasts,
+"""
+    + ",\n".join(
+        f"""       CAST(sum(greatest(CAST({t} AS DECIMAL(2,1)) * (a.x - b.x),
+                         CAST({tm} AS DECIMAL(2,1)) * (a.x - b.x)))
+            AS DOUBLE) / count(*) AS pinball_q{t.replace('0.', '')}0"""
+        for t, tm in _PINBALL_TAUS
+    )
+    + """
+FROM hourly a JOIN hourly b
+  ON a.event_type = b.event_type AND b.hour_unix = a.hour_unix - 86400
+GROUP BY a.event_type
+""",
+)
+def q_pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest: the seasonal-naive forecast (the value
+    24 h earlier) scored by pinball loss at tau = 0.1 / 0.5 / 0.9 per
+    event type — the scoring rule quantile forecasts are graded by
+    (tau=0.5 is half the MAE; the asymmetric taus reveal whether the
+    forecast under- or over-covers the tails).  Each per-row loss
+    max(tau*e, (tau-1)*e) is exact DECIMAL arithmetic on the exact
+    DECIMAL error (the taus are shared 1-digit DECIMAL literals, never
+    float 0.1), the sums stay exact, and the only float op is one final
+    division per (type, tau).  Same equi-join shape at an exact time
+    shift as seasonal_naive_backtest: no windows, no gap-filling, hours
+    missing the 24 h-earlier observation simply don't score."""
+    from depositaja_spark.functions.numeric import dec
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("ts").cast("long") % 3600
+            ).alias("hour_unix"),
+        )
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    )
+    a = hourly.alias("a")
+    b = hourly.select(
+        F.col("event_type").alias("bt"),
+        F.col("hour_unix").alias("bh"),
+        F.col("x").alias("bx"),
+    )
+    err = F.col("a.x") - F.col("bx")
+    losses = [
+        (
+            F.sum(
+                F.greatest(
+                    F.expr(f"CAST({t} AS DECIMAL(2,1))") * err,
+                    F.expr(f"CAST({tm} AS DECIMAL(2,1))") * err,
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"pinball_q{t.replace('0.', '')}0")
+        for t, tm in _PINBALL_TAUS
+    ]
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("bt"))
+            & (F.col("bh") == F.col("a.hour_unix") - 86400),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_forecasts"), *losses)
+    )

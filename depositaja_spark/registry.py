@@ -588,7 +588,7 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions never driver-sampled (11 entries, the
+    # -- round-9 additions never driver-sampled (23 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
     "retrieval_eval_at_k",
@@ -611,6 +611,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_ngram_novelty",
     "user_value_time_decay",
     "user_event_entropy",
+    "logrank_test_churn",
+    "ols_value_hour_dow",
+    "pinball_loss_backtest",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -646,9 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "distinct_parts_per_flag",
     "doc_quality_metrics",
     "doc_quality_scores",
-    "events_hourly",
-    "flag_events",
-    "grouping_sets_revenue",
 )
 
 

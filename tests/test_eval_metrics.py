@@ -571,3 +571,106 @@ def test_user_event_entropy_planted_replay(spark, tmp_path):
     assert got[1] == (4, 3, round(h1, 6))
     # single-type user: entropy exactly 0
     assert got[2] == (2, 1, 0.0)
+
+
+# --- log-rank test -------------------------------------------------------------
+
+
+def test_logrank_planted_replay(spark, tmp_path):
+    """Planted two-cohort survival: 3 high-value users (value 200) and 3
+    low-value, corpus end day 100.  Replayed with the textbook
+    Mantel-Cox O/E/V sums."""
+    day = 86400
+    rows = []
+    eid = 0
+
+    def user(uid, d0, d1, val):
+        nonlocal eid
+        rows.append((eid, d0 * day, uid, "view", val))
+        eid += 1
+        rows.append((eid, d1 * day, uid, "view", val))
+        eid += 1
+
+    user(1, 10, 12, 200.0)   # H, dur 2, churned
+    user(2, 40, 42, 200.0)   # H, dur 2, churned
+    user(3, 94, 99, 200.0)   # H, dur 5, censored
+    user(4, 20, 22, 1.0)     # L, dur 2, churned
+    user(5, 30, 35, 1.0)     # L, dur 5, churned
+    user(6, 100, 100, 1.0)   # L, dur 0, censored — pins corpus end
+    d = _write_events(spark, tmp_path, rows)
+
+    (got,) = registry.QUERIES["logrank_test_churn"](spark, d).collect()
+    # t=2: n=5 (durs>=2), n1=3, d=3, d1=2;  t=5: n=2, n1=1, d=1, d1=0
+    e1 = 3 * (3 / 5) + 1 * (1 / 2)
+    vv = 3 * (3 / 5) * (1 - 3 / 5) * ((5 - 3) / (5 - 1)) + 1 * 0.5 * 0.5 * 1.0
+    assert (got.n_high, got.n_low, got.observed_high) == (3, 3, 2)
+    assert abs(got.expected_high - e1) < 1e-9
+    assert abs(got.variance - vv) < 1e-9
+    assert abs(got.z_score - (2 - e1) / math.sqrt(vv)) < 1e-6
+
+
+def test_logrank_zero_variance_guard(spark, tmp_path):
+    """A single-user corpus (one cohort empty, V=0) must yield NULL z,
+    never an engine-specific inf/NaN."""
+    day = 86400
+    rows = [(0, 0, 1, "view", 1.0), (1, 2 * day, 1, "view", 1.0),
+            (2, 100 * day, 2, "view", 1.0)]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["logrank_test_churn"](spark, d).collect()
+    assert got.z_score is None or got.variance > 0
+
+
+# --- closed-form multiple OLS ---------------------------------------------------
+
+
+def test_ols_planted_exact_fit(spark, tmp_path):
+    """Points generated from y = 2 + 3*hour + 5*weekday exactly: the
+    Cramer solve must recover the coefficients and R^2 = 1."""
+    day = 86400
+    # (weekday w, epoch-day k with (k+4)%7 == w) pairs
+    pts = [(0, 3, 0), (1, 5, 2), (2, 4, 1), (5, 6, 3), (7, 2, 6), (3, 0, 4)]
+    rows = []
+    for i, (h, k, w) in enumerate(pts):
+        assert (k + 4) % 7 == w
+        rows.append((i, k * day + h * 3600, 100 + i, "view",
+                     float(2 + 3 * h + 5 * w)))
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["ols_value_hour_dow"](spark, d).collect()
+    assert got.n_events == len(pts)
+    assert abs(got.beta0 - 2.0) < 1e-6
+    assert abs(got.beta_hour - 3.0) < 1e-6
+    assert abs(got.beta_dow - 5.0) < 1e-6
+    assert abs(got.r2 - 1.0) < 1e-6
+
+
+def test_ols_degenerate_design_dropped(spark, tmp_path):
+    """A type whose regressors are constant (singular normal matrix,
+    det=0) is dropped rather than emitting inf betas."""
+    rows = [(i, i, 100 + i, "view", float(i)) for i in range(5)]  # all hour 0, day 0
+    d = _write_events(spark, tmp_path, rows)
+    assert registry.QUERIES["ols_value_hour_dow"](spark, d).count() == 0
+
+
+# --- pinball loss ---------------------------------------------------------------
+
+
+def test_pinball_planted_replay(spark, tmp_path):
+    """48 hourly points, one per hour: day-1 values 10; day-2 hours
+    24..41 at 12 (+2 error) and 42..47 at 8 (−2 error).  Hand-computed
+    pinball means at tau 0.1/0.5/0.9."""
+    rows = []
+    for h in range(48):
+        if h < 24:
+            v = 10.0
+        elif h < 42:
+            v = 12.0
+        else:
+            v = 8.0
+        rows.append((h, h * 3600, 1, "view", v))
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["pinball_loss_backtest"](spark, d).collect()
+    assert got.n_forecasts == 24
+    # +2 errors: q10 loss 0.2, q50 1.0, q90 1.8; -2 errors: 1.8, 1.0, 0.2
+    assert abs(got.pinball_q10 - (18 * 0.2 + 6 * 1.8) / 24) < 1e-9
+    assert abs(got.pinball_q50 - 1.0) < 1e-9
+    assert abs(got.pinball_q90 - (18 * 1.8 + 6 * 0.2) / 24) < 1e-9

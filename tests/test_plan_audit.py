@@ -160,6 +160,9 @@ CARTESIAN_OK = {
     # Fleiss kappa: the three scalar moments (Σn_ij², N, Σc_j²) are
     # 1-row frames combined by broadcast cross join
     "fleiss_kappa_panel",
+    # log-rank test: the corpus-end day is the same 1-row broadcast
+    # cross join onto the per-user lifetime frame as Kaplan-Meier
+    "logrank_test_churn",
     # kappa: the corpus count n is a 1-row broadcast scalar joined onto
     # the ≤C(L,2)=10-row agreement frame; every corpus-sized shuffle is
     # keyed on doc_id
