@@ -680,12 +680,11 @@ def label_propagation(
     return labels
 
 
-def label_propagation_oracle_sql(
-    edges_sql: str, iterations: int, out_node: str = "node", out_label: str = "label"
-) -> str:
-    """DuckDB twin of ``label_propagation``: one CTE pair per round,
-    row_number tie-break (n DESC, lbl ASC) ≡ the engine's
-    min(struct(-n, lbl))."""
+def label_propagation_ctes(edges_sql: str, iterations: int) -> tuple[list[str], str]:
+    """The chained-CTE round replay of ``label_propagation`` as a reusable
+    (cte_list, final_table) pair, so composite oracles (modularity) can
+    keep computing on the labels and the symmetrized ``und`` edge frame
+    without re-stating the rounds."""
     ctes = [
         f"e AS ({edges_sql})",
         "und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
@@ -703,8 +702,112 @@ def label_propagation_oracle_sql(
             f"          PARTITION BY node ORDER BY n DESC, lbl) AS rn FROM c{i})\n"
             f"      WHERE rn = 1)"
         )
+    return ctes, f"l{iterations}"
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int, out_node: str = "node", out_label: str = "label"
+) -> str:
+    """DuckDB twin of ``label_propagation``: one CTE pair per round,
+    row_number tie-break (n DESC, lbl ASC) ≡ the engine's
+    min(struct(-n, lbl))."""
+    ctes, final = label_propagation_ctes(edges_sql, iterations)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node AS {out_node}, CAST(lbl AS BIGINT) AS {out_label}"
-        + f" FROM l{iterations}"
+        + f" FROM {final}"
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected edge
+    frame (canonical, ``u < v``): Q = I/m − ΣD_c²/(4m²) with I the
+    intra-community edge count, D_c the community degree sums, m the
+    edge count — the standard "did community detection find anything?"
+    score (Q≈0 random, Q≳0.3 real structure).
+
+    Everything is EXACT until the last two divisions: I and m are
+    integer counts, each D_c is an integer degree sum kept as
+    DECIMAL(18,0) so its square (DECIMAL(36,0)) and their sum
+    (DECIMAL(38,0)) never overflow or round, making the result
+    bit-stable under any partitioning / aggregation order — no ordered
+    float folds needed at all.
+
+    Scale shape: one degree agg keyed on node, two label-keyed joins of
+    the edge frame (labels joined per ENDPOINT — never a community-key
+    fan-out), one community-keyed agg over the ≤|V|-row degree frame,
+    and three 1-row scalars combined by broadcast cross join.
+
+    Returns one row: (n_communities, n_edges, intra_edges, modularity).
+    """
+    from depositaja_spark.functions.cache import tracked_persist
+
+    e = tracked_persist(edges.select("u", "v"))
+    lab = tracked_persist(labels.select("node", "lbl"))
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("d")
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("decimal(18,0)").alias("dcw"))
+    )
+    s2 = dc.agg(
+        F.sum(F.col("dcw") * F.col("dcw")).cast("decimal(38,0)").alias("sd2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mm = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lab.select(F.col("node").alias("u"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("v"), F.col("lbl").alias("lb"))
+    intra = (
+        e.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    md = F.col("m").cast("double")
+    q = F.col("i").cast("double") / md - F.col("sd2").cast("double") / (
+        (2.0 * md) * (2.0 * md)
+    )
+    return (
+        s2.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(intra))
+        .filter(F.col("m") > 0)
+        .select(
+            F.col("k").alias("n_communities"),
+            F.col("m").alias("n_edges"),
+            F.col("i").alias("intra_edges"),
+            F.round(q, 6).alias("modularity"),
+        )
+    )
+
+
+def modularity_oracle_sql(edges_sql: str, lpa_iterations: int) -> str:
+    """DuckDB twin of ``modularity`` over the label-propagation partition:
+    reuses the LPA round CTEs, then the identical exact-integer Q."""
+    ctes, final = label_propagation_ctes(edges_sql, lpa_iterations)
+    ctes += [
+        f"lab AS (SELECT node, lbl FROM {final})",
+        "deg AS (SELECT u AS node, CAST(count(*) AS DECIMAL(18,0)) AS d"
+        " FROM und GROUP BY 1)",
+        "dc AS (SELECT l.lbl, CAST(sum(d) AS DECIMAL(18,0)) AS dcw"
+        " FROM deg JOIN lab l ON deg.node = l.node GROUP BY 1)",
+        "s2 AS (SELECT CAST(sum(dcw * dcw) AS DECIMAL(38,0)) AS sd2,"
+        " CAST(count(*) AS BIGINT) AS k FROM dc)",
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)",
+        "intra AS (SELECT CAST(count(*) AS BIGINT) AS i FROM e"
+        " JOIN lab la ON e.u = la.node JOIN lab lb ON e.v = lb.node"
+        " WHERE la.lbl = lb.lbl)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT k AS n_communities, m AS n_edges, i AS intra_edges,
+       round(CAST(i AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(sd2 AS DOUBLE)
+               / ((2.0 * CAST(m AS DOUBLE)) * (2.0 * CAST(m AS DOUBLE))), 6)
+         AS modularity
+FROM s2 CROSS JOIN mm CROSS JOIN intra
+WHERE m > 0
+"""
     )

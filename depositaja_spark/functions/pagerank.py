@@ -340,3 +340,89 @@ def personalized_pagerank_oracle_sql(
         f"SELECT id, round(pr * nn.n, 6) AS pr_scaled\n"
         f"FROM r{int(iterations)} CROSS JOIN nn"
     )
+
+
+# --- HITS (hubs & authorities) over a bipartite edge list ----------------------
+
+
+def hits(edges: DataFrame, iterations: int = 3):
+    """HITS (Kleinberg) hub/authority scores over a bipartite edge frame
+    ``(u, p)`` — hubs on the ``u`` side, authorities on ``p`` — run as
+    the UN-normalized power method for a fixed number of full rounds:
+
+        a_k(p) = Σ_{(u,p)∈E} h_{k-1}(u)       h_k(u) = Σ_{(u,p)∈E} a_k(p)
+
+    Dropping the per-round normalization changes only the overall scale
+    (the classic l1/l2 normalizations rescale both sides uniformly), and
+    buys EXACTNESS: with h_0 = 1 every score stays an exact integer,
+    carried as DECIMAL(38,0) so nothing rounds or overflows until the
+    caller's single final normalization division — bit-stable across
+    engines and partitionings with zero float folds (contrast the
+    PageRank oracle, which must replay float op order).  Growth bounds
+    the round count: scores multiply by ~(avg_deg_u · avg_deg_p) per
+    round, so 3 rounds stay far inside 38 digits even at 10^9 edges.
+
+    Scale shape: per round exactly two keyed joins (on u, on p) and two
+    keyed aggregations over the persisted edge frame — linear per-key
+    fan-out (a node's degree), never a pair self-join, so hub skew costs
+    one hot reduce key at worst, which AQE splits.
+
+    Returns ``(auth, hub)`` DataFrames: ``(p, s)`` and ``(u, s)``.
+    """
+    from depositaja_spark.functions.cache import tracked_persist
+
+    e = tracked_persist(edges.select("u", "p"))
+    h = e.select("u").distinct().select(
+        "u", F.lit(1).cast("decimal(38,0)").alias("s")
+    )
+    a = None
+    for _ in range(int(iterations)):
+        a = (
+            e.join(h, "u")
+            .groupBy("p")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+        )
+        h = (
+            e.join(a, "p")
+            .groupBy("u")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+        )
+    return a, h
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """DuckDB twin of :func:`hits` + the final count-scaled normalization:
+    returns (role, id, score) with score = s/Σs × |side|, rounded 6 —
+    the only two float ops in the whole computation."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "h0 AS (SELECT DISTINCT u, CAST(1 AS DECIMAL(38,0)) AS s FROM e)",
+    ]
+    for i in range(1, int(iterations) + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.p, CAST(sum(h.s) AS DECIMAL(38,0)) AS s\n"
+            f"      FROM e JOIN h{i - 1} h ON e.u = h.u GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT e.u, CAST(sum(a.s) AS DECIMAL(38,0)) AS s\n"
+            f"      FROM e JOIN a{i} a ON e.p = a.p GROUP BY 1)"
+        )
+    k = int(iterations)
+    ctes.append(
+        f"na AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        f" CAST(sum(s) AS DOUBLE) AS t FROM a{k})"
+    )
+    ctes.append(
+        f"nh AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        f" CAST(sum(s) AS DOUBLE) AS t FROM h{k})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT 'auth' AS role, p AS id, round(CAST(s AS DOUBLE) / t * n, 6) AS score
+FROM a{k} CROSS JOIN na
+UNION ALL
+SELECT 'hub' AS role, u AS id, round(CAST(s AS DOUBLE) / t * n, 6) AS score
+FROM h{k} CROSS JOIN nh
+"""
+    )

@@ -1666,3 +1666,91 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("long").alias("n_novel"),
         F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+# --- modularity of the co-purchase communities ---------------------------------
+
+
+def _modularity_sql() -> str:
+    from depositaja_spark.functions.graph import modularity_oracle_sql
+
+    return modularity_oracle_sql(_TRI_EDGES_SQL, _LPA_ITERATIONS)
+
+
+@query("copurchase_modularity", _modularity_sql())
+def q_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation partition over the
+    co-purchase graph — the "did community detection actually find
+    structure?" score (Q≈0 for random assignment, Q≳0.3 for real
+    communities), closing the loop on copurchase_communities.  Composes
+    the shared capped edge builder, the deterministic LPA rounds, and
+    ``functions/graph.py:modularity`` — exact-integer I/m/ΣD_c²
+    (DECIMAL-squared degrees) so Q is bit-stable with just two final
+    float divisions; the oracle replays the LPA rounds as chained CTEs
+    then recomputes the identical exact Q."""
+    from depositaja_spark.functions.graph import label_propagation, modularity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
+    labels = label_propagation(edges, _LPA_ITERATIONS)
+    return modularity(edges, labels)
+
+
+# --- HITS hubs & authorities over the customer->part purchase graph ------------
+
+_HITS_ITERATIONS = 3
+
+#: bipartite purchase edge set: one edge per (customer, part) ever
+#: co-ordered — hubs are broad buyers, authorities are parts bought by
+#: strong hubs (mutually reinforcing, unlike raw degree)
+_HITS_EDGES_SQL = (
+    "SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+)
+
+
+def _hits_sql() -> str:
+    from depositaja_spark.functions.pagerank import hits_oracle_sql
+
+    return hits_oracle_sql(_HITS_EDGES_SQL, _HITS_ITERATIONS)
+
+
+@query("hits_user_part", _hits_sql())
+def q_hits_user_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hub/authority ranking over the bipartite
+    customer→part purchase graph: authorities are parts bought by broad
+    buyers, hubs are customers buying authoritative parts — the mutual-
+    reinforcement ranking raw degree misses, and the second iterative
+    rank family next to PageRank (asymmetric two-sided scores vs one
+    stochastic fixed point).  ``functions/pagerank.py:hits`` runs the
+    un-normalized power method on exact DECIMAL integers (zero float
+    folds; the single count-scaled normalization at the end is the only
+    float math), so engine and oracle agree bit-for-bit by construction
+    rather than by float-op-order discipline."""
+    from depositaja_spark.functions.pagerank import hits
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"), "o_orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("p")
+    )
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey).select("u", "p").distinct()
+    )
+    a, h = hits(edges, _HITS_ITERATIONS)
+
+    def side(df, id_col: str, role: str) -> DataFrame:
+        tot = df.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("s").cast("double").alias("t"),
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            F.lit(role).alias("role"),
+            F.col(id_col).cast("long").alias("id"),
+            F.round(
+                F.col("s").cast("double") / F.col("t") * F.col("n"), 6
+            ).alias("score"),
+        )
+
+    return side(a, "p", "auth").unionByName(side(h, "u", "hub"))

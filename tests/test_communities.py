@@ -75,3 +75,36 @@ def test_isolated_pair_adopts_each_other(spark):
     edges = [(100, 200)]
     assert _run(spark, edges, 1) == {100: 200, 200: 100}
     assert _run(spark, edges, 2) == {100: 100, 200: 200}
+
+
+# --- modularity ---------------------------------------------------------------
+
+
+def test_modularity_two_cliques_hand_computed(spark):
+    """Two 3-cliques joined by one bridge, hand-assigned communities:
+    m=7, I=6, D_A=D_B=7 → Q = 6/7 − 98/196 = 0.357143 (textbook)."""
+    from depositaja_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "u long, v long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, lbl long"
+    )
+    (got,) = modularity(edges, labels).collect()
+    assert (got.n_communities, got.n_edges, got.intra_edges) == (2, 7, 6)
+    assert abs(got.modularity - (6 / 7 - 98 / 196)) < 1e-6
+
+
+def test_modularity_single_community_is_nonpositive(spark):
+    """Everything in one community: I=m but ΣD²=(2m)², so
+    Q = 1 − 1 = 0 — the no-structure baseline."""
+    from depositaja_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u long, v long")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, lbl long"
+    )
+    (got,) = modularity(edges, labels).collect()
+    assert got.modularity == 0.0

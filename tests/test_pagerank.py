@@ -188,3 +188,56 @@ def test_standard_pagerank_is_ppr_with_uniform_seeds(spark):
     assert set(std) == set(seeded)
     for k in std:
         assert abs(std[k] - seeded[k]) < 1e-12, k
+
+
+# --- HITS ----------------------------------------------------------------------
+
+
+def _hits_numpy(edges, iterations):
+    """Exact integer replay of the un-normalized power method."""
+    us = sorted({u for u, _ in edges})
+    ps = sorted({p for _, p in edges})
+    ui = {u: i for i, u in enumerate(us)}
+    pi = {p: i for i, p in enumerate(ps)}
+    import numpy as np
+
+    E = np.zeros((len(us), len(ps)), dtype=object)
+    for u, p in edges:
+        E[ui[u], pi[p]] = 1
+    h = np.ones(len(us), dtype=object)
+    for _ in range(iterations):
+        a = E.T @ h
+        h = E @ a
+    return (
+        {p: a[pi[p]] for p in ps},
+        {u: h[ui[u]] for u in us},
+    )
+
+
+def test_hits_matches_integer_replay(spark):
+    """Raw DECIMAL scores equal the exact integer power method on an
+    asymmetric bipartite graph."""
+    from depositaja_spark.functions.pagerank import hits
+
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10), (4, 13)]
+    df = spark.createDataFrame(edges, "u long, p long")
+    a, h = hits(df, 3)
+    want_a, want_h = _hits_numpy(edges, 3)
+    got_a = {r.p: int(r.s) for r in a.collect()}
+    got_h = {r.u: int(r.s) for r in h.collect()}
+    assert got_a == want_a
+    assert got_h == want_h
+
+
+def test_hits_authority_ranks_mutual_reinforcement_over_degree(spark):
+    """Two parts with EQUAL degree: the one bought by the stronger hubs
+    must out-rank the other — the property degree counting misses."""
+    from depositaja_spark.functions.pagerank import hits
+
+    # parts 20 and 21 both have degree 2; 20's buyers are broad hubs
+    edges = [(1, 10), (1, 11), (1, 20), (2, 10), (2, 11), (2, 20),
+             (3, 21), (4, 21)]
+    df = spark.createDataFrame(edges, "u long, p long")
+    a, _ = hits(df, 3)
+    scores = {r.p: int(r.s) for r in a.collect()}
+    assert scores[20] > scores[21]

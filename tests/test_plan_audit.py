@@ -163,6 +163,12 @@ CARTESIAN_OK = {
     # log-rank test: the corpus-end day is the same 1-row broadcast
     # cross join onto the per-user lifetime frame as Kaplan-Meier
     "logrank_test_churn",
+    # modularity: the (m, I) edge-count scalars are 1-row broadcast
+    # cross joins onto the 1-row ΣD² moment frame
+    "copurchase_modularity",
+    # HITS: the per-side (count, Σscore) normalizers are 1-row broadcast
+    # cross joins onto the node frames
+    "hits_user_part",
     # kappa: the corpus count n is a 1-row broadcast scalar joined onto
     # the ≤C(L,2)=10-row agreement frame; every corpus-sized shuffle is
     # keyed on doc_id
