@@ -1754,3 +1754,92 @@ def q_hits_user_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side(a, "p", "auth").unionByName(side(h, "u", "hub"))
+
+
+# --- pairwise source n-gram contamination matrix --------------------------------
+
+_OVERLAP_N = 3
+
+
+@query(
+    "source_ngram_overlap_matrix",
+    f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents
+           WHERE len({_TOKS}) >= {_OVERLAP_N}),
+g AS (SELECT DISTINCT source,
+             array_to_string(toks[i + 1 : i + {_OVERLAP_N}], ' ') AS gram
+      FROM (SELECT source, toks,
+                   unnest(range(0, len(toks) - {_OVERLAP_N} + 1)) AS i
+            FROM t)),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+pair AS (SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_common
+         FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.n_common,
+       za.n AS n_grams_a, zb.n AS n_grams_b,
+       round(CAST(p.n_common AS DOUBLE)
+             / (za.n + zb.n - p.n_common), 6) AS jaccard
+FROM pair p
+JOIN sz za ON p.src_a = za.source
+JOIN sz zb ON p.src_b = zb.source
+""",
+)
+def q_source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise {_OVERLAP_N}-gram Jaccard overlap between sources — the
+    corpus-level contamination / redundancy matrix behind mixture
+    decisions ("are src2 and src6 the same crawl twice?"), the
+    source-grain sibling of decontaminate (doc grain) and
+    source_token_divergence (distribution grain).  The pair stage joins
+    the DISTINCT (source, gram) frame to itself on gram, so per-gram
+    fan-out is bounded by |sources|² BY CONSTRUCTION — the textual
+    analog of the basket cap, with no cap constant needed because the
+    source domain is fixed; everything else is gram/source-keyed
+    aggregation, exact integers, one final division per pair."""
+    from depositaja_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("source", tokens("text").alias("toks")).filter(
+        F.size("toks") >= _OVERLAP_N
+    )
+    g = t.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_OVERLAP_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_OVERLAP_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    from depositaja_spark.functions.cache import tracked_persist
+
+    g = tracked_persist(g)
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    pair = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_grams_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_grams_b"))
+    return (
+        pair.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_grams_a",
+            "n_grams_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

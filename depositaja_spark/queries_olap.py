@@ -5350,3 +5350,118 @@ def q_ols_value_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b2", 6).alias("beta_dow"),
         F.when(sst > 0, F.round(F.lit(1.0) - sse / sst, 6)).alias("r2"),
     )
+
+
+# --- offline changepoint: best single split of the daily value series ----------
+
+
+@query(
+    "changepoint_daily_value",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+p AS (
+  SELECT day, x,
+         sum(x) OVER (ORDER BY day) AS sl,
+         row_number() OVER (ORDER BY day) AS i,
+         sum(x) OVER () AS s,
+         count(*) OVER () AS k
+  FROM daily
+),
+o AS (
+  SELECT day, i, k, sl, s,
+         CAST(k AS DOUBLE) * CAST(sl AS DOUBLE)
+           - CAST(i AS DOUBLE) * CAST(s AS DOUBLE) AS d,
+         CAST(i AS DOUBLE) * (k - i) AS den
+  FROM p WHERE i < k
+),
+best AS (
+  SELECT day, i, k, sl, s,
+         row_number() OVER (ORDER BY d * d / den DESC, day) AS rn
+  FROM o
+)
+SELECT day AS split_day,
+       CAST(k AS BIGINT) AS n_days,
+       CAST(i AS BIGINT) AS n_days_before,
+       round(CAST(sl AS DOUBLE) / i, 6) AS mean_before,
+       round(CAST(s - sl AS DOUBLE) / (k - i), 6) AS mean_after
+FROM best WHERE rn = 1
+""",
+)
+def q_changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection — the single best split of the
+    daily total-value series by binary segmentation: the split
+    maximizing the between-segment sum of squares, equivalently
+    g(t) = (k·S_t − t·S)² / (t·(k−t)) over prefix sums (the first step
+    of the classic binary-segmentation / CUSUM-offline recursion; the
+    streaming CUSUM monitor is its online sibling).  Prefix sums are
+    exact DECIMAL through an ordered window, so every g(t) is computed
+    from identical exact inputs by an identical double expression —
+    per-row values are bit-equal across engines and the argmax (with
+    the day ASC tie-break) picks the same row; only the two reported
+    segment means divide.  Scale shape: one keyed daily agg, then
+    everything runs on the calendar-bounded day frame."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum("v").cast("decimal(18,2)").alias("x")
+    )
+    w_run = W.partitionBy().orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    p = daily.select(
+        "day",
+        F.sum("x").over(w_run).alias("sl"),
+        F.row_number().over(W.partitionBy().orderBy("day")).alias("i"),
+        F.sum("x").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    o = p.filter(F.col("i") < F.col("k")).select(
+        "day",
+        "i",
+        "k",
+        "sl",
+        "s",
+        (
+            F.col("k").cast("double") * F.col("sl").cast("double")
+            - F.col("i").cast("double") * F.col("s").cast("double")
+        ).alias("d"),
+        (F.col("i").cast("double") * (F.col("k") - F.col("i"))).alias("den"),
+    )
+    best = o.select(
+        "day",
+        "i",
+        "k",
+        "sl",
+        "s",
+        F.row_number()
+        .over(
+            W.partitionBy().orderBy(
+                (F.col("d") * F.col("d") / F.col("den")).desc(), F.col("day")
+            )
+        )
+        .alias("rn"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        F.col("day").alias("split_day"),
+        F.col("k").cast("long").alias("n_days"),
+        F.col("i").cast("long").alias("n_days_before"),
+        F.round(F.col("sl").cast("double") / F.col("i"), 6).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("s") - F.col("sl")).cast("double")
+            / (F.col("k") - F.col("i")),
+            6,
+        ).alias("mean_after"),
+    )

@@ -1245,3 +1245,52 @@ def test_whale_share_replay(spark):
     assert (r.n_users, r.n_whales) == (n, k)
     assert r.whale_value == float(tv)
     assert r.whale_share == round(float(tv) / float(t), 6)
+
+
+# --- source n-gram overlap matrix ------------------------------------------------
+
+
+def test_source_overlap_hand_computed(spark, tmp_path):
+    """Two sources with hand-enumerable distinct 3-gram sets: src1 has
+    {a b c, b c d}, src2 has {b c d, c d e} -> intersection 1, union 3."""
+    from depositaja_spark import registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "src1", 7),
+            (2, "b c d e", "en", "src2", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    (got,) = registry.QUERIES["source_ngram_overlap_matrix"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (got.src_a, got.src_b) == ("src1", "src2")
+    assert (got.n_common, got.n_grams_a, got.n_grams_b) == (1, 2, 2)
+    assert abs(got.jaccard - 1 / 3) < 1e-6  # output is rounded to 6 places
+
+
+def test_source_overlap_disjoint_sources_absent(spark, tmp_path):
+    """Sources sharing no gram produce NO row (sparse matrix contract:
+    absence = zero, the join never manufactures zero rows)."""
+    from depositaja_spark import registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "src1", 5),
+            (2, "x y z", "en", "src2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    assert (
+        registry.QUERIES["source_ngram_overlap_matrix"](
+            spark, str(tmp_path)
+        ).count()
+        == 0
+    )

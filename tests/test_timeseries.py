@@ -747,3 +747,32 @@ def test_markov_python_power_replay(spark):
         share = sum(n for (a, b), n in tr.items() if b == s) / tot
         assert got[s].target_share == round(share, 6)
         assert abs(got[s].steady_prob - share) < 0.05  # well-mixed chain
+
+
+# --- offline changepoint --------------------------------------------------------
+
+
+def test_changepoint_planted_level_shift(spark, tmp_path):
+    """Daily totals 10×5 days then 20×5 days: the best split is after
+    day 4 (5 days before), means exactly 10 and 20."""
+    from depositaja_spark import registry
+
+    day = 86400
+    rows = [(i, i * day, 1, "view", 10.0) for i in range(5)]
+    rows += [(5 + i, (5 + i) * day, 1, "view", 20.0) for i in range(5)]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["changepoint_daily_value"](spark, d).collect()
+    assert (got.split_day, got.n_days, got.n_days_before) == (4, 10, 5)
+    assert got.mean_before == 10.0 and got.mean_after == 20.0
+
+
+def test_changepoint_flat_series_deterministic_tiebreak(spark, tmp_path):
+    """A constant series has g(t)=0 everywhere: the day-ASC tie-break
+    must pick the FIRST split on both engines, not an arbitrary one."""
+    from depositaja_spark import registry
+
+    day = 86400
+    rows = [(i, i * day, 1, "view", 7.0) for i in range(6)]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["changepoint_daily_value"](spark, d).collect()
+    assert got.split_day == 0 and got.n_days_before == 1
