@@ -900,3 +900,141 @@ def load_hll_state(spark, state_dir: str) -> dict[int, int]:
         .collect()
         if r.rho > 0
     }
+
+
+# --- streaming quantile monitor (fixed-bin histogram) --------------------------
+
+#: histogram grid: QTL_BINS bins of QTL_BIN_CENTS cents each, overflow
+#: clamped into the top bin — the whole state is |types| × QTL_BINS rows
+#: forever, whatever the stream length (the KLL sketch covers the batch
+#: side; a fixed grid keeps the streaming merge = plain addition)
+QTL_BINS = 512
+QTL_BIN_CENTS = 50
+
+
+def quantiles_from_state(
+    cells: dict[tuple[str, int], int], qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> dict[str, dict[float, float]]:
+    """Per-type quantile estimates (in value units) from the committed
+    {(event_type, bin): count} histogram, linearly interpolated inside
+    the hit bin — max error half a bin width for interior quantiles."""
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, b), c in cells.items():
+        by_type.setdefault(et, {})[b] = c
+    out: dict[str, dict[float, float]] = {}
+    for et, bins in by_type.items():
+        n = sum(bins.values())
+        if n == 0:
+            continue
+        est: dict[float, float] = {}
+        for q in qs:
+            target = q * n
+            cum = 0.0
+            for b in sorted(bins):
+                c = bins[b]
+                if cum + c >= target:
+                    frac = (target - cum) / c
+                    est[q] = (b + frac) * QTL_BIN_CENTS / 100.0
+                    break
+                cum += c
+            else:
+                top = max(bins)
+                est[q] = (top + 1) * QTL_BIN_CENTS / 100.0
+        out[et] = est
+    return out
+
+
+def streaming_value_quantiles(
+    events: DataFrame,
+    state_dir: str,
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming per-type quantile monitor: maintains one fixed-grid
+    value histogram per event type across micro-batches — the p50/p90/
+    p99 latency-style gauge whose exact computation needs a global sort
+    the stream can never afford.  State is |types| × QTL_BINS counts
+    forever (cap-bounded, like the MG/PSI/CUSUM monitors); merge is
+    plain addition, so the at-least-once replay guard is the same
+    commit_<batch_id> staged-rename protocol (an already-committed
+    batch_id is skipped, never double-added).
+
+    Per batch the heavy work is one distributed keyed (type, bin) count
+    (map-side combined, ≤ |types|·QTL_BINS rows to the driver); cents
+    come from the exact DECIMAL cast shared with the batch oracles, so
+    a pure-Python replay is bit-exact (tests/test_streaming.py).
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+
+    state_schema = "event_type string, bin long, c long"
+
+    def _batch_hist(batch: DataFrame) -> dict[tuple[str, int], int]:
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        b = F.least(
+            F.greatest(
+                F.floor(cents / QTL_BIN_CENTS).cast("long"), F.lit(0)
+            ),
+            F.lit(QTL_BINS - 1),
+        )
+        rows = (
+            batch.filter(
+                F.col(value_col).isNotNull() & F.col(type_col).isNotNull()
+            )
+            .select(F.col(type_col).alias("event_type"), b.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {(r.event_type, int(r.bin)): int(r.c) for r in rows}
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return
+        hist = _batch_hist(batch)
+        if commits:
+            path = _os.path.join(state_dir, commits[-1][1])
+            for r in (
+                spark.read.schema(state_schema)
+                .parquet(_os.path.join(path, "state"))
+                .collect()
+            ):
+                if r.bin < 0:
+                    continue
+                k = (r.event_type, int(r.bin))
+                hist[k] = hist.get(k, 0) + int(r.c)
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
+        _shutil.rmtree(staged, ignore_errors=True)
+        rows = sorted(hist.items()) or [(("", -1), 0)]
+        spark.createDataFrame(
+            [(et, b, c) for (et, b), c in rows], state_schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(staged, "state")
+        )
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def load_quantile_state(spark, state_dir: str) -> dict[tuple[str, int], int]:
+    """The newest committed histogram as {(event_type, bin): count}
+    (empty before the first commit; the empty-stream sentinel row is
+    dropped)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        (r.event_type, int(r.bin)): int(r.c)
+        for r in spark.read.schema("event_type string, bin long, c long")
+        .parquet(_os.path.join(path, "state"))
+        .collect()
+        if r.bin >= 0
+    }

@@ -1525,3 +1525,160 @@ def test_streaming_hll_matches_python_replay_and_estimates(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert load_hll_state(spark, state_dir) == want
+
+
+def test_streaming_quantiles_replay_and_accuracy(spark, tmp_path):
+    """The foreachBatch histogram quantile monitor over a 3-file stream:
+    the maintained (type, bin) counts must equal a pure-Python replay of
+    the same DECIMAL-cents binning bit-for-bit, the p50/p90 estimates
+    must sit within half a bin width of the exact per-type quantiles,
+    and replaying the same batches must not double-count."""
+    import os
+    import time
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.pipeline import (
+        QTL_BIN_CENTS,
+        QTL_BINS,
+        load_quantile_state,
+        quantiles_from_state,
+        streaming_value_quantiles,
+    )
+
+    recs = [
+        (r.event_type, r.value)
+        for r in load_table(spark, SF, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .collect()
+    ]
+    splits = [recs[i::3] for i in range(3)]
+    d = tmp_path / "qtl_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([t for t, _ in chunk], pa.string()),
+                    "value": pa.array([v for _, v in chunk], pa.float64()),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "qtl_state")
+    q = (
+        streaming_value_quantiles(
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d)),
+            state_dir,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_qtl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = load_quantile_state(spark, state_dir)
+
+    # pure-Python replay: identical DECIMAL-cents binning
+    want: dict = {}
+    for et, v in recs:
+        cents = int(Decimal(str(v)) * 100)
+        b = min(max(cents // QTL_BIN_CENTS, 0), QTL_BINS - 1)
+        want[(et, b)] = want.get((et, b), 0) + 1
+    assert got == want
+
+    # estimate accuracy: within half a bin width of the exact quantile
+    # (clamp-free region: fixture values sit far below the top bin)
+
+    est = quantiles_from_state(got, (0.5, 0.9))
+    by_type: dict = {}
+    for et, v in recs:
+        by_type.setdefault(et, []).append(v)
+    import math
+
+    for et, vals in by_type.items():
+        vals.sort()
+        for qq in (0.5, 0.9):
+            # the estimator's convention: the ceil(q·n)-th order statistic
+            exact = vals[max(math.ceil(qq * len(vals)) - 1, 0)]
+            assert abs(est[et][qq] - exact) <= QTL_BIN_CENTS / 100.0, (
+                et, qq, est[et][qq], exact,
+            )
+
+    # idempotent replay: a fresh run over the same files with the same
+    # state dir skips committed batch_ids — counts unchanged
+    q2 = (
+        streaming_value_quantiles(
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d)),
+            state_dir,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_qtl2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert load_quantile_state(spark, state_dir) == want
+
+
+def test_streaming_quantiles_empty_then_data(spark, tmp_path):
+    """An empty first batch commits the sentinel without poisoning the
+    fold; data arriving later accumulates normally."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.pipeline import (
+        load_quantile_state,
+        streaming_value_quantiles,
+    )
+
+    d = tmp_path / "qtl_stream2"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        ),
+        d / "batch_0.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["view", "view"], pa.string()),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+            }
+        ),
+        d / "batch_1.parquet",
+    )
+    for m in (0, 1):
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+    state_dir = str(tmp_path / "qtl_state2")
+    q = (
+        streaming_value_quantiles(
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d)),
+            state_dir,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_qtl3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = load_quantile_state(spark, state_dir)
+    assert got == {("view", 2): 1, ("view", 4): 1}
