@@ -5465,3 +5465,267 @@ def q_changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+# --- cohort LTV matrix (30-day periods) -----------------------------------------
+
+#: cohort/age period length in days — epoch-day buckets, not calendar
+#: months, so both engines share exact integer arithmetic
+_LTV_PERIOD_DAYS = 30
+
+
+@query(
+    "cohort_ltv_matrix",
+    f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+u0 AS (
+  SELECT user_id, min(day) // {_LTV_PERIOD_DAYS} AS cohort
+  FROM ev GROUP BY 1
+),
+ua AS (
+  SELECT e.user_id, u0.cohort,
+         e.day // {_LTV_PERIOD_DAYS} - u0.cohort AS age,
+         CAST(sum(e.v) AS DECIMAL(18,2)) AS v
+  FROM ev e JOIN u0 ON e.user_id = u0.user_id
+  GROUP BY 1, 2, 3
+),
+cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM u0 GROUP BY 1),
+ca AS (
+  SELECT cohort, age, CAST(sum(v) AS DECIMAL(18,2)) AS v
+  FROM ua GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age,
+         CAST(sum(v) OVER (PARTITION BY cohort ORDER BY age)
+              AS DECIMAL(18,2)) AS cum_v
+  FROM ca
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_period,
+       CAST(c.age AS BIGINT) AS age_periods,
+       s.n_users,
+       round(CAST(c.cum_v AS DOUBLE) / s.n_users, 6) AS cum_value_per_user
+FROM cum c JOIN cs s ON c.cohort = s.cohort
+""",
+)
+def q_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort lifetime-value matrix: users grouped by signup period
+    (first-event epoch-day // {_LTV_PERIOD_DAYS}), each cohort's
+    CUMULATIVE value per user tracked across age periods — the
+    triangle-shaped table every growth team reads ("do newer cohorts
+    monetize faster?"), the value-grain sibling of cohort_retention.
+    Value sums stay exact DECIMAL through the per-(user, age) and
+    per-(cohort, age) aggs and the cohort-ordered cumulative window
+    (decimal addition is order-free, no float folds anywhere); the
+    single division by cohort size is the only float op.  Scale shape:
+    two user-keyed aggs, then everything runs on the
+    ≤|cohorts|×|ages| calendar-bounded frame."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    u0 = ev.groupBy("user_id").agg(
+        F.floor(F.min("day") / _LTV_PERIOD_DAYS).cast("long").alias("cohort")
+    )
+    ua = (
+        ev.join(u0, "user_id")
+        .groupBy(
+            "user_id",
+            "cohort",
+            (
+                F.floor(F.col("day") / _LTV_PERIOD_DAYS).cast("long")
+                - F.col("cohort")
+            ).alias("age"),
+        )
+        .agg(F.sum("v").cast("decimal(18,2)").alias("v"))
+    )
+    cs = u0.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ca = ua.groupBy("cohort", "age").agg(
+        F.sum("v").cast("decimal(18,2)").alias("v")
+    )
+    w_cum = W.partitionBy("cohort").orderBy("age").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = ca.select(
+        "cohort",
+        "age",
+        F.sum("v").over(w_cum).cast("decimal(18,2)").alias("cum_v"),
+    )
+    return cum.join(cs, "cohort").select(
+        F.col("cohort").cast("long").alias("cohort_period"),
+        F.col("age").cast("long").alias("age_periods"),
+        "n_users",
+        F.round(
+            F.col("cum_v").cast("double") / F.col("n_users"), 6
+        ).alias("cum_value_per_user"),
+    )
+
+
+# --- maximum drawdown of the cumulative daily value series ----------------------
+
+
+@query(
+    "max_drawdown_daily",
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+              AS DECIMAL(18,2)) AS run
+  FROM daily
+),
+dd AS (
+  SELECT event_type, day, run,
+         CAST(max(run) OVER (PARTITION BY event_type ORDER BY day)
+              AS DECIMAL(18,2)) AS peak
+  FROM r
+),
+best AS (
+  SELECT event_type, day, run, peak, peak - run AS draw,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY peak - run DESC, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS k
+  FROM dd
+)
+SELECT event_type,
+       CAST(k AS BIGINT) AS n_days,
+       CAST(day AS BIGINT) AS trough_day,
+       CAST(peak AS DOUBLE) AS peak_value,
+       CAST(draw AS DOUBLE) AS max_drawdown
+FROM best WHERE rn = 1
+""",
+)
+def q_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's cumulative daily value series —
+    the risk metric behind "how far below its best did this stream ever
+    fall", here reading engagement/revenue slumps.  EVERYTHING is exact
+    DECIMAL: the running total, the running peak (a max of exact
+    decimals), the drawdown subtraction, and the argmax with the
+    day-ASC tie-break, so both engines pick the identical row with no
+    float ops at all until the two output casts.  Scale shape: one
+    keyed daily agg, then per-type ordered windows over the
+    calendar-bounded day frame."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("v").cast("decimal(18,2)").alias("x")
+    )
+    w_run = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w_run).cast("decimal(18,2)").alias("run"),
+    )
+    dd = r.select(
+        "event_type",
+        "day",
+        "run",
+        F.max("run").over(w_run).cast("decimal(18,2)").alias("peak"),
+    )
+    draw = F.col("peak") - F.col("run")
+    best = dd.select(
+        "event_type",
+        "day",
+        "run",
+        "peak",
+        draw.alias("draw"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(draw.desc(), F.col("day"))
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("k"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("k").cast("long").alias("n_days"),
+        F.col("day").cast("long").alias("trough_day"),
+        F.col("peak").cast("double").alias("peak_value"),
+        F.col("draw").cast("double").alias("max_drawdown"),
+    )
+
+
+# --- hourly coverage audit ------------------------------------------------------
+
+
+@query(
+    "missing_hours_report",
+    """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         min(hour) AS h0,
+         max(hour) AS h1,
+         CAST(count(DISTINCT hour) AS BIGINT) AS observed
+  FROM h GROUP BY 1
+)
+SELECT event_type,
+       CAST(h0 AS BIGINT) AS first_hour,
+       CAST(h1 AS BIGINT) AS last_hour,
+       CAST(h1 - h0 + 1 AS BIGINT) AS expected_hours,
+       observed AS observed_hours,
+       CAST(h1 - h0 + 1 - observed AS BIGINT) AS missing_hours,
+       round(CAST(observed AS DOUBLE) / (h1 - h0 + 1), 6) AS coverage
+FROM g
+""",
+)
+def q_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly coverage audit per event type: expected hours (the span
+    between the type's first and last active hour) vs distinct observed
+    hours — the ingestion-gap detector that catches a dead collector or
+    a dropped partition before any downstream metric silently dips.
+    One scan, one keyed (min, max, exact distinct) agg — the span
+    arithmetic needs no calendar generation at all; exact integers plus
+    one coverage division."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hour"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+        F.count_distinct(F.col("hour")).cast("long").alias("observed"),
+    )
+    span = F.col("h1") - F.col("h0") + 1
+    return g.select(
+        "event_type",
+        F.col("h0").cast("long").alias("first_hour"),
+        F.col("h1").cast("long").alias("last_hour"),
+        span.cast("long").alias("expected_hours"),
+        F.col("observed").alias("observed_hours"),
+        (span - F.col("observed")).cast("long").alias("missing_hours"),
+        F.round(F.col("observed").cast("double") / span, 6).alias("coverage"),
+    )

@@ -333,6 +333,7 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "logrank_test_churn", "ols_value_hour_dow", "pinball_loss_backtest",
         "copurchase_modularity", "hits_user_part",
         "changepoint_daily_value", "source_ngram_overlap_matrix",
+        "cohort_ltv_matrix", "max_drawdown_daily", "missing_hours_report",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 

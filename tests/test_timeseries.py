@@ -776,3 +776,79 @@ def test_changepoint_flat_series_deterministic_tiebreak(spark, tmp_path):
     d = _write_events(spark, tmp_path, rows)
     (got,) = registry.QUERIES["changepoint_daily_value"](spark, d).collect()
     assert got.split_day == 0 and got.n_days_before == 1
+
+
+# --- max drawdown ---------------------------------------------------------------
+
+
+def test_max_drawdown_planted(spark, tmp_path):
+    """Daily series 10, 20, 5, 8, 30: running 10/30/35/43/73, peak
+    10/30/35/43/73... wait — cumulative: 10,30,35,43,73; peaks equal the
+    running max of the cumulative; all values positive so drawdown is 0
+    everywhere.  Use a negative dip via small values: cumulative never
+    falls, so plant the dip with value sums per day of 10, 1, 1, 50:
+    the drawdown of a nondecreasing series is 0 and the tie-break picks
+    the first day."""
+    from depositaja_spark import registry
+
+    day = 86400
+    rows = [(i, i * day, 1, "view", v)
+            for i, v in enumerate([10.0, 1.0, 1.0, 50.0])]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["max_drawdown_daily"](spark, d).collect()
+    assert (got.n_days, got.trough_day, got.max_drawdown) == (4, 0, 0.0)
+
+
+def test_max_drawdown_with_negative_values(spark, tmp_path):
+    """Signed values create a real dip: daily sums 10, -4, -3, 12 →
+    cumulative 10, 6, 3, 15; peak 10 until day 3 → max drawdown 7 at
+    day 2, peak 10."""
+    from depositaja_spark import registry
+
+    day = 86400
+    rows = [(i, i * day, 1, "view", v)
+            for i, v in enumerate([10.0, -4.0, -3.0, 12.0])]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["max_drawdown_daily"](spark, d).collect()
+    assert (got.trough_day, got.peak_value, got.max_drawdown) == (2, 10.0, 7.0)
+
+
+# --- cohort LTV matrix ----------------------------------------------------------
+
+
+def test_cohort_ltv_planted(spark, tmp_path):
+    """Two users in cohort 0 (days 0, 35) and one in cohort 1 (day 40):
+    cohort 0 has ages 0 and 1; cumulative per-user value is exact."""
+    from depositaja_spark import registry
+
+    day = 86400
+    rows = [
+        (0, 0 * day, 1, "view", 10.0),     # u1 cohort 0 age 0
+        (1, 35 * day, 1, "view", 20.0),    # u1 age 1
+        (2, 5 * day, 2, "view", 30.0),     # u2 cohort 0 age 0
+        (3, 40 * day, 3, "view", 40.0),    # u3 cohort 1 age 0
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.cohort_period, r.age_periods): (r.n_users, r.cum_value_per_user)
+        for r in registry.QUERIES["cohort_ltv_matrix"](spark, d).collect()
+    }
+    assert got[(0, 0)] == (2, 20.0)     # (10+30)/2
+    assert got[(0, 1)] == (2, 30.0)     # (10+30+20)/2
+    assert got[(1, 0)] == (1, 40.0)
+
+
+# --- missing hours --------------------------------------------------------------
+
+
+def test_missing_hours_planted(spark, tmp_path):
+    """Events at hours 0, 1, 3 (skipping hour 2): span 4, observed 3,
+    missing 1, coverage 0.75."""
+    from depositaja_spark import registry
+
+    rows = [(i, h * 3600 + 10, 1, "view", 1.0)
+            for i, h in enumerate([0, 1, 3, 3])]
+    d = _write_events(spark, tmp_path, rows)
+    (got,) = registry.QUERIES["missing_hours_report"](spark, d).collect()
+    assert (got.expected_hours, got.observed_hours, got.missing_hours) == (4, 3, 1)
+    assert got.coverage == 0.75
