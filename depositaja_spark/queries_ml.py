@@ -1843,3 +1843,136 @@ def q_source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("jaccard"),
         )
     )
+
+
+# --- isotonic calibration (pool-adjacent-violators, minimax form) ---------------
+
+
+@query(
+    "isotonic_calibration",
+    f"""
+WITH sc AS (
+  SELECT CAST({_H64.format(x=f"'{_BRIER_SALT}' || CAST(event_id AS VARCHAR)")}
+              % 101 AS BIGINT) AS p_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT p_cents, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS s
+  FROM sc GROUP BY 1
+),
+p AS (
+  SELECT p_cents, c, s,
+         sum(c) OVER (ORDER BY p_cents) AS pc,
+         sum(s) OVER (ORDER BY p_cents) AS ps
+  FROM g
+),
+iv AS (
+  SELECT a.p_cents AS j, b.p_cents AS k,
+         CAST(b.ps - (a.ps - a.s) AS DOUBLE)
+           / (b.pc - (a.pc - a.c)) AS avg_jk
+  FROM p a JOIN p b ON a.p_cents <= b.p_cents
+),
+sm AS (
+  SELECT j, k,
+         min(avg_jk) OVER (PARTITION BY j ORDER BY k DESC) AS t_ji
+  FROM iv
+),
+fit AS (
+  SELECT j, k AS i,
+         max(t_ji) OVER (PARTITION BY k ORDER BY j) AS fitted
+  FROM sm
+)
+SELECT g.p_cents AS score_cents,
+       g.c AS n,
+       round(CAST(g.s AS DOUBLE) / g.c, 6) AS frac_pos,
+       round(f.fitted, 6) AS fitted
+FROM fit f JOIN g ON f.i = g.p_cents AND f.j = g.p_cents
+""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the classifier scores by
+    pool-adjacent-violators, computed in its closed minimax form
+    fitted(i) = max_(j<=i) min_(k>=i) avg(y over scores j..k) — the
+    nonparametric calibrator sklearn ships (monotone, piecewise
+    constant), here fully relational because the DISTINCT-score frame
+    is bounded (<=101 rows): interval averages are single divisions of
+    exact integer prefix sums over the <=101^2 interval frame, the
+    suffix-min / prefix-max are ordered windows per j / per i, and the
+    fitted value is read at the (j=i, k=i) diagonal where both
+    cumulatives cover exactly the required ranges.  Every float is one
+    division of exact integers evaluated identically in both engines,
+    and min/max of identical doubles is deterministic — no epsilon
+    anywhere.  Scale shape: one corpus-keyed agg to <=101 rows; the
+    quadratic stage never touches the corpus (the bounded-frame analog
+    of the basket cap)."""
+    from depositaja_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sc = ev.select(
+        (
+            hash64(
+                F.concat(F.lit(_BRIER_SALT), F.col("event_id").cast("string"))
+            )
+            % 101
+        ).alias("p_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = sc.groupBy("p_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w_ord = W.partitionBy().orderBy("p_cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = g.select(
+        "p_cents",
+        "c",
+        "s",
+        F.sum("c").over(w_ord).alias("pc"),
+        F.sum("s").over(w_ord).alias("ps"),
+    )
+    a = p.select(
+        F.col("p_cents").alias("j"),
+        (F.col("ps") - F.col("s")).alias("psb"),
+        (F.col("pc") - F.col("c")).alias("pcb"),
+    )
+    b = p.select(
+        F.col("p_cents").alias("k"),
+        F.col("ps").alias("psk"),
+        F.col("pc").alias("pck"),
+    )
+    iv = a.join(b, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("psk") - F.col("psb")).cast("double")
+            / (F.col("pck") - F.col("pcb"))
+        ).alias("avg_jk"),
+    )
+    w_suf = W.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sm = iv.select(
+        "j", "k", F.min("avg_jk").over(w_suf).alias("t_ji")
+    )
+    w_pre = W.partitionBy("i").orderBy("j").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fit = sm.select("j", F.col("k").alias("i"), "t_ji").select(
+        "j",
+        "i",
+        F.max("t_ji").over(w_pre).alias("fitted"),
+    )
+    return (
+        fit.filter(F.col("j") == F.col("i"))
+        .join(g, F.col("i") == F.col("p_cents"))
+        .select(
+            F.col("p_cents").alias("score_cents"),
+            F.col("c").alias("n"),
+            F.round(F.col("s").cast("double") / F.col("c"), 6).alias(
+                "frac_pos"
+            ),
+            F.round("fitted", 6).alias("fitted"),
+        )
+    )

@@ -588,7 +588,7 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions never driver-sampled (30 entries, the
+    # -- round-9 additions never driver-sampled (31 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
     "retrieval_eval_at_k",
@@ -621,6 +621,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "cohort_ltv_matrix",
     "max_drawdown_daily",
     "missing_hours_report",
+    "isotonic_calibration",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -648,7 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "check_one",
     "check_one_unknown",
     "customer_balance_quartiles",
-    "customers_with_orders",
 )
 
 

@@ -674,3 +674,62 @@ def test_pinball_planted_replay(spark, tmp_path):
     assert abs(got.pinball_q10 - (18 * 0.2 + 6 * 1.8) / 24) < 1e-9
     assert abs(got.pinball_q50 - 1.0) < 1e-9
     assert abs(got.pinball_q90 - (18 * 1.8 + 6 * 0.2) / 24) < 1e-9
+
+
+# --- isotonic calibration -------------------------------------------------------
+
+
+def test_isotonic_matches_stack_pav_on_fixture(spark):
+    """The minimax-form relational PAV equals the classic stack PAV on
+    the fixture's score frame, is monotone, and conserves mass."""
+    from decimal import Decimal
+
+    from depositaja_spark import registry
+    from depositaja_spark.functions.text import py_hash64
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["isotonic_calibration"](spark, sf).collect()
+    by_score = {r.score_cents: r for r in rows}
+    scores = sorted(by_score)
+
+    # independent group construction from the raw parquet
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type FROM '{sf}/events.parquet'"
+    ).fetchall()
+    g: dict = {}
+    for eid, et in ev:
+        p = py_hash64("brier:" + str(eid)) % 101
+        c, s = g.get(p, (0, 0))
+        g[p] = (c + 1, s + (1 if et == "purchase" else 0))
+    assert sorted(g) == scores
+
+    # stack PAV -> expand block averages back to per-score fitted values
+    blocks = []
+    order = sorted(g)
+    for p in order:
+        c, s = g[p]
+        blocks.append([c, s, [p]])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):
+            c2, s2, ids = blocks.pop()
+            blocks[-1][0] += c2
+            blocks[-1][1] += s2
+            blocks[-1][2].extend(ids)
+    want = {}
+    for c, s, ids in blocks:
+        for p in ids:
+            want[p] = s / c
+    for p in order:
+        assert abs(by_score[p].fitted - want[p]) < 1e-6, p
+
+    # monotone nondecreasing
+    fitted = [by_score[p].fitted for p in order]
+    assert all(a <= b + 1e-9 for a, b in zip(fitted, fitted[1:]))
+
+    # mass conservation: sum fitted*c == sum y
+    tot_fit = sum(by_score[p].fitted * g[p][0] for p in order)
+    tot_y = sum(s for _, s in g.values())
+    assert abs(tot_fit - tot_y) < 1e-2

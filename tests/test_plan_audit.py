@@ -163,6 +163,10 @@ CARTESIAN_OK = {
     # log-rank test: the corpus-end day is the same 1-row broadcast
     # cross join onto the per-user lifetime frame as Kaplan-Meier
     "logrank_test_churn",
+    # isotonic calibration: the j<=k interval self-join crosses the
+    # <=101-row DISTINCT-score frame with itself (bounded aggregate
+    # frames on both sides — the chi2-grid shape, never the corpus)
+    "isotonic_calibration",
     # modularity: the (m, I) edge-count scalars are 1-row broadcast
     # cross joins onto the 1-row ΣD² moment frame
     "copurchase_modularity",

@@ -100,8 +100,8 @@ def test_round9_changed_queries_are_prioritized():
         "copurchase_kcore", "copurchase_link_prediction",
         "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 30 never-sampled round-9 additions + these 6
-    # pins + 14 LRU refill slots (r1/r3-vintage queries the driver has
+    # Window arithmetic: 31 never-sampled round-9 additions + these 6
+    # pins + 13 LRU refill slots (r1/r3-vintage queries the driver has
     # not re-checked since, rotating external coverage through the long
     # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
@@ -144,5 +144,6 @@ def test_never_driver_sampled_queries_lead_the_window():
         "cohort_ltv_matrix",
         "max_drawdown_daily",
         "missing_hours_report",
+        "isotonic_calibration",
     ]
     assert list(R.QUERIES)[: len(never)] == never
