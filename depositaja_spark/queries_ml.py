@@ -1976,3 +1976,205 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("fitted", 6).alias("fitted"),
         )
     )
+
+
+# --- cumulative gains / lift table ----------------------------------------------
+
+
+@query(
+    "classifier_gains_table",
+    f"""
+WITH sc AS (
+  SELECT CAST({_H64.format(x=f"'{_BRIER_SALT}' || CAST(event_id AS VARCHAR)")}
+              % 101 AS BIGINT) AS p_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT p_cents, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS s
+  FROM sc GROUP BY 1
+),
+cum AS (
+  SELECT p_cents, c, s,
+         sum(c) OVER (ORDER BY p_cents DESC) AS cn,
+         sum(s) OVER (ORDER BY p_cents DESC) AS cp,
+         sum(c) OVER () AS n,
+         sum(s) OVER () AS pos
+  FROM g
+)
+SELECT CAST(p_cents AS BIGINT) AS score_cents,
+       CAST(cn AS BIGINT) AS cum_n,
+       CAST(cp AS BIGINT) AS cum_pos,
+       round(CAST(cn AS DOUBLE) / n, 6) AS frac_population,
+       CASE WHEN pos > 0 THEN round(CAST(cp AS DOUBLE) / pos, 6) END
+         AS recall,
+       round(CAST(cp AS DOUBLE) / cn, 6) AS precision,
+       CASE WHEN pos > 0
+            THEN round((CAST(cp AS DOUBLE) / cn)
+                       / (CAST(pos AS DOUBLE) / n), 6) END AS lift
+FROM cum
+""",
+)
+def q_classifier_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative gains / lift table (and with it every
+    precision-recall curve point): descending-score cumulative
+    population and positives at each distinct score — "target the top
+    X% and capture Y% of converters at Z× lift", the campaign-sizing
+    read-out next to AUC (ranking), calibration (probability), and KS
+    (separation).  All counts are exact integers off one corpus-keyed
+    agg; the ≤101-row distinct-score frame carries the ordered
+    cumulatives, and every output is a single division (guarded NULL
+    when no positives exist, identically in both engines)."""
+    from depositaja_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sc = ev.select(
+        (
+            hash64(
+                F.concat(F.lit(_BRIER_SALT), F.col("event_id").cast("string"))
+            )
+            % 101
+        ).alias("p_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = sc.groupBy("p_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w_desc = W.partitionBy().orderBy(F.col("p_cents").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    cum = g.select(
+        "p_cents",
+        F.sum("c").over(w_desc).alias("cn"),
+        F.sum("s").over(w_desc).alias("cp"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum("s").over(w_all).alias("pos"),
+    )
+    prec = F.col("cp").cast("double") / F.col("cn")
+    return cum.select(
+        F.col("p_cents").cast("long").alias("score_cents"),
+        F.col("cn").cast("long").alias("cum_n"),
+        F.col("cp").cast("long").alias("cum_pos"),
+        F.round(F.col("cn").cast("double") / F.col("n"), 6).alias(
+            "frac_population"
+        ),
+        F.when(
+            F.col("pos") > 0,
+            F.round(F.col("cp").cast("double") / F.col("pos"), 6),
+        ).alias("recall"),
+        F.round(prec, 6).alias("precision"),
+        F.when(
+            F.col("pos") > 0,
+            F.round(
+                prec / (F.col("pos").cast("double") / F.col("n")), 6
+            ),
+        ).alias("lift"),
+    )
+
+
+# --- Kolmogorov-Smirnov separation of the classifier ----------------------------
+
+
+@query(
+    "classifier_ks",
+    f"""
+WITH sc AS (
+  SELECT CAST({_H64.format(x=f"'{_BRIER_SALT}' || CAST(event_id AS VARCHAR)")}
+              % 101 AS BIGINT) AS p_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT p_cents,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(count(*) - sum(y) AS BIGINT) AS f
+  FROM sc GROUP BY 1
+),
+cum AS (
+  SELECT p_cents,
+         sum(s) OVER (ORDER BY p_cents DESC) AS cp,
+         sum(f) OVER (ORDER BY p_cents DESC) AS cf,
+         sum(s) OVER () AS pos,
+         sum(f) OVER () AS neg
+  FROM g
+),
+d AS (
+  SELECT p_cents, pos, neg,
+         CAST(cp AS DOUBLE) / pos - CAST(cf AS DOUBLE) / neg AS gap,
+         row_number() OVER (
+           ORDER BY abs(CAST(cp AS DOUBLE) / pos
+                        - CAST(cf AS DOUBLE) / neg) DESC,
+                    p_cents DESC) AS rn
+  FROM cum WHERE pos > 0 AND neg > 0
+)
+SELECT CAST(p_cents AS BIGINT) AS threshold_cents,
+       CAST(pos AS BIGINT) AS n_pos,
+       CAST(neg AS BIGINT) AS n_neg,
+       round(abs(gap), 6) AS ks_stat,
+       round(gap, 6) AS tpr_minus_fpr
+FROM d WHERE rn = 1
+""",
+)
+def q_classifier_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kolmogorov-Smirnov separation statistic of the classifier:
+    max over thresholds of |TPR − FPR| (equivalently the max vertical
+    gap between the positive and negative score CDFs) plus the
+    threshold attaining it — credit-scoring's standard single-number
+    discrimination measure, the CDF-gap complement of ROC-AUC.  TPR/FPR
+    come from exact integer cumulatives on the ≤101-row distinct-score
+    frame; each gap is two divisions of exact integers evaluated
+    identically in both engines, and the argmax tie-breaks on the
+    higher threshold — fully deterministic."""
+    from depositaja_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sc = ev.select(
+        (
+            hash64(
+                F.concat(F.lit(_BRIER_SALT), F.col("event_id").cast("string"))
+            )
+            % 101
+        ).alias("p_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = sc.groupBy("p_cents").agg(
+        F.sum("y").cast("long").alias("s"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("f"),
+    )
+    w_desc = W.partitionBy().orderBy(F.col("p_cents").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    cum = g.select(
+        "p_cents",
+        F.sum("s").over(w_desc).alias("cp"),
+        F.sum("f").over(w_desc).alias("cf"),
+        F.sum("s").over(w_all).alias("pos"),
+        F.sum("f").over(w_all).alias("neg"),
+    )
+    gap = (
+        F.col("cp").cast("double") / F.col("pos")
+        - F.col("cf").cast("double") / F.col("neg")
+    )
+    d = cum.filter((F.col("pos") > 0) & (F.col("neg") > 0)).select(
+        "p_cents",
+        "pos",
+        "neg",
+        gap.alias("gap"),
+        F.row_number()
+        .over(
+            W.partitionBy().orderBy(
+                F.abs(gap).desc(), F.col("p_cents").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    return d.filter(F.col("rn") == 1).select(
+        F.col("p_cents").cast("long").alias("threshold_cents"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        F.round(F.abs("gap"), 6).alias("ks_stat"),
+        F.round("gap", 6).alias("tpr_minus_fpr"),
+    )

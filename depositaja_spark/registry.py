@@ -588,7 +588,7 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions never driver-sampled (31 entries, the
+    # -- round-9 additions never driver-sampled (33 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
     "retrieval_eval_at_k",
@@ -622,6 +622,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "max_drawdown_daily",
     "missing_hours_report",
     "isotonic_calibration",
+    "classifier_gains_table",
+    "classifier_ks",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -647,8 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "check_all",
     "check_many",
     "check_one",
-    "check_one_unknown",
-    "customer_balance_quartiles",
 )
 
 

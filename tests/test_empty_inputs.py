@@ -334,7 +334,7 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "copurchase_modularity", "hits_user_part",
         "changepoint_daily_value", "source_ngram_overlap_matrix",
         "cohort_ltv_matrix", "max_drawdown_daily", "missing_hours_report",
-        "isotonic_calibration",
+        "isotonic_calibration", "classifier_gains_table", "classifier_ks",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 

@@ -733,3 +733,75 @@ def test_isotonic_matches_stack_pav_on_fixture(spark):
     tot_fit = sum(by_score[p].fitted * g[p][0] for p in order)
     tot_y = sum(s for _, s in g.values())
     assert abs(tot_fit - tot_y) < 1e-2
+
+
+# --- gains / lift table and KS ---------------------------------------------------
+
+
+def _score_frame(sf):
+    """(p_cents -> (count, positives)) replay of the shared pseudo-score."""
+    import duckdb
+
+    from depositaja_spark.functions.text import py_hash64
+
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type FROM '{sf}/events.parquet'"
+    ).fetchall()
+    g: dict = {}
+    for eid, et in ev:
+        p = py_hash64("brier:" + str(eid)) % 101
+        c, s = g.get(p, (0, 0))
+        g[p] = (c + 1, s + (1 if et == "purchase" else 0))
+    return g
+
+
+def test_gains_table_python_replay(spark):
+    """Cumulative gains equal a descending-score python fold; lift at
+    the full population is exactly 1."""
+    from depositaja_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.score_cents: r
+        for r in registry.QUERIES["classifier_gains_table"](spark, sf).collect()
+    }
+    g = _score_frame(sf)
+    n = sum(c for c, _ in g.values())
+    pos = sum(s for _, s in g.values())
+    cn = cp = 0
+    for p in sorted(g, reverse=True):
+        c, s = g[p]
+        cn += c
+        cp += s
+        r = rows[p]
+        assert (r.cum_n, r.cum_pos) == (cn, cp), p
+        assert abs(r.recall - cp / pos) < 1e-6
+        assert abs(r.precision - cp / cn) < 1e-6
+        assert abs(r.lift - (cp / cn) / (pos / n)) < 1e-5
+    # the lowest-score row covers everyone: lift exactly 1
+    bottom = rows[min(rows)]
+    assert bottom.cum_n == n and abs(bottom.lift - 1.0) < 1e-6
+
+
+def test_classifier_ks_python_replay(spark):
+    """KS equals the max |TPR − FPR| over thresholds computed in
+    python, at the same (highest) attaining threshold."""
+    from depositaja_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    (got,) = registry.QUERIES["classifier_ks"](spark, sf).collect()
+    g = _score_frame(sf)
+    pos = sum(s for _, s in g.values())
+    neg = sum(c - s for c, s in g.values())
+    cp = cf = 0
+    best = (-1.0, None, None)
+    for p in sorted(g, reverse=True):
+        c, s = g[p]
+        cp += s
+        cf += c - s
+        gap = cp / pos - cf / neg
+        if abs(gap) > best[0] + 1e-15:
+            best = (abs(gap), p, gap)
+    assert got.threshold_cents == best[1]
+    assert abs(got.ks_stat - best[0]) < 1e-6
+    assert abs(got.tpr_minus_fpr - best[2]) < 1e-6

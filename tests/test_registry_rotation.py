@@ -100,8 +100,8 @@ def test_round9_changed_queries_are_prioritized():
         "copurchase_kcore", "copurchase_link_prediction",
         "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 31 never-sampled round-9 additions + these 6
-    # pins + 13 LRU refill slots (r1/r3-vintage queries the driver has
+    # Window arithmetic: 33 never-sampled round-9 additions + these 6
+    # pins + 11 LRU refill slots (r1/r3-vintage queries the driver has
     # not re-checked since, rotating external coverage through the long
     # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
@@ -145,5 +145,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "max_drawdown_daily",
         "missing_hours_report",
         "isotonic_calibration",
+        "classifier_gains_table",
+        "classifier_ks",
     ]
     assert list(R.QUERIES)[: len(never)] == never
