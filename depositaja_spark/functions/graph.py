@@ -407,6 +407,58 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
+def triangles_per_node(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts over a canonical undirected edge frame
+    (``src < dst``): ``(node, n_tri)``, one row per vertex in at least
+    one triangle.
+
+    Same degree-orientation + wedge-closure plan as
+    :func:`triangle_count` (every triangle materializes exactly once,
+    at its lowest-rank vertex, total wedge volume O(E^1.5)), except the
+    closure keeps the triangle's corner ids (inner join against the
+    oriented edge set — exact because canonical edges are unique) and
+    explodes each found triangle to its three corners for one keyed
+    count.  Hub skew is removed by the orientation exactly as in the
+    global counter; the explode is a constant ×3."""
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wd = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    fwd = wd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+    )
+    e1 = fwd.select("a", F.col("b").alias("x"), F.col("rb").alias("rx"))
+    e2 = fwd.select("a", F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("rx") < F.col("ry"))
+        | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        fwd.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select("a", "x", "y")
+    corners = (
+        closed.select(F.col("a").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

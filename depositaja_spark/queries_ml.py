@@ -2178,3 +2178,72 @@ def q_classifier_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs("gap"), 6).alias("ks_stat"),
         F.round("gap", 6).alias("tpr_minus_fpr"),
     )
+
+
+# --- per-node clustering coefficient --------------------------------------------
+
+
+@query(
+    "copurchase_clustering_coeff",
+    f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+t AS (SELECT node, CAST(count(*) AS BIGINT) AS nt FROM corners GROUP BY 1),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1)
+SELECT d.node AS part,
+       d.deg AS degree,
+       coalesce(t.nt, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(t.nt, 0) / (d.deg * (d.deg - 1)), 6)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN t ON d.node = t.node
+""",
+)
+def q_copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-purchase graph:
+    2·T(v) / (deg(v)·(deg(v)−1)) — "how clique-like is each part's
+    neighborhood", the node-grain refinement of the global triangle
+    count (bundle-shaped parts score ~1, bridge parts ~0).  Per-node
+    triangle counts come from the SAME degree-oriented wedge closure as
+    copurchase_triangles (every triangle found once, hub fan-out
+    removed by orientation, O(E^1.5) worst-case) with the corners
+    exploded ×3 into one keyed count
+    (``functions/graph.py:triangles_per_node``); the oracle is the
+    textbook 3-way canonical join + corner union.  Exact integers plus
+    one guarded division (NULL below degree 2 in both engines)."""
+    from depositaja_spark.functions.graph import triangles_per_node
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li, min_support=_TRI_MIN_SUPPORT)
+    from depositaja_spark.functions.cache import tracked_persist
+
+    e = tracked_persist(edges)
+    t = triangles_per_node(e, src_col="u", dst_col="v")
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    j = deg.join(t, "node", "left")
+    nt = F.coalesce(F.col("n_tri"), F.lit(0))
+    return j.select(
+        F.col("node").alias("part"),
+        F.col("deg").alias("degree"),
+        nt.cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * nt / (F.col("deg") * (F.col("deg") - 1)), 6
+            ),
+        ).alias("clustering_coeff"),
+    )

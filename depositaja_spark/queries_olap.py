@@ -4391,30 +4391,95 @@ def q_whale_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- survival analysis: Kaplan-Meier over user lifetimes ----------------------
+# --- survival analysis: Kaplan-Meier over time-to-conversion ------------------
 
-#: inactivity horizon: a user whose last event is more than this many
-#: days before the corpus end is treated as churned (event observed at
-#: their lifetime); later last-events are right-censored (still active)
-_KM_HORIZON_DAYS = 7
+#: a "conversion" is the user's first purchase event at or above this
+#: value — ~45% of fixture users convert, the rest are right-censored
+#: at their last-seen day (a churn-style horizon is DEGENERATE on the
+#: synthetic stream: every user stays active to within ~2 days of the
+#: corpus end, so zero churn events exist at any horizon — found when
+#: the round-9 spot-bench showed 0 output rows at every sf)
+_CONV_VALUE_CUT = 150
+
+#: log-rank cohort split: users with at least this many events on
+#: their FIRST day are the "engaged-on-day-one" cohort (~45% of users,
+#: visibly faster converters on the fixtures)
+_ENGAGED_DAY1_EVENTS = 3
+
+#: shared censored time-to-conversion frame (one row per user):
+#: dur = days from first event to first qualifying purchase (converted)
+#: or to last-seen (censored); grp = day-one engagement cohort
+_SURV_LIFE_SQL = f"""ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CASE WHEN event_type = 'purchase' AND value >= {_CONV_VALUE_CUT}
+              THEN 1 ELSE 0 END AS qual
+  FROM events
+),
+daily AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS c, max(qual) AS q
+  FROM ev GROUP BY 1, 2
+),
+ud AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1,
+         min(CASE WHEN q = 1 THEN day END) AS dp,
+         arg_min(c, day) AS c0
+  FROM daily GROUP BY 1
+),
+life AS (
+  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE d1 - d0 END AS dur,
+         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS conv,
+         CASE WHEN c0 >= {_ENGAGED_DAY1_EVENTS} THEN 1 ELSE 0 END AS grp
+  FROM ud
+)"""
+
+
+def _conversion_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SURV_LIFE_SQL``: per-user (dur, conv, grp) —
+    the censored time-to-conversion frame shared by the KM /
+    Nelson-Aalen / log-rank family.  Two user-keyed aggs (per-(user,
+    day) counts, then per-user min/max/argmin) — all exact integers,
+    nothing driver-side, no corpus-end scalar needed because censoring
+    is at each user's OWN last-seen day."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= _CONV_VALUE_CUT),
+            1,
+        )
+        .otherwise(0)
+        .alias("qual"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c"), F.max("qual").alias("q")
+    )
+    ud = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.min(F.when(F.col("q") == 1, F.col("day"))).alias("dp"),
+        F.min_by("c", "day").alias("c0"),
+    )
+    return ud.select(
+        F.when(
+            F.col("dp").isNotNull(), F.col("dp") - F.col("d0")
+        )
+        .otherwise(F.col("d1") - F.col("d0"))
+        .alias("dur"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("conv"),
+        F.when(F.col("c0") >= _ENGAGED_DAY1_EVENTS, 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
 
 
 @query(
-    "kaplan_meier_churn",
+    "kaplan_meier_conversion",
     f"""
-WITH ud AS (
-  SELECT user_id,
-         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
-         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
-  FROM events GROUP BY 1
-),
-mx AS (SELECT max(d1) AS mday FROM ud),
-life AS (SELECT user_id, d1 - d0 AS dur,
-                CASE WHEN d1 < mday - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END
-                  AS churned
-         FROM ud CROSS JOIN mx),
+WITH {_SURV_LIFE_SQL},
 g AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
-             CAST(sum(churned) AS BIGINT) AS d
+             CAST(sum(conv) AS BIGINT) AS d
       FROM life GROUP BY 1),
 r AS (SELECT dur, c_all, d,
              sum(c_all) OVER () AS nn,
@@ -4432,42 +4497,27 @@ km AS (SELECT dur, d, nn - before AS n_risk,
        FROM r)
 SELECT CAST(dur AS BIGINT) AS t_days,
        CAST(n_risk AS BIGINT) AS n_risk,
-       d AS n_churned,
+       d AS n_converted,
        CASE WHEN zeroed > 0 THEN 0.0 ELSE round(exp(logs), 6) END AS survival
 FROM km WHERE d > 0
 """,
 )
-def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve over user lifetimes (days between a
-    user's first and last event), right-censoring users still active in
-    the last {_KM_HORIZON_DAYS} days of the corpus — the churn-analysis
-    staple that a naive 'average lifetime' gets wrong by ignoring
-    censoring.  S(t) = Π over event times u ≤ t of (n_u − d_u)/n_u with
-    risk sets n_u counted by an ordered cumulative over the
-    duration-grouped frame (calendar-bounded: one row per distinct
-    lifetime, never per user), the product taken as exp of an ORDERED
-    window sum of logs (identical IEEE op order both engines), and an
-    exact zero latch (once a factor hits 0 the curve is pinned at 0.0
-    rather than exp(-inf), which the engines spell differently).  Scale
-    shape: one user-keyed agg, a 1-row broadcast corpus-end scalar,
-    then everything runs on the ≤|days-span| duration frame."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
-    )
-    ud = ev.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    mx = ud.agg(F.max("d1").alias("mday"))
-    life = ud.crossJoin(F.broadcast(mx)).select(
-        (F.col("d1") - F.col("d0")).alias("dur"),
-        F.when(F.col("d1") < F.col("mday") - _KM_HORIZON_DAYS, 1)
-        .otherwise(0)
-        .alias("churned"),
-    )
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve of time-to-first-conversion (first purchase
+    >= {_CONV_VALUE_CUT}), right-censoring never-converting users at
+    their last-seen day — the censoring-aware answer to "how long until
+    users convert?" that a naive mean ignores dropouts for.  S(t) = Π
+    over event times u ≤ t of (n_u − d_u)/n_u with risk sets from an
+    ordered cumulative over the duration-grouped frame (one row per
+    distinct duration, never per user), the product as exp of an
+    ORDERED window sum of logs (identical IEEE op order), and an exact
+    zero latch pinning S=0 instead of exp(-inf).  Scale shape: two
+    user-keyed aggs, then everything runs on the ≤|days-span| duration
+    frame."""
+    life = _conversion_life(spark, sf_dir)
     g = life.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("c_all"),
-        F.sum("churned").cast("long").alias("d"),
+        F.sum("conv").cast("long").alias("d"),
     )
     w_all = W.partitionBy()
     w_before = W.partitionBy().orderBy("dur").rowsBetween(
@@ -4503,7 +4553,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.filter(F.col("d") > 0).select(
         F.col("dur").cast("long").alias("t_days"),
         F.col("n_risk").cast("long").alias("n_risk"),
-        F.col("d").alias("n_churned"),
+        F.col("d").alias("n_converted"),
         F.when(F.col("zeroed") > 0, F.lit(0.0))
         .otherwise(F.round(F.exp("logs"), 6))
         .alias("survival"),
@@ -4798,21 +4848,11 @@ def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "nelson_aalen_hazard",
+    "nelson_aalen_conversion",
     f"""
-WITH ud AS (
-  SELECT user_id,
-         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
-         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
-  FROM events GROUP BY 1
-),
-mx AS (SELECT max(d1) AS mday FROM ud),
-life AS (SELECT user_id, d1 - d0 AS dur,
-                CASE WHEN d1 < mday - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END
-                  AS churned
-         FROM ud CROSS JOIN mx),
+WITH {_SURV_LIFE_SQL},
 g AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
-             CAST(sum(churned) AS BIGINT) AS d
+             CAST(sum(conv) AS BIGINT) AS d
       FROM life GROUP BY 1),
 r AS (SELECT dur, c_all, d,
              sum(c_all) OVER () AS nn,
@@ -4826,36 +4866,24 @@ na AS (SELECT dur, d, nn - before AS n_risk,
        FROM r)
 SELECT CAST(dur AS BIGINT) AS t_days,
        CAST(n_risk AS BIGINT) AS n_risk,
-       d AS n_churned,
+       d AS n_converted,
        round(hazard, 6) AS cum_hazard
 FROM na WHERE d > 0
 """,
 )
-def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_nelson_aalen_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{{u≤t}} d_u/n_u over the
-    same censored user-lifetime frame as kaplan_meier_churn — the
-    estimator survival texts pair with KM (H is what you plot to judge
-    constant-hazard fit; −ln S approximates it).  Identical risk-set
-    construction; the hazard increments are single float divisions of
-    exact integers folded through an ORDERED window, so no log/exp at
-    all — the numerically simplest member of the survival family."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
-    )
-    ud = ev.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    mx = ud.agg(F.max("d1").alias("mday"))
-    life = ud.crossJoin(F.broadcast(mx)).select(
-        (F.col("d1") - F.col("d0")).alias("dur"),
-        F.when(F.col("d1") < F.col("mday") - _KM_HORIZON_DAYS, 1)
-        .otherwise(0)
-        .alias("churned"),
-    )
+    same censored time-to-conversion frame as kaplan_meier_conversion —
+    the estimator survival texts pair with KM (H is what you plot to
+    judge constant-hazard fit; −ln S approximates it).  Identical
+    risk-set construction; the hazard increments are single float
+    divisions of exact integers folded through an ORDERED window, so no
+    log/exp at all — the numerically simplest member of the survival
+    family."""
+    life = _conversion_life(spark, sf_dir)
     g = life.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("c_all"),
-        F.sum("churned").cast("long").alias("d"),
+        F.sum("conv").cast("long").alias("d"),
     )
     w_all = W.partitionBy()
     w_before = W.partitionBy().orderBy("dur").rowsBetween(
@@ -4881,7 +4909,7 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return na.filter(F.col("d") > 0).select(
         F.col("dur").cast("long").alias("t_days"),
         F.col("n_risk").cast("long").alias("n_risk"),
-        F.col("d").alias("n_churned"),
+        F.col("d").alias("n_converted"),
         F.round("hazard", 6).alias("cum_hazard"),
     )
 
@@ -5015,36 +5043,19 @@ def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- log-rank test: do high-value users churn differently? ---------------------
-
-#: cohort split: a user whose single largest event value reaches this
-#: is "high-value" (~45% of users on the fixture — see round-8 notes on
-#: the purchase flag saturating at 100%)
-_LOGRANK_VALUE_CUT = 150
+# --- log-rank test: do day-one-engaged users convert differently? --------------
 
 
 @query(
-    "logrank_test_churn",
+    "logrank_test_conversion",
     f"""
-WITH ud AS (
-  SELECT user_id,
-         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
-         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1,
-         max(value) AS mv
-  FROM events GROUP BY 1
-),
-mx AS (SELECT max(d1) AS mday FROM ud),
-life AS (SELECT d1 - d0 AS dur,
-                CASE WHEN d1 < mday - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END
-                  AS churned,
-                CASE WHEN mv >= {_LOGRANK_VALUE_CUT} THEN 1 ELSE 0 END AS grp
-         FROM ud CROSS JOIN mx),
+WITH {_SURV_LIFE_SQL},
 g AS (SELECT dur,
              CAST(sum(grp) AS BIGINT) AS c1,
              CAST(sum(1 - grp) AS BIGINT) AS c0,
-             CAST(sum(CASE WHEN grp = 1 THEN churned ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
                AS dh,
-             CAST(sum(CASE WHEN grp = 0 THEN churned ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
                AS dl
       FROM life GROUP BY 1),
 r AS (SELECT dur, dh, dl,
@@ -5071,55 +5082,38 @@ fold AS (SELECT nn1, nn0,
               row_number() OVER (ORDER BY dur) AS rn,
               count(*) OVER () AS k
          FROM evt)
-SELECT CAST(nn1 AS BIGINT) AS n_high,
-       CAST(nn0 AS BIGINT) AS n_low,
-       CAST(o1 AS BIGINT) AS observed_high,
-       round(e1, 6) AS expected_high,
+SELECT CAST(nn1 AS BIGINT) AS n_engaged,
+       CAST(nn0 AS BIGINT) AS n_casual,
+       CAST(o1 AS BIGINT) AS observed_engaged,
+       round(e1, 6) AS expected_engaged,
        round(vv, 6) AS variance,
        CASE WHEN vv > 0 THEN round((o1 - e1) / sqrt(vv), 6) END AS z_score
 FROM fold WHERE rn = k
 """,
 )
-def q_logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log-rank (Mantel-Cox) test comparing the churn survival curves of
-    high-value users (any single event >= {_LOGRANK_VALUE_CUT}) against
-    the rest — THE standard two-sample censored-survival test, the one
-    question every KM plot provokes ("do the curves actually differ?").
-    Z = (O1 - E1)/sqrt(V) with O1 the observed high-cohort churn events,
-    E1 = sum d_t*n1_t/n_t the expectation under the null, and V the
-    hypergeometric variance sum.  Risk sets are exact integers from
-    ordered cumulatives over the duration-grouped frame (same
-    construction as kaplan_meier_churn); the two float sums fold through
-    ORDERED windows (identical IEEE op order both engines) and the final
-    z is one subtraction, one IEEE-correctly-rounded sqrt, and one
-    division on identical doubles.  Scale shape: one user-keyed agg, a
-    1-row broadcast corpus-end scalar, then everything runs on the
-    <=|days-span| duration frame."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
-        "value",
-    )
-    ud = ev.groupBy("user_id").agg(
-        F.min("day").alias("d0"),
-        F.max("day").alias("d1"),
-        F.max("value").alias("mv"),
-    )
-    mx = ud.agg(F.max("d1").alias("mday"))
-    life = ud.crossJoin(F.broadcast(mx)).select(
-        (F.col("d1") - F.col("d0")).alias("dur"),
-        F.when(F.col("d1") < F.col("mday") - _KM_HORIZON_DAYS, 1)
-        .otherwise(0)
-        .alias("churned"),
-        F.when(F.col("mv") >= _LOGRANK_VALUE_CUT, 1).otherwise(0).alias("grp"),
-    )
+def q_logrank_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the time-to-conversion
+    curves of day-one-engaged users (>= {_ENGAGED_DAY1_EVENTS} events on
+    their first day) against the rest — THE standard two-sample
+    censored-survival test, the one question every KM plot provokes
+    ("do the curves actually differ?").  Z = (O1 - E1)/sqrt(V) with O1
+    the observed engaged-cohort conversions, E1 = sum d_t*n1_t/n_t the
+    expectation under the null, and V the hypergeometric variance sum.
+    Risk sets are exact integers from ordered cumulatives over the
+    duration-grouped frame (same construction as
+    kaplan_meier_conversion); the two float sums fold through ORDERED
+    windows (identical IEEE op order both engines) and the final z is
+    one subtraction, one IEEE-correctly-rounded sqrt, and one division
+    on identical doubles.  Scale shape: two user-keyed aggs, then
+    everything runs on the <=|days-span| duration frame."""
+    life = _conversion_life(spark, sf_dir)
     g = life.groupBy("dur").agg(
         F.sum("grp").cast("long").alias("c1"),
         F.sum(F.lit(1) - F.col("grp")).cast("long").alias("c0"),
-        F.sum(F.when(F.col("grp") == 1, F.col("churned")).otherwise(0))
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
         .cast("long")
         .alias("dh"),
-        F.sum(F.when(F.col("grp") == 0, F.col("churned")).otherwise(0))
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
         .cast("long")
         .alias("dl"),
     )
@@ -5175,10 +5169,10 @@ def q_logrank_test_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_all).alias("k"),
     )
     return fold.filter(F.col("rn") == F.col("k")).select(
-        F.col("nn1").cast("long").alias("n_high"),
-        F.col("nn0").cast("long").alias("n_low"),
-        F.col("o1").cast("long").alias("observed_high"),
-        F.round("e1", 6).alias("expected_high"),
+        F.col("nn1").cast("long").alias("n_engaged"),
+        F.col("nn0").cast("long").alias("n_casual"),
+        F.col("o1").cast("long").alias("observed_engaged"),
+        F.round("e1", 6).alias("expected_engaged"),
         F.round("vv", 6).alias("variance"),
         F.when(
             F.col("vv") > 0,

@@ -588,11 +588,11 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions never driver-sampled (33 entries, the
+    # -- round-9 additions never driver-sampled (34 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
     "retrieval_eval_at_k",
-    "kaplan_meier_churn",
+    "kaplan_meier_conversion",
     "fleiss_kappa_panel",
     "brier_decomposition",
     "png_decode_stats",
@@ -603,7 +603,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk",
     "rolling_7d_active_users",
     "anova_value_by_type",
-    "nelson_aalen_hazard",
+    "nelson_aalen_conversion",
     "vocab_growth_heaps",
     "ann_recall_ivf",
     "calibration_curve",
@@ -611,7 +611,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_ngram_novelty",
     "user_value_time_decay",
     "user_event_entropy",
-    "logrank_test_churn",
+    "logrank_test_conversion",
     "ols_value_hour_dow",
     "pinball_loss_backtest",
     "copurchase_modularity",
@@ -624,6 +624,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "isotonic_calibration",
     "classifier_gains_table",
     "classifier_ks",
+    "copurchase_clustering_coeff",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -648,7 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "balance_per_wallet",
     "check_all",
     "check_many",
-    "check_one",
 )
 
 

@@ -322,19 +322,20 @@ def test_round9_queries_empty_tables(spark, tmp_path):
 
     d = str(tmp_path)
     for name in [
-        "kaplan_meier_churn", "weighted_sample_topk",
+        "kaplan_meier_conversion", "weighted_sample_topk",
         "rolling_7d_active_users", "retrieval_eval_at_k",
         "brier_decomposition", "png_decode_stats",
         "copurchase_bfs_hops", "copurchase_degree_ccdf",
         "kmeans_cluster_sizes", "anova_value_by_type",
-        "nelson_aalen_hazard", "vocab_growth_heaps",
+        "nelson_aalen_conversion", "vocab_growth_heaps",
         "calibration_curve", "token_pmi_topv", "doc_ngram_novelty",
         "user_value_time_decay", "user_event_entropy",
-        "logrank_test_churn", "ols_value_hour_dow", "pinball_loss_backtest",
+        "logrank_test_conversion", "ols_value_hour_dow", "pinball_loss_backtest",
         "copurchase_modularity", "hits_user_part",
         "changepoint_daily_value", "source_ngram_overlap_matrix",
         "cohort_ltv_matrix", "max_drawdown_daily", "missing_hours_report",
         "isotonic_calibration", "classifier_gains_table", "classifier_ks",
+        "copurchase_clustering_coeff",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 

@@ -41,35 +41,41 @@ def _write_events(spark, tmp_path, rows):
 # --- Kaplan-Meier ------------------------------------------------------------
 
 
-def test_kaplan_meier_planted_replay(spark, tmp_path):
-    """Planted lifetimes with censoring: 6 users, corpus end day 100.
-    Users A,B churn at duration 2 (last seen day ≤ 92); C churns at 5;
-    D,E,F still active near the end (censored at durations 5, 0, 1).
-    Replayed with the textbook product-limit estimator."""
+def _surv_user(rows, eid, uid, d0, d_end, converts):
+    """One planted user: first event (view) at d0; then either a
+    qualifying purchase (value 200 >= the cut) at d_end, or a final
+    view at d_end (censored).  Returns the next event id."""
     day = 86400
+    rows.append((eid, d0 * day, uid, "view", 1.0))
+    eid += 1
+    rows.append(
+        (eid, d_end * day, uid, "purchase" if converts else "view",
+         200.0 if converts else 1.0)
+    )
+    return eid + 1
+
+
+def test_kaplan_meier_planted_replay(spark, tmp_path):
+    """Planted time-to-conversion with censoring: three users convert
+    (qualifying purchase) at durations 2, 2, 5; three never convert and
+    are censored at durations 5, 0, 1.  Replayed with the textbook
+    product-limit estimator."""
     rows = []
     eid = 0
-
-    def user(uid, d0, d1):
-        nonlocal eid
-        rows.append((eid, d0 * day, uid, "view", 1.0))
-        eid += 1
-        rows.append((eid, d1 * day, uid, "view", 1.0))
-        eid += 1
-
-    user(1, 10, 12)   # dur 2, churned
-    user(2, 20, 22)   # dur 2, churned
-    user(3, 30, 35)   # dur 5, churned
-    user(4, 94, 99)   # dur 5, censored (last day 99 >= 100-7)
-    user(5, 100, 100)  # dur 0, censored — also pins corpus end
-    user(6, 98, 99)   # dur 1, censored
+    eid = _surv_user(rows, eid, 1, 10, 12, True)    # dur 2, converted
+    eid = _surv_user(rows, eid, 2, 20, 22, True)    # dur 2, converted
+    eid = _surv_user(rows, eid, 3, 30, 35, True)    # dur 5, converted
+    eid = _surv_user(rows, eid, 4, 94, 99, False)   # dur 5, censored
+    rows.append((eid, 100 * 86400, 5, "view", 1.0))  # dur 0, censored
+    eid += 1
+    eid = _surv_user(rows, eid, 6, 98, 99, False)   # dur 1, censored
     d = _write_events(spark, tmp_path, rows)
 
     got = {
-        r.t_days: (r.n_risk, r.n_churned, r.survival)
-        for r in registry.QUERIES["kaplan_meier_churn"](spark, d).collect()
+        r.t_days: (r.n_risk, r.n_converted, r.survival)
+        for r in registry.QUERIES["kaplan_meier_conversion"](spark, d).collect()
     }
-    # replay: durations (dur, churned): (2,1)(2,1)(5,1)(5,0)(0,0)(1,0)
+    # replay: durations (dur, conv): (2,1)(2,1)(5,1)(5,0)(0,0)(1,0)
     # event times: 2 (n=4: durs >=2 are 2,2,5,5; d=2), 5 (n=2, d=1)
     s2 = (4 - 2) / 4
     s5 = s2 * (2 - 1) / 2
@@ -79,25 +85,19 @@ def test_kaplan_meier_planted_replay(spark, tmp_path):
 
 
 def test_kaplan_meier_zero_latch(spark, tmp_path):
-    """When every remaining at-risk user churns at the last event time,
-    S must be exactly 0.0 (the latch), not exp(-inf)/NULL."""
-    day = 86400
+    """When every remaining at-risk user converts at the last event
+    time, S must be exactly 0.0 (the latch), not exp(-inf)/NULL."""
     rows = []
     eid = 0
-    for uid, (d0, d1) in enumerate([(0, 3), (0, 3), (5, 8)]):
-        rows.append((eid, d0 * day, uid, "view", 1.0))
-        eid += 1
-        rows.append((eid, d1 * day, uid, "view", 1.0))
-        eid += 1
-    # corpus end pinned far later by a churned single-day user
-    rows.append((eid, 50 * day, 99, "view", 1.0))
+    for uid, (d0, dc) in enumerate([(0, 3), (0, 3), (5, 8)]):
+        eid = _surv_user(rows, eid, uid, d0, dc, True)  # all dur 3, converted
     d = _write_events(spark, tmp_path, rows)
     got = {
         r.t_days: r.survival
-        for r in registry.QUERIES["kaplan_meier_churn"](spark, d).collect()
+        for r in registry.QUERIES["kaplan_meier_conversion"](spark, d).collect()
     }
-    # all four users churn; the largest duration removes everyone
-    assert got[max(got)] == 0.0
+    # every user converts at duration 3; the risk set empties there
+    assert got == {3: 0.0}
 
 
 # --- retrieval eval ----------------------------------------------------------
@@ -384,22 +384,20 @@ def test_anova_planted_replay(spark, tmp_path):
 
 
 def test_nelson_aalen_planted_replay(spark, tmp_path):
-    """Same censored cohort as the KM planted test; H(t) = Σ d/n and
-    the −ln S ≈ H relationship (H ≥ −ln S is NOT generally true, but
-    both are nonneg and nondecreasing — assert monotone + exact values)."""
-    day = 86400
+    """Same censored time-to-conversion cohort as the KM planted test;
+    H(t) = Σ d/n replayed exactly."""
     rows, eid = [], 0
-    for uid, (d0, d1) in enumerate(
-        [(10, 12), (20, 22), (30, 35), (94, 99), (100, 100), (98, 99)]
-    ):
-        rows.append((eid, d0 * day, uid, "view", 1.0))
-        eid += 1
-        rows.append((eid, d1 * day, uid, "view", 1.0))
-        eid += 1
+    eid = _surv_user(rows, eid, 1, 10, 12, True)    # dur 2, converted
+    eid = _surv_user(rows, eid, 2, 20, 22, True)    # dur 2, converted
+    eid = _surv_user(rows, eid, 3, 30, 35, True)    # dur 5, converted
+    eid = _surv_user(rows, eid, 4, 94, 99, False)   # dur 5, censored
+    rows.append((eid, 100 * 86400, 5, "view", 1.0))  # dur 0, censored
+    eid += 1
+    eid = _surv_user(rows, eid, 6, 98, 99, False)   # dur 1, censored
     d = _write_events(spark, tmp_path, rows)
     got = {
-        r.t_days: (r.n_risk, r.n_churned, r.cum_hazard)
-        for r in registry.QUERIES["nelson_aalen_hazard"](spark, d).collect()
+        r.t_days: (r.n_risk, r.n_converted, r.cum_hazard)
+        for r in registry.QUERIES["nelson_aalen_conversion"](spark, d).collect()
     }
     h2 = 2 / 4
     h5 = h2 + 1 / 2
@@ -576,35 +574,41 @@ def test_user_event_entropy_planted_replay(spark, tmp_path):
 # --- log-rank test -------------------------------------------------------------
 
 
-def test_logrank_planted_replay(spark, tmp_path):
-    """Planted two-cohort survival: 3 high-value users (value 200) and 3
-    low-value, corpus end day 100.  Replayed with the textbook
-    Mantel-Cox O/E/V sums."""
+def _engage(rows, eid, uid, d0):
+    """Give a user two EXTRA first-day events so their day-one count
+    reaches the engaged-cohort threshold (3)."""
     day = 86400
+    for k in range(2):
+        rows.append((eid, d0 * day + 60 * (k + 1), uid, "view", 1.0))
+        eid += 1
+    return eid
+
+
+def test_logrank_planted_replay(spark, tmp_path):
+    """Planted two-cohort time-to-conversion: 3 day-one-engaged users
+    (3 events on their first day) and 3 casual, same durations as the
+    KM planted test.  Replayed with the textbook Mantel-Cox O/E/V."""
     rows = []
     eid = 0
-
-    def user(uid, d0, d1, val):
-        nonlocal eid
-        rows.append((eid, d0 * day, uid, "view", val))
-        eid += 1
-        rows.append((eid, d1 * day, uid, "view", val))
-        eid += 1
-
-    user(1, 10, 12, 200.0)   # H, dur 2, churned
-    user(2, 40, 42, 200.0)   # H, dur 2, churned
-    user(3, 94, 99, 200.0)   # H, dur 5, censored
-    user(4, 20, 22, 1.0)     # L, dur 2, churned
-    user(5, 30, 35, 1.0)     # L, dur 5, churned
-    user(6, 100, 100, 1.0)   # L, dur 0, censored — pins corpus end
+    # engaged cohort
+    eid = _surv_user(rows, eid, 1, 10, 12, True)    # dur 2, converted
+    eid = _engage(rows, eid, 1, 10)
+    eid = _surv_user(rows, eid, 2, 40, 42, True)    # dur 2, converted
+    eid = _engage(rows, eid, 2, 40)
+    eid = _surv_user(rows, eid, 3, 94, 99, False)   # dur 5, censored
+    eid = _engage(rows, eid, 3, 94)
+    # casual cohort
+    eid = _surv_user(rows, eid, 4, 20, 22, True)    # dur 2, converted
+    eid = _surv_user(rows, eid, 5, 30, 35, True)    # dur 5, converted
+    rows.append((eid, 100 * 86400, 6, "view", 1.0))  # dur 0, censored
     d = _write_events(spark, tmp_path, rows)
 
-    (got,) = registry.QUERIES["logrank_test_churn"](spark, d).collect()
+    (got,) = registry.QUERIES["logrank_test_conversion"](spark, d).collect()
     # t=2: n=5 (durs>=2), n1=3, d=3, d1=2;  t=5: n=2, n1=1, d=1, d1=0
     e1 = 3 * (3 / 5) + 1 * (1 / 2)
     vv = 3 * (3 / 5) * (1 - 3 / 5) * ((5 - 3) / (5 - 1)) + 1 * 0.5 * 0.5 * 1.0
-    assert (got.n_high, got.n_low, got.observed_high) == (3, 3, 2)
-    assert abs(got.expected_high - e1) < 1e-9
+    assert (got.n_engaged, got.n_casual, got.observed_engaged) == (3, 3, 2)
+    assert abs(got.expected_engaged - e1) < 1e-9
     assert abs(got.variance - vv) < 1e-9
     assert abs(got.z_score - (2 - e1) / math.sqrt(vv)) < 1e-6
 
@@ -612,12 +616,11 @@ def test_logrank_planted_replay(spark, tmp_path):
 def test_logrank_zero_variance_guard(spark, tmp_path):
     """A single-user corpus (one cohort empty, V=0) must yield NULL z,
     never an engine-specific inf/NaN."""
-    day = 86400
-    rows = [(0, 0, 1, "view", 1.0), (1, 2 * day, 1, "view", 1.0),
-            (2, 100 * day, 2, "view", 1.0)]
+    rows = []
+    _surv_user(rows, 0, 1, 0, 2, True)
     d = _write_events(spark, tmp_path, rows)
-    (got,) = registry.QUERIES["logrank_test_churn"](spark, d).collect()
-    assert got.z_score is None or got.variance > 0
+    (got,) = registry.QUERIES["logrank_test_conversion"](spark, d).collect()
+    assert got.variance == 0.0 and got.z_score is None
 
 
 # --- closed-form multiple OLS ---------------------------------------------------

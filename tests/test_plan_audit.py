@@ -92,10 +92,6 @@ CARTESIAN_OK = {
     "session_type_affinity",
     # whale share: the k/total scalars are 1-row broadcast cross joins
     "whale_value_share",
-    # Kaplan-Meier / Nelson-Aalen: the corpus-end day is a 1-row
-    # broadcast cross join onto the per-user lifetime frame
-    "kaplan_meier_churn",
-    "nelson_aalen_hazard",
     # ANOVA: the (N, ΣX, ΣX², k) totals are a 1-row broadcast cross
     # join onto the |types|-row moment frame
     "anova_value_by_type",
@@ -160,9 +156,6 @@ CARTESIAN_OK = {
     # Fleiss kappa: the three scalar moments (Σn_ij², N, Σc_j²) are
     # 1-row frames combined by broadcast cross join
     "fleiss_kappa_panel",
-    # log-rank test: the corpus-end day is the same 1-row broadcast
-    # cross join onto the per-user lifetime frame as Kaplan-Meier
-    "logrank_test_churn",
     # isotonic calibration: the j<=k interval self-join crosses the
     # <=101-row DISTINCT-score frame with itself (bounded aggregate
     # frames on both sides — the chi2-grid shape, never the corpus)

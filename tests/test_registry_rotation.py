@@ -100,8 +100,8 @@ def test_round9_changed_queries_are_prioritized():
         "copurchase_kcore", "copurchase_link_prediction",
         "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 33 never-sampled round-9 additions + these 6
-    # pins + 11 LRU refill slots (r1/r3-vintage queries the driver has
+    # Window arithmetic: 34 never-sampled round-9 additions + these 6
+    # pins + 10 LRU refill slots (r1/r3-vintage queries the driver has
     # not re-checked since, rotating external coverage through the long
     # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
@@ -115,7 +115,7 @@ def test_never_driver_sampled_queries_lead_the_window():
     additions."""
     never = [
         "retrieval_eval_at_k",
-        "kaplan_meier_churn",
+        "kaplan_meier_conversion",
         "fleiss_kappa_panel",
         "brier_decomposition",
         "png_decode_stats",
@@ -126,7 +126,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "weighted_sample_topk",
         "rolling_7d_active_users",
         "anova_value_by_type",
-        "nelson_aalen_hazard",
+        "nelson_aalen_conversion",
         "vocab_growth_heaps",
         "ann_recall_ivf",
         "calibration_curve",
@@ -134,7 +134,7 @@ def test_never_driver_sampled_queries_lead_the_window():
         "doc_ngram_novelty",
         "user_value_time_decay",
         "user_event_entropy",
-        "logrank_test_churn",
+        "logrank_test_conversion",
         "ols_value_hour_dow",
         "pinball_loss_backtest",
         "copurchase_modularity",
@@ -147,5 +147,6 @@ def test_never_driver_sampled_queries_lead_the_window():
         "isotonic_calibration",
         "classifier_gains_table",
         "classifier_ks",
+        "copurchase_clustering_coeff",
     ]
     assert list(R.QUERIES)[: len(never)] == never

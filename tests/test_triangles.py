@@ -54,3 +54,29 @@ def test_matches_naive_on_pseudorandom_graph(spark):
         if u != v:
             edges.append((min(u, v), max(u, v)))
     assert _spark_count(spark, edges) == _naive(edges)
+
+
+def test_triangles_per_node_two_sharing_an_edge(spark):
+    """Bowtie-free known graph: triangles {1,2,3} and {2,3,4} sharing
+    edge (2,3) — corners counted per node, hub orientation included."""
+    from depositaja_spark.functions.graph import triangles_per_node
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: r.n_tri for r in triangles_per_node(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangles_per_node_sums_to_three_times_global(spark):
+    """Σ per-node counts == 3 × the global triangle count (every
+    triangle has exactly three corners) on a denser planted graph."""
+    import itertools
+
+    from depositaja_spark.functions.graph import triangle_count, triangles_per_node
+
+    edges = list(itertools.combinations(range(6), 2))  # K6
+    df = spark.createDataFrame(edges, "src long, dst long")
+    per = triangles_per_node(df).agg({"n_tri": "sum"}).collect()[0][0]
+    (tot,) = triangle_count(df).collect()
+    assert per == 3 * tot.n_triangles == 3 * 20  # C(6,3)
