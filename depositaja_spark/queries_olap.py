@@ -5723,3 +5723,281 @@ def q_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (span - F.col("observed")).cast("long").alias("missing_hours"),
         F.round(F.col("observed").cast("double") / span, 6).alias("coverage"),
     )
+
+
+# --- fulfillment latency percentiles by priority --------------------------------
+
+
+@query(
+    "ship_latency_by_priority",
+    """
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+           - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lat
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+g AS (
+  SELECT priority, lat, CAST(count(*) AS BIGINT) AS c
+  FROM lat GROUP BY 1, 2
+),
+cum AS (
+  SELECT priority, lat, c,
+         sum(c) OVER (PARTITION BY priority ORDER BY lat) AS cu,
+         sum(c) OVER (PARTITION BY priority) AS n,
+         CAST(sum(lat * c) OVER (PARTITION BY priority) AS BIGINT) AS s,
+         min(lat) OVER (PARTITION BY priority) AS lo,
+         max(lat) OVER (PARTITION BY priority) AS hi
+  FROM g
+)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(lo AS BIGINT) AS min_days,
+       CAST(hi AS BIGINT) AS max_days,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_days,
+       CAST(min(lat) AS BIGINT) AS p50_days
+FROM cum
+WHERE 2 * cu >= n
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def q_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: count, min/max, mean,
+    and the EXACT median — the fulfillment-SLA readout.  Latencies are
+    exact integer day differences off one keyed join; the median is the
+    smallest latency whose cumulative count reaches half the group
+    (2·cum ≥ n avoids any float quantile), computed on the per-
+    (priority, latency) grouped frame — bounded by the calendar span,
+    never per line.  The only float op is the mean's single division.
+    Priorities are a fixed 5-value domain, so every window partitions
+    on a bounded key over an already-aggregated frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_shipdate").cast("long") / 86400)
+        .cast("long")
+        .alias("sd"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_orderdate").cast("long") / 86400)
+        .cast("long")
+        .alias("od"),
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("sd") - F.col("od")).alias("lat"),
+    )
+    g = lat.groupBy("priority", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wp = W.partitionBy("priority")
+    w_cum = wp.orderBy("lat").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = g.select(
+        "priority",
+        "lat",
+        "c",
+        F.sum("c").over(w_cum).alias("cu"),
+        F.sum("c").over(wp).alias("n"),
+        F.sum(F.col("lat") * F.col("c")).over(wp).cast("long").alias("s"),
+        F.min("lat").over(wp).alias("lo"),
+        F.max("lat").over(wp).alias("hi"),
+    )
+    return (
+        cum.filter(2 * F.col("cu") >= F.col("n"))
+        .groupBy(
+            "priority",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("lo").cast("long").alias("min_days"),
+            F.col("hi").cast("long").alias("max_days"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "mean_days"
+            ),
+        )
+        .agg(F.min("lat").cast("long").alias("p50_days"))
+    )
+
+
+# --- discount effectiveness profile ---------------------------------------------
+
+
+@query(
+    "discount_effect_profile",
+    """
+SELECT CAST(CAST(l_discount AS DECIMAL(3,2)) AS DOUBLE) AS discount,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6)
+         AS avg_quantity,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS discounted_revenue
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_discount_effect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and basket-size profile per discount level — the pricing
+    team's "does a deeper discount actually move volume?" table.  The
+    11-value discount domain becomes the group key as an exact
+    DECIMAL(3,2) (casting the stored double on BOTH engines rounds to
+    the same decimal, so 0.05's binary representation can never split
+    the groups), revenue stays exact DECIMAL through the (1−d) multiply
+    and sum, and the only float ops are the final casts/division."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - disc
+    )
+    return li.groupBy(disc.cast("double").alias("discount")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quantity"),
+        F.sum(rev).cast("double").alias("discounted_revenue"),
+    )
+
+
+# --- order size histogram --------------------------------------------------------
+
+
+@query(
+    "order_size_histogram",
+    """
+WITH s AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS size
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(size AS BIGINT) AS order_size,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1
+""",
+)
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order histogram (the basket-size distribution behind
+    the MINING_MAX_BASKET cap constant): a double aggregation — one
+    keyed count per order, then one count per size.  Output is bounded
+    by the generator's max basket (≤7 on TPC-H shapes); everything
+    exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return s.groupBy(F.col("size").cast("long").alias("order_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+# --- declarative constraint audit (dbt-test analog) -------------------------------
+
+
+@query(
+    "lineitem_dq_checks",
+    """
+WITH j AS (
+  SELECT l.l_quantity, l.l_discount, l.l_tax, l.l_extendedprice,
+         CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS sd,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS od,
+         o.o_orderkey AS ok
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_qty,
+         CAST(coalesce(sum(CASE WHEN l_discount IS NULL
+                         OR l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_disc,
+         CAST(coalesce(sum(CASE WHEN l_tax IS NULL OR l_tax < 0 OR l_tax > 0.08
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_tax,
+         CAST(coalesce(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_price,
+         CAST(coalesce(sum(CASE WHEN sd < od THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ship,
+         CAST(coalesce(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS v_orphan
+  FROM j
+)
+SELECT * FROM (
+  SELECT 'quantity_positive' AS rule, n_rows, v_qty AS n_violations FROM agg
+  UNION ALL
+  SELECT 'discount_in_range', n_rows, v_disc FROM agg
+  UNION ALL
+  SELECT 'tax_in_range', n_rows, v_tax FROM agg
+  UNION ALL
+  SELECT 'price_positive', n_rows, v_price FROM agg
+  UNION ALL
+  SELECT 'ship_after_order', n_rows, v_ship FROM agg
+  UNION ALL
+  SELECT 'order_fk_exists', n_rows, v_orphan FROM agg
+)
+""",
+)
+def q_lineitem_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over lineitem (the dbt-tests /
+    Great-Expectations analog): six rules — positivity, domain ranges,
+    ship-after-order causality, and FK existence — evaluated in ONE
+    scan + one keyed left join, emitted as a fixed 6-row (rule, n_rows,
+    n_violations) report that never returns empty (a clean table is six
+    visible zero rows).  The causality rule is a real finder on the
+    synthetic fixtures (shipdate is drawn independently of orderdate).
+    All counts exact integers; the 6-way unpivot runs on the 1-row
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        "l_extendedprice",
+        F.floor(F.col("l_shipdate").cast("long") / 86400)
+        .cast("long")
+        .alias("sd"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.floor(F.col("o_orderdate").cast("long") / 86400)
+        .cast("long")
+        .alias("od"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+
+    def v(cond) -> F.Column:
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast(
+            "long"
+        )
+
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        v(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias(
+            "v_qty"
+        ),
+        v(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1)
+        ).alias("v_disc"),
+        v(
+            F.col("l_tax").isNull()
+            | (F.col("l_tax") < 0)
+            | (F.col("l_tax") > 0.08)
+        ).alias("v_tax"),
+        v(
+            F.col("l_extendedprice").isNull()
+            | (F.col("l_extendedprice") <= 0)
+        ).alias("v_price"),
+        v(F.col("sd") < F.col("od")).alias("v_ship"),
+        v(F.col("o_orderkey").isNull()).alias("v_orphan"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6,"
+            " 'quantity_positive', v_qty,"
+            " 'discount_in_range', v_disc,"
+            " 'tax_in_range', v_tax,"
+            " 'price_positive', v_price,"
+            " 'ship_after_order', v_ship,"
+            " 'order_fk_exists', v_orphan)"
+            " AS (rule, n_violations)"
+        ),
+        "n_rows",
+    ).select("rule", "n_rows", "n_violations")

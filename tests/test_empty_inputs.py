@@ -305,13 +305,15 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "value double, props string",
     ).write.parquet(f"{tmp_path}/events.parquet")
     spark.createDataFrame(
-        [], "o_orderkey long, o_custkey long, o_orderdate timestamp, "
-        "o_totalprice double"
+        [], "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
     ).write.parquet(f"{tmp_path}/orders.parquet")
     spark.createDataFrame(
         [],
-        "l_orderkey long, l_partkey long, l_suppkey long, "
-        "l_extendedprice double, l_discount double",
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
     ).write.parquet(f"{tmp_path}/lineitem.parquet")
     spark.createDataFrame(
         [], "doc_id long, text string, lang string, source string, n_chars long"
@@ -335,7 +337,8 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "changepoint_daily_value", "source_ngram_overlap_matrix",
         "cohort_ltv_matrix", "max_drawdown_daily", "missing_hours_report",
         "isotonic_calibration", "classifier_gains_table", "classifier_ks",
-        "copurchase_clustering_coeff",
+        "copurchase_clustering_coeff", "ship_latency_by_priority",
+        "discount_effect_profile", "order_size_histogram",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 
@@ -347,3 +350,24 @@ def test_round9_queries_empty_tables(spark, tmp_path):
 
     (pk,) = registry.QUERIES["orders_pk_audit"](spark, d).collect()
     assert pk.n_keys == 0
+
+
+def test_dq_checks_empty_is_six_zero_rows(spark, tmp_path):
+    """The constraint audit keeps its fixed 6-row shape on an empty
+    table — a clean/empty table is six visible zero rows, not silence."""
+    from depositaja_spark import registry
+
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    rows = registry.QUERIES["lineitem_dq_checks"](spark, str(tmp_path)).collect()
+    assert len(rows) == 6
+    assert all(r.n_rows == 0 and r.n_violations == 0 for r in rows)
