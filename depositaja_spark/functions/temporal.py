@@ -501,3 +501,86 @@ def holt_linear(
             (F.col("_f.l") + F.col("_f.b")).alias("forecast"),
         )
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (triple-exponential) smoothing with
+    season length ``period`` (m >= 2):
+
+        t <= m:  l_t = x_t,  b_t = 0,  s_t = 0          (warm-up)
+        t >  m:  l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+                 b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+                 s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    Returns one row per input row with ``level``, ``trend``,
+    ``seasonal`` and ``forecast`` = l_t + b_t + s_{t+1−m} (the
+    one-step-ahead prediction; the seasonal term is a LAG over the
+    already-folded frame, so it never needs a third inlining of l_t).
+    The deliberately simple warm-up (level tracks the raw series,
+    seasonal 0) keeps the recurrence exactly replayable as a recursive
+    CTE carrying the seasonal history as a list — the EWMA/Holt oracle
+    technique extended with one array column.  Same bounded-domain
+    array-fold shape as ``ewma``; see its docstring for when this shape
+    applies.  s_{t−m} is ``element_at(acc, −m)`` — the accumulator
+    holds entries 1..t−1, so −m indexes exactly t−m."""
+    if int(period) < 2:
+        raise ValueError("holt_winters_additive requires period >= 2")
+    m = int(period)
+    o_t = df.schema[ord_col].dataType.simpleString()
+    v_t = df.schema[val_col].dataType.simpleString()
+    acc_t = f"array<struct<o:{o_t}, v:{v_t}, l:double, b:double, s:double>>"
+    pairs = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ord_col).alias("o"), F.col(val_col).alias("v"))
+            )
+        ).alias("_series")
+    )
+    pairs = _assert_no_ord_ties(pairs, ord_col, "holt_winters_additive")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    # l_t inlined into b_t and s_t (the lambda has no let-binding) —
+    # the oracle spells the identical inlining, so the doubles match
+    l_new = (
+        f"{a!r} * (x.v - element_at(acc, -{m}).s)"
+        f" + {1.0 - a!r} * (element_at(acc, -1).l + element_at(acc, -1).b)"
+    )
+    folded = F.expr(
+        f"""aggregate(
+  _series,
+  cast(array() as {acc_t}),
+  (acc, x) -> concat(acc, array(CASE WHEN size(acc) < {m}
+    THEN named_struct('o', x.o, 'v', x.v,
+                      'l', cast(x.v as double),
+                      'b', cast(0.0 as double), 's', cast(0.0 as double))
+    ELSE named_struct('o', x.o, 'v', x.v,
+      'l', {l_new},
+      'b', {b!r} * (({l_new}) - element_at(acc, -1).l)
+           + {1.0 - b!r} * element_at(acc, -1).b,
+      's', {g!r} * (x.v - ({l_new}))
+           + {1.0 - g!r} * element_at(acc, -{m}).s)
+    END)))"""
+    )
+    out = pairs.select(*key_cols, F.explode(folded).alias("_f")).select(
+        *key_cols,
+        F.col("_f.o").alias(ord_col),
+        F.col("_f.v").alias(val_col),
+        F.col("_f.l").alias("level"),
+        F.col("_f.b").alias("trend"),
+        F.col("_f.s").alias("seasonal"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(ord_col)
+    return out.withColumn(
+        "forecast",
+        F.col("level")
+        + F.col("trend")
+        + F.coalesce(F.lag("seasonal", m - 1).over(w), F.lit(0.0)),
+    )

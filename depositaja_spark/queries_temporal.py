@@ -701,3 +701,99 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --- Holt-Winters triple-exponential smoothing (weekly seasonality) ------------
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+_HW_PERIOD = 7
+
+#: l_t inlined into b_t / s_t exactly as the engine's fold inlines it
+_HW_L = (
+    f"{_HW_A} * (bb.v - f.slist[bb.rn - {_HW_PERIOD}])"
+    f" + {1.0 - _HW_A} * (f.l + f.b)"
+)
+
+
+@query(
+    "holt_winters_daily_value",
+    f"""
+WITH RECURSIVE
+daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+              AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+f(event_type, rn, day, v, l, b, s, slist) AS (
+  SELECT event_type, rn, day, v,
+         CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         [CAST(0.0 AS DOUBLE)]
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT bb.event_type, bb.rn, bb.day, bb.v,
+         CASE WHEN bb.rn <= {_HW_PERIOD} THEN CAST(bb.v AS DOUBLE)
+              ELSE {_HW_L} END,
+         CASE WHEN bb.rn <= {_HW_PERIOD} THEN 0.0
+              ELSE {_HW_B} * (({_HW_L}) - f.l) + {1.0 - _HW_B} * f.b END,
+         CASE WHEN bb.rn <= {_HW_PERIOD} THEN 0.0
+              ELSE {_HW_G} * (bb.v - ({_HW_L}))
+                   + {1.0 - _HW_G} * f.slist[bb.rn - {_HW_PERIOD}] END,
+         list_append(f.slist,
+           CASE WHEN bb.rn <= {_HW_PERIOD} THEN 0.0
+                ELSE {_HW_G} * (bb.v - ({_HW_L}))
+                     + {1.0 - _HW_G} * f.slist[bb.rn - {_HW_PERIOD}] END)
+  FROM base bb JOIN f ON bb.event_type = f.event_type AND bb.rn = f.rn + 1
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, v AS value,
+       l AS level, b AS trend, s AS seasonal,
+       l + b + coalesce(lag(s, {_HW_PERIOD - 1})
+                 OVER (PARTITION BY event_type ORDER BY day), 0.0)
+         AS forecast
+FROM f
+""",
+)
+def q_holt_winters_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple-exponential) smoothing of each
+    type's daily value series with weekly seasonality (m={_HW_PERIOD},
+    α={_HW_A}, β={_HW_B}, γ={_HW_G}) — completing the classical
+    smoothing ladder EWMA → Holt → Holt-Winters with the level/trend/
+    seasonal decomposition and the one-step-ahead forecast.  Same
+    bounded-domain array-fold shape
+    (functions/temporal.py:holt_winters_additive) and the same
+    recursive-CTE oracle technique, extended with a seasonal-history
+    list column so the CTE can reach s_(t−m); the forecast's seasonal
+    term is a LAG over the folded frame in BOTH engines.  Outputs ship
+    raw doubles (the fold is bitwise identical across engines; an
+    output round() is the only divergence risk)."""
+    from depositaja_spark.functions.temporal import holt_winters_additive
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("v")
+    )
+    out = holt_winters_additive(
+        daily, ["event_type"], "day", "v",
+        alpha=_HW_A, beta=_HW_B, gamma=_HW_G, period=_HW_PERIOD,
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("v").alias("value"),
+        "level",
+        "trend",
+        "seasonal",
+        "forecast",
+    )

@@ -588,7 +588,7 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions never driver-sampled (38 entries, the
+    # -- round-9 additions never driver-sampled (39 entries, the
     #    exact order test_never_driver_sampled_queries_lead_the_window
     #    pins) ---------------------------------------------------------
     "retrieval_eval_at_k",
@@ -629,6 +629,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "discount_effect_profile",
     "order_size_histogram",
     "lineitem_dq_checks",
+    "holt_winters_daily_value",
     # -- round-9 CHANGED queries re-verified by the external gate:
     #    the shared capped co-purchase edge builder rewired the four
     #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
@@ -648,7 +649,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_fingerprints",
     "exact_dedup",
     "token_counts",
-    "token_frequencies",
 )
 
 

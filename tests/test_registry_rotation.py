@@ -100,8 +100,8 @@ def test_round9_changed_queries_are_prioritized():
         "copurchase_kcore", "copurchase_link_prediction",
         "basket_part_pairs", "kmeans_cluster_sizes",
     }
-    # Window arithmetic: 38 never-sampled round-9 additions + these 6
-    # pins + 6 LRU refill slots (r1/r3-vintage queries the driver has
+    # Window arithmetic: 39 never-sampled round-9 additions + these 6
+    # pins + 5 LRU refill slots (r1/r3-vintage queries the driver has
     # not re-checked since, rotating external coverage through the long
     # tail) = 50.  All remain sim-verified locally every session.
     assert changed <= set(list(R.QUERIES)[:50])
@@ -152,5 +152,6 @@ def test_never_driver_sampled_queries_lead_the_window():
         "discount_effect_profile",
         "order_size_histogram",
         "lineitem_dq_checks",
+        "holt_winters_daily_value",
     ]
     assert list(R.QUERIES)[: len(never)] == never

@@ -852,3 +852,73 @@ def test_missing_hours_planted(spark, tmp_path):
     (got,) = registry.QUERIES["missing_hours_report"](spark, d).collect()
     assert (got.expected_hours, got.observed_hours, got.missing_hours) == (4, 3, 1)
     assert got.coverage == 0.75
+
+
+# --- Holt-Winters ---------------------------------------------------------------
+
+
+def test_holt_winters_matches_python_replay(spark, tmp_path):
+    """The array-fold equals a pure-Python replay of the identical
+    recurrence (same op order → same doubles, asserted EXACTLY), the
+    warm-up contract holds (t<=m: level==value, seasonal==0), and the
+    forecast adds the lag-(m-1) seasonal."""
+    from depositaja_spark import registry
+    from depositaja_spark.queries_temporal import _HW_A, _HW_B, _HW_G, _HW_PERIOD
+
+    day = 86400
+    # 21 days: weekly pattern + mild trend, one event per day
+    vals = [100.0 + 3 * t + [0, 10, -5, 20, 0, -10, 5][t % 7] for t in range(21)]
+    rows = [(t, t * day + 30, 1, "view", v) for t, v in enumerate(vals)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.day: r
+        for r in registry.QUERIES["holt_winters_daily_value"](spark, d).collect()
+    }
+    a, b, g, m = _HW_A, _HW_B, _HW_G, _HW_PERIOD
+    l = bb = None
+    ls, bs, ss = [], [], []
+    for t, x in enumerate(vals, start=1):
+        if t <= m:
+            l_new, b_new, s_new = float(x), 0.0, 0.0
+        else:
+            l_new = a * (x - ss[t - m - 1]) + (1.0 - a) * (ls[-1] + bs[-1])
+            b_new = b * (l_new - ls[-1]) + (1.0 - b) * bs[-1]
+            s_new = g * (x - l_new) + (1.0 - g) * ss[t - m - 1]
+        ls.append(l_new)
+        bs.append(b_new)
+        ss.append(s_new)
+    for t in range(1, 22):
+        r = got[t - 1]
+        assert r.level == ls[t - 1], t
+        assert r.trend == bs[t - 1], t
+        assert r.seasonal == ss[t - 1], t
+        s_lag = ss[t - m] if t >= m else 0.0
+        assert r.forecast == ls[t - 1] + bs[t - 1] + s_lag, t
+    # warm-up contract
+    for t in range(1, m + 1):
+        assert got[t - 1].level == vals[t - 1] and got[t - 1].seasonal == 0.0
+
+
+def test_holt_winters_seasonal_term_improves_forecast(spark, tmp_path):
+    """On an exactly periodic series, the one-step forecast WITH the
+    seasonal term must beat the seasonal-blind level+trend forecast
+    built from the SAME fold state — the direct proof the seasonal
+    component carries signal."""
+    from depositaja_spark import registry
+
+    day = 86400
+    pattern = [50.0, 80.0, 20.0, 100.0, 60.0, 10.0, 90.0]
+    vals = pattern * 12  # 84 days
+    rows = [(t, t * day + 30, 1, "view", v) for t, v in enumerate(vals)]
+    d = _write_events(spark, tmp_path, rows)
+    rows_out = sorted(
+        registry.QUERIES["holt_winters_daily_value"](spark, d).collect(),
+        key=lambda r: r.day,
+    )
+    # row t's forecast predicts row t+1: pair consecutive rows
+    pairs = list(zip(rows_out[-29:-1], rows_out[-28:]))
+    with_s = sum(abs(a.forecast - b.value) for a, b in pairs) / len(pairs)
+    blind = sum(
+        abs(a.level + a.trend - b.value) for a, b in pairs
+    ) / len(pairs)
+    assert with_s < 0.5 * blind
