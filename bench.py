@@ -84,6 +84,31 @@ def main() -> None:
     from depositaja_spark import registry
     from depositaja_spark.functions.cache import release_caches
 
+    # Idle gate (round-10, after BENCH_r09 was recorded at load1 3.5-5.2 and
+    # cost a same-day A/B to interpret): sample the machine BEFORE our own
+    # Spark work starts — mid-run load1 includes our own 32-thread bursts
+    # (an idle run still peaks ~3.7 by the heavy queries), so only the
+    # pre-run reading separates co-tenant load from self-load.  If the box
+    # is busy, wait (bounded — the driver must still get an artifact) for
+    # the burst to drain; either way the final line carries an `idle` flag
+    # so a contended artifact is visible without archaeology.
+    IDLE_MAX = 2.0
+    IDLE_WAIT_SEC = 600
+
+    def _loads() -> tuple[float, float, float]:
+        try:
+            return tuple(round(x, 2) for x in os.getloadavg())
+        except OSError:
+            return (-1.0, -1.0, -1.0)
+
+    start_load = _loads()
+    waited = 0
+    while start_load[0] > IDLE_MAX and waited < IDLE_WAIT_SEC:
+        time.sleep(15)
+        waited += 15
+        start_load = _loads()
+    idle_at_start = 0 <= start_load[0] <= IDLE_MAX
+
     spark = get_spark(
         app_name="depositaja_spark_bench",
         master=f"local[{CPUS}]",
@@ -184,6 +209,9 @@ def main() -> None:
         # with like; per-query median/spread/load1 expose contamination
         "cache_policy": "warm-best-of-5 contention-retried, cleared between queries",
         "stats": stats,
+        "start_load": list(start_load),
+        "idle_wait_sec": waited,
+        "end_load": list(_loads()),
     }
 
     # Second series over COMPACTED fixtures (SPARK_GRAFT_COMPACT_SERIES=1,
@@ -260,6 +288,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # machine was idle (load1 <= 2.0) before OUR work started — a false
+        # value marks the artifact as contended and not trend-comparable
+        "idle": idle_at_start,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"

@@ -662,7 +662,10 @@ def bfs_oracle_sql(
         f"e AS MATERIALIZED ({edges_sql})",
         "und AS MATERIALIZED (SELECT u, v FROM e"
         " UNION ALL SELECT v AS u, u AS v FROM e)",
-        f"d0 AS (SELECT node, 0 AS hop FROM ({seed_sql}))",
+        # an aggregate seed (min(u) over an empty edge set) still yields one
+        # NULL row — drop it so the oracle is EMPTY on an empty graph,
+        # matching the engine's isNotNull-filtered seed
+        f"d0 AS (SELECT node, 0 AS hop FROM ({seed_sql}) WHERE node IS NOT NULL)",
     ]
     for i in range(1, int(max_hops) + 1):
         ctes.append(

@@ -2223,11 +2223,13 @@ lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1)
 SELECT f.query_id,
        lc.n - 1 AS n_rel,
        CAST(f.hits AS BIGINT) AS hits_at_k,
-       round(CAST(f.hits AS DOUBLE) / (lc.n - 1), 6) AS recall_at_k,
+       CASE WHEN lc.n - 1 > 0
+            THEN round(CAST(f.hits AS DOUBLE) / (lc.n - 1), 6) END AS recall_at_k,
        round(CAST(f.hits AS DOUBLE) / {_EVAL_K}, 6) AS precision_at_k,
        round(coalesce(1.0 / f.first_rel, 0.0), 6) AS rr,
-       round(f.dcg / ({_IDCG_SQL})[CAST(least(lc.n - 1, {_EVAL_K}) AS INT)], 6)
-         AS ndcg_at_k
+       CASE WHEN lc.n - 1 > 0
+            THEN round(f.dcg / ({_IDCG_SQL})[CAST(least(lc.n - 1, {_EVAL_K}) AS INT)], 6)
+       END AS ndcg_at_k
 FROM fin f JOIN lc ON lc.label = f.qlab
 """,
 )
@@ -2294,21 +2296,29 @@ def q_retrieval_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         (F.col("n") - 1).alias("n_rel"),
         F.col("hits").cast("long").alias("hits_at_k"),
-        F.round(F.col("hits").cast("double") / (F.col("n") - 1), 6).alias(
-            "recall_at_k"
-        ),
+        # n_rel = 0 (the query's label is unique in the corpus) must yield
+        # NULL, not a crash: element_at(_, 0) raises under ANSI and x/0
+        # diverges across engines — both divisions are single-use, so the
+        # lazy CaseWhen branch is the whole guard (matching oracle CASEs)
+        F.when(
+            F.col("n") - 1 > 0,
+            F.round(F.col("hits").cast("double") / (F.col("n") - 1), 6),
+        ).alias("recall_at_k"),
         F.round(F.col("hits").cast("double") / _EVAL_K, 6).alias(
             "precision_at_k"
         ),
         F.round(
             F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
         ).alias("rr"),
-        F.round(
-            F.col("dcg_run")
-            / F.element_at(
-                idcg, F.least(F.col("n") - 1, F.lit(_EVAL_K)).cast("int")
+        F.when(
+            F.col("n") - 1 > 0,
+            F.round(
+                F.col("dcg_run")
+                / F.element_at(
+                    idcg, F.least(F.col("n") - 1, F.lit(_EVAL_K)).cast("int")
+                ),
+                6,
             ),
-            6,
         ).alias("ndcg_at_k"),
     )
 

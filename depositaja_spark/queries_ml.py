@@ -1276,7 +1276,8 @@ tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(y_sum) AS BIGINT) AS yy,
         FROM b),
 terms AS (
   SELECT bin,
-         CAST((p_sum - 100 * y_sum) * (p_sum - 100 * y_sum) AS DOUBLE)
+         CAST(CAST(p_sum - 100 * y_sum AS DECIMAL(38,0))
+              * CAST(p_sum - 100 * y_sum AS DECIMAL(38,0)) AS DOUBLE)
            / (n_b * 10000.0) AS rel_t,
          CAST((CAST(y_sum AS DECIMAL(38,0)) * n - CAST(yy AS DECIMAL(38,0)) * n_b)
               * (CAST(y_sum AS DECIMAL(38,0)) * n - CAST(yy AS DECIMAL(38,0)) * n_b)

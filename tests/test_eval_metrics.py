@@ -147,6 +147,43 @@ def test_retrieval_eval_replay_on_fixture(spark):
         assert 0.0 <= g.ndcg_at_k <= 1.0
 
 
+def test_retrieval_eval_unique_label_null_not_crash(spark, tmp_path):
+    """ADVICE r9: a query whose label is UNIQUE in the corpus has
+    n_rel = 0 — element_at(idcg, 0) raises under ANSI and hits/0
+    diverges across engines.  Plant exactly that degenerate corpus and
+    require BOTH engines to answer NULL recall/ndcg (not crash, not
+    diverge) while the bounded metrics stay defined."""
+    import duckdb
+    import pandas as pd
+
+    from depositaja_spark import registry
+    from tests.oracle_harness import compare
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 + 1) for j in range(8)],
+         999 if i == 0 else (1 if i % 2 else 2))
+        for i in range(20)
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    got = registry.QUERIES["retrieval_eval_at_k"](spark, str(tmp_path)).collect()
+    by_q = {r.query_id: r for r in got}
+    assert by_q[0].n_rel == 0
+    assert by_q[0].recall_at_k is None and by_q[0].ndcg_at_k is None
+    assert by_q[0].rr == 0.0 and by_q[0].precision_at_k == 0.0
+    assert by_q[1].n_rel > 0 and by_q[1].ndcg_at_k is not None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    compare(
+        registry.QUERIES["retrieval_eval_at_k"](spark, str(tmp_path)),
+        con,
+        registry.ORACLES["retrieval_eval_at_k"],
+    )
+
+
 # --- Fleiss kappa ------------------------------------------------------------
 
 
@@ -266,6 +303,22 @@ def test_bfs_hops_bound_respected(spark):
     got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=2).collect()}
     release_caches()
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_oracle_empty_graph_yields_empty(spark):
+    """ADVICE r9: an aggregate seed (min(u)) over an EMPTY edge set still
+    produces one NULL row — the oracle must drop it so both engines
+    answer an empty frame on an empty graph."""
+    import duckdb
+
+    from depositaja_spark.functions.graph import bfs_oracle_sql
+
+    sql = bfs_oracle_sql(
+        "SELECT * FROM (VALUES (1, 2)) t(u, v) WHERE false",
+        "SELECT min(u) AS node FROM e WHERE u IS NOT NULL",
+        max_hops=3,
+    )
+    assert duckdb.connect().execute(sql).fetchall() == []
 
 
 # --- profiling / sampling / rolling actives ----------------------------------

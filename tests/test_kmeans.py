@@ -120,3 +120,35 @@ def test_cluster_sizes_pinned_golden(spark):
             for r in registry.QUERIES["kmeans_cluster_sizes"](spark, sf_dir).collect()
         ]
         assert got == want, f"{sf_dir}: {got}"
+
+
+def test_pinned_assignment_tie_margin(spark):
+    """Engine/oracle parity guard for kmeans_cluster_sizes (ADVICE r9):
+    the engine scores squared distances via a clamped numpy BLAS matmul
+    while the DuckDB oracle sums list_inner_product terms sequentially —
+    different FP accumulation orders.  Parity therefore rests on every
+    vector's best-vs-second-best d² gap dwarfing accumulation noise
+    (~1e-13 relative for 16-dim doubles).  Assert a 1e-6 absolute floor
+    on both fixture scales so a future artifact/fixture change that
+    introduces a knife-edge assignment fails HERE, not in the driver
+    diff."""
+    import numpy as np
+
+    from depositaja_spark.functions.kmeans_artifact import KMEANS_CENTROIDS
+
+    cents = np.asarray(KMEANS_CENTROIDS, dtype=np.float64)
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = np.asarray(
+            [r.embedding for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        # exact expansion, same for any accumulation order at this scale
+        d2 = (
+            (vecs * vecs).sum(axis=1, keepdims=True)
+            - 2.0 * vecs @ cents.T
+            + (cents * cents).sum(axis=1)
+        )
+        d2.sort(axis=1)
+        gap = (d2[:, 1] - d2[:, 0]).min()
+        assert gap > 1e-6, f"{sf_dir}: near-tie assignment, min gap {gap}"
