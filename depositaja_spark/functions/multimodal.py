@@ -6,16 +6,18 @@ metadata; decode / feature-extraction run as Arrow-batched Pandas
 functions over ``mapInPandas`` so bytes never round-trip through Python
 row objects.
 
-Decode is REAL for every format a pure-numpy/pure-Python codec can cover
-byte-exactly: binary PPM/PGM (P6/P5) and uncompressed BMP (24/32-bit
-BI_RGB) images, PNG (stdlib ``zlib`` inflate + per-row unfilter — all
-five filter types, gray/RGB/palette/alpha at bit depth 8)
-(``decode_media`` / ``resize_images``), PCM WAV audio
+Decode is REAL for every format a pure-numpy/pure-Python codec can
+cover: binary PPM/PGM (P6/P5) and uncompressed BMP (24/32-bit BI_RGB)
+images, PNG (stdlib ``zlib`` inflate + per-row unfilter — all five
+filter types, gray/RGB/palette/alpha at bit depth 8), baseline
+sequential JPEG (SOF0: Huffman entropy decode, dequantize, float64
+matrix IDCT, chroma upsample, JFIF YCbCr→RGB — plus the matching
+encoder) (``decode_media`` / ``resize_images``), PCM WAV audio
 (``audio_features``), and YUV4MPEG2 uncompressed video
-(``frame_sample``).  Formats whose entropy coding has no stdlib
-implementation (JPEG/mp4/mkv) need PIL/pyav, which are not installed
-here: those payloads raise a clearly-marked NotImplementedError from
-the same code paths a real codec would slot into.
+(``frame_sample``).  Codecs with no public-spec pure-Python path at
+reasonable effort (progressive/arithmetic JPEG, mp4/mkv) raise a
+clearly-marked NotImplementedError from the same code paths a real
+codec (PIL/pyav) would slot into.
 """
 
 from __future__ import annotations
@@ -269,6 +271,576 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# --- JPEG: baseline sequential (SOF0) decode + encode ------------------------
+# Pure numpy + stdlib, from the public spec (ITU-T T.81 / JFIF): Huffman
+# entropy decode (tables read from the file's own DHT segments), dequantize,
+# 8×8 IDCT as two float64 matrix products, nearest-neighbor chroma upsample,
+# JFIF YCbCr→RGB.  Supported honestly: 8-bit baseline, 1 or 3 components,
+# sampling factors 1-2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart intervals.
+# Progressive (SOF2) / arithmetic coding / 12-bit raise clearly.
+
+#: orthonormal 8×8 DCT-II basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16);
+#: forward F = A f Aᵀ, inverse f = Aᵀ F A (T.81 A.3.3)
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: zig-zag scan order: _ZIGZAG[k] = flat index (8u+v) of the k-th coefficient
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# standard Huffman tables (T.81 Annex K.3): (bits[1..16], values)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+#: Annex K.1 luminance quantization table (quality scaling per IJG)
+_STD_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+).reshape(8, 8)
+_STD_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+).reshape(8, 8)
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+#: Huffman peek tables are pure functions of the DHT bytes — cache across
+#: images so per-image decode cost is lookups, not table builds
+_HUFF_CACHE: dict[tuple[bytes, bytes], np.ndarray] = {}
+
+
+def _huff_lookup(bits: list[int], values: list[int]) -> np.ndarray:
+    """16-bit-window peek table: tab[next16bits] = (symbol << 5) | code
+    length (0 = invalid code) — one array read decodes a whole symbol,
+    replacing bit-at-a-time tree walking (the standard fast-JPEG trick;
+    16 is the max code length, T.81 C.2)."""
+    key = (bytes(bits), bytes(values))
+    hit = _HUFF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tab = np.zeros(1 << 16, np.int32)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            base = code << (16 - ln)
+            tab[base : base + (1 << (16 - ln))] = (values[k] << 5) | ln
+            code += 1
+            k += 1
+        code <<= 1
+    _HUFF_CACHE[key] = tab
+    return tab
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (already
+    de-stuffed: 0xFF00 -> 0xFF)."""
+
+    def __init__(self, data: bytes):
+        # pad so peek16 never indexes past the end (1-bits = no valid
+        # code can be formed from pure padding; the MCU loop stops first)
+        self.data = data + b"\xff\xff\xff"
+        self.pos = 0  # bit position
+
+    def peek16(self) -> int:
+        p = self.pos >> 3
+        v = int.from_bytes(self.data[p : p + 3], "big")
+        return (v >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def bits(self, n: int) -> int:
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the `size`-bit raw value to its signed
+    coefficient (values with MSB 0 are negative)."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline sequential JPEG (SOF0).  Returns (h, w, c, uint8 h×w×c)
+    — grayscale stays 1 channel, color converts JFIF YCbCr→RGB; the same
+    output convention as the PNM/BMP/PNG decoders."""
+    pos = 2  # past SOI
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise NotImplementedError(f"bad JPEG marker alignment at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 15
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                quant[tid] = np.frombuffer(
+                    body, np.uint8, 64, p + 1
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _huff_lookup(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            depth = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if depth != 8:
+                raise NotImplementedError(f"JPEG sample precision {depth}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) is supported; got SOF{marker & 15}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows the header
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append({"id": cs, "td": tt >> 4, "ta": tt & 15})
+            scan = (scan_comps, pos)
+            break
+        # APPn/COM/others: skipped by the generic seg_len advance
+    if frame is None or scan is None:
+        raise NotImplementedError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    scan_comps, data_start = scan
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 not supported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks per row incl. MCU padding
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+
+    # entropy-coded segments: de-stuff 0xFF00, split at RST markers
+    end = len(raw)
+    i = data_start
+    segments: list[bytes] = []
+    seg_start = i
+    while i + 1 < end:
+        if raw[i] == 0xFF and raw[i + 1] not in (0x00,):
+            m = raw[i + 1]
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(raw[seg_start:i])
+                i += 2
+                seg_start = i
+                continue
+            segments.append(raw[seg_start:i])  # EOI or next marker
+            break
+        i += 2 if raw[i] == 0xFF else 1
+    else:
+        segments.append(raw[seg_start:end])
+    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+    n_mcus = mcus_x * mcus_y
+    mcu_idx = 0
+    for seg in segments:
+        rd = _BitReader(seg)
+        pred = {c["id"]: 0 for c in comps}
+        seg_mcus = restart_interval or (n_mcus - mcu_idx)
+        for _ in range(min(seg_mcus, n_mcus - mcu_idx)):
+            my, mx = divmod(mcu_idx, mcus_x)
+            for c in comps:
+                dc_tab = huff_dc[c["td"]]
+                ac_tab = huff_ac[c["ta"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int64)
+                        # DC: one peek-table read + extend bits
+                        e = int(dc_tab[rd.peek16()])
+                        if e == 0:
+                            raise NotImplementedError("invalid DC Huffman code")
+                        rd.pos += e & 31
+                        size = e >> 5
+                        diff = _extend(rd.bits(size), size)
+                        pred[c["id"]] += diff
+                        blk[0] = pred[c["id"]]
+                        # AC: (run, size) run-length symbols
+                        k = 1
+                        while k < 64:
+                            e = int(ac_tab[rd.peek16()])
+                            if e == 0:
+                                raise NotImplementedError("invalid AC Huffman code")
+                            rd.pos += e & 31
+                            sym = e >> 5
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    raise NotImplementedError(f"AC symbol {sym:#x}")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError("AC run past block end")
+                            blk[k] = _extend(rd.bits(size), size)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = blk
+            mcu_idx += 1
+    if mcu_idx != n_mcus:
+        raise NotImplementedError(
+            f"JPEG truncated: decoded {mcu_idx} of {n_mcus} MCUs"
+        )
+
+    planes = []
+    for c in comps:
+        q = quant[c["tq"]]
+        spec = np.zeros((c["bh"] * c["bw"], 64), np.float64)
+        spec[:, _ZIGZAG] = c["coef"] * q  # dequantize + de-zigzag
+        spec = spec.reshape(-1, 8, 8)
+        # f = Aᵀ F A for every block at once (batched BLAS matmul)
+        px = np.matmul(np.matmul(_DCT_A.T, spec), _DCT_A)
+        px = np.clip(np.round(px + 128.0), 0, 255)
+        # reassemble blocks -> component plane, then crop MCU padding
+        plane = (
+            px.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # nearest-neighbor upsample to full resolution
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return h, w, 1, planes[0].astype(np.uint8)[..., None]
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return h, w, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _quant_tables(quality: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables; quality=None -> all-ones
+    tables (numerically lossless for DC-only spectra — the oracle path)."""
+    if quality is None:
+        return np.ones((8, 8), np.int64), np.ones((8, 8), np.int64)
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for tbl in (_STD_QUANT_LUMA, _STD_QUANT_CHROMA):
+        t = (tbl.astype(np.int64) * scale + 50) // 100
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def _encode_block(
+    wr: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one zig-zag-ordered quantized block; returns its DC."""
+    diff = int(zz[0]) - pred
+    size = int(abs(diff)).bit_length()
+    code, ln = dc_codes[size]
+    wr.write(code, ln)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wr.write(code, ln)
+    return int(zz[0])
+
+
+def _fdct_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """plane (H, W) float64 (level-shifted) -> (n_blocks, 64) quantized
+    zig-zag coefficients; blocks row-major."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    spec = np.matmul(np.matmul(_DCT_A, blocks), _DCT_A.T)
+    # zig-zag: zz[k] = quantized flat[(8u+v) = _ZIGZAG[k]] — the exact
+    # inverse of the decoder's spec[:, _ZIGZAG] = coef scatter
+    zz = np.round(spec / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+    return zz
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder for h×w×c uint8 (c=1 gray, c=3
+    RGB).  ``quality=None`` writes all-ones quant tables (maximal
+    fidelity — DC-only spectra round-trip bit-exactly, the oracle path);
+    ``subsample=True`` encodes color as 4:2:0 (2×2 chroma average).
+    Dimensions must be multiples of the MCU size (8, or 16 with
+    subsampling) — media pipelines pad before encode."""
+    arr = np.ascontiguousarray(arr)
+    h, w, c = arr.shape
+    mcu = 16 if (subsample and c == 3) else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"dimensions must be multiples of {mcu}")
+    ql, qc = _quant_tables(quality)
+    if c == 1:
+        planes = [arr[..., 0].astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qmap = [0]
+    elif c == 3:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        y, cb, cr = (np.round(p) for p in (y, cb, cr))
+        if subsample:
+            cb = (cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))).round()
+            cr = (cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))).round()
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qmap = [0, 1, 1]
+    else:
+        raise NotImplementedError(f"{c}-channel JPEG encode")
+
+    zz = [
+        _fdct_blocks(p, (ql if qm == 0 else qc).astype(np.float64))
+        for p, qm in zip(planes, qmap)
+    ]
+
+    dc_l = _huff_codes(*_STD_DC_LUMA)
+    ac_l = _huff_codes(*_STD_AC_LUMA)
+    dc_c = _huff_codes(*_STD_DC_CHROMA)
+    ac_c = _huff_codes(*_STD_AC_CHROMA)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = w // (8 * hmax), h // (8 * vmax)
+    bw = [mcus_x * s[0] for s in samp]
+
+    body = bytearray()
+    wr = _BitWriter()
+    pred = [0] * len(planes)
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.flush()
+            body += wr.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wr = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            dc, ac = (dc_l, ac_l) if qmap[ci] == 0 else (dc_c, ac_c)
+            for by in range(sv):
+                for bx in range(sh):
+                    bi = (my * sv + by) * bw[ci] + (mx * sh + bx)
+                    pred[ci] = _encode_block(wr, zz[ci][bi], pred[ci], dc, ac)
+    wr.flush()
+    body += wr.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_order = _ZIGZAG
+    out += seg(0xDB, bytes([0]) + bytes(ql.reshape(-1)[zz_order].astype(np.uint8)))
+    if c == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[zz_order].astype(np.uint8)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qmap[ci]])
+    out += seg(0xC0, bytes(sof))
+
+    def dht(cls: int, tid: int, tbl: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = tbl
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _STD_DC_LUMA) + dht(1, 0, _STD_AC_LUMA)
+    if c == 3:
+        out += dht(0, 1, _STD_DC_CHROMA) + dht(1, 1, _STD_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, (qmap[ci] << 4) | qmap[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos)) + body + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def _decode_image_bytes(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     if raw[:2] in (b"P6", b"P5"):
         return _decode_pnm(raw)
@@ -276,9 +848,11 @@ def _decode_image_bytes(raw: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_bmp(raw)
     if raw[:8] == _PNG_MAGIC:
         return _decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        return _decode_jpeg(raw)
     raise NotImplementedError(
-        "only PPM/PGM, uncompressed BMP, and PNG decode without PIL/pyav; "
-        f"got magic {raw[:2]!r}"
+        "only PPM/PGM, uncompressed BMP, PNG, and baseline JPEG decode "
+        f"without PIL/pyav; got magic {raw[:2]!r}"
     )
 
 
@@ -565,15 +1139,19 @@ AHASH_SCHEMA = T.StructType(
 
 def _ahash_of(arr: np.ndarray) -> int:
     """64-bit average hash of one decoded image (h×w×c uint8): grayscale
-    by channel mean, nearest-neighbor downsample to 8×8 (same
-    index-select as resize_images), threshold at the 8×8 mean, pack
-    row-major MSB-first into a signed 64-bit int."""
+    by channel SUM (scale-invariant vs the usual channel mean — the
+    threshold compare is homogeneous), nearest-neighbor downsample to
+    8×8 (same index-select as resize_images), threshold above the 8×8
+    mean as the EXACT integer predicate ``64·g[i] > Σg`` (no float
+    accumulation anywhere, so any engine — numpy, pure Python, SQL —
+    computes the identical bits), pack row-major MSB-first into a
+    signed 64-bit int."""
     h, w, _c = arr.shape
-    gray = arr.astype("float64").mean(axis=2)
+    gray3 = arr.astype(np.int64).sum(axis=2)
     ys = np.minimum((np.arange(AHASH_SIDE) * h) // AHASH_SIDE, h - 1)
     xs = np.minimum((np.arange(AHASH_SIDE) * w) // AHASH_SIDE, w - 1)
-    small = gray[ys][:, xs]
-    bits = (small > small.mean()).reshape(-1)
+    small = gray3[ys][:, xs]
+    bits = (AHASH_SIDE * AHASH_SIDE * small > small.sum()).reshape(-1)
     val = 0
     for b in bits:
         val = (val << 1) | int(b)

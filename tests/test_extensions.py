@@ -686,11 +686,10 @@ def _ppm(w, h, pix):
 
 def test_ahash_matches_pure_python_replay(spark):
     """image_ahash must equal an independent per-image Python fold of the
-    documented definition (channel-mean gray, NN 8×8, mean threshold,
-    MSB-first row-major packing)."""
+    documented definition (channel-SUM gray, NN 8×8, exact integer
+    64·g > Σg threshold, MSB-first row-major packing) — pure Python
+    ints, no numpy, so the two implementations share nothing."""
     import random
-
-    import numpy as np
 
     rng = random.Random(11)
     rows = []
@@ -705,16 +704,15 @@ def test_ahash_matches_pure_python_replay(spark):
     got = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
 
     for doc_id, w, h, pix in rows:
-        arr = np.array(pix, dtype="uint8")
-        gray = arr.astype("float64").mean(axis=2)
+        gray3 = [[sum(c) for c in row] for row in pix]
         ys = [min((i * h) // 8, h - 1) for i in range(8)]
         xs = [min((j * w) // 8, w - 1) for j in range(8)]
-        small = [[gray[y][x] for x in xs] for y in ys]
-        mean = sum(sum(r) for r in small) / 64.0
+        small = [[gray3[y][x] for x in xs] for y in ys]
+        total = sum(sum(r) for r in small)
         val = 0
         for r in small:
             for v in r:
-                val = (val << 1) | (1 if v > mean else 0)
+                val = (val << 1) | (1 if 64 * v > total else 0)
         if val >= 1 << 63:
             val -= 1 << 64
         assert got[doc_id] == val, doc_id
