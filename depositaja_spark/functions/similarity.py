@@ -205,11 +205,14 @@ NPROBE = 2
 
 
 def _centroid_matrix(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_ids: list[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(ids, matrix) of the centroid vectors, ids ascending."""
     rows = (
-        corpus.filter(F.col(id_col).isin(CENTROID_IDS))
+        corpus.filter(F.col(id_col).isin(cell_ids or CENTROID_IDS))
         .orderBy(id_col)
         .select(id_col, vec_col)
         .collect()
@@ -614,6 +617,85 @@ def hard_negative_pairs(
     w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hard_negative_pairs_ivf(
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    band_lo: float = 0.1,
+    band_hi: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-composed hard-negative mining — the SCALE PATH the exact
+    blocked scan (``hard_negative_pairs``) baselines: every anchor
+    probes its ``nprobe`` nearest IVF cells and only those cells'
+    members are band-filtered and ranked, so per-anchor candidates are
+    ≈ nprobe·N/C instead of N.  The r10 full-registry sweep measured
+    the exact scan at ×14-24 under 10× data (quadratic by definition);
+    this variant's cell equi-join is the join shape that survives.
+
+    The cell count SCALES with the corpus — C = ⌈√N⌉, the standard IVF
+    sizing — so total candidate pairs are O(N·nprobe·√N), not O(N²):
+    pinning C (the first sweep attempt used the 8 ann_topk_ivf cells)
+    measured ×34 at 10× data, WORSE than the exact scan, because
+    nprobe·N/C candidates per anchor still grow linearly while losing
+    BLAS blocking.  Cells are the first C corpus rows at/above id 10
+    (deterministic, oracle-replayable — the convention behind
+    CENTROID_IDS, extended).  At deployment the corpus is written
+    partitioned BY cell (``ivf_write_layout``) so the equi-join becomes
+    partition pruning.  Recall tradeoff is the standard IVF one: a
+    qualifying negative in an unprobed cell is missed; tests measure
+    band-recall vs the exact scan on the fixture.
+
+    Returns (anchor_id, cand_id, cos, rank), rank 1..k per anchor."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    n = corpus.count()
+    if n == 0:
+        return corpus.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(id_col).alias("cand_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    n_cells = max(1, math.isqrt(n - 1) + 1)  # ceil(sqrt(n))
+    cell_ids = list(range(10, 10 + n_cells))
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col, cell_ids=cell_ids)
+    ranked = _ranked_cells_udf(cids, cents)
+    assigned = tracked_persist(corpus.withColumn("cells", ranked(F.col(vec_col))))
+    anchors = assigned.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("avec"),
+        F.col(label_col).alias("albl"),
+        F.explode(F.slice(F.col("cells"), 1, nprobe)).alias("cell"),
+    )
+    cands = assigned.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("blbl"),
+        F.col("cells").getItem(0).alias("cell"),
+    )
+    cos = pair_cos_udf()(F.col("avec"), F.col("cvec"))
+    scored = (
+        cands.join(anchors, "cell")  # keyed shuffle: candidates co-locate by cell
+        .filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("albl") != F.col("blbl"))
+        )
+        .select("anchor_id", "cand_id", cos.alias("cos"))
+        .filter((F.col("cos") >= band_lo) & (F.col("cos") < band_hi))
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("anchor_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
     )

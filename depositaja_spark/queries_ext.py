@@ -1058,6 +1058,63 @@ def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hard_negative_pairs_ivf",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id >= 10
+                AND vec_id < 10 + (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                                   FROM embeddings)),
+cell_scores AS (
+  SELECT e.vec_id, c.cid, {_COS.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM cell_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+),
+probes AS (
+  SELECT vec_id AS anchor_id, cid AS cell FROM cell_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= {sim.NPROBE}
+),
+a AS (SELECT e.vec_id AS anchor_id, e.embedding AS avec, e.label AS albl,
+             p.cell
+      FROM embeddings e JOIN probes p ON e.vec_id = p.anchor_id),
+c2 AS (SELECT e.vec_id AS cand_id, e.embedding AS cvec, e.label AS blbl,
+              s.cell
+       FROM embeddings e JOIN assigned s ON e.vec_id = s.vec_id),
+banded AS (
+  SELECT a.anchor_id, c2.cand_id, {_COS.format(a='avec', b='cvec')} AS cos
+  FROM c2 JOIN a USING (cell)
+  WHERE c2.cand_id != a.anchor_id AND a.albl != c2.blbl
+    AND {_COS.format(a='avec', b='cvec')} >= {_HARDNEG_LO}
+    AND {_COS.format(a='avec', b='cvec')} < {_HARDNEG_HI}
+)
+SELECT anchor_id, cand_id, cos,
+       CAST(row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, cand_id) AS INT) AS rank
+FROM banded
+QUALIFY rank <= {_HARDNEG_K}
+""",
+)
+def q_hard_negative_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for hard-negative mining (r10 sweep closure: the
+    exact scan measured ×14-24 under 10× data — quadratic by
+    definition): every anchor probes its {sim.NPROBE} nearest IVF cells
+    and only those cells' members are cross-label band-filtered and
+    top-k ranked.  The cell count scales as C = ⌈√N⌉ (cells = the first
+    C corpus rows at id ≥ 10, deterministic on both engines), so
+    candidate pairs are O(N·nprobe·√N) — a cell-keyed equi-join that
+    becomes partition pruning once the corpus is written partitioned BY
+    cell (functions/similarity.py:hard_negative_pairs_ivf)."""
+    return sim.hard_negative_pairs_ivf(
+        _emb(spark, sf_dir),
+        k=_HARDNEG_K,
+        band_lo=_HARDNEG_LO,
+        band_hi=_HARDNEG_HI,
+    )
+
+
 def _neardup_bit_case() -> str:
     whens = " ".join(
         f"WHEN {aid} THEN CAST({1 << i} AS BIGINT)"
@@ -1218,6 +1275,9 @@ def q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chars would otherwise make the body longer than the 192 pixel
     # bytes the P6 8x8 header declares, silently shifting every pixel.
     body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
+    # NO forced fan-out here (unlike png/jpeg_decode_stats): the 8×8 PPM
+    # parse is ~µs/doc, so the banded self-join dominates and an extra
+    # repartition shuffle only adds overhead (measured 2.0s -> 7.5s)
     payloads = docs.select(
         "doc_id",
         F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"), body).alias("payload"),
@@ -1276,7 +1336,12 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    payloads = docs.select("doc_id", to_png(body).alias("payload"))
+    # full-width fan-out: the per-row codec kernel dwarfs the scan by
+    # ~1000x, so size-scaled spread() under-parallelizes (8 tasks on 32
+    # cores at sf0.1 — the r10 sweep's finding); pin to executor width
+    payloads = spread(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    ).select("doc_id", to_png(body).alias("payload"))
     dec = mm.decode_media(payloads)
     return dec.select(
         "doc_id",
@@ -1351,7 +1416,10 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return b.map(enc)
 
-    payloads = docs.select("doc_id", to_jpeg(body).alias("payload"))
+    # full-width fan-out (see png_decode_stats: codec kernel >> scan)
+    payloads = spread(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    ).select("doc_id", to_jpeg(body).alias("payload"))
     dec = mm.decode_media(payloads)
     # block weight: flat index p over h×w×c -> pixel p div 3, its block =
     # (y div 8)·16 + (x div 8) with y = pixel div 128, x = pixel mod 128;

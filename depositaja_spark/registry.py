@@ -588,67 +588,74 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions never driver-sampled (39 entries, the
-    #    exact order test_never_driver_sampled_queries_lead_the_window
-    #    pins) ---------------------------------------------------------
+    # -- round-10 additions never driver-sampled --------------------------
+    "jpeg_decode_stats",
+    "hard_negative_pairs_ivf",
+    # -- round-10 CHANGED queries re-verified by the external gate:
+    #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
+    #    brier_decomposition's oracle widened to DECIMAL before squaring,
+    #    copurchase_bfs_hops' oracle seed drops the empty-graph NULL row,
+    #    and image_ahash_dups switched to the integer-exact bit rule and
+    #    became ORACLE-backed (its first-ever driver value check) --------
     "retrieval_eval_at_k",
-    "kaplan_meier_conversion",
-    "fleiss_kappa_panel",
     "brier_decomposition",
-    "png_decode_stats",
     "copurchase_bfs_hops",
-    "copurchase_degree_ccdf",
-    "events_profile",
-    "orders_pk_audit",
-    "weighted_sample_topk",
-    "rolling_7d_active_users",
-    "anova_value_by_type",
-    "nelson_aalen_conversion",
-    "vocab_growth_heaps",
-    "ann_recall_ivf",
-    "calibration_curve",
-    "token_pmi_topv",
-    "doc_ngram_novelty",
-    "user_value_time_decay",
-    "user_event_entropy",
-    "logrank_test_conversion",
-    "ols_value_hour_dow",
-    "pinball_loss_backtest",
-    "copurchase_modularity",
-    "hits_user_part",
-    "changepoint_daily_value",
-    "source_ngram_overlap_matrix",
-    "cohort_ltv_matrix",
-    "max_drawdown_daily",
-    "missing_hours_report",
-    "isotonic_calibration",
-    "classifier_gains_table",
-    "classifier_ks",
-    "copurchase_clustering_coeff",
-    "ship_latency_by_priority",
-    "discount_effect_profile",
-    "order_size_histogram",
-    "lineitem_dq_checks",
-    "holt_winters_daily_value",
-    # -- round-9 CHANGED queries re-verified by the external gate:
-    #    the shared capped co-purchase edge builder rewired the four
-    #    graph queries + basket_part_pairs, and kmeans_cluster_sizes
-    #    switched to pinned-artifact scoring with a new oracle --------
-    "copurchase_communities",
-    "copurchase_triangles",
-    "copurchase_kcore",
-    "copurchase_link_prediction",
-    "basket_part_pairs",
-    "kmeans_cluster_sizes",
-    # -- LRU refill to the 50-slot window: the queries whose latest
-    #    driver sample is OLDEST (r1 vintage first, then the r3 block
-    #    in artifact order) — rotating external coverage through the
-    #    long tail while every oracle still runs locally each session --
-    "bigram_frequencies",
-    "containment_near_dups",
-    "doc_fingerprints",
-    "exact_dedup",
-    "token_counts",
+    "image_ahash_dups",
+    # -- LRU refill to the 50-slot window: the 44 queries whose latest
+    #    driver sample is OLDEST (the r1-sampled straggler first, then
+    #    the r3 block in artifact order) — rotating external coverage
+    #    through the long tail while every oracle still runs locally
+    #    each session.  Max-staleness bound after this window runs:
+    #    exactly TWO registered queries ('window_received' and
+    #    'value_props_correlation' — the r3 pool is 46 deep, two more
+    #    than the refill slots) remain with an r3-vintage latest sample;
+    #    every other query's latest external check is r4+.
+    #    tests/test_registry_rotation.py pins the bound; round 11's
+    #    refill starts with those two. -----------------------------------
+    "token_frequencies",
+    "above_threshold_windows",
+    "balance_per_wallet",
+    "check_all",
+    "check_many",
+    "check_one",
+    "check_one_unknown",
+    "customer_balance_quartiles",
+    "customers_with_orders",
+    "customers_without_orders",
+    "decode_props",
+    "deposit_history_flat",
+    "deposit_history_sizes",
+    "distinct_parts_per_flag",
+    "doc_quality_metrics",
+    "doc_quality_scores",
+    "events_hourly",
+    "flag_events",
+    "grouping_sets_revenue",
+    "hot_windows",
+    "lang_id",
+    "lang_id_confusion",
+    "lapsed_customers",
+    "late_ship_priority_counts",
+    "latest_flag",
+    "manual_override",
+    "negate_withdrawals",
+    "order_price_percentiles",
+    "pb_roundtrip_deposits",
+    "pb_roundtrip_history",
+    "pivot_status_by_priority",
+    "point_lookup",
+    "project_deposit",
+    "repeat_customers",
+    "rollup_returns",
+    "scalar_functions",
+    "session_window_stats",
+    "shipmode_priority_counts",
+    "token_entropy",
+    "top3_customers_per_segment",
+    "tpch_q1",
+    "unpivot_lineitem_measures",
+    "user_sessions",
+    "value_histogram",
 )
 
 

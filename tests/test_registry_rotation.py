@@ -89,69 +89,56 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round9_changed_queries_are_prioritized():
-    """Queries whose implementation or oracle changed in round 9 (the
-    shared capped co-purchase edge builder behind the four graph
-    queries + basket_part_pairs; kmeans_cluster_sizes' pinned-artifact
-    rewrite) must sit in the driver window so the change is re-verified
-    by the external gate, not only locally."""
+def test_round10_changed_queries_are_prioritized():
+    """Queries whose implementation or oracle changed in round 10 (the
+    four r9-ADVICE fixes + the integer-exact aHash rewrite that made
+    image_ahash_dups oracle-backed) must sit in the driver window so
+    the change is re-verified by the external gate, not only locally."""
     changed = {
-        "copurchase_communities", "copurchase_triangles",
-        "copurchase_kcore", "copurchase_link_prediction",
-        "basket_part_pairs", "kmeans_cluster_sizes",
+        "retrieval_eval_at_k", "brier_decomposition",
+        "copurchase_bfs_hops", "image_ahash_dups",
     }
-    # Window arithmetic: 39 never-sampled round-9 additions + these 6
-    # pins + 5 LRU refill slots (r1/r3-vintage queries the driver has
-    # not re-checked since, rotating external coverage through the long
-    # tail) = 50.  All remain sim-verified locally every session.
+    # Window arithmetic: 2 never-sampled round-10 additions + these 4
+    # pins + 44 LRU refill slots = 50.  All remain sim-verified locally
+    # every session.
     assert changed <= set(list(R.QUERIES)[:50])
 
 
 def test_never_driver_sampled_queries_lead_the_window():
     """Queries no driver round has ever sampled must sit at the very
-    front of the window.  r1-r8 union coverage is 246/246 of the r8
-    registry (the r8 window WAS the never-sampled set), so the
-    never-sampled set entering round 9 is exactly the round-9
-    additions."""
-    never = [
-        "retrieval_eval_at_k",
-        "kaplan_meier_conversion",
-        "fleiss_kappa_panel",
-        "brier_decomposition",
-        "png_decode_stats",
-        "copurchase_bfs_hops",
-        "copurchase_degree_ccdf",
-        "events_profile",
-        "orders_pk_audit",
-        "weighted_sample_topk",
-        "rolling_7d_active_users",
-        "anova_value_by_type",
-        "nelson_aalen_conversion",
-        "vocab_growth_heaps",
-        "ann_recall_ivf",
-        "calibration_curve",
-        "token_pmi_topv",
-        "doc_ngram_novelty",
-        "user_value_time_decay",
-        "user_event_entropy",
-        "logrank_test_conversion",
-        "ols_value_hour_dow",
-        "pinball_loss_backtest",
-        "copurchase_modularity",
-        "hits_user_part",
-        "changepoint_daily_value",
-        "source_ngram_overlap_matrix",
-        "cohort_ltv_matrix",
-        "max_drawdown_daily",
-        "missing_hours_report",
-        "isotonic_calibration",
-        "classifier_gains_table",
-        "classifier_ks",
-        "copurchase_clustering_coeff",
-        "ship_latency_by_priority",
-        "discount_effect_profile",
-        "order_size_histogram",
-        "lineitem_dq_checks",
-        "holt_winters_daily_value",
-    ]
+    front of the window.  r1-r9 union coverage is 285/285 of the r9
+    registry (verified in the r9 verdict), so the never-sampled set
+    entering round 10 is exactly the round-10 additions."""
+    never = ["jpeg_decode_stats", "hard_negative_pairs_ivf"]
     assert list(R.QUERIES)[: len(never)] == never
+
+
+def test_max_staleness_bound():
+    """Verdict r9 #7: now that every query has been driver-sampled at
+    least once, the LRU refill must BOUND how stale any query's latest
+    external check can get.  Pin the r10 bound: after this round's
+    window runs, at most TWO registered queries (window_received and
+    value_props_correlation — the r3 pool is two deeper than the 44
+    refill slots) still have a latest sample older than round 4;
+    everything else outside the window was sampled r4+.  Computed from the recorded driver artifacts, so a
+    future window edit that silently lets the tail age fails here."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for name in json.load(open(f)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    if not latest:  # fresh checkout without artifacts: nothing to pin
+        return
+    window = set(R.SAMPLE_PRIORITY)
+    stale = sorted(
+        n for n in R.QUERIES
+        if n not in window and latest.get(n, 0) <= 3
+    )
+    assert set(stale) <= {"window_received", "value_props_correlation"}, (
+        f"queries outside the window with latest driver sample <= r3: "
+        f"{stale} — the LRU refill must rotate these in"
+    )
