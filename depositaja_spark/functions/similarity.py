@@ -701,6 +701,66 @@ def hard_negative_pairs_ivf(
     )
 
 
+def semdedup_sqrt_cells(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over a √N-cell partition — the SCALE-PATH sibling of
+    ``semdedup`` with a pinned k-means model (the r10 sweep's worst
+    ratio: O(N²/k) at fixed k measured ×19 under 10× data; with
+    C = ⌈√N⌉ cells, expected within-cell pairs are O(N·√N) and the
+    partition keeps pace with the corpus).
+
+    Cells are the first C corpus rows at id ≥ 10 ranked by rounded
+    cosine (the deterministic, oracle-replayable convention shared with
+    ``hard_negative_pairs_ivf`` / ``ann_topk_ivf`` — NOT a k-means fit,
+    so no artifact to version; the tradeoff is k-means-quality cells vs
+    a partition that needs zero training and scales automatically).
+    The keep rule is semdedup's: a vector is dropped iff some lower-id
+    vector in the same cell has cosine ≥ τ.  Returns (id, cell, keep)."""
+    import math
+
+    from depositaja_spark.functions.cache import tracked_persist as _tp
+
+    n = corpus.count()
+    if n == 0:
+        return (
+            corpus.select(id_col)
+            .limit(0)
+            .withColumn("cell", F.lit(0).cast("long"))
+            .withColumn("keep", F.lit(True))
+        )
+    n_cells = max(1, math.isqrt(n - 1) + 1)  # ceil(sqrt(n))
+    cell_ids = list(range(10, 10 + n_cells))
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col, cell_ids=cell_ids)
+    ranked = _ranked_cells_udf(cids, cents)
+    assigned = _tp(
+        corpus.withColumn("cell", ranked(F.col(vec_col)).getItem(0)).select(
+            id_col, "cell"
+        )
+    )
+    u = unit_vectors(corpus, id_col, vec_col)
+    cu = _tp(assigned.join(u, id_col).select("cell", F.col(id_col).alias("id"), "unit"))
+    a = cu.select("cell", F.col("id").alias("a_id"), F.col("unit").alias("ua"))
+    b = cu.select("cell", F.col("id").alias("b_id"), F.col("unit").alias("ub"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("hit", F.lit(True)), id_col, "left_outer"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("hit"), F.lit(True)).alias("keep"),
+    )
+
+
 #: banded-SRP near-dup constants: 18 anchor hyperplanes (corpus rows, so
 #: the DuckDB oracle reproduces them), split into 6 bands of 3 bits.
 #: Pigeonhole: two signatures within Hamming distance ≤ bands-1 = 5 agree

@@ -791,6 +791,63 @@ def q_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_SQRT_COS = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)
+"""
+
+
+@query(
+    "semdedup_sqrt_cells",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id >= 10
+                AND vec_id < 10 + (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                                   FROM embeddings)),
+cell_scores AS (
+  SELECT e.vec_id, c.cid,
+         {_SEMDEDUP_SQRT_COS.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, cid AS cell FROM cell_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+),
+u AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_inner_product(
+                                embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+      FROM embeddings),
+cu AS (SELECT asg.vec_id AS id, asg.cell, u.unit
+       FROM asg JOIN u USING (vec_id)),
+dropped AS (SELECT DISTINCT b.id AS vec_id
+            FROM cu a JOIN cu b ON a.cell = b.cell AND a.id < b.id
+            WHERE round(list_inner_product(a.unit, b.unit), 6)
+                  >= {_SEMDEDUP_THRESHOLD})
+SELECT asg.vec_id, asg.cell, (dropped.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dropped USING (vec_id)
+""",
+)
+def q_semdedup_sqrt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a √N-cell partition — the registered SCALE PATH for
+    the pinned-model `semantic_cluster_dedup` (the r10 full-registry
+    sweep's worst ratio: ×19 at 10× data, O(N²/k) at fixed k=8; the
+    k∝N discipline restores linearity).  C = ⌈√N⌉ deterministic cells
+    (first C corpus rows at id ≥ 10, rounded-cosine assignment with the
+    smallest-cid tie-break — the same oracle-replayable convention as
+    ann_topk_ivf / hard_negative_pairs_ivf), then semdedup's within-cell
+    lower-id cosine ≥ τ drop rule
+    (functions/similarity.py:semdedup_sqrt_cells)."""
+    return sim.semdedup_sqrt_cells(
+        load_table(spark, sf_dir, "embeddings"), threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
 # --- DSIR: hashed n-gram importance weights ----------------------------------
 #
 # Data Selection via Importance Resampling (Xie et al. 2023): estimate

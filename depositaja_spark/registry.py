@@ -591,6 +591,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-10 additions never driver-sampled --------------------------
     "jpeg_decode_stats",
     "hard_negative_pairs_ivf",
+    "semdedup_sqrt_cells",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -601,14 +602,15 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "brier_decomposition",
     "copurchase_bfs_hops",
     "image_ahash_dups",
-    # -- LRU refill to the 50-slot window: the 44 queries whose latest
+    # -- LRU refill to the 50-slot window: the 43 queries whose latest
     #    driver sample is OLDEST (the r1-sampled straggler first, then
     #    the r3 block in artifact order) — rotating external coverage
     #    through the long tail while every oracle still runs locally
     #    each session.  Max-staleness bound after this window runs:
-    #    exactly TWO registered queries ('window_received' and
-    #    'value_props_correlation' — the r3 pool is 46 deep, two more
-    #    than the refill slots) remain with an r3-vintage latest sample;
+    #    exactly THREE registered queries ('window_received',
+    #    'value_props_correlation', 'value_histogram' — the r3 pool is
+    #    46 deep, three more than the refill slots) remain with an
+    #    r3-vintage latest sample;
     #    every other query's latest external check is r4+.
     #    tests/test_registry_rotation.py pins the bound; round 11's
     #    refill starts with those two. -----------------------------------
@@ -655,7 +657,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "tpch_q1",
     "unpivot_lineitem_measures",
     "user_sessions",
-    "value_histogram",
 )
 
 

@@ -340,7 +340,7 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "copurchase_clustering_coeff", "ship_latency_by_priority",
         "discount_effect_profile", "order_size_histogram",
         "holt_winters_daily_value", "jpeg_decode_stats", "image_ahash_dups",
-        "hard_negative_pairs_ivf",
+        "hard_negative_pairs_ivf", "semdedup_sqrt_cells",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 

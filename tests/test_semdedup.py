@@ -140,3 +140,74 @@ def test_pinned_centroids_skip_the_fit_and_match_bruteforce(spark, emb):
             if cos >= 0.4:
                 dropped.add(b)
     assert {i for i, (_, k) in out.items() if not k} == dropped
+
+
+def test_sqrt_cells_keep_rule_matches_bruteforce(spark):
+    """semdedup_sqrt_cells (the r10 scale path for the pinned-model
+    query) must satisfy the semdedup keep rule within ITS cells: a
+    vector is dropped iff some lower-id same-cell vector has rounded
+    cosine >= tau — verified by a pure-Python brute force over the
+    collected assignment."""
+    import math
+
+    from depositaja_spark import registry
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.vec_id: (r.cell, r.keep)
+        for r in registry.QUERIES["semdedup_sqrt_cells"](spark, sf).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    release_caches()
+    assert len(out) == len(vecs)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    units = {i: unit(v) for i, v in vecs.items()}
+    by_cell: dict = {}
+    for i, (cell, _k) in out.items():
+        by_cell.setdefault(cell, []).append(i)
+    for cell, members in by_cell.items():
+        members.sort()
+        for idx, b in enumerate(members):
+            want_drop = any(
+                round(sum(x * y for x, y in zip(units[a], units[b])), 6) >= 0.4
+                for a in members[:idx]
+            )
+            assert out[b][1] == (not want_drop), (cell, b)
+
+
+def test_sqrt_cells_clone_collapses(spark, tmp_path):
+    """An exact clone of an existing vector lands in the same cell
+    (identical rounded cosines, same tie-break) and is dropped — the
+    dedup guarantee the partition must never break."""
+    import pandas as pd
+
+    from depositaja_spark import registry
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.sources import load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .limit(200)
+        .toPandas()
+    )
+    clone = base.iloc[[5]].copy()
+    clone["vec_id"] = 99_999
+    pd.concat([base, clone]).to_parquet(tmp_path / "embeddings.parquet")
+    out = {
+        r.vec_id: r
+        for r in registry.QUERIES["semdedup_sqrt_cells"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    release_caches()
+    assert out[99_999].cell == out[5].cell
+    assert out[5].keep and not out[99_999].keep
