@@ -169,3 +169,60 @@ def test_truncated_stream_raises():
     raw = encode_jpeg(img, quality=None)
     with pytest.raises(Exception):
         _decode_jpeg(raw[: len(raw) // 2])
+
+
+# --- hypothesis fuzz: the Huffman/bitstream path -----------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h8=st.integers(1, 4),
+        w8=st.integers(1, 4),
+        channels=st.sampled_from([1, 3]),
+        quality=st.sampled_from([None, 95, 75, 40, 5]),
+        seed=st.integers(0, 2**32 - 1),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def test_fuzz_roundtrip_never_crashes_and_bounded(
+        h8, w8, channels, quality, seed, rst
+    ):
+        """Any 8-multiple geometry × channel count × quality × restart
+        interval × random content must encode to a decodable stream with
+        the right shape; at quant=None the error bound is the rounding
+        bound (gray ±1; color ±6 through YCbCr)."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (8 * h8, 8 * w8, channels)).astype(np.uint8)
+        raw = encode_jpeg(img, quality=quality, restart_interval=rst)
+        h, w, c, out = _decode_jpeg(raw)
+        assert (h, w, c) == img.shape
+        if quality is None:
+            bound = 1 if channels == 1 else 6
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h16=st.integers(1, 3),
+        w16=st.integers(1, 3),
+        quality=st.sampled_from([None, 85, 30]),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def test_fuzz_420_roundtrip(h16, w16, quality, seed):
+        """4:2:0 MCU interleave at any 16-multiple geometry: decodable,
+        right shape, and exact for R=G=B constant-block content."""
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 256, (2 * h16) * (2 * w16))
+        img = np.repeat(
+            np.repeat(vals.reshape(2 * h16, 2 * w16), 8, 0), 8, 1
+        ).astype(np.uint8)
+        img = np.repeat(img[..., None], 3, axis=2)
+        raw = encode_jpeg(img, quality=quality, subsample=True)
+        h, w, c, out = _decode_jpeg(raw)
+        assert (h, w, c) == img.shape
+        if quality is None:
+            assert np.array_equal(out, img)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
