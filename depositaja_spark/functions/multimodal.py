@@ -954,6 +954,73 @@ def _decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
     return rate, nch, x[: n * nch].reshape(n, nch)
 
 
+#: integer-exact PCM stats: the oracle-parity reduction of a decode
+#: (float features like RMS stay in audio_features; these columns are
+#: exact ints so a DuckDB oracle recomputes them straight from bytes)
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sq_sum", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+    ]
+)
+
+
+def audio_pcm_stats(payload_df: DataFrame) -> DataFrame:
+    """Integer-exact per-payload PCM stats THROUGH the decoder: payloads
+    decode via ``_decode_wav`` (RIFF chunk walk + normalization), the
+    normalized floats are mapped back to centered integer samples
+    (exact: 8-bit normalization divides by 128, a power of two), and the
+    stats — sample count, Σs², sign changes, max|s| — are integers a SQL
+    oracle can recompute straight from the raw bytes.  A value match
+    therefore proves the RIFF parse and PCM normalization byte-exact on
+    real data (the audio twin of png/jpeg_decode_stats)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_STATS_SCHEMA.fields}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, nch, x = _decode_wav(bytes(raw))
+                mono = x[:, 0] if nch == 1 else x.mean(axis=1)
+                s = np.round(mono * 128.0).astype(np.int64)  # exact for 8-bit
+                neg = s < 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["sq_sum"].append(int((s * s).sum()))
+                out["zero_crossings"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+                )
+                out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(out)
+
+    return payload_df.select("doc_id", "payload").mapInPandas(
+        per_batch, AUDIO_STATS_SCHEMA
+    )
+
+
+def wav_header_pcm8(n_samples: int, rate: int = 8000) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for 8-bit mono PCM — constant
+    for a fixed payload size, so queries can build WAV payloads fully
+    JVM-side (lit(header) ++ body bytes)."""
+    return (
+        b"RIFF"
+        + (36 + n_samples).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate (1 B/sample)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits
+        + b"data"
+        + n_samples.to_bytes(4, "little")
+    )
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

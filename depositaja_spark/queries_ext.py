@@ -1440,6 +1440,127 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAV_STATS_SQL = """
+WITH hx AS (
+  SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '20') AS h
+  FROM documents
+),
+byt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) - 128 AS s
+  FROM (SELECT doc_id, h, unnest(range(0, 192)) AS i FROM hx)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS sq_sum,
+       CAST(sum(CASE WHEN i > 0 AND (s < 0) != (lag_s < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs
+FROM (SELECT doc_id, i, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS lag_s
+      FROM byt)
+GROUP BY doc_id
+"""
+
+
+@query("wav_decode_stats", _WAV_STATS_SQL)
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM WAV round-trip with a FULL value oracle — the audio twin of
+    png/jpeg_decode_stats, making every multimodal DECODE family
+    oracle-backed: each document's first 192 text bytes become the
+    sample data of a real 8-bit mono RIFF/WAVE payload (the 44-byte
+    header is a constant — built JVM-side with lit ++ concat, no
+    Python), decoded back by the vendored RIFF/PCM decoder
+    (``functions/multimodal.py:_decode_wav``: chunk walk + unsigned-8
+    normalization) and reduced to INTEGER-exact stats (count, Σs², sign
+    changes, max|s| over centered samples s = b−128) that the DuckDB
+    oracle recomputes straight from the document bytes.  8-bit
+    normalization divides by 128 — a power of two — so mapping the
+    decoded floats back to integers is exact and the whole parse path
+    is proven byte-exact per driver run.  Scale shape: decode+stats is
+    one Arrow-batched kernel inside the scan projection — zero
+    shuffles."""
+    from depositaja_spark.functions.multimodal import (
+        audio_pcm_stats,
+        wav_header_pcm8,
+    )
+
+    docs = _docs(spark, sf_dir)
+    body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit(bytearray(wav_header_pcm8(192))), body).alias("payload"),
+    )
+    return audio_pcm_stats(payloads)
+
+
+#: y4m render geometry: 192 doc bytes = 6 mono 8×4 frames of 32 bytes
+_Y4M_FRAME_BYTES = 32
+_Y4M_EVERY_N = 2
+
+_Y4M_STATS_SQL = f"""
+WITH hx AS (
+  SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '20') AS h
+  FROM documents
+),
+byt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) AS v
+  FROM (SELECT doc_id, h, unnest(range(0, 192)) AS i FROM hx)
+)
+SELECT doc_id,
+       CAST(i // {_Y4M_FRAME_BYTES} AS INT) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS f_sum,
+       CAST(min(v) AS BIGINT) AS f_min,
+       CAST(max(v) AS BIGINT) AS f_max
+FROM byt
+WHERE (i // {_Y4M_FRAME_BYTES}) % {_Y4M_EVERY_N} = 0
+GROUP BY doc_id, frame_idx
+"""
+
+
+@query("y4m_frame_stats", _Y4M_STATS_SQL)
+def q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YUV4MPEG2 frame sampling with a FULL value oracle — the video twin
+    of png/jpeg/wav_decode_stats, completing the multimodal decode
+    family's oracle coverage: each document's first 192 text bytes
+    become 6 mono 8×4 frames of a real y4m stream (ASCII stream header +
+    FRAME markers, assembled JVM-side with lit ++ substring ++ concat),
+    every 2nd frame is sampled through the vendored demuxer
+    (``functions/multimodal.py:_demux_y4m`` — header parse, frame-size
+    arithmetic, offset skipping), and each SAMPLED frame reduces to
+    integer stats (Σ/min/max of its bytes) via JVM-side hex extraction —
+    which the DuckDB oracle recomputes straight from the document bytes,
+    proving the demux offsets and sampling stride byte-exact per driver
+    run.  Scale shape: demux is an Arrow-batched flatMap (unsampled
+    frames skipped by offset arithmetic, bytes never copied), the stats
+    fold is codegen'd array arithmetic — zero shuffles."""
+    docs = _docs(spark, sf_dir)
+    # byte-level truncate/pad (see image_ahash_dups), then slice per frame
+    body = "rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')"
+    hdr = F.lit(bytearray(b"YUV4MPEG2 W8 H4 F25:1 Ip A1:1 Cmono\n"))
+    pieces = [hdr]
+    for f in range(6):
+        pieces.append(F.lit(bytearray(b"FRAME\n")))
+        pieces.append(
+            F.expr(
+                f"substring({body}, {f * _Y4M_FRAME_BYTES + 1}, {_Y4M_FRAME_BYTES})"
+            )
+        )
+    payloads = docs.select("doc_id", F.concat(*pieces).alias("payload"))
+    sampled = mm.frame_sample(payloads, every_n=_Y4M_EVERY_N)
+    barr = (
+        f"transform(sequence(0, {_Y4M_FRAME_BYTES - 1}),"
+        " p -> CAST(conv(substring(hex(frame), 2 * p + 1, 2), 16, 10) AS BIGINT))"
+    )
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(f"aggregate({barr}, 0L, (acc, x) -> acc + x)").alias("f_sum"),
+        F.expr(f"array_min({barr})").alias("f_min"),
+        F.expr(f"array_max({barr})").alias("f_max"),
+    )
+
+
 # --- faithful stateful detector (streaming semantics, batch replay) -----------
 
 

@@ -592,6 +592,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "jpeg_decode_stats",
     "hard_negative_pairs_ivf",
     "semdedup_sqrt_cells",
+    "wav_decode_stats",
+    "y4m_frame_stats",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -602,14 +604,15 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "brier_decomposition",
     "copurchase_bfs_hops",
     "image_ahash_dups",
-    # -- LRU refill to the 50-slot window: the 43 queries whose latest
+    # -- LRU refill to the 50-slot window: the 41 queries whose latest
     #    driver sample is OLDEST (the r1-sampled straggler first, then
     #    the r3 block in artifact order) — rotating external coverage
     #    through the long tail while every oracle still runs locally
     #    each session.  Max-staleness bound after this window runs:
-    #    exactly THREE registered queries ('window_received',
-    #    'value_props_correlation', 'value_histogram' — the r3 pool is
-    #    46 deep, three more than the refill slots) remain with an
+    #    exactly FIVE registered queries ('window_received',
+    #    'value_props_correlation', 'value_histogram',
+    #    'unpivot_lineitem_measures', 'user_sessions' — the r3 pool is
+    #    46 deep, five more than the refill slots) remain with an
     #    r3-vintage latest sample;
     #    every other query's latest external check is r4+.
     #    tests/test_registry_rotation.py pins the bound; round 11's
@@ -655,8 +658,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "token_entropy",
     "top3_customers_per_segment",
     "tpch_q1",
-    "unpivot_lineitem_measures",
-    "user_sessions",
 )
 
 
