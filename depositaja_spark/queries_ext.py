@@ -1207,6 +1207,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE_OK.add("multimodal_features")
 
 
+_PAYLOAD_HIST_SQL = """
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+byt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) % 16
+           AS bin_idx
+  FROM (SELECT doc_id, h, unnest(range(0, len(h) // 2)) AS i FROM hx)
+),
+counts AS (SELECT doc_id, bin_idx, CAST(count(*) AS BIGINT) AS n
+           FROM byt GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, g.bin_idx
+         FROM (SELECT DISTINCT doc_id FROM hx) d
+         CROSS JOIN (SELECT unnest(range(0, 16)) AS bin_idx) g),
+tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY 1)
+SELECT grid.doc_id, CAST(grid.bin_idx AS INT) AS bin_idx,
+       coalesce(counts.n, 0) AS n, tot.total
+FROM grid
+LEFT JOIN counts USING (doc_id, bin_idx)
+JOIN tot ON tot.doc_id = grid.doc_id
+"""
+
+
+@query("payload_byte_histogram", _PAYLOAD_HIST_SQL)
+def q_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTEGER-exact, oracle-backed twin of multimodal_features,
+    routed through the SAME Arrow-batched ``extract_features`` kernel:
+    the kernel's normalized features are value = round(n/total, 6), so
+    the exact integer count recovers as n = HALF_UP(value·total) —
+    error ≤ 5e-7·total ≪ 0.5 for any document under a megabyte — and
+    DuckDB recomputes every (count, total) cell straight from the
+    document bytes.  The driver therefore value-checks the payload
+    plumbing end to end (attach_payload byte fidelity, Arrow transfer,
+    bincount kernel, dense 16-bin grid); multimodal_features itself
+    stays the float feature-vector stand-in (rows-only: its normalized
+    round() can sit on representable ties)."""
+    payloads = mm.attach_payload(_docs(spark, sf_dir))
+    feats = mm.extract_features(payloads)
+    meta = payloads.select(
+        "doc_id", F.col("media_meta.byte_len").alias("total")
+    )
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bin_idx", "value"))
+        .join(meta, "doc_id")
+        .select(
+            "doc_id",
+            "bin_idx",
+            F.round(F.col("value") * F.col("total"), 0).cast("long").alias("n"),
+            "total",
+        )
+    )
+
+
 _AHASH_MAX_HAMMING = 6
 
 #: full relational twin of the decode→aHash→hamming-join pipeline: the

@@ -594,6 +594,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "semdedup_sqrt_cells",
     "wav_decode_stats",
     "y4m_frame_stats",
+    "payload_byte_histogram",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -604,16 +605,17 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "brier_decomposition",
     "copurchase_bfs_hops",
     "image_ahash_dups",
-    # -- LRU refill to the 50-slot window: the 41 queries whose latest
+    # -- LRU refill to the 50-slot window: the 40 queries whose latest
     #    driver sample is OLDEST (the r1-sampled straggler first, then
     #    the r3 block in artifact order) — rotating external coverage
     #    through the long tail while every oracle still runs locally
     #    each session.  Max-staleness bound after this window runs:
-    #    exactly FIVE registered queries ('window_received',
+    #    exactly SIX registered queries ('window_received',
     #    'value_props_correlation', 'value_histogram',
-    #    'unpivot_lineitem_measures', 'user_sessions' — the r3 pool is
-    #    46 deep, five more than the refill slots) remain with an
-    #    r3-vintage latest sample;
+    #    'unpivot_lineitem_measures', 'user_sessions', 'tpch_q1' — the
+    #    r3 pool is 46 deep, six more than the refill slots) remain
+    #    with an r3-vintage latest sample (tpch_q1 additionally runs in
+    #    every recorded bench, so external evidence of it is fresh);
     #    every other query's latest external check is r4+.
     #    tests/test_registry_rotation.py pins the bound; round 11's
     #    refill starts with those two. -----------------------------------
@@ -657,7 +659,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "shipmode_priority_counts",
     "token_entropy",
     "top3_customers_per_segment",
-    "tpch_q1",
 )
 
 

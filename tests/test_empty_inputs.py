@@ -341,7 +341,7 @@ def test_round9_queries_empty_tables(spark, tmp_path):
         "discount_effect_profile", "order_size_histogram",
         "holt_winters_daily_value", "jpeg_decode_stats", "image_ahash_dups",
         "hard_negative_pairs_ivf", "semdedup_sqrt_cells",
-        "wav_decode_stats", "y4m_frame_stats",
+        "wav_decode_stats", "y4m_frame_stats", "payload_byte_histogram",
     ]:
         assert registry.QUERIES[name](spark, d).count() == 0, name
 
