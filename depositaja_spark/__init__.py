@@ -37,5 +37,6 @@ from depositaja_spark import queries_curate  # noqa: E402,F401
 from depositaja_spark import queries_temporal  # noqa: E402,F401
 from depositaja_spark import queries_sketch  # noqa: E402,F401
 from depositaja_spark import queries_ml  # noqa: E402,F401
+from depositaja_spark import queries_gov  # noqa: E402,F401
 
 registry._apply_sample_priority()

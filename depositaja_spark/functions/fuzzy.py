@@ -34,10 +34,16 @@ the first 100× saved.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edit_distance_pairs"]
+__all__ = [
+    "JW_MAX_BLOCK",
+    "edit_distance_pairs",
+    "jaro_winkler_pairs",
+    "jaro_winkler_udf",
+]
 
 
 def edit_distance_pairs(
@@ -116,4 +122,116 @@ def edit_distance_pairs(
             F.col("sb").alias("name_b"),
             "dist",
         )
+    )
+
+
+def jaro_winkler_udf():
+    """Arrow-batched Jaro-Winkler similarity (p=0.1, prefix ≤ 4, boost
+    threshold 0.7 — the textbook parameterization DuckDB's
+    ``jaro_winkler_similarity`` also uses, verified value-identical on
+    the fixture corpus + the published Winkler test vectors).  Two-empty
+    -strings returns 0.0, matching DuckDB's convention.  A pandas UDF
+    because the matching/transposition scan has no builtin-expression
+    form; it runs on the block-join's candidate sliver only, never the
+    pair space."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw(s1: str, s2: str) -> float:
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        if s1 == s2:
+            return 1.0
+        match_dist = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        m = 0
+        for i, c in enumerate(s1):
+            lo = 0 if i <= match_dist else i - match_dist
+            hi = min(l2, i + match_dist + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+        if j <= 0.7:
+            return j
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        return j + pre * 0.1 * (1.0 - j)
+
+    @pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jw(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        )
+
+    return jw
+
+
+#: blocks larger than this are dropped before the within-block pair join
+#: (the cap_baskets discipline: a hot prefix must not inject |block|²
+#: candidate pairs; the oracle mirrors the identical cut)
+JW_MAX_BLOCK = 10_000
+
+
+def jaro_winkler_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_col: str = "q",
+    c_col: str = "c",
+    threshold: float = 0.9,
+    block_prefix: int = 2,
+    max_block: int = JW_MAX_BLOCK,
+) -> DataFrame:
+    """Blocked Jaro-Winkler record linkage: match every distinct query
+    string against every distinct corpus string sharing its first
+    ``block_prefix`` characters (the standard ER blocking key — JW's
+    Winkler boost already privileges shared prefixes, so prefix blocks
+    lose only pairs the scorer itself down-weights), keep matches with
+    similarity ≥ ``threshold``.  Returns ``(query_name, match_name,
+    jw)``.  Keyed equi-join on the block, never a cartesian; blocks
+    above ``max_block`` corpus strings are dropped whole (hot-prefix
+    skew guard, mirrored by the oracle)."""
+    jw = jaro_winkler_udf()
+    qd = (
+        queries.select(F.col(q_col).alias("query_name"))
+        .where(F.col("query_name").isNotNull())
+        .distinct()
+        .withColumn("blk", F.substring("query_name", 1, block_prefix))
+    )
+    cd = (
+        corpus.select(F.col(c_col).alias("match_name"))
+        .where(F.col("match_name").isNotNull())
+        .distinct()
+        .withColumn("blk", F.substring("match_name", 1, block_prefix))
+    )
+    kept_blocks = (
+        cd.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_block)
+        .select("blk")
+    )
+    return (
+        qd.join(kept_blocks, "blk")
+        .join(cd, "blk")
+        .withColumn("jw", jw(F.col("query_name"), F.col("match_name")))
+        .filter(F.col("jw") >= F.lit(threshold))
+        .select("query_name", "match_name", F.round("jw", 6).alias("jw"))
     )

@@ -288,6 +288,7 @@ def copurchase_edges(
     li: DataFrame,
     min_support: int = 2,
     max_basket: int | None = None,
+    keep_support: bool = False,
 ) -> DataFrame:
     """The part co-purchase graph from a lineitem frame: one undirected
     edge ``(u, v)`` with ``u < v`` per part pair co-ordered in at least
@@ -319,17 +320,23 @@ def copurchase_edges(
     d = cap_baskets(d, "ok", max_basket)
     a = d.select("ok", F.col("p").alias("u"))
     b = d.select("ok", F.col("p").alias("v"))
-    return (
+    out = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= F.lit(min_support))
-        .select("u", "v")
     )
+    if keep_support:
+        return out.select("u", "v", "support")
+    return out.select("u", "v")
 
 
-def copurchase_edges_sql(min_support: int = 2, max_basket: int | None = None) -> str:
+def copurchase_edges_sql(
+    min_support: int = 2,
+    max_basket: int | None = None,
+    keep_support: bool = False,
+) -> str:
     """DuckDB oracle twin of :func:`copurchase_edges` — a single
     embeddable SELECT (no WITH, so callers can wrap it as a CTE body)
     with the identical capped semantics: distinct (order, part) rows,
@@ -339,7 +346,8 @@ def copurchase_edges_sql(min_support: int = 2, max_basket: int | None = None) ->
 
     if max_basket is None:
         max_basket = MINING_MAX_BASKET
-    return f"""SELECT a.p AS u, b.p AS v
+    support_col = ",\n       count(*) AS support" if keep_support else ""
+    return f"""SELECT a.p AS u, b.p AS v{support_col}
   FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) a
   JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) b
     ON a.ok = b.ok AND a.p < b.p
@@ -865,4 +873,112 @@ SELECT k AS n_communities, m AS n_edges, i AS intra_edges,
 FROM s2 CROSS JOIN mm CROSS JOIN intra
 WHERE m > 0
 """
+    )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "u",
+    dst_col: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths over an undirected INTEGER-weighted
+    edge frame: ``rounds`` synchronous Bellman-Ford relaxations (each
+    round relaxes every edge once, so round k holds exact shortest
+    distances among paths of ≤ k edges — the bounded-round contract
+    that makes the chained-CTE oracle exact).  ``seeds`` is a 1-column
+    ``node`` frame at distance 0.  Returns (node, dist) for every node
+    reached within the bound; integer weights keep every distance
+    exact (no float min/plus ambiguity between engines).
+
+    Scale shape: per round ONE dist⋈edges keyed join + one min-agg —
+    keyed shuffles only, state is the reached frame (≤|V| rows).  Each
+    round ends in one job: the dist frame is localCheckpoint-ed with
+    the previous round's blocks retired (the bfs_hops discipline), and
+    the same action observes convergence via an exact (count, sum)
+    signature — once reached, remaining rounds are no-ops the oracle's
+    unroll also performs."""
+    from depositaja_spark.functions.cache import (
+        pinned_rdd_ids,
+        track_pinned_rdds,
+        unpersist_rdd_ids,
+    )
+
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    und = tracked_persist(
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+    )
+    before = pinned_rdd_ids(sc)
+    dist = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    ).localCheckpoint()
+    prev_ids = pinned_rdd_ids(sc) - before
+    sig_prev = (-1, -1)
+    for i in range(1, int(rounds) + 1):
+        obs = Observation(f"sssp_round_{i}")
+        round_before = pinned_rdd_ids(sc)
+        relaxed = (
+            und.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist").alias("s"),
+            )
+            .localCheckpoint()
+        )
+        sig = (int(obs.get["n"] or 0), int(obs.get["s"] or 0))
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = pinned_rdd_ids(sc) - round_before
+        dist = new_dist
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    track_pinned_rdds(sc, prev_ids)
+    return dist
+
+
+def sssp_oracle_sql(
+    edges_sql: str, seed_sql: str, rounds: int, out_node: str = "node"
+) -> str:
+    """DuckDB twin of ``weighted_sssp``: one relax CTE per round over
+    the same integer-weighted undirected expansion.  ``edges_sql``
+    yields (u, v, w); ``seed_sql`` selects a single ``node`` column."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT u, v, w FROM e"
+        " UNION ALL SELECT v AS u, u AS v, w FROM e)",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist"
+        f" FROM ({seed_sql}) WHERE node IS NOT NULL)",
+    ]
+    for i in range(1, int(rounds) + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (\n"
+            f"  SELECT node, min(dist) AS dist FROM (\n"
+            f"    SELECT node, dist FROM d{i - 1}\n"
+            f"    UNION ALL\n"
+            f"    SELECT und.v AS node, d{i - 1}.dist + und.w AS dist\n"
+            f"    FROM und JOIN d{i - 1} ON und.u = d{i - 1}.node\n"
+            f"  ) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS {out_node}, CAST(dist AS BIGINT) AS dist"
+        + f" FROM d{int(rounds)}"
     )

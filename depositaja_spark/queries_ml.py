@@ -1488,6 +1488,51 @@ def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted single-source shortest paths -----------------------------------
+
+_SSSP_ROUNDS = 5
+
+
+def _sssp_sql() -> str:
+    from depositaja_spark.functions.graph import sssp_oracle_sql
+
+    weighted = (
+        "SELECT u, v, greatest(1, 1000 // support) AS w FROM ("
+        + _copurchase_edges_sql(min_support=_TRI_MIN_SUPPORT, keep_support=True)
+        + ") se"
+    )
+    return sssp_oracle_sql(
+        weighted,
+        "SELECT min(u) AS node FROM e WHERE u IS NOT NULL",
+        _SSSP_ROUNDS,
+        out_node="part",
+    )
+
+
+@query("copurchase_weighted_sssp", _sssp_sql())
+def q_copurchase_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distance from the lowest-id part over the
+    co-purchase graph, edge cost = greatest(1, 1000 div support) —
+    strong co-purchases are short hops, so the distance ranks parts by
+    association strength along the best path, not just hop count (the
+    'related products' radius with affinity-weighted tiers).
+    {_SSSP_ROUNDS} synchronous Bellman-Ford rounds
+    (``functions/graph.py:weighted_sssp``): per round one keyed
+    dist⋈edges join + one min-agg, localCheckpoint-ed with block
+    retirement; INTEGER weights keep every distance exact on both
+    engines, and the bounded-round contract makes the chained-CTE
+    oracle an identical replay."""
+    from depositaja_spark.functions.graph import weighted_sssp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(
+        li, min_support=_TRI_MIN_SUPPORT, keep_support=True
+    ).withColumn("w", F.greatest(F.lit(1).cast("long"), F.expr("1000 div support")))
+    seeds = edges.agg(F.min("u").alias("node")).filter(F.col("node").isNotNull())
+    out = weighted_sssp(edges, seeds, rounds=_SSSP_ROUNDS)
+    return out.select(F.col("node").alias("part"), F.col("dist").cast("long").alias("dist"))
+
+
 @query(
     "copurchase_degree_ccdf",
     f"""

@@ -595,6 +595,18 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "wav_decode_stats",
     "y4m_frame_stats",
     "payload_byte_histogram",
+    # -- round-10 session-3 governance tier (never driver-sampled) --------
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "reident_risk_by_nation",
+    "readability_by_source",
+    "orders_open_by_month",
+    "textrank_keywords",
+    "embedding_outlier_scores",
+    "copurchase_weighted_sssp",
+    "snapshot_diff_orders",
+    "qi_generalization_levels",
+    "jw_name_matches",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -648,18 +660,16 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "negate_withdrawals",
     "order_price_percentiles",
     "pb_roundtrip_deposits",
-    "pb_roundtrip_history",
-    "pivot_status_by_priority",
-    "point_lookup",
-    "project_deposit",
-    "repeat_customers",
-    "rollup_returns",
-    "scalar_functions",
-    "session_window_stats",
-    "shipmode_priority_counts",
-    "token_entropy",
-    "top3_customers_per_segment",
 )
+# NOTE: the round-10 session-3 additions (governance tier, weighted
+# SSSP, snapshot diff, generalization ladder, JW linkage) displaced the
+# last ELEVEN refill slots (pb_roundtrip_history,
+# pivot_status_by_priority, point_lookup, project_deposit,
+# repeat_customers, rollup_returns, scalar_functions,
+# session_window_stats, shipmode_priority_counts, token_entropy,
+# top3_customers_per_segment) — those join the six documented r3
+# stragglers at the head of round 11's refill;
+# tests/test_registry_rotation.py pins the resulting staleness bound.
 
 
 def _apply_sample_priority() -> None:

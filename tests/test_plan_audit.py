@@ -170,6 +170,13 @@ CARTESIAN_OK = {
     # the ≤C(L,2)=10-row agreement frame; every corpus-sized shuffle is
     # keyed on doc_id
     "labeler_agreement_kappa",
+    # TextRank: the pagerank internals' N / dangling-mass scalars are the
+    # same 1-row broadcast cross joins as supplier_pagerank, onto the
+    # vocabulary-bounded node frame
+    "textrank_keywords",
+    # embedding outliers: the folded (μ⃗, σ⃗²) moment frame is a 1-row
+    # broadcast cross join onto the corpus scan (scalar-stats shape)
+    "embedding_outlier_scores",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

@@ -111,7 +111,14 @@ def test_never_driver_sampled_queries_lead_the_window():
     entering round 10 is exactly the round-10 additions."""
     never = ["jpeg_decode_stats", "hard_negative_pairs_ivf",
              "semdedup_sqrt_cells", "wav_decode_stats", "y4m_frame_stats",
-             "payload_byte_histogram"]
+             "payload_byte_histogram",
+             # round-10 session-3 governance tier + graph/lakehouse ops
+             "k_anonymity_audit", "l_diversity_audit",
+             "reident_risk_by_nation", "readability_by_source",
+             "orders_open_by_month", "textrank_keywords",
+             "embedding_outlier_scores", "copurchase_weighted_sssp",
+             "snapshot_diff_orders", "qi_generalization_levels",
+             "jw_name_matches"]
     assert list(R.QUERIES)[: len(never)] == never
 
 
@@ -144,7 +151,16 @@ def test_max_staleness_bound():
     )
     assert set(stale) <= {"window_received", "value_props_correlation",
                           "value_histogram", "unpivot_lineitem_measures",
-                          "user_sessions", "tpch_q1"}, (
+                          "user_sessions", "tpch_q1",
+                          # displaced from the r10 refill tail by the
+                          # session-3 governance additions (all r3-vintage;
+                          # they lead round 11's refill)
+                          "repeat_customers", "rollup_returns",
+                          "scalar_functions", "session_window_stats",
+                          "shipmode_priority_counts", "token_entropy",
+                          "top3_customers_per_segment",
+                          "pivot_status_by_priority", "point_lookup",
+                          "project_deposit", "pb_roundtrip_history"}, (
         f"queries outside the window with latest driver sample <= r3: "
         f"{stale} — the LRU refill must rotate these in"
     )
