@@ -426,3 +426,120 @@ SELECT 'hub' AS role, u AS id, round(CAST(s AS DOUBLE) / t * n, 6) AS score
 FROM h{k} CROSS JOIN nh
 """
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """PageRank over a WEIGHTED edge frame ``(src, dst, w)``; returns
+    ``(id, pr)`` with contributions proportional to edge weight
+    (out-strength normalization).  Semantically the multiset variant of
+    :func:`pagerank` with parallel edges pre-aggregated into counts —
+    the collapse is the point at scale: a corpus-sized co-occurrence
+    multiset becomes a vocabulary²-bounded frame BEFORE the iterations,
+    so each power-method round joins the small weighted graph instead
+    of re-scanning the corpus (one map-side-combined agg replaces k
+    multiset joins).  Same per-round localCheckpoint + block-retirement
+    discipline as the unweighted fold."""
+    d = float(damping)
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    e = tracked_persist(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(w_col).cast("double").alias("w"),
+        ).repartition("src")
+    )
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.sum("w").alias("deg"))
+    )
+    ncnt = tracked_persist(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    e.count()
+    outdeg.count()
+    ncnt.count()
+
+    before = pinned_rdd_ids(sc)
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+    prev_ids = pinned_rdd_ids(sc) - before
+
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("deg")).alias("c"))
+        )
+        dangling = ranks.join(
+            outdeg, ranks["id"] == outdeg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        before = pinned_rdd_ids(sc)
+        ranks = (
+            nodes.join(contrib, "id", "left_outer")
+            .crossJoin(F.broadcast(ncnt))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - d) / F.col("n")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / F.col("n"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = pinned_rdd_ids(sc) - before
+    track_pinned_rdds(sc, prev_ids)
+    return ranks
+
+
+def weighted_pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 4, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`weighted_pagerank`.  ``edges_sql`` must
+    yield ``(src, dst, w)``.  Returns ``(id, pr_scaled)``, pr × N
+    rounded at 6 — identical to the unweighted oracle's convention."""
+    d = float(damping)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(sum(w) AS DOUBLE) AS deg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, int(iterations) + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.id,
+         (1.0 - {d})/nn.n + {d} * (COALESCE(c.s, 0.0) + dm.m/nn.n) AS pr
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(r.pr), 0.0) AS m
+              FROM r{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+              WHERE o.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS id, sum(r.pr * e.w / o.deg) AS s
+             FROM edges e
+             JOIN r{i - 1} r ON e.src = r.id
+             JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) c ON n.id = c.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT id, round(pr * nn.n, 6) AS pr_scaled\n"
+        f"FROM r{int(iterations)} CROSS JOIN nn"
+    )

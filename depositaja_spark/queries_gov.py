@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import text as tx
-from depositaja_spark.functions.pagerank import pagerank, pagerank_oracle_sql
+from depositaja_spark.functions.pagerank import (
+    weighted_pagerank,
+    weighted_pagerank_oracle_sql,
+)
 from depositaja_spark.queries_ext import _docs
 from depositaja_spark.registry import query
 from depositaja_spark.sources import load_table
@@ -288,11 +291,14 @@ def interval_month_counts(iv: DataFrame) -> DataFrame:
             F.expr("interval 1 month"),
         )
     )
+    # group on the raw month timestamp and format AFTER the agg: the
+    # string render runs on the |months| output rows, not the exploded
+    # interval multiset
     return (
         iv.select(months.alias("m"))
-        .select(F.date_format("m", "yyyy-MM").alias("month"))
-        .groupBy("month")
+        .groupBy("m")
         .agg(F.count(F.lit(1)).alias("n_open"))
+        .select(F.date_format("m", "yyyy-MM").alias("month"), "n_open")
     )
 
 
@@ -333,16 +339,18 @@ _TR_DAMPING = 0.85
 _TR_STOP = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN) + "]"
 
 _TR_EDGES_SQL = f"""
-SELECT CASE WHEN f.d = 0 THEN p.a ELSE p.b END AS src,
-       CASE WHEN f.d = 0 THEN p.b ELSE p.a END AS dst
-FROM (
-  SELECT toks[i] AS a, toks[i + 1] AS b
-  FROM (SELECT string_split(text, ' ') AS toks FROM documents) d,
-       LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
-) p CROSS JOIN (VALUES (0), (1)) f(d)
-WHERE p.a <> p.b
-  AND NOT list_contains({_TR_STOP}, p.a)
-  AND NOT list_contains({_TR_STOP}, p.b)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+  SELECT CASE WHEN f.d = 0 THEN p.a ELSE p.b END AS src,
+         CASE WHEN f.d = 0 THEN p.b ELSE p.a END AS dst
+  FROM (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents) d,
+         LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+  ) p CROSS JOIN (VALUES (0), (1)) f(d)
+  WHERE p.a <> p.b
+    AND NOT list_contains({_TR_STOP}, p.a)
+    AND NOT list_contains({_TR_STOP}, p.b)
+) GROUP BY src, dst
 """
 
 
@@ -350,15 +358,19 @@ WHERE p.a <> p.b
     "textrank_keywords",
     f"""
 SELECT id AS word, pr_scaled
-FROM ({pagerank_oracle_sql(_TR_EDGES_SQL, iterations=_TR_ITERS, damping=_TR_DAMPING)}) pr
+FROM ({weighted_pagerank_oracle_sql(_TR_EDGES_SQL, iterations=_TR_ITERS, damping=_TR_DAMPING)}) pr
 """,
 )
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords: damped PageRank over adjacent-token
     co-occurrence (stopwords and self-pairs dropped), {_TR_ITERS}
     power-method iterations, ranks scaled by N (mean 1.0 — O(1) values
-    survive round-6 at any vocabulary size).  The oracle replays the
-    identical fold as chained CTEs over the same edge multiset."""
+    survive round-6 at any vocabulary size).  The corpus-sized pair
+    multiset is collapsed to a vocabulary²-bounded WEIGHTED edge frame
+    by one map-side-combined agg BEFORE the iterations
+    (``functions/pagerank.py:weighted_pagerank``), so each power-method
+    round joins the small graph, never the corpus.  The oracle replays
+    the identical weighted fold as chained CTEs."""
     docs = _docs(spark, sf_dir)
     t = F.split(F.col("text"), " ")
     heads = F.slice(t, F.lit(1), F.size(t) - F.lit(1))
@@ -376,10 +388,13 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("b").isin(*tx.STOPWORDS_EN)
         )
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
-    ranks = pagerank(edges, iterations=_TR_ITERS, damping=_TR_DAMPING)
+    ranks = weighted_pagerank(edges, iterations=_TR_ITERS, damping=_TR_DAMPING)
     n1 = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return ranks.crossJoin(F.broadcast(n1)).select(
         F.col("id").alias("word"),

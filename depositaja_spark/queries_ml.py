@@ -2350,3 +2350,150 @@ def q_copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         ).alias("clustering_coeff"),
     )
+
+
+# --- leakage-safe k-fold target encoding ---------------------------------------
+#
+# The standard categorical feature for tabular models: per (category,
+# fold), the smoothed mean target computed from the OTHER folds only —
+# out-of-fold so the encoding never sees its own row's label (the
+# leakage the naive groupBy-mean version commits).  Smoothing blends
+# toward the out-of-fold global prior with pseudo-count m.  Everything
+# is integer counts combined in float64 at the end, so both engines
+# compute bit-identical encodings.
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20.0
+
+_TARGET_ENCODE_SQL = f"""
+WITH r AS (SELECT o_orderpriority AS cat, o_orderkey % {_TE_FOLDS} AS fold,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(y) AS BIGINT) AS s_all
+      FROM r),
+gf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_f, CAST(sum(y) AS BIGINT) AS s_f
+       FROM r GROUP BY fold),
+c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_c, CAST(sum(y) AS BIGINT) AS s_c
+      FROM r GROUP BY cat),
+cf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_cf,
+              CAST(sum(y) AS BIGINT) AS s_cf
+       FROM r GROUP BY cat, fold)
+SELECT cf.cat, CAST(cf.fold AS BIGINT) AS fold, cf.n_cf AS n_rows,
+       round((c.s_c - cf.s_cf
+              + {_TE_SMOOTH} * (g.s_all - gf.s_f) / (g.n_all - gf.n_f))
+             / (c.n_c - cf.n_cf + {_TE_SMOOTH}), 6) AS enc
+FROM cf JOIN c USING (cat) JOIN gf USING (fold) CROSS JOIN g
+"""
+
+
+@query("target_encode_priority", _TARGET_ENCODE_SQL)
+def q_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe {_TE_FOLDS}-fold target encoding of order priority
+    against the is-fulfilled label: per (category, fold) the smoothed
+    out-of-fold target mean, prior blended at m={_TE_SMOOTH}.  Four
+    keyed integer aggs over the fact scan; the final arithmetic runs on
+    the |cats|×|folds| bounded frame with the global moment attached as
+    a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    g = r.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("s_all")
+    )
+    gf = r.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("y").alias("s_f")
+    )
+    c = r.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("y").alias("s_c")
+    )
+    cf = r.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"), F.sum("y").alias("s_cf")
+    )
+    prior = (F.col("s_all") - F.col("s_f")) / (F.col("n_all") - F.col("n_f"))
+    enc = (F.col("s_c") - F.col("s_cf") + F.lit(_TE_SMOOTH) * prior) / (
+        F.col("n_c") - F.col("n_cf") + F.lit(_TE_SMOOTH)
+    )
+    return (
+        cf.join(c, "cat")
+        .join(gf, "fold")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_cf").alias("n_rows"),
+            F.round(enc, 6).alias("enc"),
+        )
+    )
+
+
+# --- split-conformal prediction interval ---------------------------------------
+#
+# Distribution-free uncertainty for any point predictor: fit on the
+# train folds (here the per-type mean — swap in any scorer, the
+# conformal wrapper is unchanged), take the 0.9 quantile of absolute
+# calibration residuals as the interval half-width, then measure
+# empirical coverage on the held-out test fold.  The quantile uses the
+# percentile ⇄ quantile_cont continuous-interpolation pair proven by
+# order_price_percentiles; residuals are round-6 pinned before it.
+
+_CONF_Q = 0.9
+
+_CONFORMAL_SQL = f"""
+WITH tr AS (SELECT event_type, round(avg(value), 6) AS pred
+            FROM events WHERE event_id % 5 IN (0, 1, 2) GROUP BY event_type),
+cal AS (SELECT round(abs(value - pred), 6) AS resid
+        FROM events e JOIN tr USING (event_type) WHERE event_id % 5 = 3),
+q AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             round(quantile_cont(resid, {_CONF_Q}), 6) AS qhat
+      FROM cal),
+te AS (SELECT round(abs(value - pred), 6) AS resid
+       FROM events e JOIN tr USING (event_type) WHERE event_id % 5 = 4)
+SELECT n_cal, qhat, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(*) FILTER (WHERE resid <= qhat) AS BIGINT) AS n_covered,
+       round(CAST(count(*) FILTER (WHERE resid <= qhat) AS DOUBLE)
+             / count(*), 4) AS coverage
+FROM te CROSS JOIN q GROUP BY n_cal, qhat
+"""
+
+
+@query("conformal_value_interval", _CONFORMAL_SQL)
+def q_conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval around the per-type mean-value
+    predictor: q̂ = the {_CONF_Q} calibration-residual quantile, plus
+    the empirical test-fold coverage (should sit near {_CONF_Q} by the
+    conformal guarantee).  Train/cal/test split by event_id mod 5; the
+    predictor frame is |types|-bounded, q̂ is a 1-row broadcast onto
+    the test scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    fold = F.col("event_id") % 5
+    tr = (
+        ev.where(fold.isin(0, 1, 2))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("pred"))
+    )
+    resid = F.round(F.abs(F.col("value") - F.col("pred")), 6).alias("resid")
+    cal = ev.where(fold == 3).join(tr, "event_type").select(resid)
+    q = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.round(F.percentile("resid", F.lit(_CONF_Q)), 6).alias("qhat"),
+    )
+    te = ev.where(fold == 4).join(tr, "event_type").select(resid)
+    covered = F.sum(
+        F.when(F.col("resid") <= F.col("qhat"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        te.crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            covered.alias("n_covered"),
+            F.round(
+                covered.cast("double") / F.count(F.lit(1)), 4
+            ).alias("coverage"),
+        )
+    )

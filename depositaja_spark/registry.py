@@ -607,6 +607,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "qi_generalization_levels",
     "jw_name_matches",
+    "target_encode_priority",
+    "conformal_value_interval",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -658,12 +660,12 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "latest_flag",
     "manual_override",
     "negate_withdrawals",
-    "order_price_percentiles",
-    "pb_roundtrip_deposits",
 )
 # NOTE: the round-10 session-3 additions (governance tier, weighted
-# SSSP, snapshot diff, generalization ladder, JW linkage) displaced the
-# last ELEVEN refill slots (pb_roundtrip_history,
+# SSSP, snapshot diff, generalization ladder, JW linkage, target
+# encoding, conformal intervals) displaced the last THIRTEEN refill
+# slots (order_price_percentiles, pb_roundtrip_deposits,
+# pb_roundtrip_history,
 # pivot_status_by_priority, point_lookup, project_deposit,
 # repeat_customers, rollup_returns, scalar_functions,
 # session_window_stats, shipmode_priority_counts, token_entropy,

@@ -1038,3 +1038,105 @@ def load_quantile_state(spark, state_dir: str) -> dict[tuple[str, int], int]:
         .collect()
         if r.bin >= 0
     }
+
+
+# --- streaming k-anonymity monitor ---------------------------------------------
+
+KANON_K_MIN = 5
+
+
+def streaming_k_anonymity(
+    events: DataFrame,
+    state_dir: str,
+    type_col: str = "event_type",
+):
+    """k-anonymity guard on the stream: maintains exact per-class record
+    counts under the (event_type, hour-of-day) quasi-identifier, so a
+    release gate can ask at any moment which classes are re-identifiable
+    (0 < count < k) before publishing a windowed aggregate.  The
+    governance twin of the batch ``k_anonymity_audit``.
+
+    State is the |types|×24 bounded class-count grid — integer counts
+    whose merge is ADDITION: associative, commutative, and replayed
+    batches are skipped by the commit protocol, so the maintained grid
+    is bit-identical to one batch groupBy over the whole history
+    (asserted in tests/test_streaming.py).  Same staged-rename
+    commit_<batch_id> exactly-once discipline as the MG/PSI monitors:
+    a crash mid-write leaves the previous commit intact; an
+    at-least-once replay can never double-count.
+
+    Returns a DataStreamWriter; caller picks trigger + checkpoint."""
+    import os as _os
+    import shutil as _shutil
+
+    state_schema = f"{type_col} string, hour long, c long"
+
+    def _batch_counts(batch: DataFrame) -> dict:
+        rows = (
+            batch.groupBy(
+                F.col(type_col), F.hour("ts").cast("long").alias("hour")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {(r[type_col], int(r.hour)): int(r.c) for r in rows}
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        commits = _mg_commits(state_dir)
+        if commits and batch_id <= commits[-1][0]:
+            return  # at-least-once replay of an already-counted batch
+        state = load_kanon_state(spark, state_dir, type_col)
+        for key, c in _batch_counts(batch).items():
+            state[key] = state.get(key, 0) + c
+        staged = _os.path.join(state_dir, f"staged_{batch_id}")
+        _shutil.rmtree(staged, ignore_errors=True)
+        rows = sorted(state.items()) or [(("", -1), 0)]
+        spark.createDataFrame(
+            [(et, h, c) for (et, h), c in rows], state_schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(staged, "state")
+        )
+        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        for _, name in commits:
+            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def load_kanon_state(
+    spark, state_dir: str, type_col: str = "event_type"
+) -> dict[tuple[str, int], int]:
+    """The newest committed class-count grid as {(type, hour): count}
+    (empty before the first commit; the empty-stream sentinel dropped)."""
+    import os as _os
+
+    commits = _mg_commits(state_dir)
+    if not commits:
+        return {}
+    path = _os.path.join(state_dir, commits[-1][1])
+    return {
+        (getattr(r, type_col), int(r.hour)): int(r.c)
+        for r in spark.read.schema(f"{type_col} string, hour long, c long")
+        .parquet(_os.path.join(path, "state"))
+        .collect()
+        if r.hour >= 0
+    }
+
+
+def kanon_report_from_state(
+    state: dict[tuple[str, int], int], k_min: int = KANON_K_MIN
+) -> dict:
+    """Release-gate view of the maintained grid: the overall k (smallest
+    non-empty class), the risky classes (0 < count < k_min), and the
+    record share they hold."""
+    counts = [c for c in state.values() if c > 0]
+    risky = sorted(k for k, c in state.items() if 0 < c < k_min)
+    total = sum(counts)
+    return {
+        "k": min(counts) if counts else 0,
+        "n_classes": len(counts),
+        "risky_classes": risky,
+        "risky_records": sum(state[k] for k in risky),
+        "total_records": total,
+    }

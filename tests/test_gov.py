@@ -294,3 +294,60 @@ def test_jw_matches_every_dirty_name_finds_its_source(spark):
     assert all_dirty <= matched_queries, "a dirty name failed to link back"
     for r in rows:
         assert 0.9 <= r.jw <= 1.0
+
+
+# --- session-3 ML ops: target encoding + conformal intervals ---------------------
+
+
+def test_target_encoding_python_replay(spark):
+    """Exact third-implementation replay: recompute every (cat, fold)
+    encoding from the raw rows in pure Python and compare bit-for-bit
+    (both engines and this replay run the same integer arithmetic)."""
+    from depositaja_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    recs = [
+        (r.o_orderpriority, r.o_orderkey % 5, 1 if r.o_orderstatus == "F" else 0)
+        for r in rows
+    ]
+    n_all = len(recs)
+    s_all = sum(y for _, _, y in recs)
+    from collections import defaultdict
+
+    nf, sf_, nc, sc_, ncf, scf = (
+        defaultdict(int), defaultdict(int), defaultdict(int),
+        defaultdict(int), defaultdict(int), defaultdict(int),
+    )
+    for cat, fold, y in recs:
+        nf[fold] += 1; sf_[fold] += y
+        nc[cat] += 1; sc_[cat] += y
+        ncf[(cat, fold)] += 1; scf[(cat, fold)] += y
+    got = {
+        (r.cat, r.fold): (r.n_rows, r.enc)
+        for r in registry.QUERIES["target_encode_priority"](spark, SF).collect()
+    }
+    assert set(got) == set(ncf)
+    for (cat, fold), (n_rows, enc) in got.items():
+        prior = (s_all - sf_[fold]) / (n_all - nf[fold])
+        want = (sc_[cat] - scf[(cat, fold)] + 20.0 * prior) / (
+            nc[cat] - ncf[(cat, fold)] + 20.0
+        )
+        assert n_rows == ncf[(cat, fold)]
+        assert enc == pytest.approx(round(want, 6), abs=1e-9)
+        assert 0.0 <= enc <= 1.0
+
+
+def test_conformal_coverage_near_nominal(spark):
+    rows = registry.QUERIES["conformal_value_interval"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_cal > 0 and r.n_test > 0
+    assert r.qhat >= 0.0
+    assert r.n_covered <= r.n_test
+    # split-conformal guarantee: coverage concentrates near the nominal
+    # 0.9 (finite-sample slack at the sf0.001 fold sizes)
+    assert 0.75 <= r.coverage <= 1.0

@@ -177,6 +177,12 @@ CARTESIAN_OK = {
     # embedding outliers: the folded (μ⃗, σ⃗²) moment frame is a 1-row
     # broadcast cross join onto the corpus scan (scalar-stats shape)
     "embedding_outlier_scores",
+    # target encoding: the global (N, ΣY) moment is a 1-row broadcast
+    # cross join onto the |cats|×|folds| bounded frame
+    "target_encode_priority",
+    # conformal: the (n_cal, q̂) calibration scalar is a 1-row broadcast
+    # cross join onto the test-fold scan
+    "conformal_value_interval",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

@@ -118,7 +118,8 @@ def test_never_driver_sampled_queries_lead_the_window():
              "orders_open_by_month", "textrank_keywords",
              "embedding_outlier_scores", "copurchase_weighted_sssp",
              "snapshot_diff_orders", "qi_generalization_levels",
-             "jw_name_matches"]
+             "jw_name_matches", "target_encode_priority",
+             "conformal_value_interval"]
     assert list(R.QUERIES)[: len(never)] == never
 
 
@@ -160,7 +161,9 @@ def test_max_staleness_bound():
                           "shipmode_priority_counts", "token_entropy",
                           "top3_customers_per_segment",
                           "pivot_status_by_priority", "point_lookup",
-                          "project_deposit", "pb_roundtrip_history"}, (
+                          "project_deposit", "pb_roundtrip_history",
+                          "pb_roundtrip_deposits",
+                          "order_price_percentiles"}, (
         f"queries outside the window with latest driver sample <= r3: "
         f"{stale} — the LRU refill must rotate these in"
     )

@@ -1682,3 +1682,129 @@ def test_streaming_quantiles_empty_then_data(spark, tmp_path):
     q.awaitTermination(300)
     got = load_quantile_state(spark, state_dir)
     assert got == {("view", 2): 1, ("view", 4): 1}
+
+
+def test_streaming_k_anonymity_matches_batch_and_replay_safe(spark, tmp_path):
+    """The streaming k-anonymity grid over a 3-file stream equals ONE
+    batch groupBy over the whole history (additive integer merge), the
+    release-gate report flags exactly the sub-k classes, and an
+    at-least-once replay cannot double-count."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.pipeline import (
+        _mg_commits,
+        kanon_report_from_state,
+        load_kanon_state,
+        streaming_k_anonymity,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts")
+    rows = ev.collect()
+    splits = [rows[i::3] for i in range(3)]
+    d = tmp_path / "kanon_stream"
+    d.mkdir()
+    for m, chunk in enumerate(splits):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([r.event_type for r in chunk], pa.string()),
+                    "ts": pa.array([r.ts for r in chunk], pa.timestamp("us")),
+                }
+            ),
+            d / f"batch_{m}.parquet",
+        )
+        t = time.time() + m * 10
+        os.utime(d / f"batch_{m}.parquet", (t, t))
+
+    state_dir = str(tmp_path / "kanon_state")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_k_anonymity(stream, state_dir, "event_type")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = load_kanon_state(spark, state_dir, "event_type")
+
+    # one batch groupBy over the whole history — the additive merge must
+    # be bit-identical to it
+    want = {
+        (r.event_type, int(r.hour)): int(r.c)
+        for r in ev.groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+    report = kanon_report_from_state(got, k_min=5)
+    assert report["total_records"] == len(rows)
+    assert report["n_classes"] == len(want)
+    assert report["k"] == min(want.values())
+    assert report["risky_classes"] == sorted(
+        k for k, c in want.items() if 0 < c < 5
+    )
+    assert report["risky_records"] == sum(
+        c for c in want.values() if 0 < c < 5
+    )
+
+    # at-least-once replay guard: fresh checkpoint → batch ids restart,
+    # all ≤ last commit → skipped, counts unchanged
+    last_commit = _mg_commits(state_dir)[-1][0]
+    q2 = (
+        streaming_k_anonymity(stream, state_dir, "event_type")
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert load_kanon_state(spark, state_dir, "event_type") == want
+    assert _mg_commits(state_dir)[-1][0] == last_commit
+
+
+def test_streaming_k_anonymity_crash_mid_write_recovers(spark, tmp_path):
+    """A leftover staged_* dir (crash between write and rename) is
+    ignored by load and overwritten by the replayed batch."""
+    import os
+
+    from depositaja_spark.streaming.pipeline import (
+        load_kanon_state,
+        streaming_k_anonymity,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts")
+    state_dir = tmp_path / "kanon_crash"
+    state_dir.mkdir()
+    # simulate a crash: staged dir exists, no commit
+    (state_dir / "staged_0").mkdir()
+    (state_dir / "staged_0" / "junk").write_text("partial")
+    assert load_kanon_state(spark, str(state_dir), "event_type") == {}
+
+    d = tmp_path / "crash_stream"
+    d.mkdir()
+    ev.limit(500).coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .parquet(str(d))
+    )
+    q = (
+        streaming_k_anonymity(stream, str(state_dir), "event_type")
+        .option("checkpointLocation", str(tmp_path / "ckpt_crash"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = load_kanon_state(spark, str(state_dir), "event_type")
+    assert sum(got.values()) == 500
+    assert not [p for p in os.listdir(state_dir) if p.startswith("staged_")]
