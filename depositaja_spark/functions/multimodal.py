@@ -850,9 +850,11 @@ def _decode_image_bytes(raw: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_png(raw)
     if raw[:2] == b"\xff\xd8":
         return _decode_jpeg(raw)
+    if raw[:4] == b"GIF8":
+        return _decode_gif(raw)
     raise NotImplementedError(
-        "only PPM/PGM, uncompressed BMP, PNG, and baseline JPEG decode "
-        f"without PIL/pyav; got magic {raw[:2]!r}"
+        "only PPM/PGM, uncompressed BMP, PNG, baseline JPEG, and GIF "
+        f"decode without PIL/pyav; got magic {raw[:2]!r}"
     )
 
 
@@ -1302,3 +1304,213 @@ def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
         cand.select("a_id", "b_id", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- GIF (LZW) codec ------------------------------------------------------------
+#
+# GIF87a/89a: logical screen + palette + LZW-compressed index stream
+# (GIF flavor: variable-width codes 3..12 bits, LSB-first bit packing,
+# CLEAR/EOI codes, dictionary reset at 4096).  Pure stdlib/numpy, same
+# vendored-codec contract as the PNG/JPEG pair: `encode_gif` emits a
+# real compressed stream, `_decode_gif` parses any baseline GIF
+# (global/local palettes, interlace, 89a extension blocks), and the
+# gif_decode_stats oracle proves the LZW round-trip byte-exact on real
+# data every driver run.
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: returns the palette-index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return out  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        else:  # KwKwK case
+            entry = prev + [prev[0]]
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """GIF-flavor LZW compressor: real dictionary build, variable-width
+    LSB-first packing, CLEAR emitted at start and on dictionary
+    overflow (4096 entries), EOI at end."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    prev = -1
+    for k in indices.tolist():
+        if prev < 0:
+            prev = k
+            continue
+        hit = table.get((prev, k))
+        if hit is not None:
+            prev = hit
+            continue
+        emit(prev, code_size)
+        table[(prev, k)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear, code_size)
+            table.clear()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        prev = k
+    if prev >= 0:
+        emit(prev, code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline GIF decode: first image frame, palette expanded to RGB
+    (the PNG palette convention).  Handles 87a/89a, global and local
+    color tables, 89a extension blocks, and interlaced frames."""
+    if raw[:4] != b"GIF8" or raw[4:6] not in (b"7a", b"9a"):
+        raise NotImplementedError(f"not a GIF87a/89a stream: {raw[:6]!r}")
+    pos = 6
+    flags = raw[pos + 4]
+    pos += 7  # logical screen descriptor
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(raw[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(raw[pos + 7 : pos + 9], "little")
+            iflags = raw[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(raw, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise NotImplementedError("GIF frame without a color table")
+            min_code = raw[pos]
+            pos += 1
+            chunks = []
+            while raw[pos] != 0:
+                ln = raw[pos]
+                chunks.append(raw[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.array(
+                _lzw_decode(b"".join(chunks), min_code)[: w * h], np.int64
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            return h, w, 3, ct[idx].astype(np.uint8)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    raise NotImplementedError("GIF stream carries no image frame")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) or (h, w) uint8 array as a real GIF89a
+    stream (exact palette from the distinct colors, first-occurrence
+    order; LZW-compressed).  Images with more than 256 distinct colors
+    need quantization — out of scope for the vendored codec, raises."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    # np.unique's lexicographic palette order is total on RGB triples,
+    # so the emitted stream is deterministic
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise NotImplementedError(
+            f"GIF encode needs <= 256 distinct colors, got {len(palette)}"
+        )
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    pal = np.zeros((pal_n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, pal_bits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (pal_bits - 1))  # GCT present, 2^pal_bits entries
+    out += b"\x00\x00"  # background, aspect
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no local table, not interlaced
+    out.append(min_code)
+    comp = _lzw_encode(idx.astype(np.int64), min_code)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -2898,3 +2898,66 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
+
+
+_GIF_STATS_SQL = """
+WITH hx AS (
+  SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '20') AS h
+  FROM documents
+),
+byt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) AS v
+  FROM (SELECT doc_id, h, unnest(range(0, 192)) AS i FROM hx)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum((i + 1) * v) AS BIGINT) AS px_wsum
+FROM byt GROUP BY doc_id
+"""
+
+
+@query("gif_decode_stats", _GIF_STATS_SQL)
+def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF round-trip with a FULL value oracle — closing the LZW slot of
+    the compressed-media matrix next to PNG (DEFLATE) and JPEG
+    (Huffman+DCT): each document's first 192 text bytes are rendered as
+    an 8×8 RGB image, compressed to a real GIF89a stream (exact
+    distinct-color palette + variable-width LZW,
+    ``functions/multimodal.py:encode_gif``), decoded back by the
+    vendored GIF parser (``_decode_gif``: screen/palette/extension
+    blocks, LZW with CLEAR/EOI and dictionary reset), and reduced to
+    the same per-image pixel stats as png/jpeg_decode_stats.  The
+    oracle recomputes the stats straight from the document bytes — a
+    hash match proves the palette build, the LZW round-trip, and the
+    block deframing byte-exact on real data every driver run.  Same
+    zero-shuffle Arrow-kernel shape as the PNG twin."""
+    from depositaja_spark.functions.multimodal import encode_gif
+
+    docs = _docs(spark, sf_dir)
+    body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
+
+    @F.pandas_udf("binary")
+    def to_gif(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: encode_gif(
+                np.frombuffer(bytes(x), np.uint8).reshape(8, 8, 3)
+            )
+        )
+
+    payloads = spread(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    ).select("doc_id", to_gif(body).alias("payload"))
+    dec = mm.decode_media(payloads)
+    return dec.select(
+        "doc_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(zip_with(pixels, sequence(1, size(pixels)),"
+            " (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y)"
+        ).alias("px_wsum"),
+    )

@@ -609,6 +609,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "jw_name_matches",
     "target_encode_priority",
     "conformal_value_interval",
+    "gif_decode_stats",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -659,13 +660,12 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "late_ship_priority_counts",
     "latest_flag",
     "manual_override",
-    "negate_withdrawals",
 )
 # NOTE: the round-10 session-3 additions (governance tier, weighted
 # SSSP, snapshot diff, generalization ladder, JW linkage, target
-# encoding, conformal intervals) displaced the last THIRTEEN refill
-# slots (order_price_percentiles, pb_roundtrip_deposits,
-# pb_roundtrip_history,
+# encoding, conformal intervals, GIF codec) displaced the last FOURTEEN
+# refill slots (negate_withdrawals, order_price_percentiles,
+# pb_roundtrip_deposits, pb_roundtrip_history,
 # pivot_status_by_priority, point_lookup, project_deposit,
 # repeat_customers, rollup_returns, scalar_functions,
 # session_window_stats, shipmode_priority_counts, token_entropy,

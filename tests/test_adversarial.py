@@ -242,3 +242,23 @@ def test_tpch_q1_and_sessions_run_with_skew(spark, adv_dir):
     hot = [r for r in s if r.user_id == HOT_WALLET]
     assert len(hot) == 1  # one summary row per user, however hot
     assert hot[0].n_sessions >= 1
+
+
+def test_hot_prefix_block_dropped_by_jw_cap(spark):
+    """A crawler-shaped name feed where one 2-char prefix owns more
+    strings than JW_MAX_BLOCK must NOT inject a |block|² candidate
+    join: the hot block is dropped whole, the cool block still links."""
+    from depositaja_spark.functions.fuzzy import jaro_winkler_pairs
+
+    hot = [(f"zz name {i:05d}",) for i in range(10_001)]  # prefix 'zz'
+    cool = [("ok widget",), ("ok widgit",)]
+    corpus = spark.createDataFrame(hot + cool, ["c"])
+    queries = spark.createDataFrame(
+        [("zz name 00000",), ("ok widgit",)], ["q"]
+    )
+    got = jaro_winkler_pairs(
+        queries, corpus, q_col="q", c_col="c", threshold=0.9, block_prefix=2
+    ).collect()
+    # nothing from the hot block (provable by prefix), matches from cool
+    assert all(not r.match_name.startswith("zz") for r in got)
+    assert {"ok widget", "ok widgit"} == {r.match_name for r in got}

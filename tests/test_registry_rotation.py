@@ -119,7 +119,7 @@ def test_never_driver_sampled_queries_lead_the_window():
              "embedding_outlier_scores", "copurchase_weighted_sssp",
              "snapshot_diff_orders", "qi_generalization_levels",
              "jw_name_matches", "target_encode_priority",
-             "conformal_value_interval"]
+             "conformal_value_interval", "gif_decode_stats"]
     assert list(R.QUERIES)[: len(never)] == never
 
 
@@ -163,7 +163,8 @@ def test_max_staleness_bound():
                           "pivot_status_by_priority", "point_lookup",
                           "project_deposit", "pb_roundtrip_history",
                           "pb_roundtrip_deposits",
-                          "order_price_percentiles"}, (
+                          "order_price_percentiles",
+                          "negate_withdrawals"}, (
         f"queries outside the window with latest driver sample <= r3: "
         f"{stale} — the LRU refill must rotate these in"
     )
