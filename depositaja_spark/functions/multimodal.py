@@ -1514,3 +1514,87 @@ def encode_gif(arr: np.ndarray) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --- IMA ADPCM (DVI4) audio codec -------------------------------------------------
+#
+# The compressed-AUDIO slot of the media matrix (images carry
+# DEFLATE/LZW/Huffman+DCT; WAV covered uncompressed PCM): IMA ADPCM
+# compresses int16 PCM 4:1 into 4-bit nibbles through a pure-integer
+# predictor/step state machine — fully deterministic, so the DECODED
+# waveform is an exact function of the input and the oracle can replay
+# the whole state machine in SQL (recursive CTE) from the raw source
+# bytes.  Tables and update rules are the public IMA/DVI specification.
+
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step(pred: int, idx: int, sample: int) -> tuple[int, int, int]:
+    """One encoder step: quantize (sample − pred) to a 4-bit code and
+    advance (pred, idx) exactly as the decoder will — returns
+    (code, new_pred, new_idx)."""
+    step = _ADPCM_STEPS[idx]
+    delta = sample - pred
+    sign = 8 if delta < 0 else 0
+    mag = -delta if delta < 0 else delta
+    b4 = 1 if mag >= step else 0
+    m2 = mag - b4 * step
+    b2 = 1 if m2 >= step >> 1 else 0
+    m1 = m2 - b2 * (step >> 1)
+    b1 = 1 if m1 >= step >> 2 else 0
+    nib = b4 * 4 + b2 * 2 + b1
+    diff = (step >> 3) + b4 * step + b2 * (step >> 1) + b1 * (step >> 2)
+    pred = pred - diff if sign else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[nib]))
+    return sign | nib, pred, idx
+
+
+def adpcm_encode(samples: "np.ndarray") -> bytes:
+    """int16 samples → packed 4-bit IMA ADPCM codes (low nibble first),
+    initial state (pred=0, index=0)."""
+    pred, idx = 0, 0
+    codes = []
+    for s in np.asarray(samples, np.int64).tolist():
+        code, pred, idx = _adpcm_step(pred, idx, int(s))
+        codes.append(code)
+    if len(codes) % 2:
+        codes.append(0)
+    out = bytearray()
+    for lo, hi in zip(codes[0::2], codes[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def adpcm_decode(raw: bytes, n: int) -> "np.ndarray":
+    """Packed IMA ADPCM codes → reconstructed int16 samples (length n),
+    initial state (pred=0, index=0) — the exact mirror of the encoder's
+    internal predictor sequence."""
+    pred, idx = 0, 0
+    out = np.empty(n, np.int64)
+    for i in range(n):
+        byte = raw[i >> 1]
+        code = (byte >> 4) if i & 1 else (byte & 0x0F)
+        nib = code & 7
+        step = _ADPCM_STEPS[idx]
+        diff = (step >> 3)
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _ADPCM_INDEX[nib]))
+        out[i] = pred
+    return out

@@ -2853,3 +2853,59 @@ def q_fleiss_kappa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_e"),
         F.round((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
     )
+
+
+# --- leave-one-source-out impact (data valuation lite) -----------------------------
+#
+# Which source is dragging the corpus statistic?  For each source, the
+# corpus-mean length WITHOUT it minus the overall mean — the
+# closed-form leave-one-group-out influence used to triage mixture
+# weights before any model-based valuation.  Exact integer sums, one
+# keyed agg + a 1-row broadcast total; the delta arithmetic runs on the
+# |sources|-bounded frame.
+
+_LOO_SQL = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+             CAST(sum(chars) AS BIGINT) AS c_all FROM s)
+SELECT source, n_docs,
+       round(CAST(chars AS DOUBLE) / n_docs, 4) AS mean_chars,
+       round(CAST(c_all - chars AS DOUBLE) / (n_all - n_docs)
+             - CAST(c_all AS DOUBLE) / n_all, 6) AS loo_delta_chars
+FROM s CROSS JOIN g
+WHERE n_all > n_docs
+"""
+
+
+@query("source_loo_impact", _LOO_SQL)
+def q_source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean document
+    length: positive delta = removing the source RAISES the mean (the
+    source drags it down).  The group-level influence-function triage
+    that precedes model-based data valuation."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    g = s.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("chars").alias("c_all")
+    )
+    loo = (F.col("c_all") - F.col("chars")).cast("double") / (
+        F.col("n_all") - F.col("n_docs")
+    ) - F.col("c_all").cast("double") / F.col("n_all")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .where(F.col("n_all") > F.col("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("chars").cast("double") / F.col("n_docs"), 4).alias(
+                "mean_chars"
+            ),
+            F.round(loo, 6).alias("loo_delta_chars"),
+        )
+    )

@@ -2961,3 +2961,106 @@ def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y)"
         ).alias("px_wsum"),
     )
+
+
+_ADPCM_ST_SQL = "[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]"
+_ADPCM_IT_SQL = "[-1, -1, -1, -1, 2, 4, 6, 8]"
+
+# The oracle replays the ENTIRE IMA ADPCM encode/decode state machine in
+# SQL: a per-doc recursive CTE carries (pred, idx) through all 192
+# samples, quantizing and reconstructing with the same integer tables
+# and clamps as functions/multimodal.py — the encoder's internal
+# predictor sequence IS the decoded waveform, so the recursion needs
+# only the raw source bytes.  Helper columns chain through LATERALs to
+# keep each arithmetic step readable and identical to the kernel.
+_ADPCM_STATS_SQL = f"""
+WITH RECURSIVE
+hx AS (SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '20') AS h
+       FROM documents),
+byt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         (CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) - 128)
+           * 256 AS s
+  FROM (SELECT doc_id, h, unnest(range(0, 192)) AS i FROM hx)
+),
+rec AS (
+  SELECT doc_id, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS pred,
+         CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS rsum,
+         CAST(0 AS BIGINT) AS rsq, CAST(0 AS BIGINT) AS rmax
+  FROM hx
+  UNION ALL
+  SELECT doc_id, i, x.new_pred, y.new_idx,
+         rsum + x.new_pred, rsq + x.new_pred * x.new_pred,
+         greatest(rmax, abs(x.new_pred))
+  FROM (
+    SELECT r.doc_id, r.i + 1 AS i, r.rsum, r.rsq, r.rmax,
+           r.pred AS pred0, r.idx AS idx0,
+           {_ADPCM_ST_SQL}[r.idx + 1] AS step,
+           b.s - r.pred AS delta,
+           abs(b.s - r.pred) AS mag
+    FROM rec r JOIN byt b ON b.doc_id = r.doc_id AND b.i = r.i + 1
+    WHERE r.i + 1 < 192
+  ) t,
+  LATERAL (SELECT CASE WHEN mag >= step THEN 1 ELSE 0 END AS b4) q4,
+  LATERAL (SELECT mag - q4.b4 * step AS m2) r2,
+  LATERAL (SELECT CASE WHEN r2.m2 >= step // 2 THEN 1 ELSE 0 END AS b2) q2,
+  LATERAL (SELECT r2.m2 - q2.b2 * (step // 2) AS m1) r1,
+  LATERAL (SELECT CASE WHEN r1.m1 >= step // 4 THEN 1 ELSE 0 END AS b1) q1,
+  LATERAL (SELECT (step // 8) + q4.b4 * step + q2.b2 * (step // 2)
+                  + q1.b1 * (step // 4) AS diff) w,
+  LATERAL (SELECT CASE WHEN delta < 0 THEN greatest(pred0 - w.diff, -32768)
+                       ELSE least(pred0 + w.diff, 32767) END AS new_pred) x,
+  LATERAL (SELECT least(greatest(idx0
+                  + {_ADPCM_IT_SQL}[q4.b4 * 4 + q2.b2 * 2 + q1.b1 + 1], 0),
+                  88) AS new_idx) y
+)
+SELECT doc_id, CAST(192 AS BIGINT) AS n_samples, rsum AS recon_sum,
+       rsq AS recon_sq_sum, rmax AS recon_max_abs
+FROM rec WHERE i = 191
+"""
+
+
+@query("adpcm_decode_stats", _ADPCM_STATS_SQL)
+def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM round-trip with a FULL value oracle — the
+    compressed-AUDIO slot of the media matrix (images carry
+    DEFLATE/LZW/Huffman+DCT, WAV covered uncompressed PCM): each
+    document's first 192 bytes become int16 samples, compressed 4:1
+    through the vendored integer ADPCM encoder
+    (``functions/multimodal.py:adpcm_encode``), decoded back
+    (``adpcm_decode``), and reduced to stats over the RECONSTRUCTED
+    waveform.  ADPCM is lossy, but the predictor state machine is pure
+    integer arithmetic — so the oracle replays encode+decode exactly in
+    SQL (per-doc recursive CTE over the raw bytes) and the driver
+    value-checks the whole codec every run.  Same Arrow-kernel
+    executor-width shape as the other codec queries."""
+    from depositaja_spark.functions.multimodal import adpcm_decode, adpcm_encode
+
+    docs = _docs(spark, sf_dir)
+    body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
+
+    @F.pandas_udf("binary")
+    def to_adpcm(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: adpcm_encode(
+                (np.frombuffer(bytes(x), np.uint8).astype(np.int64) - 128) * 256
+            )
+        )
+
+    @F.pandas_udf("array<long>")
+    def dec_adpcm(p: pd.Series) -> pd.Series:
+        return p.map(lambda x: adpcm_decode(bytes(x), 192).tolist())
+
+    payloads = spread(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    ).select("doc_id", to_adpcm(body).alias("payload"))
+    dec = payloads.select("doc_id", dec_adpcm("payload").alias("samples"))
+    return dec.select(
+        "doc_id",
+        F.size("samples").cast("long").alias("n_samples"),
+        F.expr("aggregate(samples, 0L, (a, x) -> a + x)").alias("recon_sum"),
+        F.expr("aggregate(samples, 0L, (a, x) -> a + x * x)").alias("recon_sq_sum"),
+        F.expr("aggregate(samples, 0L, (a, x) -> greatest(a, abs(x)))").alias(
+            "recon_max_abs"
+        ),
+    )

@@ -724,3 +724,61 @@ def q_jw_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_JW_THRESHOLD,
         block_prefix=_JW_BLOCK_PREFIX,
     )
+
+
+# --- entropy l-diversity ----------------------------------------------------------
+#
+# Distinct-count l-diversity (l_diversity_audit) treats a 99%/1% class
+# like a 50%/50% one; Shannon entropy of the sensitive distribution is
+# the standard refinement (a class satisfies entropy-l-diversity when
+# H ≥ ln l).  Per (distinct-count) l: how many classes, and their mean
+# sensitive entropy — low avg entropy at high l exposes skewed classes
+# the count metric calls diverse.
+
+def _entropy_ldiv_sql() -> str:
+    # per-class entropy from the (class, sensitive) cell counts; the
+    # window-free formulation: H = ln k − (Σ c·ln c)/k on integer cells
+    return f"""
+WITH rec AS ({_QI_SQL}),
+cell AS (SELECT c_nationkey, c_mktsegment, qi_month, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS c
+         FROM rec GROUP BY 1, 2, 3, 4),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, qi_month,
+         CAST(count(*) AS BIGINT) AS l,
+         CAST(sum(c) AS BIGINT) AS k,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+  FROM cell GROUP BY 1, 2, 3
+)
+SELECT CAST(l AS BIGINT) AS l_distinct,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       round(avg(ln(CAST(k AS DOUBLE)) - slc / k), 4) AS avg_entropy
+FROM cls GROUP BY l
+"""
+
+
+@query("entropy_l_diversity", _entropy_ldiv_sql())
+def q_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy refinement of the l-diversity audit: per distinct-count
+    l, the mean Shannon entropy of the sensitive (priority)
+    distribution inside those classes — H = ln k − (Σ c·ln c)/k from
+    exact integer cell counts, so both engines evaluate the identical
+    float expression.  Low avg entropy at high l flags skewed classes
+    the count metric calls diverse."""
+    cell = (
+        _qi_records(spark, sf_dir)
+        .groupBy("c_nationkey", "c_mktsegment", "qi_month", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cls = cell.groupBy("c_nationkey", "c_mktsegment", "qi_month").agg(
+        F.count(F.lit(1)).alias("l"),
+        F.sum("c").alias("k"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "slc"
+        ),
+    )
+    h = F.log(F.col("k").cast("double")) - F.col("slc") / F.col("k")
+    return cls.groupBy(F.col("l").alias("l_distinct")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.avg(h), 4).alias("avg_entropy"),
+    )

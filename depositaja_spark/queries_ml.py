@@ -2497,3 +2497,147 @@ def q_conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- always-valid sequential A/B (mSPRT) -----------------------------------------
+#
+# Peeking at a fixed-horizon z-test inflates false positives; the
+# mixture sequential probability ratio test (mSPRT, Johari et al.)
+# gives an ALWAYS-VALID p-value: monitor it daily and stop any time.
+# Normal-mixture closed form on the running proportion difference:
+#   log Λ_n = ½·ln(Vn/(Vn+τ²)) + θ̂²·τ² / (2·Vn·(Vn+τ²))
+#   p_n     = min(1, exp(−max_{m≤n} log Λ_m))
+# All inputs are exact integer cumulative counts; the float chain is
+# one fixed expression per day (log scale keeps values O(10), so
+# round-6 absorbs engine libm 1-ulp differences that would be visible
+# on raw Λ).  The day axis is calendar-bounded, so every window runs
+# on the bounded daily frame, never the event stream.
+
+_MSPRT_TAU2 = 0.0025  # mixture variance (τ = 0.05 on the diff scale)
+
+_MSPRT_SQL = f"""
+WITH assign AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm,
+         min(date_trunc('day', ts)) AS d0,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d0 AS day,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM assign GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         sum(k0) OVER (ORDER BY day) AS n0,
+         sum(x0) OVER (ORDER BY day) AS c0,
+         sum(k1) OVER (ORDER BY day) AS n1,
+         sum(x1) OVER (ORDER BY day) AS c1
+  FROM grid
+),
+stat AS (
+  SELECT day, n0, n1,
+         CASE WHEN n0 > 0 AND n1 > 0
+                   AND c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+           0.5 * ln((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                     * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1))
+                    / (CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                       * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1) + {_MSPRT_TAU2}))
+           + (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             * (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             * {_MSPRT_TAU2}
+             / (2.0 * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                       * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1))
+                * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                   * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1.0 / n0 + 1.0 / n1) + {_MSPRT_TAU2}))
+         END AS ll
+  FROM cum
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+       round(ll, 6) AS log_lambda,
+       CASE WHEN max(ll) OVER (ORDER BY day) IS NULL THEN 1.0
+            ELSE round(least(1.0, exp(-max(ll) OVER (ORDER BY day))), 6)
+       END AS always_valid_p
+FROM stat
+"""
+
+
+@query("msprt_ab_sequential", _MSPRT_SQL)
+def q_msprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily always-valid p-value for the hash-split conversion A/B via
+    the normal-mixture mSPRT (τ² = {_MSPRT_TAU2}) — the
+    peeking-safe sequential readout next to the fixed-horizon
+    ``ab_conversion_ztest``.  One user-keyed agg (arrival day +
+    conversion flag), one day-keyed agg, then cumulative and
+    running-max windows over the calendar-bounded daily frame."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    from depositaja_spark.functions.text import hash64
+
+    arm = (hash64(F.col("user_id").cast("string")) % 2).alias("arm")
+    assign = (
+        ev.groupBy("user_id", arm)
+        .agg(
+            F.min(F.date_trunc("day", "ts")).alias("d0"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("conv"),
+        )
+    )
+    grid = assign.groupBy(F.col("d0").alias("day")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("x1"),
+    )
+    w = _W.orderBy("day").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = grid.select(
+        "day",
+        F.sum("k0").over(w).alias("n0"),
+        F.sum("x0").over(w).alias("c0"),
+        F.sum("k1").over(w).alias("n1"),
+        F.sum("x1").over(w).alias("c1"),
+    )
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    vn = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")
+    )
+    theta = F.col("c1").cast("double") / F.col("n1") - F.col("c0").cast(
+        "double"
+    ) / F.col("n0")
+    ll = F.when(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+        F.lit(0.5) * F.log(vn / (vn + F.lit(_MSPRT_TAU2)))
+        + theta * theta * F.lit(_MSPRT_TAU2)
+        / (F.lit(2.0) * vn * (vn + F.lit(_MSPRT_TAU2))),
+    )
+    stat = cum.select("day", "n0", "n1", ll.alias("ll"))
+    wmax = _W.orderBy("day").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    mx = F.max("ll").over(wmax)
+    return stat.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round("ll", 6).alias("log_lambda"),
+        F.when(mx.isNull(), F.lit(1.0))
+        .otherwise(F.round(F.least(F.lit(1.0), F.exp(-mx)), 6))
+        .alias("always_valid_p"),
+    )

@@ -14,6 +14,8 @@ window boundary.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -796,4 +798,103 @@ def q_holt_winters_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         "seasonal",
         "forecast",
+    )
+
+
+# --- spectral periodogram at candidate seasonal periods ---------------------------
+#
+# Seasonality detection by direct DFT projection: for each candidate
+# period P, the fraction of the daily series' variance captured by the
+# (cos, sin) pair at frequency 1/P.  Phases are computed from day % P
+# (small integers) so both engines' cos/sin see identical tiny
+# arguments — large-argument range reduction is where libm and JVM
+# Math diverge beyond round-6.  The period dimension is a 3-row
+# broadcast literal crossed onto the calendar-bounded daily frame.
+
+_PGRAM_PERIODS = (7, 14, 30)
+
+_PGRAM_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+             CAST(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS DOUBLE)
+               - count(*) * (CAST(sum(x) AS DOUBLE) / count(*))
+                          * (CAST(sum(x) AS DOUBLE) / count(*)) AS ss
+      FROM daily),
+per(p) AS (VALUES ({_PGRAM_PERIODS[0]}), ({_PGRAM_PERIODS[1]}), ({_PGRAM_PERIODS[2]})),
+proj AS (
+  SELECT per.p,
+         sum((CAST(d.x AS DOUBLE) - m.mu) * cos(2 * pi() * (d.day % per.p) / per.p)) AS c,
+         sum((CAST(d.x AS DOUBLE) - m.mu) * sin(2 * pi() * (d.day % per.p) / per.p)) AS s,
+         max(m.n) AS n, max(m.ss) AS ss
+  FROM daily d CROSS JOIN m CROSS JOIN per
+  GROUP BY per.p
+)
+SELECT CAST(p AS INT) AS period,
+       CAST(n AS BIGINT) AS n_days,
+       round(2.0 * (c * c + s * s) / (n * ss), 6) AS variance_frac
+FROM proj WHERE ss > 0
+"""
+
+
+@query("daily_value_periodogram", _PGRAM_SQL)
+def q_daily_value_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance fraction at candidate seasonal periods {_PGRAM_PERIODS}
+    via direct DFT projection of the centered daily value series — the
+    'is there weekly seasonality' detector feeding the Holt-Winters /
+    seasonal-naive tier.  One exact-DECIMAL daily agg, one 1-row moment
+    frame, one 3-row period literal crossed onto the bounded day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(F.col("x").cast("double") * F.col("x").cast("double"))
+            - F.count(F.lit(1))
+            * (F.sum("x").cast("double") / F.count(F.lit(1)))
+            * (F.sum("x").cast("double") / F.count(F.lit(1)))
+        ).alias("ss"),
+    )
+    per = daily.sparkSession.createDataFrame(
+        [(p,) for p in _PGRAM_PERIODS], "p int"
+    )
+    phase = (
+        F.lit(2.0) * F.lit(math.pi) * (F.col("day") % F.col("p")) / F.col("p")
+    )
+    xc = (F.col("x").cast("double") - F.col("mu"))
+    proj = (
+        daily.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(per))
+        .groupBy("p")
+        .agg(
+            F.sum(xc * F.cos(phase)).alias("c"),
+            F.sum(xc * F.sin(phase)).alias("s"),
+            F.max("n").alias("n"),
+            F.max("ss").alias("ss"),
+        )
+    )
+    return proj.where(F.col("ss") > 0).select(
+        F.col("p").cast("int").alias("period"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            F.lit(2.0)
+            * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / (F.col("n") * F.col("ss")),
+            6,
+        ).alias("variance_frac"),
     )

@@ -610,6 +610,11 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "target_encode_priority",
     "conformal_value_interval",
     "gif_decode_stats",
+    "msprt_ab_sequential",
+    "adpcm_decode_stats",
+    "daily_value_periodogram",
+    "source_loo_impact",
+    "entropy_l_diversity",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -655,11 +660,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "hot_windows",
     "lang_id",
-    "lang_id_confusion",
-    "lapsed_customers",
-    "late_ship_priority_counts",
-    "latest_flag",
-    "manual_override",
 )
 # NOTE: the round-10 session-3 additions (governance tier, weighted
 # SSSP, snapshot diff, generalization ladder, JW linkage, target

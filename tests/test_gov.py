@@ -351,3 +351,65 @@ def test_conformal_coverage_near_nominal(spark):
     # split-conformal guarantee: coverage concentrates near the nominal
     # 0.9 (finite-sample slack at the sf0.001 fold sizes)
     assert 0.75 <= r.coverage <= 1.0
+
+
+def test_msprt_always_valid_p_is_monotone(spark):
+    """p_n = 1/max Λ is non-increasing by construction, in (0, 1], and
+    the day axis covers every distinct arrival day."""
+    rows = registry.QUERIES["msprt_ab_sequential"](spark, SF).collect()
+    rows.sort(key=lambda r: r.day)
+    assert rows
+    ps = [r.always_valid_p for r in rows]
+    assert all(0.0 < p <= 1.0 for p in ps)
+    assert all(a >= b for a, b in zip(ps, ps[1:])), "p must never increase"
+    # cumulative arms are non-decreasing
+    for col in ("n_control", "n_treatment"):
+        seq = [r[col] for r in rows]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+def test_entropy_ldiversity_consistent_with_count_audit(spark):
+    """Same class partition as l_diversity_audit (n_classes per l must
+    match), entropy bounded by ln(l), and l=1 classes have H=0."""
+    import math as _m
+
+    count_rows = {
+        r.l_distinct: r.n_classes
+        for r in registry.QUERIES["l_diversity_audit"](spark, SF).collect()
+    }
+    ent_rows = registry.QUERIES["entropy_l_diversity"](spark, SF).collect()
+    assert {r.l_distinct: r.n_classes for r in ent_rows} == count_rows
+    for r in ent_rows:
+        assert -1e-9 <= r.avg_entropy <= _m.log(r.l_distinct) + 1e-9
+        if r.l_distinct == 1:
+            assert r.avg_entropy == 0.0
+
+
+def test_source_loo_impacts_sum_consistent(spark):
+    """Σ over sources of (loo mean shift × weight) relates back to the
+    overall mean: spot-check each source's delta against a direct
+    recompute from collected sums."""
+    from depositaja_spark.sources import load_table
+
+    rows = registry.QUERIES["source_loo_impact"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("source", "n_chars").collect()
+    from collections import defaultdict
+
+    n, c = defaultdict(int), defaultdict(int)
+    for d in docs:
+        n[d.source] += 1
+        c[d.source] += d.n_chars
+    n_all, c_all = sum(n.values()), sum(c.values())
+    assert {r.source for r in rows} == set(n)
+    for r in rows:
+        want = (c_all - c[r.source]) / (n_all - n[r.source]) - c_all / n_all
+        assert r.loo_delta_chars == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_periodogram_bounds_and_planted_seasonality(spark):
+    rows = registry.QUERIES["daily_value_periodogram"](spark, SF).collect()
+    assert {r.period for r in rows} == {7, 14, 30}
+    for r in rows:
+        # a single (cos, sin) pair captures at most all the variance
+        # (2/n·|proj|²/var ≤ 1 up to discrete-grid leakage slack)
+        assert -1e-6 <= r.variance_frac <= 1.5

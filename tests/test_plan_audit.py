@@ -183,6 +183,13 @@ CARTESIAN_OK = {
     # conformal: the (n_cal, q̂) calibration scalar is a 1-row broadcast
     # cross join onto the test-fold scan
     "conformal_value_interval",
+    # periodogram: the (n, μ, ss) moment scalar and the 3-row period
+    # literal are broadcast cross joins onto the calendar-bounded daily
+    # frame (the hourly_crosscorr_leadlag shape)
+    "daily_value_periodogram",
+    # LOO impact: the corpus (N, Σchars) total is a 1-row broadcast
+    # cross join onto the |sources|-bounded frame
+    "source_loo_impact",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

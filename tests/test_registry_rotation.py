@@ -119,7 +119,10 @@ def test_never_driver_sampled_queries_lead_the_window():
              "embedding_outlier_scores", "copurchase_weighted_sssp",
              "snapshot_diff_orders", "qi_generalization_levels",
              "jw_name_matches", "target_encode_priority",
-             "conformal_value_interval", "gif_decode_stats"]
+             "conformal_value_interval", "gif_decode_stats",
+             "msprt_ab_sequential", "adpcm_decode_stats",
+             "daily_value_periodogram", "source_loo_impact",
+             "entropy_l_diversity"]
     assert list(R.QUERIES)[: len(never)] == never
 
 
@@ -164,7 +167,10 @@ def test_max_staleness_bound():
                           "project_deposit", "pb_roundtrip_history",
                           "pb_roundtrip_deposits",
                           "order_price_percentiles",
-                          "negate_withdrawals"}, (
+                          "negate_withdrawals", "manual_override",
+                          "latest_flag", "lang_id_confusion",
+                          "lapsed_customers",
+                          "late_ship_priority_counts"}, (
         f"queries outside the window with latest driver sample <= r3: "
         f"{stale} — the LRU refill must rotate these in"
     )
