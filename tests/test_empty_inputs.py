@@ -374,3 +374,55 @@ def test_dq_checks_empty_is_six_zero_rows(spark, tmp_path):
     rows = registry.QUERIES["lineitem_dq_checks"](spark, str(tmp_path)).collect()
     assert len(rows) == 6
     assert all(r.n_rows == 0 and r.n_violations == 0 for r in rows)
+
+
+def test_weighted_sssp_empty_graph(spark):
+    from depositaja_spark.functions.graph import weighted_sssp
+
+    edges = spark.createDataFrame([], "u long, v long, w long")
+    seeds = spark.createDataFrame([], "node long")
+    assert weighted_sssp(edges, seeds, rounds=3).count() == 0
+
+
+def test_weighted_pagerank_empty(spark):
+    from depositaja_spark.functions.pagerank import weighted_pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string, w long")
+    assert weighted_pagerank(edges, iterations=2).count() == 0
+
+
+def test_jaro_winkler_pairs_empty_sides(spark):
+    from depositaja_spark.functions.fuzzy import jaro_winkler_pairs
+
+    empty = spark.createDataFrame([], "q string")
+    corpus = spark.createDataFrame([("widget",)], ["c"])
+    assert jaro_winkler_pairs(empty, corpus, q_col="q", c_col="c").count() == 0
+    both = spark.createDataFrame([], "c string")
+    assert (
+        jaro_winkler_pairs(
+            spark.createDataFrame([("x",)], ["q"]), both, q_col="q", c_col="c"
+        ).count()
+        == 0
+    )
+
+
+def test_readability_empty(spark, empty_docs):
+    from depositaja_spark.queries_gov import readability_doc_metrics
+
+    assert readability_doc_metrics(empty_docs).count() == 0
+
+
+def test_interval_month_counts_empty(spark):
+    from depositaja_spark.queries_gov import interval_month_counts
+
+    iv = spark.createDataFrame([], "s timestamp, e timestamp")
+    assert interval_month_counts(iv).count() == 0
+
+
+def test_adpcm_empty_stream():
+    import numpy as np
+
+    from depositaja_spark.functions.multimodal import adpcm_decode, adpcm_encode
+
+    assert adpcm_encode(np.array([], np.int64)) == b""
+    assert adpcm_decode(b"", 0).tolist() == []
