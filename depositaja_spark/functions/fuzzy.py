@@ -228,10 +228,14 @@ def jaro_winkler_pairs(
         .filter(F.col("bn") <= max_block)
         .select("blk")
     )
+    # threshold on the ROUND-6 score (the repo's pinning convention):
+    # the raw kernel and the oracle's native scorer agree to ~1e-12 but
+    # not bitwise, so cutting on the raw value could keep different row
+    # sets when a pair lands within float noise of the threshold
     return (
         qd.join(kept_blocks, "blk")
         .join(cd, "blk")
-        .withColumn("jw", jw(F.col("query_name"), F.col("match_name")))
+        .withColumn("jw", F.round(jw(F.col("query_name"), F.col("match_name")), 6))
         .filter(F.col("jw") >= F.lit(threshold))
-        .select("query_name", "match_name", F.round("jw", 6).alias("jw"))
+        .select("query_name", "match_name", "jw")
     )

@@ -1478,7 +1478,7 @@ def _decode_gif(raw: bytes) -> tuple[int, int, int, np.ndarray]:
 
 def encode_gif(arr: np.ndarray) -> bytes:
     """Encode an (h, w, 3) or (h, w) uint8 array as a real GIF89a
-    stream (exact palette from the distinct colors, first-occurrence
+    stream (exact palette = the distinct colors in lexicographic RGB
     order; LZW-compressed).  Images with more than 256 distinct colors
     need quantization — out of scope for the vendored codec, raises."""
     a = np.asarray(arr, np.uint8)

@@ -59,7 +59,16 @@ from depositaja_spark.functions.cache import (
     unpersist_rdd_ids,
 )
 
-__all__ = ["pagerank", "pagerank_oracle_sql"]
+__all__ = [
+    "hits",
+    "hits_oracle_sql",
+    "pagerank",
+    "pagerank_oracle_sql",
+    "personalized_pagerank",
+    "personalized_pagerank_oracle_sql",
+    "weighted_pagerank",
+    "weighted_pagerank_oracle_sql",
+]
 
 
 def pagerank(
@@ -73,86 +82,20 @@ def pagerank(
 
     Parallel edges count multiplicatively (pass a distinct frame for an
     unweighted graph — the registered query does).  ``pr`` sums to 1.
-    """
-    d = float(damping)
-    spark = edges.sparkSession
-    sc = spark.sparkContext
-    # persist the edges ALREADY hash-partitioned by src: the cached
-    # frame's outputPartitioning satisfies every iteration's rank join
-    # requirement, so the per-round src-side exchange (the big one — the
-    # edge set dwarfs the rank vector) is paid ONCE, and the outdeg
-    # groupBy("src") below rides the same layout shuffle-free
-    e = tracked_persist(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .repartition("src")
-    )
-    nodes = tracked_persist(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    outdeg = tracked_persist(
-        e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    )
-    # N as a 1-row broadcast frame: no collect, no driver scalar
-    ncnt = tracked_persist(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
 
-    # materialize ALL lazy caches BEFORE the first storage snapshot —
-    # persisted frames register their RDD only on first execution, so an
-    # unmaterialized cache would first appear DURING round 1's job and
-    # the round diff below would mistake it for a round block and retire
-    # it mid-algorithm (same ordering rule as graph.py).  ncnt reads
-    # through nodes' cache, materializing both.
-    e.count()
-    outdeg.count()
-    ncnt.count()
-
-    before = pinned_rdd_ids(sc)
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "id", (F.lit(1.0) / F.col("n")).alias("pr")
-    ).localCheckpoint()
-    prev_ids = pinned_rdd_ids(sc) - before
-
-    for _ in range(int(iterations)):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .join(outdeg, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
-        )
-        dangling = ranks.join(
-            outdeg, ranks["id"] == outdeg["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
-        # contrib joins FIRST, scalars attach after: putting the cross
-        # joins under the left-outer's left child would hoist the 1-row
-        # broadcast hints into a build-left position Spark rejects
-        # (HintErrorLogger noise, hint dropped)
-        before = pinned_rdd_ids(sc)
-        ranks = (
-            nodes.join(contrib, "id", "left_outer")
-            .crossJoin(F.broadcast(ncnt))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - d) / F.col("n")
-                    + F.lit(d)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / F.col("n"))
-                ).alias("pr"),
-            )
-            .localCheckpoint()  # eager: truncates lineage, runs the round
-        )
-        # the new round is materialized; the previous round's blocks are
-        # dead — retire them so pinned storage stays O(1) across rounds
-        unpersist_rdd_ids(sc, prev_ids)
-        prev_ids = pinned_rdd_ids(sc) - before
-    # the FINAL round's blocks back the returned frame (localCheckpoint
-    # truncated its lineage — unpersisting before the caller reads it
-    # would lose the data, not recompute it), so they are handed to the
-    # tracked-RDD registry: the caller's normal between-queries
-    # release_caches() retires them once the result is consumed
-    track_pinned_rdds(sc, prev_ids)
-    return ranks
+    Thin wrapper over :func:`weighted_pagerank` with unit weights —
+    bit-identical (``pr·1.0 ≡ pr`` and ``Σ1.0 ≡ count``), so ONE copy
+    of the fragile persist/localCheckpoint/block-retirement discipline
+    serves both shapes."""
+    return weighted_pagerank(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        iterations=iterations,
+        damping=damping,
+    )
 
 
 def pagerank_oracle_sql(
@@ -162,38 +105,13 @@ def pagerank_oracle_sql(
 
     ``edges_sql`` must yield columns ``(src, dst)``.  Returns
     ``(id, pr_scaled)`` with pr × N rounded to 6 decimals — O(1)-sized
-    values so the fixed rounding keeps real precision at any N."""
-    d = float(damping)
-    parts = [
-        f"WITH edges AS MATERIALIZED ({edges_sql})",
-        "nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg"
-        " FROM edges GROUP BY src)",
-        "r0 AS (SELECT id, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn)",
-    ]
-    for i in range(1, int(iterations) + 1):
-        parts.append(
-            f"""r{i} AS MATERIALIZED (
-  SELECT n.id,
-         (1.0 - {d})/nn.n + {d} * (COALESCE(c.s, 0.0) + dm.m/nn.n) AS pr
-  FROM nodes n
-  CROSS JOIN nn
-  CROSS JOIN (SELECT COALESCE(sum(r.pr), 0.0) AS m
-              FROM r{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
-              WHERE o.src IS NULL) dm
-  LEFT JOIN (SELECT e.dst AS id, sum(r.pr / o.deg) AS s
-             FROM edges e
-             JOIN r{i - 1} r ON e.src = r.id
-             JOIN outdeg o ON e.src = o.src
-             GROUP BY e.dst) c ON n.id = c.id)"""
-        )
-    body = ",\n".join(parts)
-    return (
-        f"{body}\n"
-        f"SELECT id, round(pr * nn.n, 6) AS pr_scaled\n"
-        f"FROM r{int(iterations)} CROSS JOIN nn"
-    )
+    values so the fixed rounding keeps real precision at any N.
+
+    Wrapper over :func:`weighted_pagerank_oracle_sql` with unit weights
+    (``pr·1 ≡ pr``, ``Σ1 ≡ count`` — value-identical), mirroring the
+    engine-side unification."""
+    unit = f"SELECT src, dst, 1 AS w FROM ({edges_sql}) unweighted_edges"
+    return weighted_pagerank_oracle_sql(unit, iterations=iterations, damping=damping)
 
 
 def personalized_pagerank(
@@ -449,6 +367,11 @@ def weighted_pagerank(
     d = float(damping)
     spark = edges.sparkSession
     sc = spark.sparkContext
+    # persist the edges ALREADY hash-partitioned by src: the cached
+    # frame's outputPartitioning satisfies every iteration's rank join
+    # requirement, so the per-round src-side exchange (the big one — the
+    # edge set dwarfs the rank vector) is paid ONCE, and the outdeg
+    # groupBy("src") below rides the same layout shuffle-free
     e = tracked_persist(
         edges.select(
             F.col(src_col).alias("src"),
@@ -464,7 +387,14 @@ def weighted_pagerank(
     outdeg = tracked_persist(
         e.groupBy("src").agg(F.sum("w").alias("deg"))
     )
+    # N as a 1-row broadcast frame: no collect, no driver scalar
     ncnt = tracked_persist(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    # materialize ALL lazy caches BEFORE the first storage snapshot —
+    # persisted frames register their RDD only on first execution, so an
+    # unmaterialized cache would first appear DURING round 1's job and
+    # the round diff below would mistake it for a round block and retire
+    # it mid-algorithm (same ordering rule as graph.py).  ncnt reads
+    # through nodes' cache, materializing both.
     e.count()
     outdeg.count()
     ncnt.count()
@@ -485,6 +415,10 @@ def weighted_pagerank(
         dangling = ranks.join(
             outdeg, ranks["id"] == outdeg["src"], "left_anti"
         ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        # contrib joins FIRST, scalars attach after: putting the cross
+        # joins under the left-outer's left child would hoist the 1-row
+        # broadcast hints into a build-left position Spark rejects
+        # (HintErrorLogger noise, hint dropped)
         before = pinned_rdd_ids(sc)
         ranks = (
             nodes.join(contrib, "id", "left_outer")
@@ -498,10 +432,17 @@ def weighted_pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / F.col("n"))
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: truncates lineage, runs the round
         )
+        # the new round is materialized; the previous round's blocks are
+        # dead — retire them so pinned storage stays O(1) across rounds
         unpersist_rdd_ids(sc, prev_ids)
         prev_ids = pinned_rdd_ids(sc) - before
+    # the FINAL round's blocks back the returned frame (localCheckpoint
+    # truncated its lineage — unpersisting before the caller reads it
+    # would lose the data, not recompute it), so they are handed to the
+    # tracked-RDD registry: the caller's normal between-queries
+    # release_caches() retires them once the result is consumed
     track_pinned_rdds(sc, prev_ids)
     return ranks
 

@@ -687,10 +687,10 @@ cb AS (SELECT c, substring(c, 1, {_JW_BLOCK_PREFIX}) AS blk FROM clean),
 kept AS (SELECT blk FROM cb GROUP BY blk
          HAVING count(*) <= {10_000}),
 m AS (SELECT qb.q AS query_name, cb.c AS match_name,
-             jaro_winkler_similarity(qb.q, cb.c) AS sim
+             round(jaro_winkler_similarity(qb.q, cb.c), 6) AS jw
       FROM qb JOIN kept USING (blk) JOIN cb USING (blk))
-SELECT query_name, match_name, round(sim, 6) AS jw
-FROM m WHERE sim >= {_JW_THRESHOLD}
+SELECT query_name, match_name, jw
+FROM m WHERE jw >= {_JW_THRESHOLD}
 """
 
 

@@ -661,13 +661,15 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "hot_windows",
     "lang_id",
 )
-# NOTE: the round-10 session-3 additions (governance tier, weighted
-# SSSP, snapshot diff, generalization ladder, JW linkage, target
-# encoding, conformal intervals, GIF codec) displaced the last FOURTEEN
-# refill slots (negate_withdrawals, order_price_percentiles,
-# pb_roundtrip_deposits, pb_roundtrip_history,
-# pivot_status_by_priority, point_lookup, project_deposit,
-# repeat_customers, rollup_returns, scalar_functions,
+# NOTE: the round-10 session-3 additions (19 new oracle-backed queries:
+# governance tier, weighted SSSP, snapshot diff, generalization ladder,
+# JW linkage, target encoding, conformal intervals, GIF + ADPCM codecs,
+# mSPRT, periodogram, LOO impact, entropy l-diversity) displaced the
+# last NINETEEN refill slots (lang_id_confusion, lapsed_customers,
+# late_ship_priority_counts, latest_flag, manual_override,
+# negate_withdrawals, order_price_percentiles, pb_roundtrip_deposits,
+# pb_roundtrip_history, pivot_status_by_priority, point_lookup,
+# project_deposit, repeat_customers, rollup_returns, scalar_functions,
 # session_window_stats, shipmode_priority_counts, token_entropy,
 # top3_customers_per_segment) — those join the six documented r3
 # stragglers at the head of round 11's refill;

@@ -965,9 +965,6 @@ def streaming_value_quantiles(
     a pure-Python replay is bit-exact (tests/test_streaming.py).
 
     Returns a DataStreamWriter; caller picks trigger + checkpoint."""
-    import os as _os
-    import shutil as _shutil
-
     state_schema = "event_type string, bin long, c long"
 
     def _batch_hist(batch: DataFrame) -> dict[tuple[str, int], int]:
@@ -989,32 +986,55 @@ def streaming_value_quantiles(
         )
         return {(r.event_type, int(r.bin)): int(r.c) for r in rows}
 
+    return _additive_grid_monitor(events, state_dir, state_schema, _batch_hist)
+
+
+def _additive_grid_monitor(
+    events: DataFrame,
+    state_dir: str,
+    state_schema: str,
+    batch_counts,
+):
+    """Shared foreachBatch loop for the integer ADDITIVE-count grid
+    monitors (quantile histogram, k-anonymity class grid): one
+    (string, long) key → count state dict, merge = addition, persisted
+    under the commit_<batch_id> staged-rename exactly-once protocol.
+    ``batch_counts(batch) -> {(str, int): int}`` is the only per-monitor
+    logic; the sentinel row (key ("", -1)) marks an empty state and is
+    dropped on load.  ONE copy of the replay-guard / staged-write /
+    rename / retire sequence serves every additive monitor."""
+    import os as _os
+    import shutil as _shutil
+
+    def _load(spark) -> dict[tuple[str, int], int]:
+        commits = _mg_commits(state_dir)
+        if not commits:
+            return {}
+        path = _os.path.join(state_dir, commits[-1][1], "state")
+        return {
+            (r[0], int(r[1])): int(r[2])
+            for r in spark.read.schema(state_schema).parquet(path).collect()
+            if int(r[1]) >= 0
+        }
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         commits = _mg_commits(state_dir)
         if commits and batch_id <= commits[-1][0]:
-            return
-        hist = _batch_hist(batch)
-        if commits:
-            path = _os.path.join(state_dir, commits[-1][1])
-            for r in (
-                spark.read.schema(state_schema)
-                .parquet(_os.path.join(path, "state"))
-                .collect()
-            ):
-                if r.bin < 0:
-                    continue
-                k = (r.event_type, int(r.bin))
-                hist[k] = hist.get(k, 0) + int(r.c)
+            return  # at-least-once replay of an already-folded batch
+        state = _load(spark)
+        for k, c in batch_counts(batch).items():
+            state[k] = state.get(k, 0) + c
         staged = _os.path.join(state_dir, f"staged_{batch_id}")
         _shutil.rmtree(staged, ignore_errors=True)
-        rows = sorted(hist.items()) or [(("", -1), 0)]
+        rows = sorted(state.items()) or [(("", -1), 0)]
         spark.createDataFrame(
-            [(et, b, c) for (et, b), c in rows], state_schema
+            [(a, b, c) for (a, b), c in rows], state_schema
         ).coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(staged, "state")
         )
         _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
+        # retire superseded commits only AFTER the new one exists
         for _, name in commits:
             _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
 
@@ -1066,9 +1086,6 @@ def streaming_k_anonymity(
     at-least-once replay can never double-count.
 
     Returns a DataStreamWriter; caller picks trigger + checkpoint."""
-    import os as _os
-    import shutil as _shutil
-
     state_schema = f"{type_col} string, hour long, c long"
 
     def _batch_counts(batch: DataFrame) -> dict:
@@ -1081,27 +1098,7 @@ def streaming_k_anonymity(
         )
         return {(r[type_col], int(r.hour)): int(r.c) for r in rows}
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        commits = _mg_commits(state_dir)
-        if commits and batch_id <= commits[-1][0]:
-            return  # at-least-once replay of an already-counted batch
-        state = load_kanon_state(spark, state_dir, type_col)
-        for key, c in _batch_counts(batch).items():
-            state[key] = state.get(key, 0) + c
-        staged = _os.path.join(state_dir, f"staged_{batch_id}")
-        _shutil.rmtree(staged, ignore_errors=True)
-        rows = sorted(state.items()) or [(("", -1), 0)]
-        spark.createDataFrame(
-            [(et, h, c) for (et, h), c in rows], state_schema
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _os.path.join(staged, "state")
-        )
-        _os.rename(staged, _os.path.join(state_dir, f"commit_{batch_id}"))
-        for _, name in commits:
-            _shutil.rmtree(_os.path.join(state_dir, name), ignore_errors=True)
-
-    return events.writeStream.foreachBatch(_process)
+    return _additive_grid_monitor(events, state_dir, state_schema, _batch_counts)
 
 
 def load_kanon_state(
