@@ -204,3 +204,27 @@ def test_jw_hypothesis_parity_with_duckdb(spark):
         assert abs(got - want) < 1e-12, (a, b, got, want)
 
     check()
+
+
+def test_gif_full_codec_hypothesis():
+    """Property: encode∘decode is identity for arbitrary small paletted
+    images (shape and palette size drawn by hypothesis, pixels seeded
+    deterministically per example)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=256),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, ncol, seed):
+        rng = np.random.RandomState(seed)
+        img = _rand_img(rng, h, w, min(ncol, h * w * 4))
+        hh, ww, c, out = _decode_gif(encode_gif(img))
+        assert (hh, ww, c) == (h, w, 3)
+        assert np.array_equal(out, img)
+
+    check()

@@ -413,3 +413,99 @@ def test_periodogram_bounds_and_planted_seasonality(spark):
         # a single (cos, sin) pair captures at most all the variance
         # (2/n·|proj|²/var ≤ 1 up to discrete-grid leakage slack)
         assert -1e-6 <= r.variance_frac <= 1.5
+
+
+def test_snapshot_diff_python_replay(spark):
+    """Third-implementation replay: classify every key in pure Python
+    from the raw orders rows and compare the full (change_type, mask)
+    histogram."""
+    from collections import Counter
+
+    from depositaja_spark.queries_gov import _DIFF_INS_SHIFT
+    from depositaja_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    a = {r.o_orderkey: (r.o_totalprice, r.o_orderstatus) for r in rows}
+    b = {}
+    for k, (p, s) in a.items():
+        if k % 97 == 0:
+            continue
+        b[k] = (p + 10.0 if k % 31 == 0 else p, "X" if k % 41 == 0 else s)
+    for k, (p, s) in a.items():
+        if k % 113 == 0:
+            b[k + _DIFF_INS_SHIFT] = (p, s)
+    want: Counter = Counter()
+    for k in set(a) | set(b):
+        if k not in a:
+            want[("added", "")] += 1
+        elif k not in b:
+            want[("removed", "")] += 1
+        else:
+            mask = ",".join(
+                name
+                for name, ne in (
+                    ("o_orderstatus", a[k][1] != b[k][1]),
+                    ("o_totalprice", a[k][0] != b[k][0]),
+                )
+                if ne
+            )
+            want[("changed" if mask else "unchanged", mask)] += 1
+    got = {
+        (r.change_type, r.changed_cols): r.n_rows
+        for r in registry.QUERIES["snapshot_diff_orders"](spark, SF).collect()
+    }
+    assert got == dict(want)
+
+
+def test_generalization_ladder_python_replay(spark):
+    """Recompute every record's least-sufficient level in pure Python
+    and compare the histogram (monotone class sizes up the ladder make
+    the least level well-defined)."""
+    from collections import Counter, defaultdict
+
+    from depositaja_spark.sources import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    cust = {
+        r.c_custkey: (r.c_nationkey, r.c_mktsegment)
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    recs = []
+    for o in orders:
+        if o.o_custkey not in cust:
+            continue
+        n, g = cust[o.o_custkey]
+        d = o.o_orderdate
+        m = f"{d.year:04d}-{d.month:02d}"
+        q = f"{d.year}-Q{(d.month - 1) // 3 + 1}"
+        recs.append((n, g, m, q, str(d.year)))
+    c0, c1, c2, c3 = (defaultdict(int) for _ in range(4))
+    for n, g, m, q, y in recs:
+        c0[(n, g, m)] += 1
+        c1[(n, g, q)] += 1
+        c2[(n, g, y)] += 1
+        c3[(n, g)] += 1
+    want: Counter = Counter()
+    for n, g, m, q, y in recs:
+        if c0[(n, g, m)] >= 5:
+            lv = 0
+        elif c1[(n, g, q)] >= 5:
+            lv = 1
+        elif c2[(n, g, y)] >= 5:
+            lv = 2
+        elif c3[(n, g)] >= 5:
+            lv = 3
+        else:
+            lv = 4
+        want[lv] += 1
+    got = {
+        r.gen_level: r.n_records
+        for r in registry.QUERIES["qi_generalization_levels"](spark, SF).collect()
+    }
+    assert got == dict(want)
