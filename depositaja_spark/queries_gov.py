@@ -678,8 +678,10 @@ _JW_DIRTY_EXPR = (
     " || substring(s, p, 1) || substring(s, p + 2)"
 )
 
-_JW_MATCHES_SQL = f"""
-WITH clean AS (SELECT DISTINCT p_name AS c FROM part WHERE length(p_name) >= 4),
+#: shared CTE chain (dirty-name derivation → blocking → JW scoring) —
+#: the match query and the ER-clustering query embed the SAME text so
+#: their semantics can never drift apart
+_JW_MATCH_CTES = f"""clean AS (SELECT DISTINCT p_name AS c FROM part WHERE length(p_name) >= 4),
 d0 AS (SELECT c AS s, {_JW_DIRTY_P} AS p FROM clean),
 dirty AS (SELECT DISTINCT {_JW_DIRTY_EXPR} AS q FROM d0),
 qb AS (SELECT q, substring(q, 1, {_JW_BLOCK_PREFIX}) AS blk FROM dirty),
@@ -688,7 +690,10 @@ kept AS (SELECT blk FROM cb GROUP BY blk
          HAVING count(*) <= {10_000}),
 m AS (SELECT qb.q AS query_name, cb.c AS match_name,
              round(jaro_winkler_similarity(qb.q, cb.c), 6) AS jw
-      FROM qb JOIN kept USING (blk) JOIN cb USING (blk))
+      FROM qb JOIN kept USING (blk) JOIN cb USING (blk))"""
+
+_JW_MATCHES_SQL = f"""
+WITH {_JW_MATCH_CTES}
 SELECT query_name, match_name, jw
 FROM m WHERE jw >= {_JW_THRESHOLD}
 """
@@ -781,4 +786,83 @@ def q_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy(F.col("l").alias("l_distinct")).agg(
         F.count(F.lit(1)).alias("n_classes"),
         F.round(F.avg(h), 4).alias("avg_entropy"),
+    )
+
+
+# --- entity clusters from the JW match graph ------------------------------------
+#
+# ER end-to-end: the blocked JW matches become edges of an entity graph
+# (dirty ∪ clean names as vertices) and connected components turn
+# pairwise links into entity groups — the closure step every record-
+# linkage pipeline ends with (same role dedup_clusters plays for the
+# document near-dup graph).  Output is the bounded cluster-size
+# histogram; the oracle replays the closure as recursive-CTE
+# reachability over the identical match CTEs.
+
+_JW_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JW_MATCH_CTES},
+pairs AS (SELECT query_name, match_name FROM m WHERE jw >= {_JW_THRESHOLD}),
+verts AS (SELECT q AS id FROM dirty UNION SELECT c FROM clean),
+sym AS (SELECT query_name AS src, match_name AS dst FROM pairs
+        UNION ALL
+        SELECT match_name, query_name FROM pairs),
+reach(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+),
+cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM cl GROUP BY cluster)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY cluster_size
+"""
+
+
+@query("jw_entity_clusters", _JW_CLUSTERS_SQL)
+def q_jw_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity groups from the Jaro-Winkler match graph: connected
+    components over (dirty ∪ clean) names linked at ≥ {_JW_THRESHOLD},
+    reduced to the cluster-size histogram — pair detection → entity
+    resolution closure, reusing the two-tier component engine
+    (``functions/graph.py:connected_components``: driver union-find
+    under the counted small-graph gate, pointer-jumping above)."""
+    from depositaja_spark.functions.fuzzy import jaro_winkler_pairs
+    from depositaja_spark.functions.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    clean = (
+        part.select(F.col("p_name").alias("c"))
+        .where(F.length("p_name") >= 4)
+        .distinct()
+    )
+    dirty = (
+        clean.select(F.col("c").alias("s"))
+        .withColumn("p", F.expr(_JW_DIRTY_P))
+        .selectExpr(f"{_JW_DIRTY_EXPR} AS q")
+        .distinct()
+    )
+    pairs = jaro_winkler_pairs(
+        dirty,
+        clean,
+        q_col="q",
+        c_col="c",
+        threshold=_JW_THRESHOLD,
+        block_prefix=_JW_BLOCK_PREFIX,
+    )
+    verts = dirty.select(F.col("q").alias("name")).unionByName(
+        clean.select(F.col("c").alias("name"))
+    ).distinct()
+    cl = connected_components(
+        verts,
+        pairs,
+        id_col="name",
+        src_col="query_name",
+        dst_col="match_name",
+    )
+    return (
+        cl.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
     )

@@ -2641,3 +2641,117 @@ def q_msprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.least(F.lit(1.0), F.exp(-mx)), 6))
         .alias("always_valid_p"),
     )
+
+
+# --- stratified average treatment effect -----------------------------------------
+#
+# The post-stratification estimator: ATE = Σ_s w_s (p̂1s − p̂0s) with
+# w_s = n_s/N, SE² = Σ_s w_s² (p̂0(1−p̂0)/n0s + p̂1(1−p̂1)/n1s) — the
+# standard variance-reduction/imbalance-correction readout next to
+# CUPED.  Strata = fixed activity tiers (literal event-count buckets,
+# no global sort); arms = the shared md5-parity split.  All counts are
+# exact integers; the weighted folds run over the ≤4-row strata frame.
+
+_ATE_BUCKETS = "CASE WHEN ne <= 5 THEN 't1' WHEN ne <= 10 THEN 't2' " \
+               "WHEN ne <= 20 THEN 't3' ELSE 't4' END"
+
+_STRAT_ATE_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm,
+         count(*) AS ne,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT {_ATE_BUCKETS} AS stratum,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+  FROM u GROUP BY 1
+),
+k AS (SELECT * FROM s WHERE n0 > 0 AND n1 > 0),
+t AS (SELECT CAST(sum(n0 + n1) AS DOUBLE) AS nn,
+             CAST(count(*) AS BIGINT) AS n_strata FROM k)
+SELECT CAST(t.n_strata AS BIGINT) AS n_strata,
+       CAST(t.nn AS BIGINT) AS n_users,
+       round(sum(((k.n0 + k.n1) / t.nn)
+                 * (CAST(k.c1 AS DOUBLE) / k.n1
+                    - CAST(k.c0 AS DOUBLE) / k.n0)), 6) AS ate,
+       round(sqrt(sum(((k.n0 + k.n1) / t.nn) * ((k.n0 + k.n1) / t.nn)
+                 * ((CAST(k.c0 AS DOUBLE) / k.n0)
+                    * (1.0 - CAST(k.c0 AS DOUBLE) / k.n0) / k.n0
+                    + (CAST(k.c1 AS DOUBLE) / k.n1)
+                      * (1.0 - CAST(k.c1 AS DOUBLE) / k.n1) / k.n1))), 6) AS se
+FROM k CROSS JOIN t
+GROUP BY t.n_strata, t.nn
+"""
+
+
+@query("stratified_ate_conversion", _STRAT_ATE_SQL)
+def q_stratified_ate_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified ATE of the hash-split conversion experiment
+    across fixed activity tiers (≤5 / ≤10 / ≤20 / >20 events per user)
+    with its analytic standard error — the imbalance-corrected
+    companion to ab_conversion_ztest and cuped_variance_reduction.
+    One user-keyed agg, one ≤4-row strata frame, one 1-row total
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    from depositaja_spark.functions.text import hash64
+
+    u = ev.groupBy(
+        "user_id", (hash64(F.col("user_id").cast("string")) % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("conv"),
+    )
+    stratum = (
+        F.when(F.col("ne") <= 5, F.lit("t1"))
+        .when(F.col("ne") <= 10, F.lit("t2"))
+        .when(F.col("ne") <= 20, F.lit("t3"))
+        .otherwise(F.lit("t4"))
+    )
+    s = u.groupBy(stratum.alias("stratum")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c1"),
+    )
+    k = s.where((F.col("n0") > 0) & (F.col("n1") > 0))
+    t = k.agg(
+        F.sum(F.col("n0") + F.col("n1")).cast("double").alias("nn"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    w = (F.col("n0") + F.col("n1")) / F.col("nn")
+    return (
+        k.crossJoin(F.broadcast(t))
+        .groupBy("n_strata", "nn")
+        .agg(
+            F.round(F.sum(w * (p1 - p0)), 6).alias("ate"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        w * w * (p0 * (F.lit(1.0) - p0) / F.col("n0")
+                                 + p1 * (F.lit(1.0) - p1) / F.col("n1"))
+                    )
+                ),
+                6,
+            ).alias("se"),
+        )
+        .select(
+            F.col("n_strata").cast("long").alias("n_strata"),
+            F.col("nn").cast("long").alias("n_users"),
+            "ate",
+            "se",
+        )
+    )

@@ -615,6 +615,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "daily_value_periodogram",
     "source_loo_impact",
     "entropy_l_diversity",
+    "jw_entity_clusters",
+    "stratified_ate_conversion",
     # -- round-10 CHANGED queries re-verified by the external gate:
     #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
     #    brier_decomposition's oracle widened to DECIMAL before squaring,
@@ -658,14 +660,13 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_hourly",
     "flag_events",
     "grouping_sets_revenue",
-    "hot_windows",
-    "lang_id",
 )
-# NOTE: the round-10 session-3 additions (19 new oracle-backed queries:
+# NOTE: the round-10 session-3 additions (21 new oracle-backed queries:
 # governance tier, weighted SSSP, snapshot diff, generalization ladder,
-# JW linkage, target encoding, conformal intervals, GIF + ADPCM codecs,
-# mSPRT, periodogram, LOO impact, entropy l-diversity) displaced the
-# last NINETEEN refill slots (lang_id_confusion, lapsed_customers,
+# JW linkage + entity clusters, target encoding, conformal intervals,
+# GIF + ADPCM codecs, mSPRT, stratified ATE, periodogram, LOO impact,
+# entropy l-diversity) displaced the last TWENTY-ONE refill slots
+# (hot_windows, lang_id, lang_id_confusion, lapsed_customers,
 # late_ship_priority_counts, latest_flag, manual_override,
 # negate_withdrawals, order_price_percentiles, pb_roundtrip_deposits,
 # pb_roundtrip_history, pivot_status_by_priority, point_lookup,

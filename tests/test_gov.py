@@ -509,3 +509,90 @@ def test_generalization_ladder_python_replay(spark):
         for r in registry.QUERIES["qi_generalization_levels"](spark, SF).collect()
     }
     assert got == dict(want)
+
+
+def test_jw_entity_clusters_pairs_collapse(spark):
+    """Every dirty name links to its source, so no vertex stays a
+    2-sided singleton pair-wise: cluster sizes are >= 2 for all matched
+    names, singletons only for unmatched clean names; total vertices
+    tie out."""
+    rows = registry.QUERIES["jw_entity_clusters"](spark, SF).collect()
+    assert rows
+    total_vertices = sum(r.cluster_size * r.n_clusters for r in rows)
+    from depositaja_spark.queries_gov import _JW_DIRTY_EXPR, _JW_DIRTY_P
+    from depositaja_spark.sources import load_table
+
+    part = load_table(spark, SF, "part")
+    clean = part.select(F.col("p_name").alias("c")).where(
+        F.length("p_name") >= 4
+    ).distinct()
+    dirty = (
+        clean.select(F.col("c").alias("s"))
+        .withColumn("p", F.expr(_JW_DIRTY_P))
+        .selectExpr(f"{_JW_DIRTY_EXPR} AS q")
+        .distinct()
+    )
+    n_verts = (
+        dirty.select(F.col("q").alias("n"))
+        .unionByName(clean.select(F.col("c").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert total_vertices == n_verts
+    # at least one multi-entity cluster exists (each dirty name matched)
+    assert any(r.cluster_size >= 2 for r in rows)
+
+
+def test_stratified_ate_python_replay(spark):
+    """Exact replay of the post-stratification estimator from the raw
+    user rows — weights, ATE, and the analytic SE."""
+    import math as _m
+
+    from depositaja_spark.functions.text import hash64
+    from depositaja_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    users = (
+        ev.groupBy(
+            "user_id", (hash64(F.col("user_id").cast("string")) % 2).alias("arm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n0 c0 n1 c1
+    for u in users:
+        t = "t1" if u.ne <= 5 else "t2" if u.ne <= 10 else "t3" if u.ne <= 20 else "t4"
+        if u.arm == 0:
+            agg[t][0] += 1
+            agg[t][1] += u.conv
+        else:
+            agg[t][2] += 1
+            agg[t][3] += u.conv
+    kept = {t: v for t, v in agg.items() if v[0] > 0 and v[2] > 0}
+    nn = sum(v[0] + v[2] for v in kept.values())
+    ate = sum(
+        ((v[0] + v[2]) / nn) * (v[3] / v[2] - v[1] / v[0]) for v in kept.values()
+    )
+    se = _m.sqrt(
+        sum(
+            ((v[0] + v[2]) / nn) ** 2
+            * (
+                (v[1] / v[0]) * (1 - v[1] / v[0]) / v[0]
+                + (v[3] / v[2]) * (1 - v[3] / v[2]) / v[2]
+            )
+            for v in kept.values()
+        )
+    )
+    row = registry.QUERIES["stratified_ate_conversion"](spark, SF).collect()[0]
+    assert row.n_strata == len(kept) and row.n_users == nn
+    assert row.ate == pytest.approx(round(ate, 6), abs=1e-9)
+    assert row.se == pytest.approx(round(se, 6), abs=1e-9)

@@ -190,6 +190,9 @@ CARTESIAN_OK = {
     # LOO impact: the corpus (N, Σchars) total is a 1-row broadcast
     # cross join onto the |sources|-bounded frame
     "source_loo_impact",
+    # stratified ATE: the (N, n_strata) total is a 1-row broadcast
+    # cross join onto the ≤4-row strata frame
+    "stratified_ate_conversion",
 }
 
 #: iterative/driver-coordinated queries whose plan is built per run

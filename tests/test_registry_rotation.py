@@ -122,7 +122,8 @@ def test_never_driver_sampled_queries_lead_the_window():
              "conformal_value_interval", "gif_decode_stats",
              "msprt_ab_sequential", "adpcm_decode_stats",
              "daily_value_periodogram", "source_loo_impact",
-             "entropy_l_diversity"]
+             "entropy_l_diversity", "jw_entity_clusters",
+             "stratified_ate_conversion"]
     assert list(R.QUERIES)[: len(never)] == never
 
 
@@ -170,7 +171,8 @@ def test_max_staleness_bound():
                           "negate_withdrawals", "manual_override",
                           "latest_flag", "lang_id_confusion",
                           "lapsed_customers",
-                          "late_ship_priority_counts"}, (
+                          "late_ship_priority_counts",
+                          "hot_windows", "lang_id"}, (
         f"queries outside the window with latest driver sample <= r3: "
         f"{stale} — the LRU refill must rotate these in"
     )
