@@ -624,6 +624,12 @@ def bfs_hops(
     und = tracked_persist(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
+    # materialize the cache BEFORE the first storage snapshot: a lazy
+    # persist registers its RDD only on first execution, which would be
+    # round 1's job — the round diff would then mistake the edge cache
+    # for a round block and retire it, silently recomputing the union
+    # (and its upstream lineage) every later round (pagerank.py rule)
+    und.count()
     before = pinned_rdd_ids(sc)
     dist = (
         seeds.select(F.col("node")).distinct().withColumn("hop", F.lit(0))
@@ -917,6 +923,12 @@ def weighted_sssp(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
     )
+    # materialize BEFORE the snapshot (same rule as bfs_hops above):
+    # otherwise the cache RDD first registers during round 1's job,
+    # lands in that round's diff, and is retired at round 2 — every
+    # later relaxation then recomputes the union and its full upstream
+    # lineage (e.g. the co-purchase self-join in copurchase_weighted_sssp)
+    und.count()
     before = pinned_rdd_ids(sc)
     dist = (
         seeds.select(F.col("node"))

@@ -363,7 +363,13 @@ def weighted_pagerank(
     so each power-method round joins the small weighted graph instead
     of re-scanning the corpus (one map-side-combined agg replaces k
     multiset joins).  Same per-round localCheckpoint + block-retirement
-    discipline as the unweighted fold."""
+    discipline as the unweighted fold.
+
+    Precondition: edge weights must be positive.  Non-positive-weight
+    edges are dropped up front — a src whose weights summed to 0 would
+    make ``pr*w/deg`` null, and ``F.sum`` silently drops nulls (while a
+    SQL oracle divides by zero), so rank mass would leak without error;
+    filtering keeps both engines on the same well-defined graph."""
     d = float(damping)
     spark = edges.sparkSession
     sc = spark.sparkContext
@@ -377,7 +383,9 @@ def weighted_pagerank(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
             F.col(w_col).cast("double").alias("w"),
-        ).repartition("src")
+        )
+        .filter(F.col("w") > 0)
+        .repartition("src")
     )
     nodes = tracked_persist(
         e.select(F.col("src").alias("id"))

@@ -149,7 +149,7 @@ FROM cls GROUP BY c_nationkey
 )
 def q_reident_risk_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-identification exposure drilldown: per nation, the share of
-    order records sitting in QI classes smaller than k={_K_MIN} — the
+    order records sitting in QI classes smaller than k=5 — the
     rows a generalization/suppression pass would have to treat before
     release.  Integer counts, one float division rounded at 4."""
     cls = (
@@ -229,7 +229,7 @@ FROM f GROUP BY source
 def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source readability profile: mean Flesch reading ease, mean
     Flesch-Kincaid grade, and the count of difficult documents
-    (Flesch < {_FLESCH_HARD}).  The per-doc metrics are exact-integer
+    (Flesch < 50.0).  The per-doc metrics are exact-integer
     counters combined in float64 — identical IEEE ops on both engines —
     and only the per-source means carry summation-order noise, absorbed
     by round-4 per registry convention."""
@@ -617,7 +617,7 @@ FROM lv GROUP BY gen_level
 def q_qi_generalization_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-record generalization requirement under the Samarati ladder
     month→quarter→year→all-time: the histogram of the least time
-    granularity at which each record's QI class reaches k ≥ {_K_MIN}
+    granularity at which each record's QI class reaches k ≥ 5
     (level 4 = suppress).  The anonymization-planning complement of
     k_anonymity_audit: it says how much generalization the release
     needs, not just whether it fails."""
@@ -703,7 +703,7 @@ FROM m WHERE jw >= {_JW_THRESHOLD}
 def q_jw_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Jaro-Winkler entity resolution: every transposition-
     dirtied part name matched against the clean catalog within its
-    2-char prefix block, kept at similarity ≥ {_JW_THRESHOLD}.
+    2-char prefix block, kept at similarity ≥ 0.9.
     ``functions/fuzzy.py:jaro_winkler_pairs``: keyed block equi-join +
     Arrow-batched scorer on the candidate sliver; hot blocks dropped
     whole at the {10_000}-string cap (cap_baskets discipline)."""
@@ -822,7 +822,7 @@ FROM sz GROUP BY cluster_size
 @query("jw_entity_clusters", _JW_CLUSTERS_SQL)
 def q_jw_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity groups from the Jaro-Winkler match graph: connected
-    components over (dirty ∪ clean) names linked at ≥ {_JW_THRESHOLD},
+    components over (dirty ∪ clean) names linked at ≥ 0.9,
     reduced to the cluster-size histogram — pair detection → entity
     resolution closure, reusing the two-tier component engine
     (``functions/graph.py:connected_components``: driver union-find

@@ -1516,7 +1516,7 @@ def q_copurchase_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong co-purchases are short hops, so the distance ranks parts by
     association strength along the best path, not just hop count (the
     'related products' radius with affinity-weighted tiers).
-    {_SSSP_ROUNDS} synchronous Bellman-Ford rounds
+    5 synchronous Bellman-Ford rounds
     (``functions/graph.py:weighted_sssp``): per round one keyed
     dist⋈edges join + one min-agg, localCheckpoint-ed with block
     retirement; INTEGER weights keep every distance exact on both
@@ -2388,7 +2388,7 @@ FROM cf JOIN c USING (cat) JOIN gf USING (fold) CROSS JOIN g
 
 @query("target_encode_priority", _TARGET_ENCODE_SQL)
 def q_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe {_TE_FOLDS}-fold target encoding of order priority
+    """Leakage-safe 5-fold target encoding of order priority
     against the is-fulfilled label: per (category, fold) the smoothed
     out-of-fold target mean, prior blended at m={_TE_SMOOTH}.  Four
     keyed integer aggs over the fact scan; the final arithmetic runs on
@@ -2462,8 +2462,8 @@ FROM te CROSS JOIN q GROUP BY n_cal, qhat
 @query("conformal_value_interval", _CONFORMAL_SQL)
 def q_conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal interval around the per-type mean-value
-    predictor: q̂ = the {_CONF_Q} calibration-residual quantile, plus
-    the empirical test-fold coverage (should sit near {_CONF_Q} by the
+    predictor: q̂ = the 0.9 calibration-residual quantile, plus
+    the empirical test-fold coverage (should sit near 0.9 by the
     conformal guarantee).  Train/cal/test split by event_id mod 5; the
     predictor frame is |types|-bounded, q̂ is a 1-row broadcast onto
     the test scan."""
@@ -2576,7 +2576,7 @@ FROM stat
 @query("msprt_ab_sequential", _MSPRT_SQL)
 def q_msprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily always-valid p-value for the hash-split conversion A/B via
-    the normal-mixture mSPRT (τ² = {_MSPRT_TAU2}) — the
+    the normal-mixture mSPRT (τ² = 0.0025) — the
     peeking-safe sequential readout next to the fixed-horizon
     ``ab_conversion_ztest``.  One user-keyed agg (arrival day +
     conversion flag), one day-keyed agg, then cumulative and

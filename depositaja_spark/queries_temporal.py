@@ -843,7 +843,7 @@ FROM proj WHERE ss > 0
 
 @query("daily_value_periodogram", _PGRAM_SQL)
 def q_daily_value_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance fraction at candidate seasonal periods {_PGRAM_PERIODS}
+    """Variance fraction at candidate seasonal periods (7, 14, 30)
     via direct DFT projection of the centered daily value series — the
     'is there weekly seasonality' detector feeding the Holt-Winters /
     seasonal-naive tier.  One exact-DECIMAL daily agg, one 1-row moment
