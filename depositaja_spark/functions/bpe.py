@@ -116,6 +116,66 @@ def bpe_train(
     return merges
 
 
+def bpe_segment_oracle_sql(
+    merges: list[tuple[str, str, int]], docs_sql: str = "documents"
+) -> str:
+    r"""DuckDB twin of :func:`bpe_apply` under a PINNED merge list.
+
+    The equivalence that makes segmentation SQL-expressible without
+    recursion: encode each word's symbol sequence as a ``||``-delimited
+    string (``||c1||c2||...||</w>||``); then ONE merge pass of the
+    ``_merge_adjacent`` fold — a left-to-right non-overlapping
+    replacement of adjacent (l, r) — is exactly ONE plain-substring
+    ``replace(s, '|l||r|', '|lr|')``:
+
+    * the pattern anchors on the INNER halves of the two-char token
+      boundaries (``|l||r|``, not ``||l||r||``), so consecutive matches
+      share no characters and ``replace``'s scan-continues-after-match
+      behavior reproduces the fold's leftmost non-overlapping pairing
+      (e.g. five ``a``'s under merge (a,a) → ``[aa, aa, a]``, not
+      ``[aa, a, aa]``);
+    * the replacement token ``lr`` can never itself match as the left
+      or right of the SAME pattern (that would need r or l empty), so
+      one pass is a fixpoint — exactly the fold's single pass;
+    * symbols never contain ``|`` (whitespace tokens over the
+      lowercase corpus + the ``</w>`` marker), so ``|l||r|`` can only
+      match a whole adjacent token pair, never a token infix; and a
+      merge's LEFT never contains ``</w>`` (it always has a right
+      neighbor in-word), so word-final tokens never match as left —
+      the whole document can be encoded as one concatenated string
+      with no cross-word merges.
+
+    k pinned merges in order = k nested replaces.  Preconditions
+    (guaranteed by the fixture, asserted in tests/test_bpe.py): words
+    are non-empty and delimiter-free.
+    """
+    expr = "s"
+    for left, right, _ in merges:
+        # the no-cross-word-match argument above needs left to be
+        # in-word (trainable merges always are); fail loudly on a
+        # hand-built list that violates it rather than diverge
+        assert END not in left, f"merge left {left!r} contains {END}"
+        assert "|" not in left + right, f"merge {left!r},{right!r} contains |"
+        l_ = left.replace("'", "''")
+        r_ = right.replace("'", "''")
+        expr = f"replace({expr}, '|{l_}||{r_}|', '|{l_}{r_}|')"
+    return rf"""
+WITH enc AS (
+  SELECT doc_id,
+         '||' || regexp_replace(word, '(.)', '\1||', 'g') || '{END}||' AS ew
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {docs_sql})
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, string_agg(ew, '') AS s
+  FROM enc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(len(list_filter(string_split_regex({expr}, '\|+'),
+                            x -> x <> '')) AS INT) AS n_subwords
+FROM agg
+"""
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],

@@ -30,6 +30,27 @@ ANCHOR_IDS = [5, 6, 7]
 TOP_K = 5
 
 
+def _guard_all_pairs_baseline(
+    corpus: DataFrame, max_rows: int | None, name: str, sibling: str
+) -> None:
+    """Enforce the fixture-scale contract of the labeled O(N²) recall
+    baselines IN CODE, not prose: refuse inputs past ``max_rows`` with
+    a pointer to the registered scale-path sibling (SCALING.md records
+    the measured ratios).  One bounded count job — these baselines are
+    excluded from the headline bench, so the extra scan is free where
+    they are allowed to run at all."""
+    if max_rows is None:
+        return
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{name} is the exact all-pairs recall baseline (O(N²)) and is "
+            f"capped at {max_rows} input rows; got {n}.  Use the scale-path "
+            f"sibling {sibling} at this size, or pass max_rows=None for a "
+            f"deliberate oversized baseline run."
+        )
+
+
 def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -533,6 +554,7 @@ def hard_negative_pairs(
     vec_col: str = "embedding",
     label_col: str = "label",
     block_size: int = NEAR_DUP_BLOCK,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor vector, the k
     most similar vectors with a DIFFERENT label whose (rounded) cosine
@@ -540,6 +562,15 @@ def hard_negative_pairs(
     signal for a contrastive/embedding objective, but capped below the
     near-dup grade where a high-cosine "negative" is more likely a
     mislabeled positive than a useful one.
+
+    THIS IS THE EXACT ALL-PAIRS RECALL BASELINE — O(N²) in the corpus
+    by definition (every block pair is scored).  It exists to anchor
+    the scale path (:func:`hard_negative_pairs_ivf`, per-anchor √N-cell
+    IVF probing, measured ×2.85 vs ×14 at 10× in SCALING.md) and is
+    guarded: inputs above ``max_rows`` (default 100k — comfortably past
+    every fixture and the 10× sweep replica, far below real scale)
+    raise instead of silently launching a quadratic job.  Pass
+    ``max_rows=None`` only for a deliberate oversized baseline run.
 
     Same blocked-matmul shape as ``embedding_near_dup`` (block pairs ×
     one numpy matmul each, Arrow-batched), with the band + cross-label
@@ -558,6 +589,8 @@ def hard_negative_pairs(
     """
     from pyspark.sql import Window as W
 
+    _guard_all_pairs_baseline(corpus, max_rows, "hard_negative_pairs",
+                              "hard_negative_pairs_ivf")
     lo, hi = float(band_lo), float(band_hi)
     v = _dvec(F.col(vec_col))
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -956,9 +989,16 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings, then search
     for near-duplicates ONLY within each cluster → (id, cluster, keep).
+
+    At PINNED k this is still O(N²/k) — a fixture-scale recall baseline,
+    guarded like :func:`hard_negative_pairs`: inputs above ``max_rows``
+    (default 100k) raise with a pointer to the √N-cell scale sibling
+    (:func:`semdedup_sqrt_cells`, measured ×2.09 vs ×19 at 10× in
+    SCALING.md).  Pass ``max_rows=None`` to deliberately run oversized.
 
     Keep rule (deterministic, order-free): a vector is dropped iff some
     LOWER-ID vector in the same cluster has cosine ≥ τ to it.  This is
@@ -983,6 +1023,7 @@ def semdedup(
     literal)."""
     from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
 
+    _guard_all_pairs_baseline(corpus, max_rows, "semdedup", "semdedup_sqrt_cells")
     if not corpus.head(1):  # k-means seeding cannot run on zero vectors
         return (
             corpus.select(id_col)

@@ -525,7 +525,9 @@ def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword counts under the learned BPE merges — the
     token-budget accounting a training pipeline runs after fitting its
     tokenizer.  Rows-only (depends on the iteratively trained merge
-    table); monotonicity and zero-merge identity are pytest-verified."""
+    table); monotonicity and zero-merge identity are pytest-verified,
+    and the SAME segmentation path is value-checked end-to-end by the
+    oracle-backed pinned-merge twin ``bpe_segment_replay`` below."""
     from depositaja_spark.functions.bpe import bpe_apply, bpe_train
 
     docs = _docs(spark, sf_dir)
@@ -533,6 +535,33 @@ def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_OK.add("bpe_subword_counts")
+
+
+def _bpe_seg_sql() -> str:
+    from depositaja_spark.functions.bpe import bpe_segment_oracle_sql
+    from depositaja_spark.functions.bpe_artifact import BPE_MERGES
+
+    return bpe_segment_oracle_sql(BPE_MERGES)
+
+
+@query("bpe_segment_replay", _bpe_seg_sql())
+def q_bpe_segment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/subword counts under the PINNED 12-merge BPE
+    table (functions/bpe_artifact.py — trained once at sf0.01 with the
+    repo's own trainer and frozen, the PQ_BOOKS artifact discipline).
+    Segmentation given a pinned merge list is a deterministic state
+    machine, so unlike the training-bound bpe_subword_counts this
+    carries a full DuckDB value oracle: the oracle replays every merge
+    as one left-to-right non-overlapping substring replace over a
+    boundary-encoded symbol string (the r10 replay-the-state-machine
+    technique, here needing no recursion at all — see
+    functions/bpe.py:bpe_segment_oracle_sql for the equivalence proof).
+    The Spark side is the production path: the same codegen'd array
+    fold per merge, no Python anywhere."""
+    from depositaja_spark.functions.bpe import bpe_apply
+    from depositaja_spark.functions.bpe_artifact import BPE_MERGES
+
+    return bpe_apply(_docs(spark, sf_dir), BPE_MERGES)
 
 
 # --- deterministic fixed-k per-stratum sampling ------------------------------

@@ -1616,23 +1616,35 @@ def q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- faithful stateful detector (streaming semantics, batch replay) -----------
 
 
-def _exact_detector_sql() -> str:
+def _exact_detector_sql(
+    deposits_sql: str | None = None, period_s: int | None = None
+) -> str:
     """The detector fold as a DuckDB RECURSIVE CTE: the batch replay is
     order-deterministic given ``seq``, so the add-then-maybe-reset state
     machine unrolls into one recursion step per deposit rank.  Floating-
     point adds happen in the identical per-wallet seq order as the Spark
-    replay, so ``received`` matches bit-for-bit, not just to rounding."""
+    replay, so ``received`` matches bit-for-bit, not just to rounding.
+
+    ``deposits_sql`` overrides the events-derived deposit source with any
+    SELECT producing (wallet_id, amount, now, seq) — the hypothesis
+    property suite (tests/test_detector_properties.py) replays generated
+    adversarial sequences through this SAME fold, so the registered
+    oracle and the fuzzer share one SQL implementation."""
     from depositaja_spark.schemas import MAX_AMOUNT, ROLLING_PERIOD_SECONDS
 
-    return f"""
-WITH RECURSIVE deposits AS (
+    if period_s is None:
+        period_s = ROLLING_PERIOD_SECONDS
+    if deposits_sql is None:
+        deposits_sql = """
   SELECT CAST(user_id AS VARCHAR) AS wallet_id,
          value AS amount,
          CAST(floor(epoch(ts)) AS BIGINT) AS now,
          event_id AS seq
   FROM events
   WHERE event_type = 'purchase' AND value > 0
-),
+"""
+    return f"""
+WITH RECURSIVE deposits AS ({deposits_sql}),
 ordered AS (
   SELECT wallet_id, amount, now, seq,
          row_number() OVER (PARTITION BY wallet_id ORDER BY seq) AS rn
@@ -1645,9 +1657,9 @@ fold AS (
   UNION ALL
   SELECT o.wallet_id, o.rn, o.seq,
          CASE WHEN f.start = 0 THEN o.now
-              WHEN o.now - f.start > {ROLLING_PERIOD_SECONDS} THEN 0
+              WHEN o.now - f.start > {period_s} THEN 0
               ELSE f.start END AS start,
-         CASE WHEN f.start <> 0 AND o.now - f.start > {ROLLING_PERIOD_SECONDS}
+         CASE WHEN f.start <> 0 AND o.now - f.start > {period_s}
               THEN 0.0
               ELSE f.received + o.amount END AS received
   FROM fold f

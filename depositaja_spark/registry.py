@@ -588,93 +588,72 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-10 additions never driver-sampled --------------------------
-    "jpeg_decode_stats",
-    "hard_negative_pairs_ivf",
-    "semdedup_sqrt_cells",
-    "wav_decode_stats",
-    "y4m_frame_stats",
-    "payload_byte_histogram",
-    # -- round-10 session-3 governance tier (never driver-sampled) --------
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "reident_risk_by_nation",
-    "readability_by_source",
-    "orders_open_by_month",
+    # -- round-11 addition never driver-sampled ---------------------------
+    "bpe_segment_replay",
+    # -- round-11 CHANGED queries re-verified by the external gate:
+    #    weighted_pagerank gained the w>0 guard + weighted_sssp/bfs_hops
+    #    the materialize-before-snapshot fix (r10 ADVICE), and the two
+    #    all-pairs baselines gained the in-code max_rows scale guard ----
+    "supplier_pagerank",
     "textrank_keywords",
-    "embedding_outlier_scores",
-    "copurchase_weighted_sssp",
-    "snapshot_diff_orders",
-    "qi_generalization_levels",
-    "jw_name_matches",
-    "target_encode_priority",
-    "conformal_value_interval",
-    "gif_decode_stats",
-    "msprt_ab_sequential",
-    "adpcm_decode_stats",
-    "daily_value_periodogram",
-    "source_loo_impact",
-    "entropy_l_diversity",
-    "jw_entity_clusters",
-    "stratified_ate_conversion",
-    # -- round-10 CHANGED queries re-verified by the external gate:
-    #    retrieval_eval_at_k gained the n_rel=0 guard (both engines),
-    #    brier_decomposition's oracle widened to DECIMAL before squaring,
-    #    copurchase_bfs_hops' oracle seed drops the empty-graph NULL row,
-    #    and image_ahash_dups switched to the integer-exact bit rule and
-    #    became ORACLE-backed (its first-ever driver value check) --------
-    "retrieval_eval_at_k",
-    "brier_decomposition",
     "copurchase_bfs_hops",
-    "image_ahash_dups",
-    # -- LRU refill to the 50-slot window: the 40 queries whose latest
-    #    driver sample is OLDEST (the r1-sampled straggler first, then
-    #    the r3 block in artifact order) — rotating external coverage
-    #    through the long tail while every oracle still runs locally
-    #    each session.  Max-staleness bound after this window runs:
-    #    exactly SIX registered queries ('window_received',
-    #    'value_props_correlation', 'value_histogram',
-    #    'unpivot_lineitem_measures', 'user_sessions', 'tpch_q1' — the
-    #    r3 pool is 46 deep, six more than the refill slots) remain
-    #    with an r3-vintage latest sample (tpch_q1 additionally runs in
-    #    every recorded bench, so external evidence of it is fresh);
-    #    every other query's latest external check is r4+.
-    #    tests/test_registry_rotation.py pins the bound; round 11's
-    #    refill starts with those two. -----------------------------------
-    "token_frequencies",
-    "above_threshold_windows",
-    "balance_per_wallet",
-    "check_all",
-    "check_many",
-    "check_one",
-    "check_one_unknown",
-    "customer_balance_quartiles",
-    "customers_with_orders",
-    "customers_without_orders",
-    "decode_props",
-    "deposit_history_flat",
-    "deposit_history_sizes",
-    "distinct_parts_per_flag",
-    "doc_quality_metrics",
-    "doc_quality_scores",
-    "events_hourly",
-    "flag_events",
-    "grouping_sets_revenue",
+    "copurchase_weighted_sssp",
+    "semantic_cluster_dedup",
+    "hard_negative_pairs",
+    # -- the ENTIRE r3-vintage tail (r10 verdict #1): the 21 refill slots
+    #    the round-10 session-3 additions displaced + the six documented
+    #    r3 stragglers.  After this window runs, NO registered query's
+    #    latest driver sample is older than round 4 — the staleness debt
+    #    is fully paid and tests/test_registry_rotation.py pins the
+    #    empty-stale-set bound. ------------------------------------------
+    "hot_windows",
+    "lang_id",
+    "lang_id_confusion",
+    "lapsed_customers",
+    "late_ship_priority_counts",
+    "latest_flag",
+    "manual_override",
+    "negate_withdrawals",
+    "order_price_percentiles",
+    "pb_roundtrip_deposits",
+    "pb_roundtrip_history",
+    "pivot_status_by_priority",
+    "point_lookup",
+    "project_deposit",
+    "repeat_customers",
+    "rollup_returns",
+    "scalar_functions",
+    "session_window_stats",
+    "shipmode_priority_counts",
+    "token_entropy",
+    "top3_customers_per_segment",
+    "tpch_q1",
+    "unpivot_lineitem_measures",
+    "user_sessions",
+    "value_histogram",
+    "value_props_correlation",
+    "window_received",
+    # -- LRU refill to the 50-slot window: the oldest remaining pool is
+    #    now the 40 r4-latest queries; take the first 16 in r4-artifact
+    #    order.  The 24 left behind (passage_dedup ... shuffle_shards in
+    #    that same order) lead round 12's refill. -------------------------
+    "net_balance",
+    "jaccard_near_dups",
+    "dedup_clusters",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "clean_corpus",
+    "ann_topk_brute",
+    "ann_topk_filtered",
+    "ann_topk_lsh",
+    "quantized_embeddings",
+    "ann_topk_quantized",
+    "multimodal_manifest",
+    "chunk_documents",
+    "train_val_split",
+    "mixture_sample",
+    "decontaminate",
 )
-# NOTE: the round-10 session-3 additions (21 new oracle-backed queries:
-# governance tier, weighted SSSP, snapshot diff, generalization ladder,
-# JW linkage + entity clusters, target encoding, conformal intervals,
-# GIF + ADPCM codecs, mSPRT, stratified ATE, periodogram, LOO impact,
-# entropy l-diversity) displaced the last TWENTY-ONE refill slots
-# (hot_windows, lang_id, lang_id_confusion, lapsed_customers,
-# late_ship_priority_counts, latest_flag, manual_override,
-# negate_withdrawals, order_price_percentiles, pb_roundtrip_deposits,
-# pb_roundtrip_history, pivot_status_by_priority, point_lookup,
-# project_deposit, repeat_customers, rollup_returns, scalar_functions,
-# session_window_stats, shipmode_priority_counts, token_entropy,
-# top3_customers_per_segment) — those join the six documented r3
-# stragglers at the head of round 11's refill;
-# tests/test_registry_rotation.py pins the resulting staleness bound.
 
 
 def _apply_sample_priority() -> None:

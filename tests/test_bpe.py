@@ -78,3 +78,108 @@ def test_apply_identity_and_monotone(spark, corpus):
 def test_vocab_is_weighted(spark, corpus):
     v = {r.word: r.wcount for r in bpe.word_vocab(corpus).collect()}
     assert v == dict(collections.Counter(WORDS))
+
+
+# --- pinned-merge segmentation replay oracle --------------------------------
+
+
+def _ref_segment(text: str, merges) -> tuple[int, int]:
+    """Third implementation of segmentation (independent of both the
+    Spark fold and the DuckDB replay): per-word single-pass merge
+    application, returns (n_tokens, n_subwords)."""
+    words = text.split(" ")
+    total = 0
+    for w in words:
+        syms = list(w) + [bpe.END]
+        for left, right, *_ in merges:
+            out, pend = [], None
+            for x in syms:
+                if pend == left and x == right:
+                    out.append(left + right)
+                    pend = None
+                elif pend is None:
+                    pend = x
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        total += len(syms)
+    return len(words), total
+
+
+# adversarial docs: repeated-run pairing (the leftmost-greedy case the
+# shared-delimiter encoding gets wrong), overlapping alternations,
+# merged-token-as-left chains, end-marker merges, cross-word adjacency
+_ADV_DOCS = [
+    "aaaaa aaa aaaa a aa",
+    "ababab abab ab ba",
+    "low lower lowest newest widest",
+    "xe ex e ee xee eex",
+    "zzz zz z zzzz zzzzz zzzzzz",
+]
+_ADV_MERGES = [
+    ("a", "a", 0), ("aa", "a", 0), ("aa", "aa", 0),
+    ("a", "b", 0), ("ab", "ab", 0),
+    ("e", bpe.END, 0), ("x", "e" + bpe.END, 0),
+    ("z", "z", 0), ("zz", "zz", 0),
+    ("l", "o", 0), ("lo", "w", 0), ("low", bpe.END, 0),
+]
+
+
+def test_segment_replay_three_way_adversarial(spark):
+    """Spark fold == DuckDB replace-replay == independent Python fold
+    on adversarial inputs (repeated runs, overlap chains, END merges)."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        list(enumerate(_ADV_DOCS)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_subwords)
+        for r in bpe.bpe_apply(docs, _ADV_MERGES).collect()
+    }
+    want = {i: _ref_segment(t, _ADV_MERGES) for i, t in enumerate(_ADV_DOCS)}
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(_ADV_DOCS))
+        + ") AS t(doc_id, text)"
+    )
+    sql = bpe.bpe_segment_oracle_sql(_ADV_MERGES)
+    orc = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert orc == want
+
+
+def test_segment_oracle_rejects_crossword_left():
+    """A merge whose LEFT contains the end marker would let the
+    concatenated-document encoding match across word boundaries (the
+    per-word Spark fold never can) — the builder must refuse it."""
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="contains"):
+        bpe.bpe_segment_oracle_sql([("e" + bpe.END, "x", 0)])
+
+
+def test_pinned_artifact_provenance_refit(spark):
+    """BPE_MERGES re-derives exactly from the pinned sf0.01 fixture with
+    the repo's own trainer (the pq_artifact re-fit discipline)."""
+    from depositaja_spark.functions.bpe_artifact import BPE_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert bpe.bpe_train(docs, num_merges=len(BPE_MERGES)) == BPE_MERGES
+
+
+def test_fixture_satisfies_encoding_preconditions():
+    """The oracle's encoding needs non-empty, delimiter-free whitespace
+    tokens; assert it on the fixture the driver actually runs."""
+    import duckdb
+
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        " WHERE text = '' OR text LIKE '%  %' OR text LIKE ' %'"
+        " OR text LIKE '% ' OR text LIKE '%|%' OR text LIKE '%<%'"
+    ).fetchone()[0]
+    assert n == 0

@@ -89,55 +89,35 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round10_changed_queries_are_prioritized():
-    """Queries whose implementation or oracle changed in round 10 (the
-    four r9-ADVICE fixes + the integer-exact aHash rewrite that made
-    image_ahash_dups oracle-backed) must sit in the driver window so
+def test_round11_changed_queries_are_prioritized():
+    """Queries whose implementation changed in round 11 (the r10-ADVICE
+    graph-cache + pagerank-guard fixes, and the all-pairs baselines'
+    new in-code max_rows scale guard) must sit in the driver window so
     the change is re-verified by the external gate, not only locally."""
     changed = {
-        "retrieval_eval_at_k", "brier_decomposition",
-        "copurchase_bfs_hops", "image_ahash_dups",
+        "supplier_pagerank", "textrank_keywords",
+        "copurchase_bfs_hops", "copurchase_weighted_sssp",
+        "semantic_cluster_dedup", "hard_negative_pairs",
     }
-    # Window arithmetic: 6 never-sampled round-10 additions + these 4
-    # pins + 40 LRU refill slots = 50.  All remain sim-verified locally
-    # every session.
     assert changed <= set(list(R.QUERIES)[:50])
 
 
 def test_never_driver_sampled_queries_lead_the_window():
     """Queries no driver round has ever sampled must sit at the very
-    front of the window.  r1-r9 union coverage is 285/285 of the r9
-    registry (verified in the r9 verdict), so the never-sampled set
-    entering round 10 is exactly the round-10 additions."""
-    never = ["jpeg_decode_stats", "hard_negative_pairs_ivf",
-             "semdedup_sqrt_cells", "wav_decode_stats", "y4m_frame_stats",
-             "payload_byte_histogram",
-             # round-10 session-3 governance tier + graph/lakehouse ops
-             "k_anonymity_audit", "l_diversity_audit",
-             "reident_risk_by_nation", "readability_by_source",
-             "orders_open_by_month", "textrank_keywords",
-             "embedding_outlier_scores", "copurchase_weighted_sssp",
-             "snapshot_diff_orders", "qi_generalization_levels",
-             "jw_name_matches", "target_encode_priority",
-             "conformal_value_interval", "gif_decode_stats",
-             "msprt_ab_sequential", "adpcm_decode_stats",
-             "daily_value_periodogram", "source_loo_impact",
-             "entropy_l_diversity", "jw_entity_clusters",
-             "stratified_ate_conversion"]
+    front of the window.  r1-r10 union coverage is 312/312 of the r10
+    registry (verified in the r10 verdict), so the never-sampled set
+    entering round 11 is exactly the round-11 additions."""
+    never = ["bpe_segment_replay"]
     assert list(R.QUERIES)[: len(never)] == never
 
 
 def test_max_staleness_bound():
-    """Verdict r9 #7: now that every query has been driver-sampled at
-    least once, the LRU refill must BOUND how stale any query's latest
-    external check can get.  Pin the r10 bound: after this round's
-    window runs, at most SIX registered queries (window_received,
-    value_props_correlation, value_histogram, unpivot_lineitem_measures,
-    user_sessions, tpch_q1 — the r3 pool is six deeper than the 40
-    refill slots; tpch_q1 is separately exercised by every recorded
-    bench) still have a latest sample older than round 4;
-    everything else outside the window was sampled r4+.  Computed from the recorded driver artifacts, so a
-    future window edit that silently lets the tail age fails here."""
+    """Verdict r10 #1: the staleness debt is PAID — the round-11 window
+    contains the entire r3-vintage tail (the 21 displaced refill slots
+    + the six documented stragglers), so no registered query outside
+    the window may have a latest driver sample older than round 4.
+    Computed from the recorded driver artifacts, so a future window
+    edit that silently lets the tail age fails here."""
     import glob
     import json
     import re
@@ -154,25 +134,7 @@ def test_max_staleness_bound():
         n for n in R.QUERIES
         if n not in window and latest.get(n, 0) <= 3
     )
-    assert set(stale) <= {"window_received", "value_props_correlation",
-                          "value_histogram", "unpivot_lineitem_measures",
-                          "user_sessions", "tpch_q1",
-                          # displaced from the r10 refill tail by the
-                          # session-3 governance additions (all r3-vintage;
-                          # they lead round 11's refill)
-                          "repeat_customers", "rollup_returns",
-                          "scalar_functions", "session_window_stats",
-                          "shipmode_priority_counts", "token_entropy",
-                          "top3_customers_per_segment",
-                          "pivot_status_by_priority", "point_lookup",
-                          "project_deposit", "pb_roundtrip_history",
-                          "pb_roundtrip_deposits",
-                          "order_price_percentiles",
-                          "negate_withdrawals", "manual_override",
-                          "latest_flag", "lang_id_confusion",
-                          "lapsed_customers",
-                          "late_ship_priority_counts",
-                          "hot_windows", "lang_id"}, (
+    assert stale == [], (
         f"queries outside the window with latest driver sample <= r3: "
-        f"{stale} — the LRU refill must rotate these in"
+        f"{stale} — the round-11 window must hold the whole r3 tail"
     )

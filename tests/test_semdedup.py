@@ -211,3 +211,27 @@ def test_sqrt_cells_clone_collapses(spark, tmp_path):
     release_caches()
     assert out[99_999].cell == out[5].cell
     assert out[5].keep and not out[99_999].keep
+
+
+def test_all_pairs_baselines_refuse_oversized_inputs(spark):
+    """Verdict r10: the two labeled O(N²) recall baselines must enforce
+    their fixture-scale contract in code — raise with a pointer to the
+    registered scale sibling instead of silently launching a quadratic
+    job (SCALING.md's prose contract, made executable)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from depositaja_spark.functions.similarity import hard_negative_pairs
+
+    big = spark.range(0, 150_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        (F.col("id") % 2).alias("label"),
+    )
+    with pytest.raises(ValueError, match="semdedup_sqrt_cells"):
+        semdedup(big, k=2, iterations=1)
+    with pytest.raises(ValueError, match="hard_negative_pairs_ivf"):
+        hard_negative_pairs(big)
+    # max_rows=None restores the deliberate oversized-baseline escape
+    # hatch (plan-only check: no action is triggered here)
+    semdedup(big.limit(10), k=2, iterations=1, max_rows=None)

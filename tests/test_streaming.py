@@ -1808,3 +1808,95 @@ def test_streaming_k_anonymity_crash_mid_write_recovers(spark, tmp_path):
     got = load_kanon_state(spark, str(state_dir), "event_type")
     assert sum(got.values()) == 500
     assert not [p for p in os.listdir(state_dir) if p.startswith("staged_")]
+
+
+def test_topology_chaos_restart_matches_batch(spark, tmp_path):
+    """Chaos pass over the FULL topology (deposits → exact detector →
+    flagger fold → serving buckets): events arrive in chunks while the
+    whole topology is repeatedly started and killed at seeded-random
+    points (stop() can land mid-micro-batch, after a bucket write but
+    before its checkpoint commit — exactly the partial-progress window
+    the per-bucket epoch markers exist for).  After a final drain, every
+    wallet's check() must equal the batch pipeline over the union of all
+    chunks — the strongest in-process stand-in for the env-blocked
+    broker path's at-least-once realities.
+
+    The assertion is invariant under timing: random kill points only
+    change WHICH recovery paths get exercised, never the expected state.
+    """
+    import random
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from depositaja_spark.streaming.detector_state import exact_detector_batch
+    from depositaja_spark.streaming.topology import Topology
+
+    rng = random.Random(1107)
+
+    # 6 chunks of the real sf0.001 events + 1 synthetic hot-wallet chunk
+    # (three 4000.0 purchases inside one 120 s window: the third crosses
+    # the 10k threshold, so the wallet's LATEST flag event is a flag)
+    base_tbl = pq.read_table(f"{SF}/events.parquet")
+    n = base_tbl.num_rows
+    bounds = [round(i * n / 6) for i in range(7)]
+    chunks = [base_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(6)]
+    hot_ts = base_tbl["ts"][0].as_py()
+    hot = pa.table(
+        {
+            "event_id": pa.array([1_000_001, 1_000_002, 1_000_003], pa.int64()),
+            "ts": pa.array(
+                [hot_ts, hot_ts, hot_ts], pa.timestamp("us")
+            ),
+            "user_id": pa.array([999_999] * 3, pa.int64()),
+            "event_type": pa.array(["purchase"] * 3),
+            "value": pa.array([4000.0] * 3, pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    chunks.insert(3, hot)
+
+    src = tmp_path / "chaos_events"
+    src.mkdir()
+    work = str(tmp_path / "chaos_work")
+
+    for i, chunk in enumerate(chunks):
+        pq.write_table(chunk, str(src / f"chunk_{i}.parquet"))
+        topo = Topology(
+            spark, events_dir=str(src), work_dir=work, exact_semantics=True
+        )
+        topo.start(trigger={"processingTime": "200 milliseconds"})
+        time.sleep(rng.uniform(0.3, 1.8))
+        topo.stop()  # kill at a random point — possibly mid-batch
+
+    # final drain from the same checkpoints
+    topo = Topology(spark, events_dir=str(src), work_dir=work, exact_semantics=True)
+    topo.start()  # availableNow
+    topo.await_all()
+
+    # batch read yields TIMESTAMP_NTZ for pyarrow-written files; align
+    # with the stream schema's instant interpretation (session tz = UTC)
+    events = spark.read.parquet(str(src)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deposits = valid_deposits(deposits_from_events(events))
+    want_bal = {
+        r.wallet_id: round(r.balance, 4) for r in balance_per_wallet(deposits).collect()
+    }
+    want_flag = {
+        r.wallet_id: not r.last.flag_removed
+        for r in exact_detector_batch(deposits)
+        .groupBy("wallet_id")
+        .agg(F.max_by(F.struct("flag_removed"), F.col("seq")).alias("last"))
+        .collect()
+    }
+    assert want_flag["999999"] is True  # the hot wallet really flags
+
+    sample = ["999999"] + [w for w in sorted(want_bal) if w != "999999"][:8]
+    for wallet_id in sample:
+        got = topo.check(wallet_id)
+        assert round(got["balance"], 4) == want_bal[wallet_id], wallet_id
+        assert got["above_threshold"] is want_flag[wallet_id], wallet_id
+    assert topo.check("never-seen")["balance"] == 0.0
+    topo.stop()
