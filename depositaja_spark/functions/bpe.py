@@ -176,6 +176,106 @@ FROM agg
 """
 
 
+def bpe_train_oracle_sql(num_merges: int, docs_sql: str = "documents") -> str:
+    r"""DuckDB twin of :func:`bpe_train` — the TRAINING loop itself as
+    chained CTEs, making ``bpe_merges`` fully oracle-backed.
+
+    Each merge round is two bounded steps over the VOCAB (never the
+    corpus): (1) pair frequencies from the boundary-encoded symbol
+    strings (adjacent-token extraction via ``unnest(range(...))``),
+    top-1 with the trainer's exact (freq desc, l asc, r asc) tie-break;
+    (2) the merge applied with the same single-``replace`` equivalence
+    :func:`bpe_segment_oracle_sql` proves — here with the pattern built
+    DYNAMICALLY from the round's argmax row.  ``AS MATERIALIZED`` is
+    load-bearing: each vocab state feeds both the next pair count and
+    the next vocab state, and inlined CTEs would re-evaluate the chain
+    2^k times.
+
+    The degenerate early-break (no pairs left) keeps row-count parity
+    via LEFT JOIN ON TRUE — an empty argmax leaves the vocab unchanged
+    and contributes no output row, exactly like the trainer's break."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, count(*) AS wcount,
+         '||' || regexp_replace(word, '(.)', '\\1||', 'g') || '{END}||' AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {docs_sql})
+  WHERE word <> '' GROUP BY word)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wcount) AS BIGINT) AS freq
+  FROM (SELECT wcount, toks, unnest(range(1, len(toks))) AS i
+        FROM (SELECT wcount,
+                     list_filter(string_split_regex(s, '\\|+'), x -> x <> '') AS toks
+              FROM v{k - 1}))
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""t{k} AS MATERIALIZED (
+  SELECT l, r, freq FROM p{k} ORDER BY freq DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT word, wcount,
+         CASE WHEN t.l IS NULL THEN s
+              ELSE replace(s, '|' || t.l || '||' || t.r || '|',
+                           '|' || t.l || t.r || '|') END AS s
+  FROM v{k - 1} LEFT JOIN t{k} t ON TRUE)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f'SELECT CAST({k - 1} AS INT) AS step, l AS "left", r AS "right", freq'
+        f" FROM t{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+def bpe_apply_trained_oracle_sql(
+    num_merges: int, docs_sql: str = "documents"
+) -> str:
+    r"""DuckDB twin of ``bpe_apply(docs, bpe_train(docs, k))`` — the
+    whole train-then-segment pipeline, making ``bpe_subword_counts``
+    oracle-backed: the trainer chain of :func:`bpe_train_oracle_sql`
+    discovers each round's merge, and a parallel document chain applies
+    it to the concatenated per-doc encoding (cross-word matches are
+    impossible: a trainable merge's LEFT always has a right neighbor
+    in-word, so it never contains ``</w>`` — the same invariant
+    :func:`bpe_segment_oracle_sql` asserts for pinned lists)."""
+    train = bpe_train_oracle_sql(num_merges, docs_sql)
+    # keep only the CTE section of the trainer (drop its final SELECT)
+    cte_section = train[: train.index("\nSELECT CAST(0 AS INT) AS step")]
+    parts = [
+        f"""d0 AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, string_agg(ew, '') AS s
+  FROM (SELECT doc_id,
+               '||' || regexp_replace(word, '(.)', '\\1||', 'g') || '{END}||' AS ew
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM {docs_sql}))
+  GROUP BY doc_id)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT doc_id, n_tokens,
+         CASE WHEN t.l IS NULL THEN s
+              ELSE replace(s, '|' || t.l || '||' || t.r || '|',
+                           '|' || t.l || t.r || '|') END AS s
+  FROM d{k - 1} LEFT JOIN t{k} t ON TRUE)"""
+        )
+    return (
+        cte_section
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, n_tokens,
+       CAST(len(list_filter(string_split_regex(s, '\\|+'),
+                            x -> x <> '')) AS INT) AS n_subwords
+FROM d{num_merges}
+"""
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],

@@ -859,6 +859,11 @@ def _decode_image_bytes(raw: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 #: decode output: one row per image, pixels flattened row-major (h×w×c)
+#: decoded values per emitted output frame (~16 MB of int32 per flush;
+#: bounds worker memory independent of Arrow input batch size and of
+#: the data-dependent decoded image width)
+_DECODE_FLUSH_VALUES = 4_000_000
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -875,21 +880,41 @@ def decode_media(payload_df: DataFrame) -> DataFrame:
     PPM/PGM/BMP codecs — Arrow-batched mapInPandas, the same plumbing a
     PIL-backed decoder would use (swap ``_decode_image_bytes`` for
     ``PIL.Image.open``; the Spark side doesn't change).  Unsupported
-    formats (JPEG/PNG/...) raise NotImplementedError."""
+    formats (JPEG/PNG/...) raise NotImplementedError.
+
+    Output is flushed every ``_DECODE_FLUSH_VALUES`` decoded values
+    rather than once per INPUT Arrow batch, and pixel cells stay int32
+    ndarrays (a Python-int list costs ~28 bytes per value) — the r11
+    sf10 lesson: at 500k docs × 36,864 px the per-input-batch
+    accumulation put ~3.7 GB in EVERY worker (32 × that = OS OOM-killed
+    JVM).  The decoded width is data-dependent, so worker memory must
+    be bounded by a VALUE budget, not a row count."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, ws, hs, cs, px = [], [], [], [], []
+        n_vals = 0
+
+        def frame() -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "channels": cs, "pixels": px}
+            )
+
         for pdf in batches:
-            ids, ws, hs, cs, px = [], [], [], [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 h, w, c, arr = _decode_image_bytes(bytes(raw))
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
                 cs.append(c)
-                px.append(arr.reshape(-1).astype("int32").tolist())
-            yield pd.DataFrame(
-                {"doc_id": ids, "width": ws, "height": hs, "channels": cs, "pixels": px}
-            )
+                flat = arr.reshape(-1).astype("int32")
+                px.append(flat)
+                n_vals += flat.size
+                if n_vals >= _DECODE_FLUSH_VALUES:
+                    yield frame()
+                    ids, ws, hs, cs, px = [], [], [], [], []
+                    n_vals = 0
+        if ids:
+            yield frame()
 
     return payload_df.select("doc_id", "payload").mapInPandas(per_batch, DECODED_SCHEMA)
 

@@ -838,8 +838,9 @@ def embedding_near_dup_banded(
     bands: int = NEARDUP_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via banded SRP-LSH — the SCALE path
+    """Embedding near-duplicate pairs via banded SRP-LSH
     (emits (a_id, b_id, hamming, cos) for srp_hamming ≤ max_hamming AND
     cos ≥ threshold, a_id < b_id).
 
@@ -852,12 +853,31 @@ def embedding_near_dup_banded(
     verify (bit_count(xor) + true cosine on the original vectors) then
     removes false candidates.
 
-    Recall vs the UNFILTERED cosine criterion is a function of the
-    threshold: at a production near-dup τ≈0.95 the per-bit disagreement
-    is acos(.95)/π ≈ 0.10, so 18-bit Hamming concentrates ≤5 and recall
-    is ~98%; at the fixture's loose τ=0.4 (66°) it is deliberately
-    partial — the exact block-matmul path (embedding_near_dup) is kept
-    as the brute baseline, mirroring simhash_near_dups / _banded."""
+    THE CRITERION'S DENSITY BOUNDS THE SCALE, not the plan shape (the
+    r11 sf10 lesson — at 200k vectors this ran the disk out of shuffle
+    spill): the Hamming ball h ≤ 5 of 18 bits covers ~4.8% of the
+    signature space, so for near-uniform signatures EVERY method pays
+    Ω(0.05·N²) — the OUTPUT of the loose fixture criterion (τ=0.4, the
+    highest threshold with any matches in the synthetic corpus — it has
+    no true high-cosine near-dups) is itself quadratic, and the 6-band
+    3-bit layout caps candidate buckets at 8/band, so candidates are
+    ~N²/16 regardless of banding.  A PRODUCTION near-dup criterion
+    (τ ≥ 0.9 → per-bit disagreement acos(τ)/π ≤ 0.15, h concentrated
+    ≤ 5) has sparse output and sparse buckets, and this same plan
+    scales linearly — the knob is the threshold, not the operator.
+    Inputs above ``max_rows`` (default 100k) therefore raise, naming
+    the knob; pass ``max_rows=None`` for a deliberate oversized run."""
+    if max_rows is not None:
+        n = corpus.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_banded at the loose fixture criterion is "
+                f"output-bound quadratic (see docstring) and is capped at "
+                f"{max_rows} input rows; got {n}.  At scale, tighten the "
+                f"criterion to a production threshold (cos >= 0.9) where the "
+                f"banded plan is sparse, or pass max_rows=None for a "
+                f"deliberate oversized run."
+            )
     n_anchors = len(NEARDUP_ANCHOR_IDS)
     bpb = n_anchors // bands
     assert bpb * bands == n_anchors, "bands must divide the anchor count"

@@ -499,14 +499,27 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distributed BPE tokenizer training --------------------------------------
 
 
-@query("bpe_merges")
+def _bpe_train_sql() -> str:
+    from depositaja_spark.functions.bpe import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(8)
+
+
+@query("bpe_merges", _bpe_train_sql())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 learned BPE merges over the corpus (functions/bpe.py):
     one corpus pass builds the word-count vocab, then each round is a
     vocab-sized pair aggregation + k=1 collect (driver-coordinated like
     k-means), with the merge applied as a codegen'd array fold.
-    Iterative training is not SQL-expressible → rows-only; golden-merge
-    parity against an independent in-memory BPE is tested in
+
+    Rows-only through round 10; now ORACLE-backed — the per-merge
+    driver round is sequential, but each round is still deterministic
+    relational algebra over the vocab, so the whole training loop
+    unrolls into chained CTEs: pair-frequency argmax with the trainer's
+    exact tie-break, then the merge applied with the single-replace
+    equivalence of bpe_segment_oracle_sql, the pattern built from the
+    round's own argmax row (functions/bpe.py:bpe_train_oracle_sql).
+    Golden-merge parity against an independent in-memory BPE stays in
     tests/test_bpe.py."""
     from depositaja_spark.functions.bpe import bpe_train
 
@@ -517,24 +530,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NO_ORACLE_OK.add("bpe_merges")
+def _bpe_apply_trained_sql() -> str:
+    from depositaja_spark.functions.bpe import bpe_apply_trained_oracle_sql
+
+    return bpe_apply_trained_oracle_sql(8)
 
 
-@query("bpe_subword_counts")
+@query("bpe_subword_counts", _bpe_apply_trained_sql())
 def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword counts under the learned BPE merges — the
     token-budget accounting a training pipeline runs after fitting its
-    tokenizer.  Rows-only (depends on the iteratively trained merge
-    table); monotonicity and zero-merge identity are pytest-verified,
-    and the SAME segmentation path is value-checked end-to-end by the
-    oracle-backed pinned-merge twin ``bpe_segment_replay`` below."""
+    tokenizer.  Rows-only through round 10; now ORACLE-backed end to
+    end: the oracle re-derives every merge with the trainer chain
+    (bpe_train_oracle_sql) and applies each round's argmax to a
+    parallel per-document chain (bpe_apply_trained_oracle_sql) — the
+    full train-then-segment pipeline value-checked in one SQL
+    statement.  Monotonicity and zero-merge identity remain
+    pytest-verified; the pinned-merge twin ``bpe_segment_replay``
+    below covers the deployed-artifact path."""
     from depositaja_spark.functions.bpe import bpe_apply, bpe_train
 
     docs = _docs(spark, sf_dir)
     return bpe_apply(docs, bpe_train(docs, num_merges=8))
-
-
-NO_ORACLE_OK.add("bpe_subword_counts")
 
 
 def _bpe_seg_sql() -> str:

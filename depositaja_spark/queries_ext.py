@@ -1153,12 +1153,17 @@ WHERE a_id < b_id
 """,
 )
 def q_embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via banded SRP-LSH — the SCALE-path
-    default for semantic dedup: candidates from a keyed (band, slice)
-    equi-join (pigeonhole-complete for srp_hamming ≤ {sim.NEARDUP_MAX_HAMMING}),
-    then exact bit_count(xor) + cosine verify.  The oracle evaluates the
-    SAME criterion all-pairs, so oracle equality proves the banding loses
-    nothing (functions/similarity.py:embedding_near_dup_banded)."""
+    """Embedding near-dup pairs via banded SRP-LSH: candidates from a
+    keyed (band, slice) equi-join (pigeonhole-complete for srp_hamming
+    <= 5), then exact bit_count(xor) + cosine verify.  The oracle
+    evaluates the SAME criterion all-pairs, so oracle equality proves
+    the banding loses nothing.  The keyed-equi-join plan SHAPE is the
+    scale path, but the fixture's loose tau=0.4 criterion is
+    output-bound quadratic (the r11 sf10 lesson — Hamming ball 4.8% of
+    the 18-bit space), so the operator carries an in-code 100k-row
+    guard naming the real knob: a production threshold (cos >= 0.9)
+    makes the same plan sparse
+    (functions/similarity.py:embedding_near_dup_banded)."""
     return sim.embedding_near_dup_banded(_emb(spark, sf_dir), threshold=0.4)
 
 

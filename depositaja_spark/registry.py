@@ -600,6 +600,14 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "copurchase_weighted_sssp",
     "semantic_cluster_dedup",
     "hard_negative_pairs",
+    # -- round-11 oracle upgrades: the BPE training loop unrolled into
+    #    chained CTEs (bpe_train_oracle_sql) made both training-bound
+    #    queries oracle-backed — their FIRST-ever driver value checks --
+    "bpe_merges",
+    "bpe_subword_counts",
+    # -- round-11 sf10 finding: the banded near-dup gained the in-code
+    #    output-bound-criterion guard (see SCALING.md r11 section) ------
+    "embedding_near_dups_bucketed",
     # -- the ENTIRE r3-vintage tail (r10 verdict #1): the 21 refill slots
     #    the round-10 session-3 additions displaced + the six documented
     #    r3 stragglers.  After this window runs, NO registered query's
@@ -634,8 +642,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "value_props_correlation",
     "window_received",
     # -- LRU refill to the 50-slot window: the oldest remaining pool is
-    #    now the 40 r4-latest queries; take the first 16 in r4-artifact
-    #    order.  The 24 left behind (passage_dedup ... shuffle_shards in
+    #    now the 40 r4-latest queries; take the first 13 in r4-artifact
+    #    order.  The 27 left behind (train_val_split ... shuffle_shards in
     #    that same order) lead round 12's refill. -------------------------
     "net_balance",
     "jaccard_near_dups",
@@ -650,9 +658,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_topk_quantized",
     "multimodal_manifest",
     "chunk_documents",
-    "train_val_split",
-    "mixture_sample",
-    "decontaminate",
 )
 
 

@@ -15,11 +15,17 @@ i > 0) so replicas are shingle-disjoint: the dedup/near-dup workload
 then scales linearly in corpus size instead of exploding quadratically
 inside artificial 10-copy duplicate groups — the scaling we want to
 measure is the engine's, not the planted-duplicate structure's.
-Embeddings are replicated as-is (cosine workloads only see vector
-count).
+Embeddings get the analogous treatment (the r11 lesson — as-is copies
+made every vector an exact 100-way duplicate at sf10, exploding every
+cosine workload's TRUE output): replica i applies a deterministic
+per-replica SIGN-FLIP pattern (component j flipped iff bit j%7 of i is
+set) — norms and all within-replica pairwise dots are preserved
+exactly, while cross-replica dots of the decorrelated copies behave
+like random pairs, so cosine workloads scale linearly in vector count.
 
 Usage:
-    python scale_spot.py [out_dir]          # default /tmp/sf1_synth
+    python scale_spot.py [out_dir] [replicas]   # default /tmp/sf1_synth 10
+    python scale_spot.py /tmp/sf10_synth 100    # the 100x (sf10) replica
     SPARK_GRAFT_SF_DIR=/tmp/sf1_synth python bench.py
 """
 
@@ -62,7 +68,8 @@ _KEY_SOURCES = {
 }
 
 
-def main(out_dir: str = "/tmp/sf1_synth") -> None:
+def main(out_dir: str = "/tmp/sf1_synth", replicas: int | str = REPLICAS) -> None:
+    replicas = int(replicas)
     from pyspark.sql import functions as F
 
     from depositaja_spark.session import get_spark
@@ -87,7 +94,7 @@ def main(out_dir: str = "/tmp/sf1_synth") -> None:
         t0 = time.time()
         base = load_table(spark, SRC, tbl)
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             rep = base
             for col, space in shifts.items():
                 rep = rep.withColumn(col, F.col(col) + F.lit(i * spans[space]))
@@ -103,6 +110,39 @@ def main(out_dir: str = "/tmp/sf1_synth") -> None:
                         " ",
                     ),
                 )
+            if tbl == "embeddings" and i > 0:
+                # cosine-decorrelated replica: per-replica cyclic shift +
+                # Walsh-Hadamard sign pattern, both hash-derived so all
+                # (row, shift) pairs are distinct for i < 128.  Both ops
+                # preserve norms and all WITHIN-replica pairwise dots
+                # exactly (replica workload structure unchanged), while
+                # cross-replica same-base pairs drop from 100% exact
+                # copies to ~0.1% above cos 0.4 (measured) — the residual
+                # cross-pair rate then matches the base corpus's own
+                # random-pair density, i.e. replicas behave like MORE
+                # data, not like a duplicate explosion.
+                h = (i * 2654435761) % (2**32)
+                row, shift = h % 64, (h >> 6) % 64
+                flips = F.array(
+                    *[
+                        F.lit(float(1 - 2 * (bin(row & j).count("1") & 1)))
+                        for j in range(64)
+                    ]
+                )
+                src = (
+                    F.concat(
+                        F.slice(F.col("embedding"), shift + 1, 64 - shift),
+                        F.slice(F.col("embedding"), 1, shift),
+                    )
+                    if shift
+                    else F.col("embedding")
+                )
+                rep = rep.withColumn(
+                    "embedding",
+                    F.zip_with(src, flips, lambda a, b: a * b).cast(
+                        "array<float>"
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
@@ -115,4 +155,4 @@ def main(out_dir: str = "/tmp/sf1_synth") -> None:
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or []))
+    main(*sys.argv[1:3])

@@ -183,3 +183,53 @@ def test_fixture_satisfies_encoding_preconditions():
         " OR text LIKE '% ' OR text LIKE '%|%' OR text LIKE '%<%'"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_trainer_oracle_three_way_adversarial(spark):
+    """The TRAINING loop oracle (bpe_train_oracle_sql): Spark trainer ==
+    in-memory reference == DuckDB chained-CTE replay, on an adversarial
+    corpus (repeated runs, tie-heavy pair counts, END-merges)."""
+    import duckdb
+
+    docs = list(enumerate(_ADV_DOCS))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bpe.bpe_train(sdf, num_merges=6)
+    want = _ref_bpe(
+        collections.Counter(t for _, d in docs for t in d.split(" ") if t), 6
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") AS t(doc_id, text)"
+    )
+    orc = con.execute(bpe.bpe_train_oracle_sql(6)).fetchall()
+    assert [(l, r, f) for _, l, r, f in orc] == [(l, r, int(f)) for l, r, f in want]
+
+
+def test_train_then_segment_oracle_matches_fold(spark):
+    """bpe_apply_trained_oracle_sql — the full train-then-segment SQL —
+    equals bpe_apply over bpe_train on the adversarial corpus."""
+    import duckdb
+
+    docs = list(enumerate(_ADV_DOCS))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe.bpe_train(sdf, num_merges=6)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_subwords)
+        for r in bpe.bpe_apply(sdf, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") AS t(doc_id, text)"
+    )
+    orc = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bpe.bpe_apply_trained_oracle_sql(6)).fetchall()
+    }
+    assert orc == got
+    # and the independent python fold agrees
+    assert orc == {i: _ref_segment(t, merges) for i, t in docs}

@@ -98,6 +98,10 @@ def test_round11_changed_queries_are_prioritized():
         "supplier_pagerank", "textrank_keywords",
         "copurchase_bfs_hops", "copurchase_weighted_sssp",
         "semantic_cluster_dedup", "hard_negative_pairs",
+        # oracle upgrades (first-ever driver VALUE checks)
+        "bpe_merges", "bpe_subword_counts",
+        # r11 sf10 finding: gained the output-bound-criterion guard
+        "embedding_near_dups_bucketed",
     }
     assert changed <= set(list(R.QUERIES)[:50])
 

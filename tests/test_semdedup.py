@@ -232,6 +232,13 @@ def test_all_pairs_baselines_refuse_oversized_inputs(spark):
         semdedup(big, k=2, iterations=1)
     with pytest.raises(ValueError, match="hard_negative_pairs_ivf"):
         hard_negative_pairs(big)
+    # the banded near-dup's guard names the real knob (the threshold):
+    # its loose fixture criterion is output-bound quadratic (r11 sf10
+    # finding — disk-killed at 200k vectors before the guard existed)
+    from depositaja_spark.functions.similarity import embedding_near_dup_banded
+
+    with pytest.raises(ValueError, match="cos >= 0.9"):
+        embedding_near_dup_banded(big.drop("label"))
     # max_rows=None restores the deliberate oversized-baseline escape
     # hatch (plan-only check: no action is triggered here)
     semdedup(big.limit(10), k=2, iterations=1, max_rows=None)

@@ -9,9 +9,9 @@ the explicit, individually-justified ``ZERO_ROW_OK`` allowlist.
 The oracle side is sufficient: the driver gate proves engine rows equal
 oracle rows for every oracle-backed query, so a non-empty oracle IS a
 non-empty engine result (and DuckDB runs the whole registry's SQL in
-seconds, where the Spark side takes minutes).  The four NO_ORACLE_OK
-queries are covered by their own pytest goldens, which assert concrete
-non-empty outputs.
+seconds, where the Spark side takes minutes).  The remaining
+NO_ORACLE_OK queries are covered by their own pytest goldens, which
+assert concrete non-empty outputs.
 """
 
 from __future__ import annotations
