@@ -734,6 +734,128 @@ def hard_negative_pairs_ivf(
     )
 
 
+def hard_negative_pairs_ivf2(
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe1: int = NPROBE,
+    nprobe2: int = NPROBE,
+    band_lo: float = 0.1,
+    band_hi: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """TWO-LEVEL IVF hard-negative mining — the O(N^(4/3)) successor the
+    r11 sf10 decade demanded: the single-level √N-cell variant
+    (:func:`hard_negative_pairs_ivf`) is O(N·√N) by design (assignment
+    N·√N plus per-anchor √N candidates) and measured ×52 under 10× data
+    at sf10 (SCALE_SPOT_r11.jsonl), so one more decade would dominate
+    any pipeline.  Splitting the quantizer into C₁ = ⌈N^⅓⌉ coarse cells
+    × C₂ = ⌈N^⅓⌉ sub-cells each bounds every term at O(N^(4/3)):
+    coarse assignment N·C₁, sub-assignment N·C₂ (each vector scores
+    only its OWN coarse cell's sub-centroids, shipped by a broadcast of
+    the C₁·C₂ = N^⅔ sub-centroid frame), and per-anchor candidates
+    nprobe₁·nprobe₂·N^⅓.  Expected decade ratio 10^(4/3) ≈ 21.5 vs
+    the single level's 31.6 — and the constant shrinks more because
+    candidate buckets are (cell, sub)-keyed, N^⅓ rows each.
+
+    Determinism (the oracle-replayable convention): C₁ is the smallest
+    integer with C₁³ ≥ N (integer-exact in BOTH engines — no float
+    cube root); coarse centroids are corpus rows id 10..10+C₁-1;
+    sub-centroids of cell g are g's first C₂ members by id; every
+    ranking is (rounded cosine desc, id asc).  Recall tradeoff is the
+    standard nested-IVF one; tests measure band-recall vs the exact
+    scan and subset-consistency vs the single-level variant.
+
+    Returns (anchor_id, cand_id, cos, rank), rank 1..k per anchor."""
+    from pyspark.sql import Window as W
+
+    n = corpus.count()
+    if n == 0:
+        return corpus.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(id_col).alias("cand_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    c1 = 1
+    while c1 * c1 * c1 < n:
+        c1 += 1
+    c2_n = c1
+    cell_ids = list(range(10, 10 + c1))
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col, cell_ids=cell_ids)
+    ranked = _ranked_cells_udf(cids, cents)
+    members = tracked_persist(
+        corpus.withColumn("cells", ranked(F.col(vec_col))).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col(label_col).alias("lbl"),
+            F.col("cells").getItem(0).alias("cell"),
+            F.slice(F.col("cells"), 1, nprobe1).alias("probed"),
+        )
+    )
+    # sub-centroids: each coarse cell's first C2 members by id — a
+    # C1 x C2 = N^(2/3) frame, broadcast below (at extreme corpus sizes
+    # this is the term that moves to a third level)
+    w_first = W.partitionBy("cell").orderBy("id")
+    subcent = (
+        members.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") <= c2_n)
+        .select("cell", F.col("id").alias("sub"), F.col("vec").alias("svec"))
+    )
+    scos = F.round(cosine(F.col("vec"), F.col("svec")), 6)
+    w_assign = W.partitionBy("id").orderBy(F.desc("scos"), F.asc("sub"))
+    assigned2 = (
+        members.join(F.broadcast(subcent), "cell")
+        .withColumn("scos", scos)
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select(
+            F.col("id").alias("cand_id"),
+            F.col("vec").alias("cvec"),
+            F.col("lbl").alias("blbl"),
+            "cell",
+            "sub",
+        )
+    )
+    pcos = F.round(cosine(F.col("avec"), F.col("svec")), 6)
+    w_probe = W.partitionBy("anchor_id", "cell").orderBy(
+        F.desc("pcos"), F.asc("sub")
+    )
+    probes2 = (
+        members.select(
+            F.col("id").alias("anchor_id"),
+            F.col("vec").alias("avec"),
+            F.col("lbl").alias("albl"),
+            F.explode("probed").alias("cell"),
+        )
+        .join(F.broadcast(subcent), "cell")
+        .withColumn("pcos", pcos)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= nprobe2)
+        .select("anchor_id", "avec", "albl", "cell", "sub")
+    )
+    cos = pair_cos_udf()(F.col("avec"), F.col("cvec"))
+    scored = (
+        assigned2.join(probes2, ["cell", "sub"])  # (cell, sub)-keyed shuffle
+        .filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("albl") != F.col("blbl"))
+        )
+        .select("anchor_id", "cand_id", cos.alias("cos"))
+        .filter((F.col("cos") >= band_lo) & (F.col("cos") < band_hi))
+        # no distinct needed: a candidate owns exactly ONE (cell, sub)
+        # key and probes2 is unique per (anchor, cell, sub), so a pair
+        # can meet at most once
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def semdedup_sqrt_cells(
     corpus: DataFrame,
     threshold: float = 0.95,

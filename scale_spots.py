@@ -51,6 +51,7 @@ SPOT_QUERIES = [
     "lsh_candidate_pairs",        # MinHash banding
     "semdedup_sqrt_cells",        # √N-cell SemDeDup scale path
     "hard_negative_pairs_ivf",    # per-anchor IVF mining scale path
+    "hard_negative_pairs_ivf2",   # two-level N^(4/3) successor (r11)
     "supplier_pagerank",          # power-method rounds (r11 cache-fix path)
     "copurchase_weighted_sssp",   # Bellman-Ford rounds (r11 cache-fix path)
     "copurchase_bfs_hops",        # frontier BFS rounds

@@ -201,12 +201,16 @@ def test_skyline_empty(spark):
 
 
 def test_hard_negatives_empty(spark):
-    from depositaja_spark.functions.similarity import hard_negative_pairs
+    from depositaja_spark.functions.similarity import (
+        hard_negative_pairs,
+        hard_negative_pairs_ivf2,
+    )
 
     emb = spark.createDataFrame(
         [], "vec_id long, embedding array<float>, label int"
     )
     assert hard_negative_pairs(emb).count() == 0
+    assert hard_negative_pairs_ivf2(emb).count() == 0
 
 
 def test_frequent_triples_empty(spark):

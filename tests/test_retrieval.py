@@ -330,3 +330,35 @@ def test_hard_negative_ivf_subset_and_recall(spark):
     for a, _c, _ in ivf:
         per_anchor[a] = per_anchor.get(a, 0) + 1
     assert max(per_anchor.values()) <= 5
+
+
+def test_hard_negative_ivf2_subset_and_recall(spark):
+    """The TWO-LEVEL IVF miner (the r11 N^(4/3) successor to the
+    single-level sqrt-N path, which measured x52 under 10x data at
+    sf10): every pair it emits satisfies the exact definition
+    (scores identical to the exact scan where pairs overlap), it
+    recalls a meaningful fraction of the exact top-k on the fixture
+    (nested nprobe 2x2 over 8x8 cells — misses are standard IVF
+    probe-misses at both levels), and it never exceeds k per anchor."""
+    from depositaja_spark import registry
+    from depositaja_spark.functions.cache import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.anchor_id, r.cand_id): r.cos
+        for r in registry.QUERIES["hard_negative_pairs"](spark, sf).collect()
+    }
+    ivf2 = [
+        (r.anchor_id, r.cand_id, r.cos)
+        for r in registry.QUERIES["hard_negative_pairs_ivf2"](spark, sf).collect()
+    ]
+    release_caches()
+    overlap = [(a, c, cos) for a, c, cos in ivf2 if (a, c) in exact]
+    for a, c, cos in overlap:
+        assert cos == exact[(a, c)], (a, c)
+    recall = len(overlap) / max(1, len(exact))
+    assert recall >= 0.1, f"two-level IVF hard-negative recall {recall:.2f}"
+    per_anchor = {}
+    for a, _c, _ in ivf2:
+        per_anchor[a] = per_anchor.get(a, 0) + 1
+    assert max(per_anchor.values()) <= 5
