@@ -916,6 +916,93 @@ def semdedup_sqrt_cells(
     )
 
 
+def semdedup_cells2(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over a TWO-LEVEL (cell, sub-cell) partition — the
+    O(N^(4/3)) successor of :func:`semdedup_sqrt_cells` (O(N·√N) by
+    design, measured ×12 under 10× data at sf10), built with the same
+    nested quantizer as :func:`hard_negative_pairs_ivf2`: C₁ = the
+    smallest integer with C₁³ ≥ N coarse cells (corpus rows id
+    10..10+C₁-1), C₁ sub-cells per coarse cell (the cell's first C₂
+    members by id, rounded-cosine argmax with the smallest-sub-id
+    tie-break).  Expected within-(cell, sub) pairs are O(N^(4/3)).
+
+    The keep rule is semdedup's at the finer granularity: a vector is
+    dropped iff some LOWER-ID vector in the same (cell, sub) bucket has
+    cosine ≥ τ — the standard recall trade of deeper quantization
+    (near-dups split across sub-cells are missed; the two partitions
+    are NOT nested — C₁ coarse centroids differ from the single level's
+    ⌈√N⌉ — so the drop sets are each validated against their own
+    buckets by brute force, and exact clones, which always share every
+    bucket, must collapse in both).  Returns (id, cell, sub, keep);
+    fully oracle-replayable."""
+    from depositaja_spark.functions.cache import tracked_persist as _tp
+    from pyspark.sql import Window as W
+
+    n = corpus.count()
+    if n == 0:
+        return (
+            corpus.select(id_col)
+            .limit(0)
+            .withColumn("cell", F.lit(0).cast("long"))
+            .withColumn("sub", F.lit(0).cast("long"))
+            .withColumn("keep", F.lit(True))
+        )
+    c1 = 1
+    while c1 * c1 * c1 < n:
+        c1 += 1
+    cell_ids = list(range(10, 10 + c1))
+    cids, cents = _centroid_matrix(corpus, id_col, vec_col, cell_ids=cell_ids)
+    ranked = _ranked_cells_udf(cids, cents)
+    members = _tp(
+        corpus.withColumn("cell", ranked(F.col(vec_col)).getItem(0)).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
+        )
+    )
+    w_first = W.partitionBy("cell").orderBy("id")
+    subcent = (
+        members.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") <= c1)
+        .select("cell", F.col("id").alias("sub"), F.col("vec").alias("svec"))
+    )
+    scos = F.round(cosine(F.col("vec"), F.col("svec")), 6)
+    w_assign = W.partitionBy("id").orderBy(F.desc("scos"), F.asc("sub"))
+    assigned2 = _tp(
+        members.join(F.broadcast(subcent), "cell")
+        .withColumn("scos", scos)
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("id", "cell", "sub")
+    )
+    u = unit_vectors(corpus, id_col, vec_col)
+    cu = _tp(
+        assigned2.join(u, assigned2["id"] == u[id_col]).select(
+            "cell", "sub", "id", "unit"
+        )
+    )
+    a = cu.select("cell", "sub", F.col("id").alias("a_id"), F.col("unit").alias("ua"))
+    b = cu.select("cell", "sub", F.col("id").alias("b_id"), F.col("unit").alias("ub"))
+    dropped = (
+        a.join(b, ["cell", "sub"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return assigned2.join(
+        dropped.withColumn("hit", F.lit(True)), "id", "left_outer"
+    ).select(
+        F.col("id").alias(id_col),
+        "cell",
+        "sub",
+        F.coalesce(~F.col("hit"), F.lit(True)).alias("keep"),
+    )
+
+
 #: banded-SRP near-dup constants: 18 anchor hyperplanes (corpus rows, so
 #: the DuckDB oracle reproduces them), split into 6 bands of 3 bits.
 #: Pigeonhole: two signatures within Hamming distance ≤ bands-1 = 5 agree

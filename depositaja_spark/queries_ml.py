@@ -848,6 +848,71 @@ def q_semdedup_sqrt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup_cells2_sql() -> str:
+    return f"""
+WITH c1n AS (SELECT min(c) AS c1 FROM range(1, 100000) t(c)
+             WHERE c*c*c >= (SELECT count(*) FROM embeddings)),
+cent1 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          WHERE vec_id >= 10 AND vec_id < 10 + (SELECT c1 FROM c1n)),
+c1_scores AS (
+  SELECT e.vec_id, c.cid,
+         {_SEMDEDUP_SQRT_COS.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent1 c
+),
+asg1 AS (
+  SELECT vec_id, cid AS cell FROM c1_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+),
+subcent AS (
+  SELECT s.cell, e.vec_id AS sub, e.embedding AS svec
+  FROM embeddings e JOIN asg1 s ON e.vec_id = s.vec_id
+  QUALIFY row_number() OVER (PARTITION BY s.cell ORDER BY e.vec_id)
+          <= (SELECT c1 FROM c1n)
+),
+asg2 AS (
+  SELECT e.vec_id, s.cell, sc.sub
+  FROM embeddings e
+  JOIN asg1 s ON e.vec_id = s.vec_id
+  JOIN subcent sc ON sc.cell = s.cell
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {_SEMDEDUP_SQRT_COS.format(a='e.embedding', b='sc.svec')} DESC,
+               sc.sub) = 1
+),
+u AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_inner_product(
+                                embedding::DOUBLE[], embedding::DOUBLE[]))) AS unit
+      FROM embeddings),
+cu AS (SELECT asg2.vec_id AS id, asg2.cell, asg2.sub, u.unit
+       FROM asg2 JOIN u USING (vec_id)),
+dropped AS (SELECT DISTINCT b.id AS vec_id
+            FROM cu a JOIN cu b ON a.cell = b.cell AND a.sub = b.sub
+                                AND a.id < b.id
+            WHERE round(list_inner_product(a.unit, b.unit), 6)
+                  >= {_SEMDEDUP_THRESHOLD})
+SELECT asg2.vec_id, asg2.cell, asg2.sub, (dropped.vec_id IS NULL) AS keep
+FROM asg2 LEFT JOIN dropped USING (vec_id)
+"""
+
+
+@query("semdedup_cells2", _q_semdedup_cells2_sql())
+def q_semdedup_cells2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the TWO-LEVEL (cell, sub) quantizer — the r11
+    O(N^(4/3)) successor of semdedup_sqrt_cells (O(N^1.5) by design,
+    x12 under 10x data at the sf10 decade), sharing the nested
+    deterministic quantizer of hard_negative_pairs_ivf2: C1 = smallest
+    integer with C1^3 >= N coarse cells, C1 first-members-by-id
+    sub-cells each, all assignments rounded-cosine argmax with id
+    tie-breaks, replayed level by level in the oracle.  The keep rule
+    is semdedup's at (cell, sub) granularity — deeper quantization
+    trades recall for the exponent, the standard coarse-to-fine
+    progression (functions/similarity.py:semdedup_cells2)."""
+    return sim.semdedup_cells2(
+        load_table(spark, sf_dir, "embeddings"), threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+
 # --- DSIR: hashed n-gram importance weights ----------------------------------
 #
 # Data Selection via Importance Resampling (Xie et al. 2023): estimate

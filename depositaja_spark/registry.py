@@ -591,6 +591,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-11 additions never driver-sampled --------------------------
     "bpe_segment_replay",
     "hard_negative_pairs_ivf2",
+    "semdedup_cells2",
     # -- round-11 CHANGED queries re-verified by the external gate:
     #    weighted_pagerank gained the w>0 guard + weighted_sssp/bfs_hops
     #    the materialize-before-snapshot fix (r10 ADVICE), and the two
@@ -643,9 +644,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "value_props_correlation",
     "window_received",
     # -- LRU refill to the 50-slot window: the oldest remaining pool is
-    #    now the 40 r4-latest queries; take the first 12 in r4-artifact
-    #    order.  The 28 left behind (chunk_documents ... shuffle_shards in
-    #    that same order) lead round 12's refill. -------------------------
+    #    now the 40 r4-latest queries; take the first 11 in r4-artifact
+    #    order.  The 29 left behind (multimodal_manifest ... shuffle_shards
+    #    in that same order) lead round 12's refill. ----------------------
     "net_balance",
     "jaccard_near_dups",
     "dedup_clusters",
@@ -657,7 +658,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "quantized_embeddings",
     "ann_topk_quantized",
-    "multimodal_manifest",
 )
 
 

@@ -50,6 +50,7 @@ SPOT_QUERIES = [
     "jaccard_near_dups",          # df-capped inverted-index jaccard
     "lsh_candidate_pairs",        # MinHash banding
     "semdedup_sqrt_cells",        # √N-cell SemDeDup scale path
+    "semdedup_cells2",            # two-level N^(4/3) successor (r11)
     "hard_negative_pairs_ivf",    # per-anchor IVF mining scale path
     "hard_negative_pairs_ivf2",   # two-level N^(4/3) successor (r11)
     "supplier_pagerank",          # power-method rounds (r11 cache-fix path)

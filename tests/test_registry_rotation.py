@@ -111,7 +111,8 @@ def test_never_driver_sampled_queries_lead_the_window():
     front of the window.  r1-r10 union coverage is 312/312 of the r10
     registry (verified in the r10 verdict), so the never-sampled set
     entering round 11 is exactly the round-11 additions."""
-    never = ["bpe_segment_replay", "hard_negative_pairs_ivf2"]
+    never = ["bpe_segment_replay", "hard_negative_pairs_ivf2",
+             "semdedup_cells2"]
     assert list(R.QUERIES)[: len(never)] == never
 
 

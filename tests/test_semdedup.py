@@ -242,3 +242,80 @@ def test_all_pairs_baselines_refuse_oversized_inputs(spark):
     # max_rows=None restores the deliberate oversized-baseline escape
     # hatch (plan-only check: no action is triggered here)
     semdedup(big.limit(10), k=2, iterations=1, max_rows=None)
+
+
+def test_cells2_keep_rule_matches_bruteforce(spark):
+    """semdedup_cells2 (the r11 N^(4/3) successor) must satisfy the
+    semdedup keep rule within ITS (cell, sub) buckets: a vector is
+    dropped iff some lower-id same-bucket vector has rounded cosine
+    >= tau (the registered query's tau = 0.4) — verified by a
+    pure-Python brute force over the collected two-level assignment."""
+    import math
+
+    from depositaja_spark import registry
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.vec_id: (r.cell, r.sub, r.keep)
+        for r in registry.QUERIES["semdedup_cells2"](spark, sf).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    release_caches()
+    assert len(out) == len(vecs)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    units = {i: unit(v) for i, v in vecs.items()}
+    by_bucket: dict = {}
+    for i, (cell, sub, _k) in out.items():
+        by_bucket.setdefault((cell, sub), []).append(i)
+    n_dropped = 0
+    for i, (cell, sub, keep) in out.items():
+        hit = any(
+            round(sum(a * b for a, b in zip(units[j], units[i])), 6) >= 0.4
+            for j in by_bucket[(cell, sub)]
+            if j < i
+        )
+        assert keep == (not hit), (i, cell, sub)
+        n_dropped += int(hit)
+    assert n_dropped > 0  # the fixture must actually exercise the rule
+
+
+def test_cells2_clone_collapses(spark, tmp_path):
+    """An exact clone lands in the same (cell, sub) bucket at BOTH
+    quantizer levels (identical rounded cosines, same tie-breaks) and
+    is dropped — deeper quantization must never break the exact-dup
+    guarantee."""
+    from depositaja_spark import registry
+    from depositaja_spark.functions.cache import release_caches
+    from depositaja_spark.sources import load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .limit(200)
+        .collect()
+    )
+    rows = [(r.vec_id, r.embedding, r.label) for r in base]
+    # clone vector 50 under a fresh high id
+    clone_src = next(r for r in rows if r[0] == 50)
+    rows.append((10_000, clone_src[1], clone_src[2]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path / "emb2"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    out = {
+        r.vec_id: (r.cell, r.sub, r.keep)
+        for r in registry.QUERIES["semdedup_cells2"](spark, str(d)).collect()
+    }
+    release_caches()
+    assert out[10_000][:2] == out[50][:2]  # same bucket at both levels
+    assert out[50][2] is True and out[10_000][2] is False
