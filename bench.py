@@ -8,6 +8,13 @@ Prints ONE JSON line:
 Execution is forced with the noop sink (full computation, no driver
 collect, no pandas conversion) so timings measure the engine, not the
 result transfer.
+
+Since round 12 the top-level entry is a variance-banded ORCHESTRATOR:
+the measurement body runs in fresh-JVM subprocesses (``--child``), and
+the artifact only carries ``band_ok: true`` when two cold runs agree on
+the headline total within 8% — the JVM/OS-aging trap that shipped
+BENCH_r11 25% high under an ``idle: true`` stamp cannot recur, because
+aging noise is per-process and two fresh JVMs don't share it.
 """
 
 from __future__ import annotations
@@ -79,7 +86,7 @@ def _previous_bench() -> dict | None:
         return None
 
 
-def main() -> None:
+def _child_main() -> None:
     from depositaja_spark.session import get_spark
     from depositaja_spark import registry
     from depositaja_spark.functions.cache import release_caches
@@ -292,6 +299,105 @@ def main() -> None:
         # value marks the artifact as contended and not trend-comparable
         "idle": idle_at_start,
     }
+    print(json.dumps(detail))
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _first_agreeing_pair(
+    totals: list[float], band_pct: float
+) -> tuple[int, int] | None:
+    """Indices of a pair of run totals agreeing within band_pct of the
+    smaller, or None.  Among all agreeing pairs, the one containing the
+    SMALLEST total wins: min is the reproducible engine cost (noise
+    only ever inflates a local timing), and a fast run CONFIRMED by a
+    second run within the band is exactly the number the trend wants —
+    picking a later agreeing pair instead would let one aged/contended
+    middle run drag the reported total up."""
+    pairs = []
+    for a in range(len(totals)):
+        for b in range(a + 1, len(totals)):
+            lo, hi = sorted((totals[a], totals[b]))
+            if lo > 0 and (hi - lo) / lo <= band_pct:
+                pairs.append((a, b))
+    if not pairs:
+        return None
+    return min(pairs, key=lambda p: min(totals[p[0]], totals[p[1]]))
+
+
+def main() -> None:
+    """Variance-banded orchestrator (round-12, after BENCH_r11 committed a
+    +25% JVM/OS-aging artifact under an `idle: true` stamp — the idle
+    gate only checks LOAD, and the aging trap reads high on an idle box).
+
+    Each measurement now runs in its own FRESH-JVM subprocess, and the
+    artifact is refused unless two cold runs agree on the headline total
+    within BAND_PCT.  On disagreement the orchestrator cools down and
+    takes up to MAX_RUNS total runs, accepting the first agreeing pair;
+    if none agree, the artifact is still emitted (the driver must get a
+    line) but carries ``band_ok: false`` — a number that can never again
+    masquerade as trend-comparable.  The reported queries/total are the
+    FASTER run of the accepted pair (min = reproducible engine cost, the
+    same basis as the per-query best-of-5 inside each run); the compact
+    line carries every run's total under ``band``."""
+    import subprocess
+
+    BAND_PCT = 0.08
+    MAX_RUNS = 4
+    COOLDOWN_SEC = 120
+
+    def _one_run(strip_compact: bool) -> tuple[dict, dict] | None:
+        env = dict(os.environ)
+        if strip_compact:
+            # the compacted second series is expensive and layout-bound,
+            # not JVM-noise-bound: measure it once (first child only)
+            env.pop("SPARK_GRAFT_COMPACT_SERIES", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, env=env,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if len(lines) < 2:
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            return None
+        return json.loads(lines[-2]), json.loads(lines[-1])
+
+    runs: list[tuple[dict, dict]] = []
+    pair: tuple[int, int] | None = None
+    for i in range(MAX_RUNS):
+        r = _one_run(strip_compact=(i > 0))
+        if r is None:
+            continue
+        runs.append(r)
+        totals = [o["value"] for _, o in runs]
+        pair = _first_agreeing_pair(totals, BAND_PCT)
+        if pair is not None:
+            break
+        if i < MAX_RUNS - 1:
+            time.sleep(COOLDOWN_SEC)
+
+    if not runs:
+        raise SystemExit("bench: no child run produced output")
+    totals = [o["value"] for _, o in runs]
+    if pair is not None:
+        best_i = min(pair, key=lambda j: totals[j])
+        band_ok = True
+    else:
+        best_i = min(range(len(runs)), key=lambda j: totals[j])
+        band_ok = False
+    detail, out = runs[best_i]
+    out["band"] = [round(t, 3) for t in totals]
+    out["band_ok"] = band_ok
+    if not band_ok:
+        out["idle"] = False  # not trend-comparable, whatever the load said
+    detail = dict(detail)
+    detail["band_pct"] = BAND_PCT
+    detail["band_runs"] = [d for d, _ in runs]
+    # carry the compacted series even when a later run won the band
+    for d, _ in runs:
+        if "compacted" in d:
+            detail["compacted"] = d["compacted"]
+            break
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
@@ -300,10 +406,12 @@ def main() -> None:
             json.dump({**out, **detail}, fh, indent=1)
     except OSError:
         pass
-    print(json.dumps(detail))
+    print(json.dumps({k: v for k, v in detail.items() if k != "band_runs"}))
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv[1:]:
+        _child_main()
+    else:
+        main()

@@ -194,6 +194,17 @@ def bpe_train_oracle_sql(num_merges: int, docs_sql: str = "documents") -> str:
     The degenerate early-break (no pairs left) keeps row-count parity
     via LEFT JOIN ON TRUE — an empty argmax leaves the vocab unchanged
     and contributes no output row, exactly like the trainer's break."""
+    ctes, final = _bpe_train_oracle_parts(num_merges, docs_sql)
+    return "WITH " + ctes + "\n" + final
+
+
+def _bpe_train_oracle_parts(
+    num_merges: int, docs_sql: str = "documents"
+) -> tuple[str, str]:
+    """(cte_section, final_select) for the trainer chain — structured
+    so :func:`bpe_apply_trained_oracle_sql` can splice the CTEs without
+    string-searching the assembled SQL (which broke for num_merges=0
+    and was brittle to formatting changes)."""
     parts = [
         f"""v0 AS MATERIALIZED (
   SELECT word, count(*) AS wcount,
@@ -227,8 +238,12 @@ def bpe_train_oracle_sql(num_merges: int, docs_sql: str = "documents") -> str:
         f'SELECT CAST({k - 1} AS INT) AS step, l AS "left", r AS "right", freq'
         f" FROM t{k}"
         for k in range(1, num_merges + 1)
+    ) or (
+        # num_merges=0: zero training rounds emit zero merge rows
+        'SELECT CAST(0 AS INT) AS step, \'\' AS "left", \'\' AS "right", '
+        "CAST(0 AS BIGINT) AS freq WHERE FALSE"
     )
-    return "WITH " + ",\n".join(parts) + "\n" + finals
+    return ",\n".join(parts), finals
 
 
 def bpe_apply_trained_oracle_sql(
@@ -242,9 +257,8 @@ def bpe_apply_trained_oracle_sql(
     impossible: a trainable merge's LEFT always has a right neighbor
     in-word, so it never contains ``</w>`` — the same invariant
     :func:`bpe_segment_oracle_sql` asserts for pinned lists)."""
-    train = bpe_train_oracle_sql(num_merges, docs_sql)
-    # keep only the CTE section of the trainer (drop its final SELECT)
-    cte_section = train[: train.index("\nSELECT CAST(0 AS INT) AS step")]
+    cte_section, _ = _bpe_train_oracle_parts(num_merges, docs_sql)
+    cte_section = "WITH " + cte_section
     parts = [
         f"""d0 AS MATERIALIZED (
   SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, string_agg(ew, '') AS s

@@ -460,10 +460,16 @@ def weighted_pagerank_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`weighted_pagerank`.  ``edges_sql`` must
     yield ``(src, dst, w)``.  Returns ``(id, pr_scaled)``, pr × N
-    rounded at 6 — identical to the unweighted oracle's convention."""
+    rounded at 6 — identical to the unweighted oracle's convention.
+
+    Mirrors the engine's up-front ``w > 0`` drop (see the precondition
+    note on :func:`weighted_pagerank`) so a non-positive-weight edge
+    can never feed the oracle's node set / out-strength / rank flow
+    while the Spark side has already dropped it."""
     d = float(damping)
     parts = [
-        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "WITH edges AS MATERIALIZED ("
+        f"SELECT src, dst, w FROM ({edges_sql}) raw_edges WHERE w > 0)",
         "nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "outdeg AS (SELECT src, CAST(sum(w) AS DOUBLE) AS deg"

@@ -51,6 +51,31 @@ def _guard_all_pairs_baseline(
         )
 
 
+def _guard_mid_scale_baseline(
+    n: int, max_rows: int | None, name: str, sibling: str
+) -> None:
+    """Enforce the mid-scale contract of the SUPERSEDED single-level
+    √N-cell paths in code (r11 verdict #1): both are O(N·√N) by design
+    and the r11 sf10 decade measured them strictly dominated by their
+    two-level O(N^(4/3)) successors (×52.5 vs ×14.1 mining, ×12.1 vs
+    ×7.8 semdedup; crossover ≈ sf3 — SCALE_SPOT_r11.jsonl), so a user
+    at real scale picking the single-level name by accident should get
+    a refusal naming the right sibling, not a silently slow job.  The
+    500k default admits every fixture up to the sf10 spot dirs (200k
+    embeddings) and refuses at roughly the measured crossover's next
+    decade; ``max_rows=None`` escapes for deliberate baseline runs."""
+    if max_rows is None:
+        return
+    if n > max_rows:
+        raise ValueError(
+            f"{name} is the single-level mid-scale baseline (O(N·√N), "
+            f"superseded at ≥sf3 — SCALE_SPOT_r11.jsonl) and is capped at "
+            f"{max_rows} input rows; got {n}.  Use the two-level successor "
+            f"{sibling} at this size, or pass max_rows=None for a "
+            f"deliberate oversized baseline run."
+        )
+
+
 def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -590,7 +615,7 @@ def hard_negative_pairs(
     from pyspark.sql import Window as W
 
     _guard_all_pairs_baseline(corpus, max_rows, "hard_negative_pairs",
-                              "hard_negative_pairs_ivf")
+                              "hard_negative_pairs_ivf2")
     lo, hi = float(band_lo), float(band_hi)
     v = _dvec(F.col(vec_col))
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -664,14 +689,21 @@ def hard_negative_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_rows: int | None = 500_000,
 ) -> DataFrame:
-    """IVF-composed hard-negative mining — the SCALE PATH the exact
-    blocked scan (``hard_negative_pairs``) baselines: every anchor
-    probes its ``nprobe`` nearest IVF cells and only those cells'
-    members are band-filtered and ranked, so per-anchor candidates are
-    ≈ nprobe·N/C instead of N.  The r10 full-registry sweep measured
-    the exact scan at ×14-24 under 10× data (quadratic by definition);
-    this variant's cell equi-join is the join shape that survives.
+    """Single-level IVF hard-negative mining — the MID-SCALE BASELINE,
+    superseded at ≥sf3 by :func:`hard_negative_pairs_ivf2` (the r11
+    sf10 decade measured this variant ×52.5 under 10× data vs the
+    two-level successor's ×14.1, with the successor 2.1× faster in
+    absolute terms at sf10 — SCALE_SPOT_r11.jsonl; inputs past
+    ``max_rows`` are refused with that pointer).  Above the exact
+    blocked scan (``hard_negative_pairs``) it remains the right tool:
+    every anchor probes its ``nprobe`` nearest IVF cells and only those
+    cells' members are band-filtered and ranked, so per-anchor
+    candidates are ≈ nprobe·N/C instead of N.  The r10 full-registry
+    sweep measured the exact scan at ×14-24 under 10× data (quadratic
+    by definition); this variant's cell equi-join is the join shape
+    that survives mid-scale.
 
     The cell count SCALES with the corpus — C = ⌈√N⌉, the standard IVF
     sizing — so total candidate pairs are O(N·nprobe·√N), not O(N²):
@@ -692,6 +724,9 @@ def hard_negative_pairs_ivf(
     from pyspark.sql import Window as W
 
     n = corpus.count()
+    _guard_mid_scale_baseline(
+        n, max_rows, "hard_negative_pairs_ivf", "hard_negative_pairs_ivf2"
+    )
     if n == 0:
         return corpus.select(
             F.col(id_col).alias("anchor_id"),
@@ -861,12 +896,17 @@ def semdedup_sqrt_cells(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 500_000,
 ) -> DataFrame:
-    """SemDeDup over a √N-cell partition — the SCALE-PATH sibling of
-    ``semdedup`` with a pinned k-means model (the r10 sweep's worst
-    ratio: O(N²/k) at fixed k measured ×19 under 10× data; with
-    C = ⌈√N⌉ cells, expected within-cell pairs are O(N·√N) and the
-    partition keeps pace with the corpus).
+    """SemDeDup over a single-level √N-cell partition — the MID-SCALE
+    BASELINE, superseded at ≥sf3 by :func:`semdedup_cells2` (the r11
+    sf10 decade measured this variant ×12.1 under 10× data vs the
+    two-level successor's ×7.8 — SCALE_SPOT_r11.jsonl; inputs past
+    ``max_rows`` are refused with that pointer).  Above ``semdedup``
+    with a pinned k-means model it remains the right tool (the r10
+    sweep's worst ratio: O(N²/k) at fixed k measured ×19 under 10×
+    data; with C = ⌈√N⌉ cells, expected within-cell pairs are O(N·√N)
+    and the partition keeps pace with the corpus mid-scale).
 
     Cells are the first C corpus rows at id ≥ 10 ranked by rounded
     cosine (the deterministic, oracle-replayable convention shared with
@@ -880,6 +920,9 @@ def semdedup_sqrt_cells(
     from depositaja_spark.functions.cache import tracked_persist as _tp
 
     n = corpus.count()
+    _guard_mid_scale_baseline(
+        n, max_rows, "semdedup_sqrt_cells", "semdedup_cells2"
+    )
     if n == 0:
         return (
             corpus.select(id_col)
@@ -1252,7 +1295,7 @@ def semdedup(
     literal)."""
     from depositaja_spark.functions.kmeans import assign_clusters, kmeans_fit
 
-    _guard_all_pairs_baseline(corpus, max_rows, "semdedup", "semdedup_sqrt_cells")
+    _guard_all_pairs_baseline(corpus, max_rows, "semdedup", "semdedup_cells2")
     if not corpus.head(1):  # k-means seeding cannot run on zero vectors
         return (
             corpus.select(id_col)

@@ -1264,24 +1264,68 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+_MM_FEATURES_SQL = """
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+tot AS (SELECT doc_id, greatest(1, len(h) // 2) AS total FROM hx),
+byt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT) % 16
+           AS bin_idx
+  FROM (SELECT doc_id, h, unnest(range(0, len(h) // 2)) AS i FROM hx)
+),
+counts AS (SELECT doc_id, bin_idx, CAST(count(*) AS BIGINT) AS n
+           FROM byt GROUP BY 1, 2),
+grid AS (SELECT tot.doc_id, g.bin_idx, tot.total
+         FROM tot CROSS JOIN (SELECT unnest(range(0, 16)) AS bin_idx) g)
+SELECT grid.doc_id, CAST(grid.bin_idx AS INT) AS bin_idx,
+       CAST((2000000 * coalesce(counts.n, 0) + grid.total)
+            // (2 * grid.total) AS DOUBLE) / 1000000.0 AS value
+FROM grid
+LEFT JOIN counts USING (doc_id, bin_idx)
+"""
+
+
+@query("multimodal_features", _MM_FEATURES_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (byte
-    histogram stand-in for media decode) — mapInPandas plumbing, not
-    SQL-expressible (driver records rows-only).
+    histogram stand-in for media decode), exploded to one
+    ``(doc_id, bin_idx, value)`` row per bucket (scalar cells — the
+    driver's canonicalizer can't hash array cells, round-5 red row).
 
-    The library function (functions/multimodal.py:extract_features)
-    returns a typed ``features: array<double>`` column; the REGISTERED
-    query explodes it to one ``(doc_id, bin_idx, value)`` row per bucket
-    so the driver's canonicalizer (pandas sort + hash) has only scalar
-    cells — array cells are unhashable there (round-5 driver red row)."""
-    feats = mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
-    return feats.select(
-        "doc_id", F.posexplode("features").alias("bin_idx", "value")
+    Oracle-backed since round 12 (the last NO_ORACLE_OK entry): the
+    kernel's own floats (functions/multimodal.py:extract_features,
+    Python ``round(n/total, 6)``) round HALF-EVEN, whose tie decisions
+    at representable points (e.g. 1/128) no SQL engine reproduces — so
+    the registered surface recovers the exact integer count from the
+    kernel float (n = HALF_UP(value·total), error ≤ 5e-7·total ≪ 0.5,
+    the same recovery ``payload_byte_histogram`` proves end to end) and
+    re-rounds with the exact-rational HALF_UP convention
+    ``(2·10⁶·n + total) div (2·total) / 10⁶``, pure integer arithmetic
+    both engines compute identically.  The query still drives the full
+    payload plumbing — attach_payload byte fidelity, Arrow transfer,
+    bincount kernel, dense 16-bin grid — because a wrong kernel float
+    shifts the recovered n and fails the value hash."""
+    payloads = mm.attach_payload(_docs(spark, sf_dir))
+    feats = mm.extract_features(payloads)
+    meta = payloads.select(
+        "doc_id",
+        F.greatest(F.lit(1).cast("long"), F.col("media_meta.byte_len")).alias(
+            "total"
+        ),
     )
-
-
-NO_ORACLE_OK.add("multimodal_features")
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bin_idx", "raw"))
+        .join(meta, "doc_id")
+        .withColumn("n", F.round(F.col("raw") * F.col("total"), 0).cast("long"))
+        .select(
+            "doc_id",
+            "bin_idx",
+            (
+                F.expr("(2000000L * n + total) div (2L * total)")
+                / F.lit(1000000.0)
+            ).alias("value"),
+        )
+    )
 
 
 _PAYLOAD_HIST_SQL = """

@@ -588,76 +588,72 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-11 additions never driver-sampled --------------------------
-    "bpe_segment_replay",
-    "hard_negative_pairs_ivf2",
-    "semdedup_cells2",
-    # -- round-11 CHANGED queries re-verified by the external gate:
-    #    weighted_pagerank gained the w>0 guard + weighted_sssp/bfs_hops
-    #    the materialize-before-snapshot fix (r10 ADVICE), and the two
-    #    all-pairs baselines gained the in-code max_rows scale guard ----
-    "supplier_pagerank",
+    # -- round-12 changed queries, re-verified by the external gate ------
+    #    multimodal_features: first-ever VALUE check (its float surface
+    #    re-expressed integer-exactly, closing the last NO_ORACLE_OK
+    #    entry); supplier_pagerank/textrank_keywords: the weighted-
+    #    pagerank oracle now mirrors the engine's w>0 drop (r11 ADVICE);
+    #    the single-level similarity paths gained the mid-scale guard +
+    #    demotion, and the all-pairs baselines' guard message now points
+    #    at the two-level successors; the BPE oracle generators were
+    #    refactored to structured (ctes, final) parts. -------------------
+    "multimodal_features",
     "textrank_keywords",
-    "copurchase_bfs_hops",
-    "copurchase_weighted_sssp",
+    "supplier_pagerank",
+    "semdedup_sqrt_cells",
+    "hard_negative_pairs_ivf",
     "semantic_cluster_dedup",
     "hard_negative_pairs",
-    # -- round-11 oracle upgrades: the BPE training loop unrolled into
-    #    chained CTEs (bpe_train_oracle_sql) made both training-bound
-    #    queries oracle-backed — their FIRST-ever driver value checks --
     "bpe_merges",
     "bpe_subword_counts",
-    # -- round-11 sf10 finding: the banded near-dup gained the in-code
-    #    output-bound-criterion guard (see SCALING.md r11 section) ------
-    "embedding_near_dups_bucketed",
-    # -- the ENTIRE r3-vintage tail (r10 verdict #1): the 21 refill slots
-    #    the round-10 session-3 additions displaced + the six documented
-    #    r3 stragglers.  After this window runs, NO registered query's
-    #    latest driver sample is older than round 4 — the staleness debt
-    #    is fully paid and tests/test_registry_rotation.py pins the
-    #    empty-stale-set bound. ------------------------------------------
-    "hot_windows",
-    "lang_id",
-    "lang_id_confusion",
-    "lapsed_customers",
-    "late_ship_priority_counts",
-    "latest_flag",
-    "manual_override",
-    "negate_withdrawals",
-    "order_price_percentiles",
-    "pb_roundtrip_deposits",
-    "pb_roundtrip_history",
-    "pivot_status_by_priority",
-    "point_lookup",
-    "project_deposit",
-    "repeat_customers",
-    "rollup_returns",
-    "scalar_functions",
-    "session_window_stats",
-    "shipmode_priority_counts",
-    "token_entropy",
-    "top3_customers_per_segment",
-    "tpch_q1",
-    "unpivot_lineitem_measures",
-    "user_sessions",
-    "value_histogram",
-    "value_props_correlation",
-    "window_received",
+    # -- the ENTIRE r4-vintage cohort (r11 verdict #7): the 29 queries
+    #    whose latest driver sample is round 4 — after this window runs,
+    #    no registered query's latest sample predates round 5, and
+    #    tests/test_registry_rotation.py pins the tightened bound. -------
+    "bigram_logprob_scores",
+    "chunk_documents",
+    "corpus_mixture_stats",
+    "daily_revenue_moving_avg",
+    "decontaminate",
+    "dedup_keep_best",
+    "deposit_deltas",
+    "incremental_dedup",
+    "line_dedup",
+    "mixture_sample",
+    "mixture_weights_temperature",
+    "multimodal_manifest",
+    "parts_above_brand_avg",
+    "passage_dedup",
+    "pii_redact",
+    "repetition_filter",
+    "repetition_metrics",
+    "resample_anomalies",
+    "resample_ffill_hourly",
+    "running_balance",
+    "shuffle_shards",
+    "skew_report_events",
+    "sliding_window_values",
+    "stratified_fixed_k",
+    "tfidf_top_terms",
+    "train_val_split",
+    "wallet_balance_ranks",
+    "weighted_sample_fixed_k",
+    "winnow_fingerprints",
     # -- LRU refill to the 50-slot window: the oldest remaining pool is
-    #    now the 40 r4-latest queries; take the first 11 in r4-artifact
-    #    order.  The 29 left behind (multimodal_manifest ... shuffle_shards
-    #    in that same order) lead round 12's refill. ----------------------
-    "net_balance",
-    "jaccard_near_dups",
-    "dedup_clusters",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "clean_corpus",
-    "ann_topk_brute",
-    "ann_topk_filtered",
-    "ann_topk_lsh",
-    "quantized_embeddings",
-    "ann_topk_quantized",
+    #    the 39 r5-latest queries; take the first 12 alphabetically.
+    #    The 27 left behind lead round 13's refill. ----------------------
+    "ann_topk_ivf",
+    "asof_last_click",
+    "cube_order_stats",
+    "customer_order_distribution",
+    "decontaminate_semantic",
+    "dedup_rate_by_source",
+    "disjunctive_brand_revenue",
+    "embedding_norm_stats",
+    "excess_supply_suppliers",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "global_sales_opportunity",
 )
 
 

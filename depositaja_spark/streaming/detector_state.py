@@ -186,15 +186,21 @@ def exact_detector_tws(deposits: DataFrame, clock_col: str = "ts") -> DataFrame:
     )
 
 
-def exact_detector_batch(deposits: DataFrame, clock_col: str = "ts") -> DataFrame:
+def exact_detector_batch(
+    deposits: DataFrame,
+    clock_col: str = "ts",
+    period_s: int = ROLLING_PERIOD_SECONDS,
+) -> DataFrame:
     """Batch replay of the exact detector: the same per-key transition run
     over the whole history via ``applyInPandas`` — equals the streaming
     operator's cumulative output on the same input (tested), and gives the
-    driver a collectable query for the faithful semantics."""
+    driver a collectable query for the faithful semantics.  ``period_s``
+    mirrors the streaming variants' knob so tests can compare the batch
+    replay against second-scale (or no-reset) streaming runs."""
 
     def replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
         wallet_id = pdf["wallet_id"].iloc[0]
-        out, _, _ = _replay(wallet_id, pdf, 0, 0.0)
+        out, _, _ = _replay(wallet_id, pdf, 0, 0.0, period_s)
         return pd.DataFrame(out, columns=_OUT_COLS)
 
     prepared = deposits.withColumn("clock", F.col(clock_col).cast("long"))

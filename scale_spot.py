@@ -17,11 +17,13 @@ inside artificial 10-copy duplicate groups — the scaling we want to
 measure is the engine's, not the planted-duplicate structure's.
 Embeddings get the analogous treatment (the r11 lesson — as-is copies
 made every vector an exact 100-way duplicate at sf10, exploding every
-cosine workload's TRUE output): replica i applies a deterministic
-per-replica SIGN-FLIP pattern (component j flipped iff bit j%7 of i is
-set) — norms and all within-replica pairwise dots are preserved
-exactly, while cross-replica dots of the decorrelated copies behave
-like random pairs, so cosine workloads scale linearly in vector count.
+cosine workload's TRUE output): replica i applies a hash-derived
+CYCLIC SHIFT of the components plus a Walsh-Hadamard SIGN pattern
+(component j flipped iff popcount(row & j) is odd, with row and shift
+both derived from a Knuth hash of i) — norms and all within-replica
+pairwise dots are preserved exactly, while cross-replica dots of the
+decorrelated copies behave like random pairs, so cosine workloads
+scale linearly in vector count.
 
 Usage:
     python scale_spot.py [out_dir] [replicas]   # default /tmp/sf1_synth 10
@@ -111,6 +113,20 @@ def main(out_dir: str = "/tmp/sf1_synth", replicas: int | str = REPLICAS) -> Non
                     ),
                 )
             if tbl == "embeddings" and i > 0:
+                if i == 1:
+                    # the shift/flip arithmetic below hard-codes dim 64;
+                    # zip_with would silently null-pad/truncate on any
+                    # other dimension, so fail loudly instead
+                    dims = [
+                        r[0]
+                        for r in base.select(F.size("embedding"))
+                        .distinct()
+                        .collect()
+                    ]
+                    assert dims == [64], (
+                        f"embedding decorrelation assumes dim 64, fixture "
+                        f"has sizes {dims}"
+                    )
                 # cosine-decorrelated replica: per-replica cyclic shift +
                 # Walsh-Hadamard sign pattern, both hash-derived so all
                 # (row, shift) pairs are distinct for i < 128.  Both ops

@@ -40,37 +40,34 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF1 = "/tmp/sf1_synth"
 SF10 = "/tmp/sf10_synth"
 WARM = "/root/testdata/sf0.1"
-OUT = os.path.join(REPO, "SCALE_SPOT_r11.jsonl")
+OUT = os.path.join(REPO, "SCALE_SPOT_r12.jsonl")
 IDLE_LOAD = 4.0
 
-#: one representative per top cost family (ranked by r10 sweep sf1_sec)
+#: round-12 extension of the sf10 ledger (r11 verdict #4): the heaviest
+#: cost families that had no sf10 row yet — graph/text combo, the
+#: interval×calendar overlap join, MinHash LSH end-to-end, connected
+#: components at the distributed tier (two flavors: the Jaccard dedup
+#: closure and the Jaro-Winkler entity closure), streaming incremental
+#: dedup replay, and the semantic decontamination join — plus a re-spot
+#: of bpe_segment_replay to pin the superlinearity mechanism (the
+#: replica token salt grows words by one char per suffix decade).
 SPOT_QUERIES = [
-    "tpch_q1",                    # scan + single-shuffle agg floor
-    "clean_corpus",               # staged text-curation pipeline (headline)
-    "jaccard_near_dups",          # df-capped inverted-index jaccard
-    "lsh_candidate_pairs",        # MinHash banding
-    "semdedup_sqrt_cells",        # √N-cell SemDeDup scale path
-    "semdedup_cells2",            # two-level N^(4/3) successor (r11)
-    "hard_negative_pairs_ivf",    # per-anchor IVF mining scale path
-    "hard_negative_pairs_ivf2",   # two-level N^(4/3) successor (r11)
-    "supplier_pagerank",          # power-method rounds (r11 cache-fix path)
-    "copurchase_weighted_sssp",   # Bellman-Ford rounds (r11 cache-fix path)
-    "copurchase_bfs_hops",        # frontier BFS rounds
-    "resample_anomalies",         # dense-grid resample (linear-in-output)
-    "exact_detector_replay",      # per-key stateful fold (applyInPandas)
-    "bpe_segment_replay",         # pinned-merge codegen fold (r11 addition)
-    "jpeg_decode_stats",          # Arrow media-codec kernel (heaviest)
+    "textrank_keywords",          # TextRank: co-occurrence graph + weighted pagerank
+    "orders_open_by_month",       # interval×calendar overlap join (bucket-explode)
+    "minhash_lsh_near_dups",      # MinHash→bands→verify end-to-end
+    "dedup_clusters",             # connected components over the near-dup graph
+    "jw_entity_clusters",         # blocked Jaro-Winkler + CC entity closure
+    "incremental_dedup",          # streaming incremental dedup replay
+    "decontaminate_semantic",     # embedding decontamination join
+    "bpe_segment_replay",         # r12: mechanism classification re-spot
 ]
 
-#: queries whose in-code max_rows guard must REFUSE at sf10 (200k
-#: embeddings > the 100k cap): the two labeled O(N²) baselines, plus
-#: the banded near-dup whose loose fixture criterion is output-bound
-#: quadratic (the r11 sf10 finding — it ran the disk out of shuffle
-#: spill at 200k vectors before the guard existed; see SCALING.md)
-GUARDED_BASELINES = [
-    "semantic_cluster_dedup",
-    "hard_negative_pairs",
-    "embedding_near_dups_bucketed",
+#: queries whose in-code max_rows guard must REFUSE at sf10 — the
+#: refusal IS the recorded result (``guard_refused: true``)
+GUARDED_BASELINES: list[str] = [
+    # (r11 recorded all three guard refusals; r12 adds none — the two
+    # newly demoted single-level paths still RUN at sf10's 200k rows,
+    # under their 500k mid-scale cap, and already have r11 rows)
 ]
 
 _CHILD = r"""
@@ -110,10 +107,16 @@ def _spot(name: str, target: str, timeout: int = 3600):
     load = _wait_idle()
     code = _CHILD.format(repo=REPO, name=name, warm=WARM, target=target)
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=timeout,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        # record-and-continue: an uncaught raise here would abort the
+        # whole spot matrix mid-run and leave no row for this query,
+        # defeating the incremental-resume design
+        return {"error": "timeout", "wall": round(time.time() - t0, 1)}
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             rec = json.loads(line[len("RESULT "):])

@@ -241,3 +241,33 @@ def test_hits_authority_ranks_mutual_reinforcement_over_degree(spark):
     a, _ = hits(df, 3)
     scores = {r.p: int(r.s) for r in a.collect()}
     assert scores[20] > scores[21]
+
+
+def test_weighted_oracle_mirrors_nonpositive_weight_drop(spark):
+    """r11 ADVICE: the engine drops w<=0 edges up front; the oracle SQL
+    must mirror the filter or a non-positive-weight edge would still
+    feed the oracle's node set / out-strength / rank flow.  Run BOTH
+    engines on a graph where the filtered edge changes the answer (it
+    introduces node z and redirects half of u's out-strength)."""
+    import duckdb
+
+    from depositaja_spark.functions.pagerank import (
+        weighted_pagerank,
+        weighted_pagerank_oracle_sql,
+    )
+
+    edges = [("u", "v", 2.0), ("u", "z", -2.0), ("v", "u", 1.0),
+             ("u", "w", 0.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r.id: round(r.pr * 2, 6)  # 2 live nodes after the drop (z, w gone)
+        for r in weighted_pagerank(df, iterations=3).collect()
+    }
+    # the oracle sees the RAW edge list including the poisoned rows
+    values = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in edges)
+    raw = f"SELECT * FROM (VALUES {values}) AS t(src, dst, w)"
+    sql = weighted_pagerank_oracle_sql(raw, iterations=3)
+    want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert set(want) == {"u", "v"} == set(got)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)

@@ -89,40 +89,38 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round11_changed_queries_are_prioritized():
-    """Queries whose implementation changed in round 11 (the r10-ADVICE
-    graph-cache + pagerank-guard fixes, and the all-pairs baselines'
-    new in-code max_rows scale guard) must sit in the driver window so
-    the change is re-verified by the external gate, not only locally."""
+def test_round12_changed_queries_are_prioritized():
+    """Queries whose implementation or oracle changed in round 12 (the
+    weighted-pagerank oracle w>0 mirror, the single-level similarity
+    demotion guards, the BPE oracle-generator refactor, and the new
+    multimodal_features integer-exact oracle) must sit in the driver
+    window so the change is re-verified by the external gate, not only
+    locally."""
     changed = {
-        "supplier_pagerank", "textrank_keywords",
-        "copurchase_bfs_hops", "copurchase_weighted_sssp",
+        "multimodal_features", "textrank_keywords", "supplier_pagerank",
+        "semdedup_sqrt_cells", "hard_negative_pairs_ivf",
         "semantic_cluster_dedup", "hard_negative_pairs",
-        # oracle upgrades (first-ever driver VALUE checks)
         "bpe_merges", "bpe_subword_counts",
-        # r11 sf10 finding: gained the output-bound-criterion guard
-        "embedding_near_dups_bucketed",
     }
     assert changed <= set(list(R.QUERIES)[:50])
 
 
-def test_never_driver_sampled_queries_lead_the_window():
-    """Queries no driver round has ever sampled must sit at the very
-    front of the window.  r1-r10 union coverage is 312/312 of the r10
-    registry (verified in the r10 verdict), so the never-sampled set
-    entering round 11 is exactly the round-11 additions."""
-    never = ["bpe_segment_replay", "hard_negative_pairs_ivf2",
-             "semdedup_cells2"]
-    assert list(R.QUERIES)[: len(never)] == never
+def test_first_ever_value_checks_lead_the_window():
+    """multimodal_features was rows-only through r1-r11 (the single
+    NO_ORACLE_OK entry); round 12 gave it an integer-exact oracle, so
+    its FIRST-ever driver value check must lead the window."""
+    assert list(R.QUERIES)[0] == "multimodal_features"
+    assert "multimodal_features" in R.ORACLES
+    assert R.NO_ORACLE_OK == set()
 
 
 def test_max_staleness_bound():
-    """Verdict r10 #1: the staleness debt is PAID — the round-11 window
-    contains the entire r3-vintage tail (the 21 displaced refill slots
-    + the six documented stragglers), so no registered query outside
-    the window may have a latest driver sample older than round 4.
-    Computed from the recorded driver artifacts, so a future window
-    edit that silently lets the tail age fails here."""
+    """Verdict r11 #7: rotation keeps paying — the round-12 window
+    contains the entire r4-vintage cohort (29 queries), so no
+    registered query outside the window may have a latest driver
+    sample older than round 5.  Computed from the recorded driver
+    artifacts, so a future window edit that silently lets the tail age
+    fails here."""
     import glob
     import json
     import re
@@ -137,9 +135,9 @@ def test_max_staleness_bound():
     window = set(R.SAMPLE_PRIORITY)
     stale = sorted(
         n for n in R.QUERIES
-        if n not in window and latest.get(n, 0) <= 3
+        if n not in window and latest.get(n, 0) <= 4
     )
     assert stale == [], (
-        f"queries outside the window with latest driver sample <= r3: "
-        f"{stale} — the round-11 window must hold the whole r3 tail"
+        f"queries outside the window with latest driver sample <= r4: "
+        f"{stale} — the round-12 window must hold the whole r4 cohort"
     )

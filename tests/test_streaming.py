@@ -1900,3 +1900,113 @@ def test_topology_chaos_restart_matches_batch(spark, tmp_path):
         assert got["above_threshold"] is want_flag[wallet_id], wallet_id
     assert topo.check("never-seen")["balance"] == 0.0
     topo.stop()
+
+
+@pytest.mark.parametrize("variant", ["lazy", "timer"])
+def test_detector_chaos_restart_matches_batch(spark, tmp_path, variant):
+    """Kill/restart chaos at the DETECTOR level (r11 verdict #5): both
+    stateful variants — the lazy gap-check detector
+    (applyInPandasWithState, runs in this env) and the processing-time
+    TIMER detector (transformWithState, env-gated on google.protobuf) —
+    must recover their value state (and, for the timer variant, the
+    registered-timer state) across checkpointed restarts.  Deposits
+    arrive in chunks while the query is repeatedly started and killed at
+    seeded-random points (stop() can land mid-micro-batch); after a
+    final drain, the emitted rows must equal the batch replay on the
+    deterministic clock column.
+
+    The period (1 h) exceeds both the data's clock span and the test's
+    wall time, so neither clock resets — the timing-invariant regime in
+    which timer and lazy semantics coincide by definition (see
+    TimerDetectorProcessor's docstring).  Recovery is still load-bearing
+    both ways: a lost counter state under-accumulates (mismatching
+    received / the flag bit), a replayed partial batch double-counts,
+    and a CORRUPTED timer restore fires a spurious pending_reset that
+    swallows a deposit (mismatching rows).  The lazy leg doubles as the
+    local validation of this harness while the timer leg is env-gated."""
+    import random
+    import time
+
+    from depositaja_spark.streaming.detector_state import (
+        exact_detector,
+        exact_detector_batch,
+    )
+
+    if variant == "timer":
+        pytest.importorskip("google.protobuf")
+        from depositaja_spark.streaming.detector_state import (
+            exact_detector_timer as detector_fn,
+        )
+    else:
+        detector_fn = exact_detector
+
+    rng = random.Random(1211)
+    base = 1_700_000_000
+    # w1 crosses the 10k flag threshold at seq 5; w2 stays under it;
+    # clock stamps span 240 s << the 3600 s period
+    rows = [
+        ("w1", 3000.0, base + 10 * i, i) for i in range(1, 5)
+    ] + [("w1", 2500.0, base + 60, 5), ("w1", 10.0, base + 70, 6)] + [
+        ("w2", 900.0, base + 100 + 10 * i, 10 + i) for i in range(1, 5)
+    ]
+    chunks = [rows[:2], rows[2:5], rows[5:7], rows[7:]]
+
+    src = tmp_path / "det_chaos_src"
+    src.mkdir()
+    out = str(tmp_path / "det_chaos_out")
+    ck = str(tmp_path / "det_chaos_ck")
+
+    def _start(trigger):
+        stream = (
+            spark.readStream.schema(DEPOSIT)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            detector_fn(stream, period_s=3600)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(**trigger)
+            .start()
+        )
+
+    for i, chunk in enumerate(chunks):
+        _write_deposit_file(str(src / f"chunk_{i}.parquet"), chunk)
+        q = _start({"processingTime": "200 milliseconds"})
+        time.sleep(rng.uniform(0.3, 1.5))
+        q.stop()  # kill at a random point — possibly mid-micro-batch
+
+    # final drain from the same checkpoint processes whatever the kills
+    # left behind (exactly-once: replayed partial batches must not
+    # double-count into the recovered value state)
+    q = _start({"availableNow": True})
+    q.awaitTermination(300)
+
+    src2 = tmp_path / "det_chaos_batch"
+    src2.mkdir()
+    _write_deposit_file(str(src2 / "all.parquet"), rows)
+    deposits = spark.read.schema(DEPOSIT).parquet(str(src2))
+    want = {
+        r.seq: (
+            r.wallet_id,
+            r.flag_removed,
+            r.rolling_period_start_unix,
+            round(r.received, 4),
+        )
+        for r in exact_detector_batch(deposits, period_s=3600).collect()
+    }
+    got = {
+        r.seq: (
+            r.wallet_id,
+            r.flag_removed,
+            r.rolling_period_start_unix,
+            round(r.received, 4),
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want and len(got) == len(rows)
+    # the hot wallet really flagged at seq 5 and stayed flagged at seq 6
+    assert got[5][1] is False and got[6][1] is False
+    assert all(got[s][1] is True for s in (1, 2, 3, 11, 12, 13, 14))
