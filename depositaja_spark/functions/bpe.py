@@ -297,25 +297,37 @@ def bpe_apply(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, n_tokens, n_subwords) — tokenize with the learned merges.
-    Applies each merge as the same codegen'd fold over per-word symbol
-    arrays; a production deployment would bake the merge table into a
-    vocabulary file, but the counting semantics are identical."""
+
+    Round-12 plan: the merge fold runs over the DISTINCT-WORD VOCAB,
+    not over every token occurrence (the trainer's own trick, applied
+    to segmentation): segmentation is per-word — no merge crosses a
+    word boundary (its left never contains ``</w>``, the invariant
+    :func:`bpe_segment_oracle_sql` proves) — so
+    ``n_subwords(doc) = Σ_word count(doc, word) · |segment(word)|``.
+    The k-merge codegen'd fold therefore touches |vocab| rows instead
+    of |corpus tokens| rows; the per-doc counts come back via one
+    word-keyed equi-join.  The sf10 ledger measured the per-occurrence
+    plan at 407 s (×11.7/decade, amplified by the replica token salt
+    growing words one char per suffix decade — SCALING.md r12); the
+    vocab is ~20× smaller than the occurrence multiset at that scale
+    and shrinks the fold proportionally.  Output is value-identical to
+    the per-occurrence plan (same ``tokens``, same fold per word), so
+    the registered oracle is unchanged."""
     d = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
-    word_syms = F.transform(
-        F.col("toks"),
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit(END))),
-    )
-    d = d.select(id_col, F.size("toks").alias("n_tokens"), word_syms.alias("ws"))
+    occ = d.select(id_col, F.explode("toks").alias("word")).groupBy(
+        id_col, "word"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = occ.select("word").distinct()
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    seg = vocab.select("word", syms.alias("s"))
     for left, right, _ in merges:
-        d = d.select(
-            id_col,
-            "n_tokens",
-            F.transform(F.col("ws"), lambda s: _merge_adjacent(s, left, right)).alias("ws"),
+        seg = seg.select("word", _merge_adjacent(F.col("s"), left, right).alias("s"))
+    seg = seg.select("word", F.size("s").alias("n_sub"))
+    return (
+        occ.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("int").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sub")).cast("int").alias("n_subwords"),
         )
-    return d.select(
-        id_col,
-        "n_tokens",
-        F.aggregate(
-            F.col("ws"), F.lit(0), lambda acc, s: acc + F.size(s)
-        ).alias("n_subwords"),
     )

@@ -2077,14 +2077,28 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark vector (vec_id % {_BENCH_MOD} == 0 plays the eval suite)
     reaches τ={_SEM_TAU}, candidates pruned to shared SRP buckets.
 
-    Scale shape: bucket computation is one scan (anchor dots are
-    row-local against 3 broadcast literals); the candidate join is a
-    keyed equi-join on the bucket — per-bucket fan-in N/2^bits, tunable
-    by adding anchors — never corpus × benchmark.  No forced broadcast:
-    the benchmark frame here is carved from the corpus and scales with
-    it, so the join strategy is left to AQE (a real eval suite is a
-    fixed small table and would broadcast on statistics)."""
+    OUTPUT-BOUND QUADRATIC under the fixture's criterion (the r12 sf10
+    ledger: output rows grew ×97 under 10× data, 2,194 → 213,036 —
+    both join sides scale with the corpus and τ={_SEM_TAU} passes
+    ~0.06% of random cross pairs, so |output| ∝ N²/{_BENCH_MOD}; no
+    plan fixes quadratic OUTPUT).  The criterion is the knob, not the
+    plan: a REAL eval suite is a fixed small table (making candidates
+    and output linear in N — the registered shape of
+    ``decontaminate_semantic_fixed`` below), and a production τ ≥ 0.9
+    makes even the scaled-benchmark variant sparse.  Inputs past 100k
+    embedding rows are refused with that pointer, mirroring
+    ``embedding_near_dup_banded``'s guard (same r11 finding class)."""
     emb = _emb(spark, sf_dir)
+    n = emb.count()
+    if n > 100_000:
+        raise ValueError(
+            f"decontaminate_semantic is output-bound quadratic under the "
+            f"fixture's scaled-benchmark criterion (output ∝ N²·density(τ="
+            f"{_SEM_TAU}); measured ×97 output under 10× data) and is "
+            f"capped at 100000 embedding rows; got {n}.  Use "
+            f"decontaminate_semantic_fixed (fixed-size benchmark, linear) "
+            f"or raise the threshold to a production τ ≥ 0.9."
+        )
     bucketed = sim.with_srp_buckets(emb)
     bench = bucketed.filter(F.col("vec_id") % _BENCH_MOD == 0).select(
         F.col("vec_id").alias("bench_id"),
@@ -2095,6 +2109,55 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(sim.cosine(F.col("embedding"), F.col("bvec")), 6)
     return (
         corpus.join(bench, "bucket")
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+    )
+
+
+_FIXED_BENCH_K = 32
+
+
+def _decontaminate_semantic_fixed_sql() -> str:
+    return f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS bvec FROM embeddings
+  WHERE vec_id % {_BENCH_MOD} = 0 ORDER BY vec_id LIMIT {_FIXED_BENCH_K}
+),
+c AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_BENCH_MOD} <> 0)
+SELECT vec_id, bench_id, cos FROM (
+  SELECT c.vec_id, bench.bench_id,
+         {_COS.format(a='c.embedding', b='bench.bvec')} AS cos
+  FROM c CROSS JOIN bench
+) WHERE cos >= {_SEM_TAU}
+"""
+
+
+@query("decontaminate_semantic_fixed", _decontaminate_semantic_fixed_sql())
+def q_decontaminate_semantic_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination against a FIXED-SIZE benchmark — the
+    production shape (an eval suite is a constant small table, not a
+    corpus-sized carve-out): the first {_FIXED_BENCH_K} benchmark
+    vectors by id, broadcast against one corpus scan with the exact
+    cosine (no SRP recall loss — pruning is pointless when the inner
+    side is a constant).  Cost and output are O(N·K): the scan
+    dominates, the candidate set never exceeds N·{_FIXED_BENCH_K}, and
+    output is bounded by the corpus row count per benchmark vector.
+    This is the linear sibling the quadratic scaled-benchmark variant's
+    guard points at (see ``decontaminate_semantic``; r12 sf10 ledger)."""
+    emb = _emb(spark, sf_dir)
+    bench = (
+        emb.filter(F.col("vec_id") % _BENCH_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_FIXED_BENCH_K)
+        .select(F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bvec"))
+    )
+    corpus = emb.filter(F.col("vec_id") % _BENCH_MOD != 0).select(
+        "vec_id", "embedding"
+    )
+    cos = F.round(sim.cosine(F.col("embedding"), F.col("bvec")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
         .select("vec_id", "bench_id", cos.alias("cos"))
         .filter(F.col("cos") >= _SEM_TAU)
     )

@@ -308,13 +308,23 @@ def q_orders_open_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval join: each order's [orderdate, last shipdate] interval is
     expanded onto the months it covers with ``sequence`` + ``explode``
     (calendar-bounded fanout), then counted per month — no range join,
-    no cartesian, one keyed agg."""
+    no cartesian, one keyed agg.
+
+    r12 plan fix (the sf10 ledger measured the old plan ×25.45 under
+    10× data): joining orders⋈lineitem BEFORE the per-order max made
+    the SortMergeJoin shuffle AND sort the full lineitem fact (the
+    n·log n sort over 60M rows was the superlinear term — see
+    SCALING.md r12).  The per-order ``max(l_shipdate)`` is algebraic,
+    so it pushes BELOW the join: pre-aggregate lineitem with map-side
+    partial combine (fact rows collapse to one row per order inside
+    the scan stage), then join two order-sized sides.  Same result,
+    one fact-sized shuffle removed."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx"))
     iv = (
-        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("mx"))
+        orders.select("o_orderkey", "o_orderdate")
+        .join(last_ship, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("o_orderdate").alias("s"),
             F.greatest("mx", F.col("o_orderdate")).alias("e"),

@@ -596,8 +596,18 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #    the single-level similarity paths gained the mid-scale guard +
     #    demotion, and the all-pairs baselines' guard message now points
     #    at the two-level successors; the BPE oracle generators were
-    #    refactored to structured (ctes, final) parts. -------------------
+    #    refactored to structured (ctes, final) parts; bpe_segment_replay
+    #    and bpe_subword_counts run the NEW vocab-level segmentation plan
+    #    (the merge fold over distinct words, counts joined back). ------
+    #    orders_open_by_month: the per-order max pushed below the join
+    #    (the sf10 ledger's x25 finding — SCALING.md r12). --------------
+    #    decontaminate_semantic gained the output-bound-criterion guard
+    #    (x97 output under 10x data) and its linear fixed-benchmark
+    #    sibling decontaminate_semantic_fixed is new (never sampled). ---
     "multimodal_features",
+    "decontaminate_semantic_fixed",
+    "bpe_segment_replay",
+    "orders_open_by_month",
     "textrank_keywords",
     "supplier_pagerank",
     "semdedup_sqrt_cells",
@@ -651,9 +661,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "embedding_norm_stats",
     "excess_supply_suppliers",
-    "forecast_revenue_change",
-    "funnel_conversion",
-    "global_sales_opportunity",
 )
 
 

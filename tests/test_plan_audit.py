@@ -21,6 +21,10 @@ CARTESIAN_OK = {
     "ann_topk_brute",
     "ann_topk_quantized",
     "embedding_near_dups",
+    # fixed-benchmark decontamination: corpus × (broadcast, 32-vector
+    # constant eval suite) — the deliberate O(N·K) production shape the
+    # quadratic scaled-benchmark variant's guard points at (r12)
+    "decontaminate_semantic_fixed",
     # hard-negative mining: same blocked-matmul block-pair join as
     # embedding_near_dups (the exact baseline the IVF-composed mining
     # path is measured against)

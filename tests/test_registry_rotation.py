@@ -100,7 +100,9 @@ def test_round12_changed_queries_are_prioritized():
         "multimodal_features", "textrank_keywords", "supplier_pagerank",
         "semdedup_sqrt_cells", "hard_negative_pairs_ivf",
         "semantic_cluster_dedup", "hard_negative_pairs",
-        "bpe_merges", "bpe_subword_counts",
+        "bpe_merges", "bpe_subword_counts", "bpe_segment_replay",
+        "orders_open_by_month", "decontaminate_semantic",
+        "decontaminate_semantic_fixed",
     }
     assert changed <= set(list(R.QUERIES)[:50])
 
@@ -110,6 +112,8 @@ def test_first_ever_value_checks_lead_the_window():
     NO_ORACLE_OK entry); round 12 gave it an integer-exact oracle, so
     its FIRST-ever driver value check must lead the window."""
     assert list(R.QUERIES)[0] == "multimodal_features"
+    # the round-12 addition (never driver-sampled) must also be inside
+    # the window — checked by the changed-set test above
     assert "multimodal_features" in R.ORACLES
     assert R.NO_ORACLE_OK == set()
 

@@ -356,3 +356,56 @@ def test_single_level_paths_demoted_to_mid_scale_baselines(spark):
         assert "MID-SCALE BASELINE" in doc
     assert "semdedup_cells2" in semdedup_sqrt_cells.__doc__
     assert "hard_negative_pairs_ivf2" in hard_negative_pairs_ivf.__doc__
+
+
+def test_decontaminate_semantic_guard_and_fixed_sibling(spark):
+    """r12 sf10 finding: decontaminate_semantic's output grew ×97 under
+    10× data (both join sides scale with the corpus; τ=0.35 passes
+    ~0.06% of random cross pairs) — output-bound quadratic, the same
+    class as embedding_near_dup_banded.  Pin the in-code guard and that
+    the registered linear sibling agrees with the quadratic variant on
+    the pairs they both score (the fixed benchmark is a SUBSET of the
+    scaled one, scored exactly, so every fixed-variant hit whose cosine
+    the bucketed variant's candidate join also surfaces must carry the
+    identical rounded cosine)."""
+    import pytest
+
+    from depositaja_spark import registry
+
+    big_n = 150_000
+    from pyspark.sql import functions as F
+
+    # guard fires past 100k embedding rows, naming the sibling
+    orig_emb = registry.QUERIES["decontaminate_semantic"]
+    import depositaja_spark.queries_ext as qe
+
+    big_dir_stub = spark.range(0, big_n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    orig = qe._emb
+    qe._emb = lambda s, d: big_dir_stub
+    try:
+        with pytest.raises(ValueError, match="decontaminate_semantic_fixed"):
+            registry.QUERIES["decontaminate_semantic"](spark, "ignored")
+    finally:
+        qe._emb = orig
+
+    sf = "/root/testdata/sf0.001"
+    fixed = {
+        (r.vec_id, r.bench_id): r.cos
+        for r in registry.QUERIES["decontaminate_semantic_fixed"](
+            spark, sf
+        ).collect()
+    }
+    scaled = {
+        (r.vec_id, r.bench_id): r.cos
+        for r in registry.QUERIES["decontaminate_semantic"](spark, sf).collect()
+    }
+    shared = set(fixed) & set(scaled)
+    assert all(fixed[k] == scaled[k] for k in shared)
+    # exactness: the fixed variant scores ALL corpus×bench pairs, so it
+    # can only find MORE hits against its benchmark subset than the
+    # bucket-pruned variant does
+    bench_ids = {b for _, b in fixed}
+    assert {k for k in scaled if k[1] in bench_ids} <= set(fixed)
