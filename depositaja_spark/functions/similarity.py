@@ -868,24 +868,88 @@ def hard_negative_pairs_ivf2(
         .withColumn("pcos", pcos)
         .withColumn("prn", F.row_number().over(w_probe))
         .filter(F.col("prn") <= nprobe2)
-        .select("anchor_id", "avec", "albl", "cell", "sub")
-    )
-    cos = pair_cos_udf()(F.col("avec"), F.col("cvec"))
-    scored = (
-        assigned2.join(probes2, ["cell", "sub"])  # (cell, sub)-keyed shuffle
-        .filter(
-            (F.col("cand_id") != F.col("anchor_id"))
-            & (F.col("albl") != F.col("blbl"))
+        # the grouping keys are RENAMED on this side: probes2 and
+        # assigned2 share lineage (both derive from members ⋈ subcent),
+        # and cogroup's analyzer would otherwise reject the key columns
+        # as ambiguous self-join references
+        .select(
+            "anchor_id",
+            "avec",
+            "albl",
+            F.col("cell").alias("pcell"),
+            F.col("sub").alias("psub"),
         )
-        .select("anchor_id", "cand_id", cos.alias("cos"))
-        .filter((F.col("cos") >= band_lo) & (F.col("cos") < band_hi))
-        # no distinct needed: a candidate owns exactly ONE (cell, sub)
-        # key and probes2 is unique per (anchor, cell, sub), so a pair
-        # can meet at most once
+    )
+    # Bucket-cogrouped matmul scoring (r12, after the sf100 THIRD decade
+    # measured ×32.7 vs the ×21.5 N^(4/3) theory): the old plan joined
+    # probes2 ⋈ assigned2 into one ROW PER CANDIDATE PAIR carrying both
+    # full vectors, so the Arrow boundary transferred N^(4/3)·d values
+    # (~0.5 TB at sf100) to evaluate pair_cos_udf row-wise.  Cogrouping
+    # the two sides on the SAME (cell, sub) key instead ships every
+    # vector ONCE per bucket membership — O(N·d) across the boundary —
+    # and scores each bucket with one dgemm (anchors × candidates,
+    # ≈ nprobe²·N^⅓ × N^⅓ per bucket), applying the band + label + id
+    # masks and the per-(anchor, bucket) top-k INSIDE the kernel, so
+    # only ≤ nprobe₁·nprobe₂·k rows per anchor ever exist as Spark rows.
+    # Arithmetic is pair_cos_udf's exactly (raw float64 dot / norm
+    # product, round 6); top-k is distributive, so per-bucket top-k
+    # under the same (cos desc, cand_id asc) tie-break followed by the
+    # global per-anchor window reproduces the single-window result.
+    def bucket_topk(key, anchors_pdf, cands_pdf):
+        if len(anchors_pdf) == 0 or len(cands_pdf) == 0:
+            return pd.DataFrame(
+                {"anchor_id": pd.Series([], dtype="int64"),
+                 "cand_id": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        av = np.stack(anchors_pdf["avec"].to_numpy()).astype("float64")
+        cv = np.stack(cands_pdf["cvec"].to_numpy()).astype("float64")
+        num = av @ cv.T
+        den = np.outer(
+            np.linalg.norm(av, axis=1), np.linalg.norm(cv, axis=1)
+        )
+        cosm = np.round(num / den, 6)
+        a_ids = anchors_pdf["anchor_id"].to_numpy()
+        c_ids = cands_pdf["cand_id"].to_numpy()
+        ok = (
+            (cosm >= band_lo)
+            & (cosm < band_hi)
+            & (anchors_pdf["albl"].to_numpy()[:, None]
+               != cands_pdf["blbl"].to_numpy()[None, :])
+            & (a_ids[:, None] != c_ids[None, :])
+        )
+        out_a, out_c, out_s = [], [], []
+        for i in range(len(a_ids)):
+            js = np.nonzero(ok[i])[0]
+            if len(js) == 0:
+                continue
+            # top-k by (cos desc, cand_id asc): lexsort is stable and
+            # sorts by the LAST key primarily
+            order = np.lexsort((c_ids[js], -cosm[i, js]))[:k]
+            sel = js[order]
+            out_a.append(np.full(len(sel), a_ids[i], dtype="int64"))
+            out_c.append(c_ids[sel].astype("int64"))
+            out_s.append(cosm[i, sel])
+        if not out_a:
+            return pd.DataFrame(
+                {"anchor_id": pd.Series([], dtype="int64"),
+                 "cand_id": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"anchor_id": np.concatenate(out_a),
+             "cand_id": np.concatenate(out_c),
+             "cos": np.concatenate(out_s)}
+        )
+
+    pruned = (
+        probes2.groupby("pcell", "psub")
+        .cogroup(assigned2.groupby("cell", "sub"))
+        .applyInPandas(bucket_topk, "anchor_id long, cand_id long, cos double")
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("anchor_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
     )

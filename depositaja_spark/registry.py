@@ -604,10 +604,13 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #    decontaminate_semantic gained the output-bound-criterion guard
     #    (x97 output under 10x data) and its linear fixed-benchmark
     #    sibling decontaminate_semantic_fixed is new (never sampled). ---
+    #    hard_negative_pairs_ivf2: bucket-cogrouped matmul kernel
+    #    (the sf100 x32.7 row's Arrow-transfer excess fixed). ----------
     "multimodal_features",
     "decontaminate_semantic_fixed",
     "bpe_segment_replay",
     "orders_open_by_month",
+    "hard_negative_pairs_ivf2",
     "textrank_keywords",
     "supplier_pagerank",
     "semdedup_sqrt_cells",
@@ -660,7 +663,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_rate_by_source",
     "disjunctive_brand_revenue",
     "embedding_norm_stats",
-    "excess_supply_suppliers",
 )
 
 
