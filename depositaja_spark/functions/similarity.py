@@ -1091,14 +1091,39 @@ def semdedup_cells2(
             "cell", "sub", "id", "unit"
         )
     )
-    a = cu.select("cell", "sub", F.col("id").alias("a_id"), F.col("unit").alias("ua"))
-    b = cu.select("cell", "sub", F.col("id").alias("b_id"), F.col("unit").alias("ub"))
-    dropped = (
-        a.join(b, ["cell", "sub"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= threshold)
-        .select(F.col("b_id").alias("id"))
-        .distinct()
+    # Bucket-grouped matmul drop rule (r12, same Arrow-boundary fix as
+    # hard_negative_pairs_ivf2's cogrouped kernel): the a ⋈ b pair join
+    # shipped BOTH unit vectors once per within-bucket PAIR — O(N^(4/3)·d)
+    # across the Arrow boundary — where grouping the bucket ships each
+    # vector once and one dgemm scores all pairs.  The scored value is
+    # the same stored-unit dot rounded at 6 (the JVM fold, DuckDB's
+    # list_sum, and BLAS differ only in summation order — ulp-level,
+    # absorbed by the rounding; the oracle differential checks it).  The
+    # anchor-row loop is blocked so a skewed bucket can never
+    # materialize an m×m matrix (budget ≈ 1024·m cells per block).
+    thr = float(threshold)
+
+    def bucket_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        um = np.stack(pdf["unit"].to_numpy())[order].astype("float64")
+        m = len(ids)
+        dropped = np.zeros(m, dtype=bool)
+        for lo in range(0, m, 1024):
+            hi = min(lo + 1024, m)
+            cos = np.round(um[lo:hi] @ um.T, 6)
+            # a_id < b_id ⇔ row index < column index (ids sorted asc);
+            # only columns strictly above the block's rows count
+            hit = cos >= thr
+            cols = np.arange(m)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            dropped |= (hit & (cols > rows)).any(axis=0)
+        return pd.DataFrame({"id": ids[dropped].astype("int64")})
+
+    dropped = cu.groupBy("cell", "sub").applyInPandas(
+        lambda key, pdf: bucket_dropped(pdf), "id long"
     )
     return assigned2.join(
         dropped.withColumn("hit", F.lit(True)), "id", "left_outer"

@@ -611,6 +611,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "bpe_segment_replay",
     "orders_open_by_month",
     "hard_negative_pairs_ivf2",
+    "semdedup_cells2",
     "textrank_keywords",
     "supplier_pagerank",
     "semdedup_sqrt_cells",
@@ -662,7 +663,6 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "decontaminate_semantic",
     "dedup_rate_by_source",
     "disjunctive_brand_revenue",
-    "embedding_norm_stats",
 )
 
 

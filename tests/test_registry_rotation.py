@@ -102,7 +102,7 @@ def test_round12_changed_queries_are_prioritized():
         "semantic_cluster_dedup", "hard_negative_pairs",
         "bpe_merges", "bpe_subword_counts", "bpe_segment_replay",
         "orders_open_by_month", "decontaminate_semantic",
-        "hard_negative_pairs_ivf2",
+        "hard_negative_pairs_ivf2", "semdedup_cells2",
         "decontaminate_semantic_fixed",
     }
     assert changed <= set(list(R.QUERIES)[:50])
