@@ -53,6 +53,23 @@ HEADLINE = [
     "purchase_error_pairs",
 ]
 
+#: extended tier (r13, verdict #5): the heavy families the frozen
+#: 18-query headline predates — graph, BPE, two-level similarity,
+#: multimodal decode, and the full curation pipeline.  Measured by
+#: ``bench.py --extended`` with the SAME fresh-JVM band discipline but
+#: recorded as a SEPARATE series (metric ``extended_total_sec``,
+#: detail in BENCH_EXTENDED_LOCAL.json) so the headline trend stays
+#: comparable across rounds; a regression in these tiers was previously
+#: visible only to the sparse scale-spot ledger.
+EXTENDED = [
+    "supplier_pagerank",
+    "bpe_segment_replay",
+    "hard_negative_pairs_ivf2",
+    "semdedup_cells2",
+    "jpeg_decode_stats",
+    "clean_corpus_full",
+]
+
 
 def _previous_bench() -> dict | None:
     """Latest BENCH_r{N}.json in the repo root — the round-over-round
@@ -86,10 +103,26 @@ def _previous_bench() -> dict | None:
         return None
 
 
-def _child_main() -> None:
+def _previous_extended() -> dict | None:
+    """Previous extended-tier series (BENCH_EXTENDED_LOCAL.json) — the
+    round-over-round target for ``--extended`` (None before r13)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED_LOCAL.json"
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def _child_main(extended: bool = False) -> None:
     from depositaja_spark.session import get_spark
     from depositaja_spark import registry
     from depositaja_spark.functions.cache import release_caches
+
+    names = EXTENDED if extended else HEADLINE
+    metric = "extended_total_sec" if extended else "headline_total_sec"
 
     # Idle gate (round-10, after BENCH_r09 was recorded at load1 3.5-5.2 and
     # cost a same-day A/B to interpret): sample the machine BEFORE our own
@@ -125,7 +158,7 @@ def _child_main() -> None:
     # running every headline plan once at the smallest SF — measured runs
     # then reflect engine throughput, not first-run compilation
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in names:
         try:
             registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
@@ -151,7 +184,7 @@ def _child_main() -> None:
     # Caches are NOT cleared between a query's repeats (steady-state /
     # warm measurement) but ARE released between different queries, so no
     # query's timing depends on which queries ran before it.
-    REPEATS = 5
+    REPEATS = 3 if extended else 5  # heavy tier: bound child wall time
     SPREAD_LIMIT = 2.0
     MAX_BLOCKS = 3
     own_cores = int(CPUS)
@@ -172,7 +205,7 @@ def _child_main() -> None:
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = registry.QUERIES[name]
         release_caches()
         spark.catalog.clearCache()
@@ -230,7 +263,7 @@ def _child_main() -> None:
     # with real scan parallelism.  The PRINTED headline stays the raw
     # series for cross-round comparability; this one lives in
     # BENCH_LOCAL.json under "compacted".
-    if os.environ.get("SPARK_GRAFT_COMPACT_SERIES") == "1":
+    if os.environ.get("SPARK_GRAFT_COMPACT_SERIES") == "1" and not extended:
         import shutil
 
         from depositaja_spark.functions.layout import compact_table
@@ -282,7 +315,7 @@ def _child_main() -> None:
         }
     # round-over-round visibility: per-query delta vs the latest recorded
     # BENCH file so regressions stand out at a glance
-    prev = _previous_bench()
+    prev = _previous_extended() if extended else _previous_bench()
     if prev and prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
         pq = prev["queries"]
         detail["prev_total_sec"] = prev.get("value")
@@ -290,7 +323,7 @@ def _child_main() -> None:
             n: round(t - pq[n], 3) for n, t in timings.items() if n in pq
         }
     out = {
-        "metric": "headline_total_sec",
+        "metric": metric,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -325,7 +358,7 @@ def _first_agreeing_pair(
     return min(pairs, key=lambda p: min(totals[p[0]], totals[p[1]]))
 
 
-def main() -> None:
+def main(extended: bool = False) -> None:
     """Variance-banded orchestrator (round-12, after BENCH_r11 committed a
     +25% JVM/OS-aging artifact under an `idle: true` stamp — the idle
     gate only checks LOAD, and the aging trap reads high on an idle box).
@@ -352,9 +385,11 @@ def main() -> None:
             # the compacted second series is expensive and layout-bound,
             # not JVM-noise-bound: measure it once (first child only)
             env.pop("SPARK_GRAFT_COMPACT_SERIES", None)
+        argv = [sys.executable, os.path.abspath(__file__), "--child"]
+        if extended:
+            argv.append("--extended")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, env=env,
+            argv, capture_output=True, text=True, env=env,
         )
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if len(lines) < 2:
@@ -399,7 +434,8 @@ def main() -> None:
             detail["compacted"] = d["compacted"]
             break
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_EXTENDED_LOCAL.json" if extended else "BENCH_LOCAL.json",
     )
     try:
         with open(detail_path, "w") as fh:
@@ -412,6 +448,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--child" in sys.argv[1:]:
-        _child_main()
+        _child_main(extended="--extended" in sys.argv[1:])
     else:
-        main()
+        main(extended="--extended" in sys.argv[1:])

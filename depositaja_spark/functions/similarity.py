@@ -769,6 +769,116 @@ def hard_negative_pairs_ivf(
     )
 
 
+#: anchor-row block budget shared by the two bucket dgemm kernels: each
+#: dgemm materializes at most BUCKET_BLOCK_ROWS × m float64 cells, so a
+#: hot bucket (a property of the DATA, not the code) bounds peak kernel
+#: memory at O(BUCKET_BLOCK_ROWS · m) instead of O(|anchors| · m).
+BUCKET_BLOCK_ROWS = 1024
+
+
+def _bucket_topk_kernel(
+    anchors_pdf: "pd.DataFrame",
+    cands_pdf: "pd.DataFrame",
+    k: int,
+    band_lo: float,
+    band_hi: float,
+    block: int = BUCKET_BLOCK_ROWS,
+) -> "pd.DataFrame":
+    """Score ONE (cell, sub) bucket of :func:`hard_negative_pairs_ivf2`:
+    per-anchor top-``k`` cross-label candidates with rounded cosine in
+    [``band_lo``, ``band_hi``), ties broken (cos desc, cand_id asc).
+
+    Anchor rows are blocked at ``block`` per dgemm so a skewed bucket
+    never materializes the full |anchors|×|candidates| matrix — top-k
+    is distributive, so blockwise top-k (each block emits its own rows;
+    every anchor appears in exactly one block) equals the unblocked
+    result.  The per-anchor selection is vectorized: candidates are
+    pre-sorted by cand_id, so ONE stable argsort on -score per block
+    realizes the (cos desc, cand_id asc) tie-break for every row at
+    once.  Module-level (not a closure) so the skew-adversarial tests
+    can drive it directly with a small ``block`` and a tracemalloc
+    peak-memory bound."""
+    empty = pd.DataFrame(
+        {"anchor_id": pd.Series([], dtype="int64"),
+         "cand_id": pd.Series([], dtype="int64"),
+         "cos": pd.Series([], dtype="float64")}
+    )
+    if len(anchors_pdf) == 0 or len(cands_pdf) == 0:
+        return empty
+    c_order = np.argsort(cands_pdf["cand_id"].to_numpy(), kind="stable")
+    cv = np.stack(cands_pdf["cvec"].to_numpy())[c_order].astype("float64")
+    c_ids = cands_pdf["cand_id"].to_numpy()[c_order]
+    c_lbl = cands_pdf["blbl"].to_numpy()[c_order]
+    c_norm = np.linalg.norm(cv, axis=1)
+    a_ids = anchors_pdf["anchor_id"].to_numpy()
+    a_lbl = anchors_pdf["albl"].to_numpy()
+    avec_obj = anchors_pdf["avec"].to_numpy()
+    m = len(c_ids)
+    kk = min(k, m)
+    out_a, out_c, out_s = [], [], []
+    for lo in range(0, len(a_ids), block):
+        hi = min(lo + block, len(a_ids))
+        av = np.stack(avec_obj[lo:hi]).astype("float64")
+        cosm = np.round(
+            (av @ cv.T) / np.outer(np.linalg.norm(av, axis=1), c_norm), 6
+        )
+        ok = (
+            (cosm >= band_lo)
+            & (cosm < band_hi)
+            & (a_lbl[lo:hi, None] != c_lbl[None, :])
+            & (a_ids[lo:hi, None] != c_ids[None, :])
+        )
+        score = np.where(ok, cosm, -np.inf)
+        top = np.argsort(-score, axis=1, kind="stable")[:, :kk]
+        rows = np.arange(hi - lo)[:, None]
+        sel_ok = ok[rows, top]
+        ai, kj = np.nonzero(sel_ok)
+        if len(ai) == 0:
+            continue
+        sel = top[ai, kj]
+        out_a.append(a_ids[lo:hi][ai].astype("int64"))
+        out_c.append(c_ids[sel].astype("int64"))
+        out_s.append(cosm[ai, sel])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"anchor_id": np.concatenate(out_a),
+         "cand_id": np.concatenate(out_c),
+         "cos": np.concatenate(out_s)}
+    )
+
+
+def _bucket_dropped_kernel(
+    pdf: "pd.DataFrame",
+    threshold: float,
+    block: int = BUCKET_BLOCK_ROWS,
+) -> "pd.DataFrame":
+    """Apply semdedup's drop rule to ONE (cell, sub) bucket of
+    :func:`semdedup_cells2`: a vector is dropped iff some LOWER-ID
+    bucket member has rounded cosine ≥ ``threshold``.  Anchor rows are
+    blocked at ``block`` per dgemm (same budget as
+    :func:`_bucket_topk_kernel`; the drop rule is a blockwise OR, so
+    blocking is exact).  Module-level for the same direct-drive
+    skew-adversarial tests."""
+    if len(pdf) < 2:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64")})
+    order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+    ids = pdf["id"].to_numpy()[order]
+    um = np.stack(pdf["unit"].to_numpy())[order].astype("float64")
+    m = len(ids)
+    dropped = np.zeros(m, dtype=bool)
+    for lo in range(0, m, block):
+        hi = min(lo + block, m)
+        cos = np.round(um[lo:hi] @ um.T, 6)
+        # a_id < b_id ⇔ row index < column index (ids sorted asc);
+        # only columns strictly above the block's rows count
+        hit = cos >= threshold
+        cols = np.arange(m)[None, :]
+        rows = np.arange(lo, hi)[:, None]
+        dropped |= (hit & (cols > rows)).any(axis=0)
+    return pd.DataFrame({"id": ids[dropped].astype("int64")})
+
+
 def hard_negative_pairs_ivf2(
     corpus: DataFrame,
     k: int = 5,
@@ -892,55 +1002,26 @@ def hard_negative_pairs_ivf2(
     # masks and the per-(anchor, bucket) top-k INSIDE the kernel, so
     # only ≤ nprobe₁·nprobe₂·k rows per anchor ever exist as Spark rows.
     # Arithmetic is pair_cos_udf's exactly (raw float64 dot / norm
-    # product, round 6); top-k is distributive, so per-bucket top-k
-    # under the same (cos desc, cand_id asc) tie-break followed by the
-    # global per-anchor window reproduces the single-window result.
+    # product, round 6 — np.round is half-even where the JVM/DuckDB
+    # round() is HALF_UP: the modes differ only when a BLAS dot lands
+    # EXACTLY on a representable 5e-7 tie, and since BLAS, the JVM fold,
+    # and DuckDB's list_inner_product already differ by summation-order
+    # ulps, bit-parity at such a boundary is unachievable by any
+    # rounding mode; the oracle differential gates the divergence);
+    # top-k is distributive, so per-bucket top-k under the same
+    # (cos desc, cand_id asc) tie-break followed by the global
+    # per-anchor window reproduces the single-window result.
+    #
+    # Anchor rows are BLOCKED at 1024 per dgemm (the semdedup_cells2
+    # kernel's ≈1024·m-cell budget, r12) so a hot (cell, sub) bucket —
+    # a dense embedding cluster, a property of the DATA — can never
+    # materialize the full |anchors|×|candidates| float64 matrix in one
+    # allocation; peak kernel memory is O(1024·m) regardless of skew.
+    # The kernel body lives at module level (_bucket_topk_kernel) so
+    # the skew-adversarial tests can drive it directly with a small
+    # block size and a tracemalloc bound.
     def bucket_topk(key, anchors_pdf, cands_pdf):
-        if len(anchors_pdf) == 0 or len(cands_pdf) == 0:
-            return pd.DataFrame(
-                {"anchor_id": pd.Series([], dtype="int64"),
-                 "cand_id": pd.Series([], dtype="int64"),
-                 "cos": pd.Series([], dtype="float64")}
-            )
-        av = np.stack(anchors_pdf["avec"].to_numpy()).astype("float64")
-        cv = np.stack(cands_pdf["cvec"].to_numpy()).astype("float64")
-        num = av @ cv.T
-        den = np.outer(
-            np.linalg.norm(av, axis=1), np.linalg.norm(cv, axis=1)
-        )
-        cosm = np.round(num / den, 6)
-        a_ids = anchors_pdf["anchor_id"].to_numpy()
-        c_ids = cands_pdf["cand_id"].to_numpy()
-        ok = (
-            (cosm >= band_lo)
-            & (cosm < band_hi)
-            & (anchors_pdf["albl"].to_numpy()[:, None]
-               != cands_pdf["blbl"].to_numpy()[None, :])
-            & (a_ids[:, None] != c_ids[None, :])
-        )
-        out_a, out_c, out_s = [], [], []
-        for i in range(len(a_ids)):
-            js = np.nonzero(ok[i])[0]
-            if len(js) == 0:
-                continue
-            # top-k by (cos desc, cand_id asc): lexsort is stable and
-            # sorts by the LAST key primarily
-            order = np.lexsort((c_ids[js], -cosm[i, js]))[:k]
-            sel = js[order]
-            out_a.append(np.full(len(sel), a_ids[i], dtype="int64"))
-            out_c.append(c_ids[sel].astype("int64"))
-            out_s.append(cosm[i, sel])
-        if not out_a:
-            return pd.DataFrame(
-                {"anchor_id": pd.Series([], dtype="int64"),
-                 "cand_id": pd.Series([], dtype="int64"),
-                 "cos": pd.Series([], dtype="float64")}
-            )
-        return pd.DataFrame(
-            {"anchor_id": np.concatenate(out_a),
-             "cand_id": np.concatenate(out_c),
-             "cos": np.concatenate(out_s)}
-        )
+        return _bucket_topk_kernel(anchors_pdf, cands_pdf, k, band_lo, band_hi)
 
     pruned = (
         probes2.groupby("pcell", "psub")
@@ -1096,34 +1177,21 @@ def semdedup_cells2(
     # shipped BOTH unit vectors once per within-bucket PAIR — O(N^(4/3)·d)
     # across the Arrow boundary — where grouping the bucket ships each
     # vector once and one dgemm scores all pairs.  The scored value is
-    # the same stored-unit dot rounded at 6 (the JVM fold, DuckDB's
-    # list_sum, and BLAS differ only in summation order — ulp-level,
-    # absorbed by the rounding; the oracle differential checks it).  The
-    # anchor-row loop is blocked so a skewed bucket can never
-    # materialize an m×m matrix (budget ≈ 1024·m cells per block).
+    # the same stored-unit dot rounded at 6.  Rounding caveat (r13):
+    # np.round is HALF-EVEN where the old plan's F.round and the DuckDB
+    # oracle's round() are HALF_UP — the modes diverge only when a dot
+    # lands EXACTLY on a representable 5e-7 tie at τ's 6th decimal, and
+    # since the JVM fold, DuckDB's list_sum, and BLAS already differ by
+    # summation-order ulps, bit-parity at such a boundary is
+    # unachievable by ANY rounding mode; the oracle differential gates
+    # the (probabilistically tiny) divergence rather than the code
+    # pretending rounding absorbs it.  The anchor-row loop is blocked
+    # so a skewed bucket can never materialize an m×m matrix (budget
+    # ≈ 1024·m cells per block).
     thr = float(threshold)
 
-    def bucket_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id": pd.Series([], dtype="int64")})
-        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        um = np.stack(pdf["unit"].to_numpy())[order].astype("float64")
-        m = len(ids)
-        dropped = np.zeros(m, dtype=bool)
-        for lo in range(0, m, 1024):
-            hi = min(lo + 1024, m)
-            cos = np.round(um[lo:hi] @ um.T, 6)
-            # a_id < b_id ⇔ row index < column index (ids sorted asc);
-            # only columns strictly above the block's rows count
-            hit = cos >= thr
-            cols = np.arange(m)[None, :]
-            rows = np.arange(lo, hi)[:, None]
-            dropped |= (hit & (cols > rows)).any(axis=0)
-        return pd.DataFrame({"id": ids[dropped].astype("int64")})
-
     dropped = cu.groupBy("cell", "sub").applyInPandas(
-        lambda key, pdf: bucket_dropped(pdf), "id long"
+        lambda key, pdf: _bucket_dropped_kernel(pdf, thr), "id long"
     )
     return assigned2.join(
         dropped.withColumn("hit", F.lit(True)), "id", "left_outer"

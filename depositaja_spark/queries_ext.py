@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from depositaja_spark.functions import dedup as dd
@@ -1285,6 +1285,27 @@ LEFT JOIN counts USING (doc_id, bin_idx)
 """
 
 
+def _recover_exact_count(raw: Column, total: Column) -> Column:
+    """HALF_UP(raw·total) — recover the integer count a kernel float of
+    ``round(n/total, 6)`` encodes.  Exact only while total < 10⁶ (the
+    float's error ≤ 5e-7·total must stay under the 0.5 rounding
+    margin); past the bound the expression raise_errors instead of
+    silently recovering a wrong n (r13 ADVICE).  Used in the value
+    branch so Catalyst cannot prune the check away."""
+    return (
+        F.when(
+            total >= 1_000_000,
+            F.raise_error(
+                "multimodal_features float-recovery bound: payload "
+                ">= 1e6 bytes makes round(value*total) ambiguous; "
+                "use payload_byte_histogram's integer surface"
+            ),
+        )
+        .otherwise(F.round(raw * total, 0))
+        .cast("long")
+    )
+
+
 @query("multimodal_features", _MM_FEATURES_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (byte
@@ -1297,8 +1318,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python ``round(n/total, 6)``) round HALF-EVEN, whose tie decisions
     at representable points (e.g. 1/128) no SQL engine reproduces — so
     the registered surface recovers the exact integer count from the
-    kernel float (n = HALF_UP(value·total), error ≤ 5e-7·total ≪ 0.5,
-    the same recovery ``payload_byte_histogram`` proves end to end) and
+    kernel float (n = HALF_UP(value·total) — exact only while
+    total < 10⁶ bytes, where the kernel float's error ≤ 5e-7·total
+    stays below the 0.5 recovery margin; an oversized payload would
+    silently recover a wrong n, so the plan raise_errors at the bound
+    instead of hashing wrong — the same recovery
+    ``payload_byte_histogram`` proves end to end) and
     re-rounds with the exact-rational HALF_UP convention
     ``(2·10⁶·n + total) div (2·total) / 10⁶``, pure integer arithmetic
     both engines compute identically.  The query still drives the full
@@ -1316,7 +1341,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feats.select("doc_id", F.posexplode("features").alias("bin_idx", "raw"))
         .join(meta, "doc_id")
-        .withColumn("n", F.round(F.col("raw") * F.col("total"), 0).cast("long"))
+        .withColumn("n", _recover_exact_count(F.col("raw"), F.col("total")))
         .select(
             "doc_id",
             "bin_idx",

@@ -588,81 +588,72 @@ def q_pb_roundtrip_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still check every oracle-backed query every session.
 
 SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-12 changed queries, re-verified by the external gate ------
-    #    multimodal_features: first-ever VALUE check (its float surface
-    #    re-expressed integer-exactly, closing the last NO_ORACLE_OK
-    #    entry); supplier_pagerank/textrank_keywords: the weighted-
-    #    pagerank oracle now mirrors the engine's w>0 drop (r11 ADVICE);
-    #    the single-level similarity paths gained the mid-scale guard +
-    #    demotion, and the all-pairs baselines' guard message now points
-    #    at the two-level successors; the BPE oracle generators were
-    #    refactored to structured (ctes, final) parts; bpe_segment_replay
-    #    and bpe_subword_counts run the NEW vocab-level segmentation plan
-    #    (the merge fold over distinct words, counts joined back). ------
-    #    orders_open_by_month: the per-order max pushed below the join
-    #    (the sf10 ledger's x25 finding — SCALING.md r12). --------------
-    #    decontaminate_semantic gained the output-bound-criterion guard
-    #    (x97 output under 10x data) and its linear fixed-benchmark
-    #    sibling decontaminate_semantic_fixed is new (never sampled). ---
-    #    hard_negative_pairs_ivf2: bucket-cogrouped matmul kernel
-    #    (the sf100 x32.7 row's Arrow-transfer excess fixed). ----------
-    "multimodal_features",
-    "decontaminate_semantic_fixed",
-    "bpe_segment_replay",
-    "orders_open_by_month",
+    # -- round-13 changed queries, re-verified by the external gate ------
+    #    hard_negative_pairs_ivf2 / semdedup_cells2: both bucket dgemm
+    #    kernels extracted to module level, the ivf2 one gaining the
+    #    1024-row anchor blocking + vectorized stable-argsort top-k
+    #    (r12 verdict #1; skew-adversarial tests in
+    #    tests/test_bucket_kernels.py).  multimodal_features: the
+    #    float-recovery n = HALF_UP(value*total) now raise_errors past
+    #    its exactness bound (total >= 1e6 bytes) instead of silently
+    #    hashing a wrong count (r12 ADVICE). -----------------------------
     "hard_negative_pairs_ivf2",
     "semdedup_cells2",
-    "textrank_keywords",
-    "supplier_pagerank",
-    "semdedup_sqrt_cells",
-    "hard_negative_pairs_ivf",
-    "semantic_cluster_dedup",
-    "hard_negative_pairs",
-    "bpe_merges",
-    "bpe_subword_counts",
-    # -- the ENTIRE r4-vintage cohort (r11 verdict #7): the 29 queries
-    #    whose latest driver sample is round 4 — after this window runs,
-    #    no registered query's latest sample predates round 5, and
+    "multimodal_features",
+    # -- the ENTIRE r5-vintage cohort (r12 verdict #4): the 32 queries
+    #    whose latest driver sample is round 5 — after this window runs,
+    #    no registered query's latest sample predates round 6, and
     #    tests/test_registry_rotation.py pins the tightened bound. -------
-    "bigram_logprob_scores",
-    "chunk_documents",
-    "corpus_mixture_stats",
-    "daily_revenue_moving_avg",
-    "decontaminate",
-    "dedup_keep_best",
-    "deposit_deltas",
-    "incremental_dedup",
-    "line_dedup",
-    "mixture_sample",
-    "mixture_weights_temperature",
-    "multimodal_manifest",
-    "parts_above_brand_avg",
-    "passage_dedup",
-    "pii_redact",
-    "repetition_filter",
-    "repetition_metrics",
-    "resample_anomalies",
-    "resample_ffill_hourly",
-    "running_balance",
-    "shuffle_shards",
-    "skew_report_events",
-    "sliding_window_values",
-    "stratified_fixed_k",
-    "tfidf_top_terms",
-    "train_val_split",
-    "wallet_balance_ranks",
-    "weighted_sample_fixed_k",
-    "winnow_fingerprints",
-    # -- LRU refill to the 50-slot window: the oldest remaining pool is
-    #    the 39 r5-latest queries; take the first 12 alphabetically.
-    #    The 27 left behind lead round 13's refill. ----------------------
-    "ann_topk_ivf",
-    "asof_last_click",
-    "cube_order_stats",
-    "customer_order_distribution",
-    "decontaminate_semantic",
-    "dedup_rate_by_source",
-    "disjunctive_brand_revenue",
+    "embedding_norm_stats",
+    "excess_supply_suppliers",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "global_sales_opportunity",
+    "important_part_value",
+    "leakage_safe_split",
+    "min_cost_supplier",
+    "minhash_lsh_near_dups",
+    "nation_market_share",
+    "nation_pair_volume",
+    "pack_documents",
+    "pack_manifest",
+    "perplexity_buckets",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "purchase_error_pairs",
+    "quantile_sketch_values",
+    "returned_item_revenue",
+    "revenue_by_nation",
+    "scd2_user_status",
+    "source_cap_sample",
+    "source_epoch_plan",
+    "stratified_sample",
+    "supplier_cnt_by_part_attrs",
+    "token_budget_select",
+    "token_length_outliers",
+    "top_supplier_revenue",
+    "tpch_q3_topk",
+    "training_export",
+    "waiting_suppliers",
+    "zipf_law_fit",
+    # -- the ENTIRE r6-vintage cohort (15 queries, latest sample r6):
+    #    3 + 32 + 15 fills the 50-slot window exactly, so round 14's
+    #    refill starts from the r7 pool (40 queries). --------------------
+    "bm25_search",
+    "clean_corpus_full",
+    "cohort_retention",
+    "doc_hashed_embeddings",
+    "dsir_importance_weights",
+    "dsir_top_docs",
+    "event_transition_matrix",
+    "heavy_hitter_events",
+    "referential_integrity_report",
+    "rejected_deposits",
+    "rfm_segments",
+    "self_repetition_spans",
+    "text_ann_topk",
+    "user_activity_streaks",
+    "valid_deposits",
 )
 
 

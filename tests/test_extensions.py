@@ -152,6 +152,32 @@ def test_multimodal_features_plumbing(spark, docs):
     assert rows == rows2
 
 
+def test_recover_exact_count_bound(spark):
+    """multimodal_features' float recovery n = HALF_UP(value·total) is
+    exact only while total < 1e6 (kernel-float error ≤ 5e-7·total must
+    stay under the 0.5 margin) — in range it recovers the count, past
+    the bound it must raise LOUDLY instead of hashing a wrong n (r12
+    ADVICE)."""
+    from depositaja_spark.queries_ext import _recover_exact_count
+
+    ok = spark.createDataFrame(
+        [(round(32 / 128, 6), 128), (round(7 / 999_999, 6), 999_999)],
+        "raw double, total long",
+    )
+    got = [
+        r.n
+        for r in ok.select(
+            _recover_exact_count(F.col("raw"), F.col("total")).alias("n")
+        ).orderBy(F.desc("total")).collect()
+    ]
+    assert got == [7, 32]
+    big = spark.createDataFrame([(0.25, 1_000_000)], "raw double, total long")
+    with pytest.raises(Exception, match="float-recovery bound"):
+        big.select(
+            _recover_exact_count(F.col("raw"), F.col("total")).alias("n")
+        ).collect()
+
+
 def _synthetic_images(spark):
     """One P6 PPM, one P5 PGM, one bottom-up 24-bit BMP — tiny images with
     hand-checkable pixel values."""

@@ -89,43 +89,38 @@ def test_oracles_keys_follow_query_order():
     assert list(R.ORACLES) == qnames
 
 
-def test_round12_changed_queries_are_prioritized():
-    """Queries whose implementation or oracle changed in round 12 (the
-    weighted-pagerank oracle w>0 mirror, the single-level similarity
-    demotion guards, the BPE oracle-generator refactor, and the new
-    multimodal_features integer-exact oracle) must sit in the driver
-    window so the change is re-verified by the external gate, not only
-    locally."""
+def test_round13_changed_queries_are_prioritized():
+    """Queries whose implementation changed in round 13 (both bucket
+    dgemm kernels extracted + the ivf2 one blocked/vectorized, and the
+    multimodal_features float-recovery bound guard) must sit in the
+    driver window so the change is re-verified by the external gate,
+    not only locally."""
     changed = {
-        "multimodal_features", "textrank_keywords", "supplier_pagerank",
-        "semdedup_sqrt_cells", "hard_negative_pairs_ivf",
-        "semantic_cluster_dedup", "hard_negative_pairs",
-        "bpe_merges", "bpe_subword_counts", "bpe_segment_replay",
-        "orders_open_by_month", "decontaminate_semantic",
         "hard_negative_pairs_ivf2", "semdedup_cells2",
-        "decontaminate_semantic_fixed",
+        "multimodal_features",
     }
     assert changed <= set(list(R.QUERIES)[:50])
 
 
-def test_first_ever_value_checks_lead_the_window():
-    """multimodal_features was rows-only through r1-r11 (the single
-    NO_ORACLE_OK entry); round 12 gave it an integer-exact oracle, so
-    its FIRST-ever driver value check must lead the window."""
-    assert list(R.QUERIES)[0] == "multimodal_features"
-    # the round-12 addition (never driver-sampled) must also be inside
-    # the window — checked by the changed-set test above
-    assert "multimodal_features" in R.ORACLES
+def test_round13_changed_queries_lead_the_window():
+    """The r13 kernel rewrites lead the window (highest re-verification
+    value: a blocked/vectorized dgemm kernel is exactly the kind of
+    change a value-hash differential exists to catch), and the
+    registry remains fully oracle-backed."""
+    assert list(R.QUERIES)[:3] == [
+        "hard_negative_pairs_ivf2", "semdedup_cells2",
+        "multimodal_features",
+    ]
     assert R.NO_ORACLE_OK == set()
 
 
 def test_max_staleness_bound():
-    """Verdict r11 #7: rotation keeps paying — the round-12 window
-    contains the entire r4-vintage cohort (29 queries), so no
-    registered query outside the window may have a latest driver
-    sample older than round 5.  Computed from the recorded driver
-    artifacts, so a future window edit that silently lets the tail age
-    fails here."""
+    """Verdict r12 #4: rotation keeps paying — the round-13 window
+    contains the entire r5-vintage cohort (32 queries) AND the entire
+    r6-vintage cohort (15), so no registered query outside the window
+    may have a latest driver sample older than round 7.  Computed from
+    the recorded driver artifacts, so a future window edit that
+    silently lets the tail age fails here."""
     import glob
     import json
     import re
@@ -140,9 +135,9 @@ def test_max_staleness_bound():
     window = set(R.SAMPLE_PRIORITY)
     stale = sorted(
         n for n in R.QUERIES
-        if n not in window and latest.get(n, 0) <= 4
+        if n not in window and latest.get(n, 0) <= 6
     )
     assert stale == [], (
-        f"queries outside the window with latest driver sample <= r4: "
-        f"{stale} — the round-12 window must hold the whole r4 cohort"
+        f"queries outside the window with latest driver sample <= r6: "
+        f"{stale} — the round-13 window must hold the r5 AND r6 cohorts"
     )

@@ -1942,8 +1942,8 @@ def test_detector_chaos_restart_matches_batch(spark, tmp_path, variant):
 
     rng = random.Random(1211)
     base = 1_700_000_000
-    # w1 crosses the 10k flag threshold at seq 5; w2 stays under it;
-    # clock stamps span 240 s << the 3600 s period
+    # w1 crosses the 10k flag threshold at seq 4 (4 × 3000 = 12000);
+    # w2 stays under it; clock stamps span 240 s << the 3600 s period
     rows = [
         ("w1", 3000.0, base + 10 * i, i) for i in range(1, 5)
     ] + [("w1", 2500.0, base + 60, 5), ("w1", 10.0, base + 70, 6)] + [
@@ -2007,6 +2007,7 @@ def test_detector_chaos_restart_matches_batch(spark, tmp_path, variant):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want and len(got) == len(rows)
-    # the hot wallet really flagged at seq 5 and stayed flagged at seq 6
-    assert got[5][1] is False and got[6][1] is False
+    # the hot wallet really flagged at seq 4 (the crossing point) and
+    # stayed flagged through seqs 5-6
+    assert got[4][1] is False and got[5][1] is False and got[6][1] is False
     assert all(got[s][1] is True for s in (1, 2, 3, 11, 12, 13, 14))
