@@ -1,4 +1,4 @@
-"""sf10 → sf100 (1000×) THIRD-decade spot bench (round 12).
+"""sf10 → sf100 (1000×) THIRD-decade spot bench (rounds 12-13).
 
 The r11/r12 ledgers established per-decade ratios at sf1→sf10; this
 runner takes a hand-picked set one more decade up, to sf100 (1000
@@ -23,6 +23,10 @@ rule just drops the higher-id twin — but all-pairs/near-dup OUTPUT
 workloads would see planted duplicates again, so they are not measured
 at this scale.
 
+Round 13 extends the ledger to the families the r12 set left out
+(graph, distributed CC, multimodal decode); the r12 rows live in
+SCALE_SPOT_r12.jsonl, the r13 ones in SCALE_SPOT_r13.jsonl.
+
 Usage:
     python scale_spot.py /tmp/sf100_synth 1000   # generate (~10-20 min)
     python scale_spots100.py                     # run the spot set
@@ -39,16 +43,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import scale_spots as ss
 
 SF100 = "/tmp/sf100_synth"
-OUT = os.path.join(ss.REPO, "SCALE_SPOT_r12.jsonl")
+OUT = os.path.join(ss.REPO, "SCALE_SPOT_r13.jsonl")
 
-#: third-decade set: floor control, headline pipeline, the r12 BPE plan,
-#: and both two-level N^(4/3) scale paths (the round's real question)
+#: r13 third-decade set (r12 verdict #3): the graph family had no
+#: sf100 row — supplier_pagerank is its heaviest member (sf10 ~100 s),
+#: dedup_clusters exercises the distributed pointer-jumping CC tier
+#: (edges at sf100 are far past the 1M-edge driver union-find cap), and
+#: jpeg_decode_stats is the heaviest multimodal decode (sf10 ~650 s, so
+#: its sf100 leg gets the longest timeout and runs last).
 DECADE3 = [
-    ("tpch_q1", 3600),
-    ("clean_corpus", 3600),
-    ("bpe_segment_replay", 3600),
-    ("semdedup_cells2", 5400),
-    ("hard_negative_pairs_ivf2", 7200),
+    ("supplier_pagerank", 7200),
+    ("dedup_clusters", 7200),
+    ("jpeg_decode_stats", 14400),
 ]
 
 
