@@ -195,6 +195,21 @@ def _child_main(extended: bool = False) -> None:
         except OSError:
             return -1.0
 
+    # Hypervisor steal (r13): this box is a shared VM — /proc/stat's
+    # steal field is the ONLY witness of a co-tenant burst (guest
+    # loadavg sees only our own runnable threads).  Recording the
+    # per-query steal delta makes a slow block attributable: the
+    # bimodal jpeg_decode_stats episodes (6-65 s, sticky per run,
+    # CPU-busy, zero memory PSI) match a host-level burst signature.
+    _clk = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+    def _steal() -> int:
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8])
+        except Exception:
+            return -1
+
     def _run_block(fn) -> list[float]:
         samples = []
         for _ in range(REPEATS):
@@ -215,6 +230,7 @@ def _child_main(extended: bool = False) -> None:
                 break
             time.sleep(5)
         load1 = _load1()
+        st0 = _steal()
         samples: list[float] = []
         blocks = 0
         while blocks < MAX_BLOCKS:
@@ -223,6 +239,7 @@ def _child_main(extended: bool = False) -> None:
             blocks += 1
             if max(block) / max(min(block), 1e-9) <= SPREAD_LIMIT:
                 break
+        st1 = _steal()
         samples.sort()
         timings[name] = round(samples[0], 3)
         stats[name] = {
@@ -230,6 +247,7 @@ def _child_main(extended: bool = False) -> None:
             "spread": round(samples[-1] / max(samples[0], 1e-9), 2),
             "load1": load1,
             "n": len(samples),
+            "steal_s": round((st1 - st0) / _clk, 1) if st0 >= 0 and st1 >= 0 else -1,
         }
     release_caches()
     spark.catalog.clearCache()

@@ -28,6 +28,18 @@ def get_spark(
     On a real cluster, pass ``master=None`` with a pre-configured
     spark-submit environment; everything here is overridable.
     """
+    # Pin BLAS to ONE thread per Python worker (r13): Spark schedules one
+    # core per task, so a per-task numpy kernel must not spawn its own
+    # thread pool — 32 workers × 32 OpenBLAS threads thrash catastrophically
+    # on small matmuls (the jpeg IDCT's 8×8 gemms measured 6-10× slower
+    # when a REUSED worker carried a live OpenBLAS pool from an earlier
+    # dgemm query; bimodal per-JVM, stable within — BENCH r13 A/B).  The
+    # env must be set BEFORE the JVM (and its workers) launch; setdefault
+    # so a deliberate override survives.  spark.executorEnv carries the
+    # same pin to cluster executors, where the reasoning is identical.
+    _blas_pin = {k: os.environ.setdefault(k, "1")
+                 for k in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                           "MKL_NUM_THREADS")}
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"
@@ -59,6 +71,8 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
     )
+    for k, v in _blas_pin.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
