@@ -313,10 +313,21 @@ def bpe_apply(
     and shrinks the fold proportionally.  Output is value-identical to
     the per-occurrence plan (same ``tokens``, same fold per word), so
     the registered oracle is unchanged."""
+    from depositaja_spark.functions.cache import tracked_persist
+
     d = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
-    occ = d.select(id_col, F.explode("toks").alias("word")).groupBy(
-        id_col, "word"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # (r13) persist the (doc, word) counts: both downstream arms — the
+    # vocab for the merge fold and the count join — consume this frame,
+    # and without the persist Catalyst re-derives the vocab from a SECOND
+    # full scan + tokenize + explode of the corpus (2 scans → 1 in the
+    # plan).  Shuffle-sized state (distinct (doc, word) pairs), the same
+    # bytes the word-keyed join moves anyway; released by the caller's
+    # release_caches() like every operator-internal cache.
+    occ = tracked_persist(
+        d.select(id_col, F.explode("toks").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     vocab = occ.select("word").distinct()
     syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
     seg = vocab.select("word", syms.alias("s"))

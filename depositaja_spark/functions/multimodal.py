@@ -919,6 +919,87 @@ def decode_media(payload_df: DataFrame) -> DataFrame:
     return payload_df.select("doc_id", "payload").mapInPandas(per_batch, DECODED_SCHEMA)
 
 
+#: decode_media_stats output: the three integer pixel reductions the
+#: *_decode_stats queries need — 4 longs per image instead of h·w·c
+#: int32 pixels
+DECODED_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("px_wsum", T.LongType(), False),
+    ]
+)
+
+
+def decode_media_stats(payload_df: DataFrame, weighting: str = "position") -> DataFrame:
+    """Decode image payloads and reduce each to integer pixel stats
+    (count / sum / weighted sum) INSIDE the Arrow kernel — the r13 fusion
+    of ``decode_media`` + the JVM array-aggregate fold the
+    ``*_decode_stats`` queries ran on its output.
+
+    Why fuse (optimization guide §4.1/§8): the decode-then-fold shape
+    ships every decoded pixel across the Python→JVM Arrow boundary
+    (jpeg_decode_stats: 36,864 int32 per image — ~1.2 GB at sf0.1, ~densely
+    125 GB at sf10) only for a codegen'd ``aggregate``/``zip_with`` to
+    collapse them to 3 longs per row, allocating two more h·w·c arrays
+    (sequence + zip_with) per image on the way.  The stats are pure
+    integer reductions, so computing them with one vectorized int64 dot
+    in the same kernel that already holds the ndarray is value-identical
+    and sends 4 longs per image instead.  ``decode_media`` remains for
+    consumers that need the pixels themselves.
+
+    ``weighting`` selects the position weight of ``px_wsum``:
+      * ``"position"`` — 1-based flattened pixel index (the PNG/GIF stats
+        convention: ``zip_with(pixels, sequence(1, n), x·i)``);
+      * ``"block8"``   — 1-based row-major 8×8-tile index of the pixel
+        (the JPEG stats convention, constant per block so it survives the
+        codec exactly): ``(y÷8)·(w÷8) + (x÷8) + 1`` per pixel.
+    Both folds are exact int64 arithmetic (max sum ≈ 255·n·max_weight ≪
+    2⁶³ for any image the vendored codecs emit), so results are
+    bit-identical to the JVM fold they replace.
+    """
+    if weighting not in ("position", "block8"):
+        raise ValueError(f"unknown weighting {weighting!r}")
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # weight vectors depend only on the decoded shape — build once per
+        # (h, w, c) per task, amortized over every image in the partition
+        wcache: dict[tuple[int, int, int], np.ndarray] = {}
+
+        def weights(h: int, w: int, c: int) -> np.ndarray:
+            key = (h, w, c)
+            hit = wcache.get(key)
+            if hit is None:
+                if weighting == "position":
+                    hit = np.arange(1, h * w * c + 1, dtype=np.int64)
+                else:
+                    px = np.arange(h * w * c, dtype=np.int64) // c
+                    hit = (px // (8 * w)) * (w // 8) + ((px % w) // 8) + 1
+                wcache[key] = hit
+            return hit
+
+        for pdf in batches:
+            ids: list[int] = []
+            ns: list[int] = []
+            sums: list[int] = []
+            wsums: list[int] = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, c, arr = _decode_image_bytes(bytes(raw))
+                flat = arr.reshape(-1).astype(np.int64)
+                ids.append(doc_id)
+                ns.append(flat.size)
+                sums.append(int(flat.sum()))
+                wsums.append(int(flat @ weights(h, w, c)) if flat.size else 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_px": ns, "px_sum": sums, "px_wsum": wsums}
+            )
+
+    return payload_df.select("doc_id", "payload").mapInPandas(
+        per_batch, DECODED_STATS_SCHEMA
+    )
+
+
 def extract_features(payload_df: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
     """Deterministic stand-in feature extractor: normalized byte histogram
     (``bins`` buckets) per payload, via Arrow-batched mapInPandas.

@@ -57,6 +57,7 @@ from depositaja_spark.functions.cache import (
     track_pinned_rdds,
     tracked_persist,
     unpersist_rdd_ids,
+    untrack,
 )
 
 __all__ = [
@@ -162,8 +163,13 @@ def personalized_pagerank(
         .unionByName(sd.select("id"))
         .distinct()
     )
-    outdeg = tracked_persist(
-        e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # (r13) loop-invariant pre-join + dangling set, mirroring
+    # weighted_pagerank (see the rationale there); pr/deg arithmetic and
+    # the selected dangling pr rows are unchanged
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ej = tracked_persist(e.join(outdeg, "src"))
+    dangling_ids = tracked_persist(
+        nodes.join(e.select("src"), nodes["id"] == F.col("src"), "left_anti")
     )
     scnt = tracked_persist(sd.agg(F.count(F.lit(1)).cast("double").alias("ns")))
     svec = tracked_persist(
@@ -177,10 +183,12 @@ def personalized_pagerank(
         )
     )
     # materialize every lazy cache BEFORE the first storage snapshot
-    # (same ordering rule as pagerank/graph.py)
-    e.count()
-    outdeg.count()
+    # (same ordering rule as pagerank/graph.py); every read of e happens
+    # inside these counts, after which e is scaffolding and is retired
+    ej.count()
+    dangling_ids.count()
     svec.count()
+    untrack(e)
 
     before = pinned_rdd_ids(sc)
     ranks = svec.select("id", F.col("s").alias("pr")).localCheckpoint()
@@ -188,14 +196,13 @@ def personalized_pagerank(
 
     for _ in range(int(iterations)):
         contrib = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .join(outdeg, "src")
+            ej.join(ranks, ej["src"] == ranks["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )
-        dangling = ranks.join(
-            outdeg, ranks["id"] == outdeg["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        dangling = ranks.join(dangling_ids, "id", "left_semi").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m")
+        )
         before = pinned_rdd_ids(sc)
         ranks = (
             svec.join(contrib, "id", "left_outer")
@@ -392,8 +399,24 @@ def weighted_pagerank(
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outdeg = tracked_persist(
-        e.groupBy("src").agg(F.sum("w").alias("deg"))
+    # (r13, guide §2.4) loop-invariant work OUT of the loop: the
+    # out-strength join and the dangling-node membership test are both
+    # constant across iterations, so pay each ONCE instead of per round.
+    #  * ``ej`` carries deg on every edge row — the per-round
+    #    e⋈outdeg("src") join (k joins for k iterations) disappears; the
+    #    summed expression below stays literally pr*w/deg, so the float
+    #    arithmetic the oracle replays is unchanged.
+    #  * ``dangling_ids`` (nodes with no out-edge) turns the per-round
+    #    node-sized LEFT ANTI against outdeg into a LEFT SEMI against the
+    #    usually-far-smaller dangling set (ranks' id set == nodes every
+    #    round, so the selected pr rows are identical).
+    # Both ride e's hash(src) layout; e itself is released below once the
+    # derived caches are materialized, keeping steady-state storage at one
+    # edge-sized frame as before.
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    ej = tracked_persist(e.join(outdeg, "src"))
+    dangling_ids = tracked_persist(
+        nodes.join(e.select("src"), nodes["id"] == F.col("src"), "left_anti")
     )
     # N as a 1-row broadcast frame: no collect, no driver scalar
     ncnt = tracked_persist(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
@@ -402,10 +425,12 @@ def weighted_pagerank(
     # unmaterialized cache would first appear DURING round 1's job and
     # the round diff below would mistake it for a round block and retire
     # it mid-algorithm (same ordering rule as graph.py).  ncnt reads
-    # through nodes' cache, materializing both.
-    e.count()
-    outdeg.count()
+    # through nodes' cache, materializing both; every read of e happens
+    # inside these counts, after which e is scaffolding and is retired.
+    ej.count()
+    dangling_ids.count()
     ncnt.count()
+    untrack(e)
 
     before = pinned_rdd_ids(sc)
     ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
@@ -415,14 +440,13 @@ def weighted_pagerank(
 
     for _ in range(int(iterations)):
         contrib = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .join(outdeg, "src")
+            ej.join(ranks, ej["src"] == ranks["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") * F.col("w") / F.col("deg")).alias("c"))
         )
-        dangling = ranks.join(
-            outdeg, ranks["id"] == outdeg["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        dangling = ranks.join(dangling_ids, "id", "left_semi").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m")
+        )
         # contrib joins FIRST, scalars attach after: putting the cross
         # joins under the left-outer's left child would hoist the 1-row
         # broadcast hints into a build-left position Spark rejects

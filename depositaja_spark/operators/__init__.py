@@ -9,7 +9,7 @@ from depositaja_spark.operators.detector import (
     above_threshold_windows,
     flag_events,
 )
-from depositaja_spark.operators.flagger import latest_flag
+from depositaja_spark.operators.flagger import latest_flag, latest_flag_from_windows
 from depositaja_spark.operators.check import check_all, check_one, point_lookup
 from depositaja_spark.operators.admin import merge_manual_flags
 
@@ -23,6 +23,7 @@ __all__ = [
     "above_threshold_windows",
     "flag_events",
     "latest_flag",
+    "latest_flag_from_windows",
     "check_all",
     "check_one",
     "point_lookup",

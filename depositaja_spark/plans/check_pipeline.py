@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame
 
 from depositaja_spark.operators.balance import balance_per_wallet
 from depositaja_spark.operators.check import check_all
-from depositaja_spark.operators.detector import flag_events, window_received
-from depositaja_spark.operators.flagger import latest_flag
+from depositaja_spark.operators.detector import window_received
+from depositaja_spark.operators.flagger import latest_flag_from_windows
 from depositaja_spark.operators.validate import valid_deposits
 
 
@@ -29,5 +29,7 @@ def check_pipeline(deposits: DataFrame, round_to: int | None = 4) -> DataFrame:
     accepted = valid_deposits(deposits)
     balances = balance_per_wallet(accepted, round_to=round_to)
     windowed = window_received(accepted, round_to=round_to)
-    flags = latest_flag(flag_events(windowed))
+    # fused P5+A4 (r13 optimization): one packed-long HashAggregate replaces
+    # the max_by(struct) SortAggregate pair — same values, no sorts
+    flags = latest_flag_from_windows(windowed)
     return check_all(balances, flags)

@@ -1540,18 +1540,10 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = spread(
         docs, parallelism=spark.sparkContext.defaultParallelism
     ).select("doc_id", to_png(body).alias("payload"))
-    dec = mm.decode_media(payloads)
-    return dec.select(
-        "doc_id",
-        F.size("pixels").cast("long").alias("n_px"),
-        F.expr(
-            "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
-        ).alias("px_sum"),
-        F.expr(
-            "aggregate(zip_with(pixels, sequence(1, size(pixels)),"
-            " (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y)"
-        ).alias("px_wsum"),
-    )
+    # fused decode→stats kernel (r13, guide §4/§8): "position" = the old
+    # zip_with(pixels, sequence(1, n)) 1-based weight, folded as exact
+    # int64 inside the kernel — same integers, no pixel-array transfer
+    return mm.decode_media_stats(payloads, weighting="position")
 
 
 _JPEG_STATS_SQL = """
@@ -1618,24 +1610,15 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = spread(
         docs, parallelism=spark.sparkContext.defaultParallelism
     ).select("doc_id", to_jpeg(body).alias("payload"))
-    dec = mm.decode_media(payloads)
-    # block weight: flat index p over h×w×c -> pixel p div 3, its block =
-    # (y div 8)·16 + (x div 8) with y = pixel div 128, x = pixel mod 128;
+    # fused decode→stats kernel (r13, guide §4/§8): the "block8" weight is
+    # the 1-based 8×8-tile index — for this 96×128×3 layout exactly the old
+    # JVM fold's ((p div 3) div 1024)·16 + (((p div 3) % 128) div 8) + 1;
     # byte i owns block i, so weighting by block+1 mirrors the oracle's
-    # (i+1)·v byte weighting exactly (×192 pixels per byte)
-    return dec.select(
-        "doc_id",
-        F.size("pixels").cast("long").alias("n_px"),
-        F.expr(
-            "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
-        ).alias("px_sum"),
-        F.expr(
-            "aggregate(zip_with(pixels, sequence(0, size(pixels) - 1),"
-            " (x, p) -> CAST(x AS BIGINT) *"
-            " (((p div 3) div 1024) * 16 + (((p div 3) % 128) div 8) + 1)),"
-            " 0L, (acc, y) -> acc + y)"
-        ).alias("px_wsum"),
-    )
+    # (i+1)·v byte weighting exactly (×192 pixels per byte).  Same integer
+    # results, but 4 longs per image cross the Arrow boundary instead of
+    # 36,864 int32 pixels (plan: 2 Python nodes + zero-copy stats, the
+    # aggregate/zip_with/sequence codegen fold gone).
+    return mm.decode_media_stats(payloads, weighting="block8")
 
 
 _WAV_STATS_SQL = """
@@ -3170,18 +3153,9 @@ def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = spread(
         docs, parallelism=spark.sparkContext.defaultParallelism
     ).select("doc_id", to_gif(body).alias("payload"))
-    dec = mm.decode_media(payloads)
-    return dec.select(
-        "doc_id",
-        F.size("pixels").cast("long").alias("n_px"),
-        F.expr(
-            "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
-        ).alias("px_sum"),
-        F.expr(
-            "aggregate(zip_with(pixels, sequence(1, size(pixels)),"
-            " (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y)"
-        ).alias("px_wsum"),
-    )
+    # fused decode→stats kernel (r13): same integers as the old JVM
+    # aggregate/zip_with fold, no pixel-array Arrow transfer
+    return mm.decode_media_stats(payloads, weighting="position")
 
 
 _ADPCM_ST_SQL = "[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]"

@@ -231,13 +231,19 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions/pagerank.py`` for the ≥10-round checkpoint rule)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # (r13, guide §2.3) DISTINCT on the two LONG keys, then concat the
+    # string node ids on the distinct output: the dedup exchange moves
+    # 16 bytes/row instead of two strings, and concat runs once per edge
+    # instead of once per lineitem.  Same edge set — the 'c:'/'s:'
+    # prefixes make the pair→string mapping injective.
     edges = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     n1 = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -272,13 +278,15 @@ def q_nation_seeded_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
+    # long-key distinct before concat — see supplier_pagerank
     edges = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     seeds = (
         cust.join(

@@ -34,6 +34,7 @@ from depositaja_spark.operators import (
     deposit_history,
     flag_events,
     latest_flag,
+    latest_flag_from_windows,
     merge_manual_flags,
     negate_withdrawals,
     point_lookup,
@@ -345,9 +346,15 @@ FROM flag_ev GROUP BY wallet_id
 
 @query("latest_flag", DEPOSITS_CTE + ", " + _FLAG_EVENTS_SQL + _LATEST_FLAG_SQL)
 def q_latest_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 — latest-value fold over flag events (flagger/flagger.go:40-57)."""
+    """A4 — latest-value fold over flag events (flagger/flagger.go:40-57).
+
+    Runs the fused packed-long fold (flagger.latest_flag_from_windows):
+    value-identical to ``latest_flag(flag_events(w))`` for detector-derived
+    events, but a HashAggregate instead of the max_by(struct)
+    SortAggregate pair (r13 optimization; equivalence pinned by
+    tests/test_wallet_operators.py and this query's unchanged oracle)."""
     w = window_received(valid_deposits(_deposits(spark, sf_dir)), round_to=4)
-    return latest_flag(flag_events(w))
+    return latest_flag_from_windows(w)
 
 
 @query(
@@ -433,7 +440,7 @@ def q_check_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = valid_deposits(_deposits(spark, sf_dir))
     balances = balance_per_wallet(d, round_to=4)
-    flags = latest_flag(flag_events(window_received(d, round_to=4)))
+    flags = latest_flag_from_windows(window_received(d, round_to=4))
     probes = spark.createDataFrame(
         [("3",), ("7",), ("42",), ("wallet-that-never-deposited",)], "wallet_id string"
     )
@@ -458,7 +465,7 @@ def q_check_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/S7 — single-wallet check for a wallet that exists."""
     d = valid_deposits(_deposits(spark, sf_dir))
     balances = balance_per_wallet(d, round_to=4)
-    flags = latest_flag(flag_events(window_received(d, round_to=4)))
+    flags = latest_flag_from_windows(window_received(d, round_to=4))
     return check_one(balances, flags, "3")
 
 
@@ -471,7 +478,7 @@ def q_check_one_unknown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (service/service.go:119-133)."""
     d = valid_deposits(_deposits(spark, sf_dir))
     balances = balance_per_wallet(d, round_to=4)
-    flags = latest_flag(flag_events(window_received(d, round_to=4)))
+    flags = latest_flag_from_windows(window_received(d, round_to=4))
     return check_one(balances, flags, "wallet-that-never-deposited")
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from depositaja_spark.operators import (
     balance_per_wallet,
     flag_events,
-    latest_flag,
+    latest_flag_from_windows,
     valid_deposits,
     window_received,
 )
@@ -41,7 +41,7 @@ def register_all(spark: SparkSession, sf_dir: str) -> list[str]:
         "balances": balance_per_wallet(accepted, round_to=4),
         "window_received_v": windowed,
         "flag_events_v": flag_events(windowed),
-        "flags": latest_flag(flag_events(windowed)),
+        "flags": latest_flag_from_windows(windowed),
         "check_all": check_pipeline(deposits, round_to=4),
     }
     for name, df in derived.items():

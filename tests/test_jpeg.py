@@ -150,6 +150,63 @@ def test_magic_dispatch_and_decode_media(spark):
     assert (rows[1].width, rows[1].height, rows[1].channels) == (128, 96, 3)
 
 
+def test_decode_media_stats_matches_jvm_fold(spark):
+    """r13 fusion guard: decode_media_stats must return EXACTLY the
+    integers the old decode_media + codegen array-aggregate fold
+    produced, for both weight modes, on mixed formats and noisy (AC
+    coefficient) JPEGs — the fused kernel is a transport optimization,
+    not a semantic change."""
+    from pyspark.sql import functions as F
+
+    from depositaja_spark.functions.multimodal import decode_media, decode_media_stats
+
+    vals = RNG.integers(0, 256, 192)
+    img = _const_block_image(vals, channels=3)
+    ppm = b"P6\n128 96\n255\n" + img.tobytes()
+    jpg = encode_jpeg(img, quality=None, subsample=True, restart_interval=24)
+    noisy = encode_jpeg(
+        RNG.integers(0, 256, (16, 16, 3)).astype(np.uint8), quality=75
+    )  # lossy, AC coefficients + non-8-multiple-free shape
+    df = spark.createDataFrame(
+        [(0, bytearray(ppm)), (1, bytearray(jpg)), (2, bytearray(noisy))],
+        "doc_id long, payload binary",
+    )
+    dec = decode_media(df)
+    for weighting, wexpr in [
+        (
+            "position",
+            "aggregate(zip_with(pixels, sequence(1, size(pixels)),"
+            " (x, i) -> CAST(x AS BIGINT) * i), 0L, (acc, y) -> acc + y)",
+        ),
+        (
+            "block8",
+            "aggregate(zip_with(pixels, sequence(0, size(pixels) - 1),"
+            " (x, p) -> CAST(x AS BIGINT) *"
+            " (((p div channels) div (8 * width)) * (width div 8)"
+            "  + (((p div channels) % width) div 8) + 1)),"
+            " 0L, (acc, y) -> acc + y)",
+        ),
+    ]:
+        want = {
+            r.doc_id: (r.n_px, r.px_sum, r.px_wsum)
+            for r in dec.select(
+                "doc_id",
+                F.size("pixels").cast("long").alias("n_px"),
+                F.expr(
+                    "aggregate(pixels, 0L, (acc, x) -> acc + CAST(x AS BIGINT))"
+                ).alias("px_sum"),
+                F.expr(wexpr).alias("px_wsum"),
+            ).collect()
+        }
+        got = {
+            r.doc_id: (r.n_px, r.px_sum, r.px_wsum)
+            for r in decode_media_stats(df, weighting=weighting).collect()
+        }
+        assert got == want, weighting
+    with pytest.raises(ValueError, match="weighting"):
+        decode_media_stats(df, weighting="nope")
+
+
 def test_unsupported_variants_raise():
     img = _const_block_image(RNG.integers(0, 256, 192))
     raw = bytearray(encode_jpeg(img, quality=None))

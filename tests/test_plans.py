@@ -97,11 +97,15 @@ def test_topk_single_shuffle(plans):
     assert "WindowGroupLimit" in p
 
 
-def test_latest_flag_partial_max_by(plans):
-    """A4 fold: max_by aggregates partially before the shuffle (the
-    latest-wins fold composes, so map-side combine applies)."""
+def test_latest_flag_fused_hash_aggregate(plans):
+    """A4 fold (r13 fused form): the packed-long max aggregates partially
+    before the shuffle AND stays a HashAggregate — the max_by(struct)
+    formulation carries a struct buffer that degrades to SortAggregate
+    with a per-partition sort on both sides of the exchange."""
     p = plans["latest_flag"]
-    assert "partial_max_by" in p
+    assert "partial_max" in p
+    assert "SortAggregate" not in p
+    assert "max_by" not in p
 
 
 @pytest.fixture(scope="module")

@@ -111,6 +111,48 @@ def test_flagged_while_hot(deposits):
     assert flags["b"]["rolling_period_start_unix"] == base + 120
 
 
+def test_fused_flag_fold_equals_composed(deposits):
+    """r13 optimization guard: latest_flag_from_windows (packed-long
+    HashAggregate) must be value-identical to the composed
+    latest_flag(flag_events(w)) fold on detector-derived events — full
+    lifecycle (flag, self-heal, never-flagged) plus both restriction
+    points of the golden scenario."""
+    from depositaja_spark.operators import latest_flag_from_windows
+
+    for pred in (None, F.col("seq") <= 4, F.col("seq") <= 3):
+        d = deposits if pred is None else deposits.filter(pred)
+        w = window_received(valid_deposits(d))
+        composed = as_map(latest_flag(flag_events(w)))
+        fused = as_map(latest_flag_from_windows(w))
+        assert fused == composed
+
+
+def test_fused_flag_fold_pre_epoch_windows(spark):
+    """Packed-long fold must survive NEGATIVE window anchors (pre-1970
+    event times): arithmetic shift right floors correctly and the low
+    bit still carries the flag for odd negative packed values."""
+    from datetime import datetime, timezone
+
+    from depositaja_spark.operators import latest_flag_from_windows
+
+    rows = [
+        # pre-epoch: two windows, last one hot
+        ("w", 5.0, datetime(1969, 12, 31, 23, 50, 0, tzinfo=timezone.utc), 1),
+        ("w", 20000.0, datetime(1969, 12, 31, 23, 58, 0, tzinfo=timezone.utc), 2),
+        # pre-epoch: flag then self-heal
+        ("x", 20000.0, datetime(1969, 12, 31, 23, 50, 0, tzinfo=timezone.utc), 3),
+        ("x", 5.0, datetime(1969, 12, 31, 23, 58, 0, tzinfo=timezone.utc), 4),
+    ]
+    d = spark.createDataFrame(rows, DEPOSIT)
+    w = window_received(valid_deposits(d))
+    composed = as_map(latest_flag(flag_events(w)))
+    fused = as_map(latest_flag_from_windows(w))
+    assert fused == composed
+    assert fused["w"]["flagged"] is True
+    assert fused["w"]["rolling_period_start_unix"] < 0  # real pre-epoch anchor
+    assert fused["x"]["flagged"] is False
+
+
 def test_check_all_defaults(deposits):
     out = as_map(check_pipeline(deposits))
     assert out["a"] == {"wallet_id": "a", "balance": 150.0, "above_threshold": False}
