@@ -879,6 +879,73 @@ def _bucket_dropped_kernel(
     return pd.DataFrame({"id": ids[dropped].astype("int64")})
 
 
+def _subcent_arrays(subcent: DataFrame) -> DataFrame:
+    """(cell, subs): one row per coarse cell, the cell's sub-centroids
+    collected into an array of (sub, svec) structs in ascending-sub
+    order.  collect_list order is nondeterministic, but array_sort on
+    the struct compares ``sub`` first and sub ids are unique within a
+    cell, so the array is deterministic.  C1 rows of C2 structs each —
+    the same N^(2/3) values both consumers already broadcast, grouped
+    so the sub-assignment and probe rankings can run as JVM folds over
+    the array in the scan projection instead of a broadcast join +
+    row_number window (+ Exchange + Sort) per arm (guide §2.4)."""
+    return subcent.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("sub", "svec"))).alias("subs")
+    )
+
+
+def _scored_subs(vec: Column) -> Column:
+    """array of (scos, sub) structs: every sub-centroid of the row's
+    cell scored against ``vec`` with the SAME JVM expression the
+    replaced window plans evaluated per joined row —
+    ``F.round(cosine(...), 6)`` (HALF_UP) — so the values are
+    bit-identical to the row_number machinery's sort keys."""
+    return F.transform(
+        F.col("subs"),
+        lambda s: F.struct(
+            F.round(cosine(vec, s["svec"]), 6).alias("scos"),
+            s["sub"].alias("sub"),
+        ),
+    )
+
+
+def _best_sub(scored: Column) -> Column:
+    """(scos, sub) of the argmax by (scos desc, sub asc) — exactly the
+    ``row_number() == 1`` winner of the replaced window: the fold walks
+    the array in ascending-sub order keeping a STRICTLY greater score,
+    so equal-score ties keep the smaller sub, and Spark's NaN-greatest
+    comparison semantics (NaN > any value, NaN > NaN false) reproduce
+    descending-sort order (NaN first, ties by sub) should a NaN input
+    component ever produce one (a zero-norm vector raises
+    DIVIDE_BY_ZERO under ANSI mode in fold and window alike)."""
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("scos"),
+            F.lit(None).cast("long").alias("sub"),
+        ),
+        lambda acc, x: F.when(
+            acc["sub"].isNull() | (x["scos"] > acc["scos"]), x
+        ).otherwise(acc),
+    )
+
+
+def _top_subs(scored: Column, n: int) -> Column:
+    """First ``n`` (scos, sub) structs by (scos desc, sub asc) — the
+    exact rows the replaced ``row_number() <= n`` filter kept, via one
+    comparator array_sort (the order is total: subs are unique), with
+    the same NaN-first property as :func:`_best_sub`."""
+    ranked = F.array_sort(
+        scored,
+        lambda x, y: F.when(x["scos"] > y["scos"], F.lit(-1))
+        .when(x["scos"] < y["scos"], F.lit(1))
+        .when(x["sub"] < y["sub"], F.lit(-1))
+        .when(x["sub"] > y["sub"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.slice(ranked, 1, n)
+
+
 def hard_negative_pairs_ivf2(
     corpus: DataFrame,
     k: int = 5,
@@ -941,31 +1008,33 @@ def hard_negative_pairs_ivf2(
     )
     # sub-centroids: each coarse cell's first C2 members by id — a
     # C1 x C2 = N^(2/3) frame, broadcast below (at extreme corpus sizes
-    # this is the term that moves to a third level)
+    # this is the term that moves to a third level).  Collected into ONE
+    # array row per cell (r13): the sub-assignment and probe rankings
+    # are per-row argmax / top-n over that array, so both run as JVM
+    # folds inside the scan projection — the broadcast join + row_number
+    # window (+ Exchange + Sort) each arm previously paid is gone, no
+    # vector ever crosses an exchange before the cogroup shuffle that
+    # needs it, and persisting subs_arr runs the sub-centroid window
+    # once instead of once per arm.  The folds reuse the window plans'
+    # exact scoring expression and realize the exact (scos desc, sub
+    # asc) order (see _best_sub/_top_subs), so results are identical.
     w_first = W.partitionBy("cell").orderBy("id")
     subcent = (
         members.withColumn("rn", F.row_number().over(w_first))
         .filter(F.col("rn") <= c2_n)
         .select("cell", F.col("id").alias("sub"), F.col("vec").alias("svec"))
     )
-    scos = F.round(cosine(F.col("vec"), F.col("svec")), 6)
-    w_assign = W.partitionBy("id").orderBy(F.desc("scos"), F.asc("sub"))
+    subs_arr = tracked_persist(_subcent_arrays(subcent))
     assigned2 = (
-        members.join(F.broadcast(subcent), "cell")
-        .withColumn("scos", scos)
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
+        members.join(F.broadcast(subs_arr), "cell")
+        .withColumn("best", _best_sub(_scored_subs(F.col("vec"))))
         .select(
             F.col("id").alias("cand_id"),
             F.col("vec").alias("cvec"),
             F.col("lbl").alias("blbl"),
             "cell",
-            "sub",
+            F.col("best.sub").alias("sub"),
         )
-    )
-    pcos = F.round(cosine(F.col("avec"), F.col("svec")), 6)
-    w_probe = W.partitionBy("anchor_id", "cell").orderBy(
-        F.desc("pcos"), F.asc("sub")
     )
     probes2 = (
         members.select(
@@ -974,12 +1043,9 @@ def hard_negative_pairs_ivf2(
             F.col("lbl").alias("albl"),
             F.explode("probed").alias("cell"),
         )
-        .join(F.broadcast(subcent), "cell")
-        .withColumn("pcos", pcos)
-        .withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= nprobe2)
+        .join(F.broadcast(subs_arr), "cell")
         # the grouping keys are RENAMED on this side: probes2 and
-        # assigned2 share lineage (both derive from members ⋈ subcent),
+        # assigned2 share lineage (both derive from members ⋈ subs_arr),
         # and cogroup's analyzer would otherwise reject the key columns
         # as ambiguous self-join references
         .select(
@@ -987,7 +1053,16 @@ def hard_negative_pairs_ivf2(
             "avec",
             "albl",
             F.col("cell").alias("pcell"),
-            F.col("sub").alias("psub"),
+            F.explode(_top_subs(_scored_subs(F.col("avec")), nprobe2)).alias(
+                "ps"
+            ),
+        )
+        .select(
+            "anchor_id",
+            "avec",
+            "albl",
+            "pcell",
+            F.col("ps.sub").alias("psub"),
         )
     )
     # Bucket-cogrouped matmul scoring (r12, after the sf100 THIRD decade
@@ -1157,14 +1232,14 @@ def semdedup_cells2(
         .filter(F.col("rn") <= c1)
         .select("cell", F.col("id").alias("sub"), F.col("vec").alias("svec"))
     )
-    scos = F.round(cosine(F.col("vec"), F.col("svec")), 6)
-    w_assign = W.partitionBy("id").orderBy(F.desc("scos"), F.asc("sub"))
+    # sub-assignment as a JVM fold over the cell's grouped sub-centroid
+    # array (r13, shared with hard_negative_pairs_ivf2): same scoring
+    # expression, exact (scos desc, sub asc) argmax — the broadcast join
+    # + row_number window (+ Exchange + Sort) is gone
     assigned2 = _tp(
-        members.join(F.broadcast(subcent), "cell")
-        .withColumn("scos", scos)
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("id", "cell", "sub")
+        members.join(F.broadcast(_subcent_arrays(subcent)), "cell")
+        .withColumn("best", _best_sub(_scored_subs(F.col("vec"))))
+        .select("id", "cell", F.col("best.sub").alias("sub"))
     )
     u = unit_vectors(corpus, id_col, vec_col)
     cu = _tp(
