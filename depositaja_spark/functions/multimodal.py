@@ -1704,3 +1704,48 @@ def adpcm_decode(raw: bytes, n: int) -> "np.ndarray":
         idx = max(0, min(88, idx + _ADPCM_INDEX[nib]))
         out[i] = pred
     return out
+
+
+#: adpcm_recon_stats output — the same four integers the r13 query
+#: folded in the JVM over the shipped sample array
+ADPCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("recon_sum", T.LongType(), False),
+        T.StructField("recon_sq_sum", T.LongType(), False),
+        T.StructField("recon_max_abs", T.LongType(), False),
+    ]
+)
+
+
+def adpcm_recon_stats(payload_df: DataFrame, n_samples: int) -> DataFrame:
+    """Fused ADPCM decode → integer stats, the audio twin of
+    :func:`decode_media_stats` (r14, guide §4: pass only what the
+    decision needs): the r13 plan shipped every reconstructed sample as
+    an ``array<long>`` across Python→JVM Arrow (192 longs ≈ 1.5 KB/doc)
+    purely so three JVM ``aggregate`` folds could collapse them to
+    longs; this kernel computes the identical int64 reductions —
+    Σs, Σs², max|s| over the reconstructed waveform — beside the
+    decoder that already holds the ndarray, so 4 longs per payload
+    cross the boundary instead.  Exact integer arithmetic (samples are
+    int16, 192·32767² < 2⁶³), so results are bit-identical to the JVM
+    fold."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in ADPCM_STATS_SCHEMA.fields}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                x = adpcm_decode(bytes(raw), n_samples)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(x))
+                out["recon_sum"].append(int(x.sum()))
+                out["recon_sq_sum"].append(int((x * x).sum()))
+                out["recon_max_abs"].append(
+                    int(np.abs(x).max()) if len(x) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return payload_df.select("doc_id", "payload").mapInPandas(
+        per_batch, ADPCM_STATS_SCHEMA
+    )

@@ -776,6 +776,20 @@ def hard_negative_pairs_ivf(
 BUCKET_BLOCK_ROWS = 1024
 
 
+def _row_groups(mat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """(first_index, inverse) of the EXACT-byte-equal row groups of a
+    2-D float array: ``mat[first_index]`` is one representative row per
+    distinct vector and ``first_index[inverse[i]]`` is row i's
+    representative.  Byte equality (a void view over each row) is the
+    conservative identity — it never merges two vectors any float
+    comparison could distinguish (-0.0 vs 0.0 and NaN payloads stay
+    distinct), so collapsing groups can never change a cosine."""
+    m = np.ascontiguousarray(mat)
+    keys = m.view(f"V{m.shape[1] * m.dtype.itemsize}").ravel()
+    _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+    return first, inv
+
+
 def _bucket_topk_kernel(
     anchors_pdf: "pd.DataFrame",
     cands_pdf: "pd.DataFrame",
@@ -788,16 +802,37 @@ def _bucket_topk_kernel(
     per-anchor top-``k`` cross-label candidates with rounded cosine in
     [``band_lo``, ``band_hi``), ties broken (cos desc, cand_id asc).
 
-    Anchor rows are blocked at ``block`` per dgemm so a skewed bucket
-    never materializes the full |anchors|×|candidates| matrix — top-k
-    is distributive, so blockwise top-k (each block emits its own rows;
-    every anchor appears in exactly one block) equals the unblocked
-    result.  The per-anchor selection is vectorized: candidates are
-    pre-sorted by cand_id, so ONE stable argsort on -score per block
-    realizes the (cos desc, cand_id asc) tie-break for every row at
-    once.  Module-level (not a closure) so the skew-adversarial tests
-    can drive it directly with a small ``block`` and a tracemalloc
-    peak-memory bound."""
+    Exact-duplicate collapse (r14, guide §2.5 skew): a web-scale hot
+    bucket is hot precisely because it holds many EXACT-duplicate
+    vectors (boilerplate embeddings), and the dgemm work was quadratic
+    in the bucket size.  Both sides collapse before any O(n²) step:
+
+    * candidates: within one (cvec-bytes, blbl) duplicate group every
+      member has the SAME rounded cosine, band verdict and label
+      verdict for every anchor, so a member that is not among its
+      group's k+1 smallest cand_ids is preceded in every anchor's
+      (cos desc, cand_id asc) ranking by k+1 group mates of which at
+      most ONE can be the anchor itself — it can never enter a top-k.
+      Only k+1 rows per group reach the dgemm.
+    * anchors: members of one (avec-bytes, albl) duplicate group share
+      their entire ranking except the self-pair exclusion, so the
+      blocked dgemm + top-(k+1) selection runs ONCE per group (self
+      mask deferred) and each member's top-k is derived by dropping
+      its own cand_id from the group list and trimming to k — removing
+      at most one element from a sorted prefix of length k+1 yields
+      exactly the masked top-k.
+
+    Work drops from O(|A|·|C|·d) to O(g_A·g_C'·d + |A|·k): linear in
+    the bucket when duplicates dominate, and on an all-distinct bucket
+    the groups are singletons and the dgemm is unchanged.  Anchor
+    groups are blocked at ``block`` per dgemm as before (top-k is
+    distributive over anchor blocks), so peak memory stays
+    O(block · |C'|) regardless of skew.  The per-group selection is
+    vectorized: reduced candidates are pre-sorted by cand_id, so ONE
+    stable argsort on -score per block realizes the (cos desc, cand_id
+    asc) tie-break for every row at once.  Module-level (not a
+    closure) so the skew-adversarial tests can drive it directly with
+    a small ``block`` and a tracemalloc peak-memory bound."""
     empty = pd.DataFrame(
         {"anchor_id": pd.Series([], dtype="int64"),
          "cand_id": pd.Series([], dtype="int64"),
@@ -805,46 +840,97 @@ def _bucket_topk_kernel(
     )
     if len(anchors_pdf) == 0 or len(cands_pdf) == 0:
         return empty
-    c_order = np.argsort(cands_pdf["cand_id"].to_numpy(), kind="stable")
-    cv = np.stack(cands_pdf["cvec"].to_numpy())[c_order].astype("float64")
-    c_ids = cands_pdf["cand_id"].to_numpy()[c_order]
-    c_lbl = cands_pdf["blbl"].to_numpy()[c_order]
+    # ---- candidate side: keep k+1 smallest cand_ids per duplicate group
+    cv_all = np.stack(cands_pdf["cvec"].to_numpy()).astype("float64")
+    c_ids_all = cands_pdf["cand_id"].to_numpy().astype("int64")
+    c_lbl_all = cands_pdf["blbl"].to_numpy()
+    lbl_codes_all, _lbl_uniq = pd.factorize(
+        np.concatenate([c_lbl_all, anchors_pdf["albl"].to_numpy()])
+    )
+    lbl_codes_all = lbl_codes_all + 1  # keep a null-label code (-1) positive
+    c_lblc = lbl_codes_all[: len(c_lbl_all)]
+    a_lblc = lbl_codes_all[len(c_lbl_all):]
+    _, c_vinv = _row_groups(cv_all)
+    c_ginv = c_vinv * (c_lblc.max() + 1) + c_lblc
+    c_sorted = np.lexsort((c_ids_all, c_ginv))
+    gs = c_ginv[c_sorted]
+    seg_new = np.ones(len(gs), dtype=bool)
+    seg_new[1:] = gs[1:] != gs[:-1]
+    seg_start = np.maximum.accumulate(np.where(seg_new, np.arange(len(gs)), 0))
+    kept = c_sorted[(np.arange(len(gs)) - seg_start) <= k]
+    c_order = kept[np.argsort(c_ids_all[kept], kind="stable")]
+    cv = cv_all[c_order]
+    c_ids = c_ids_all[c_order]
+    c_lbl = c_lblc[c_order]
     c_norm = np.linalg.norm(cv, axis=1)
-    a_ids = anchors_pdf["anchor_id"].to_numpy()
-    a_lbl = anchors_pdf["albl"].to_numpy()
-    avec_obj = anchors_pdf["avec"].to_numpy()
     m = len(c_ids)
-    kk = min(k, m)
-    out_a, out_c, out_s = [], [], []
-    for lo in range(0, len(a_ids), block):
-        hi = min(lo + block, len(a_ids))
-        av = np.stack(avec_obj[lo:hi]).astype("float64")
+    # ---- anchor side: one dgemm row per (avec-bytes, albl) group
+    a_ids_all = anchors_pdf["anchor_id"].to_numpy().astype("int64")
+    avec_all = np.stack(anchors_pdf["avec"].to_numpy()).astype("float64")
+    _, a_vinv = _row_groups(avec_all)
+    a_gkey = a_vinv * (a_lblc.max() + 1 if len(a_lblc) else 1) + a_lblc
+    a_guniq, a_gfirst, a_ginv = np.unique(
+        a_gkey, return_index=True, return_inverse=True
+    )
+    g_a = len(a_guniq)
+    gvec = avec_all[a_gfirst]
+    glbl = a_lblc[a_gfirst]
+    kk = min(k + 1, m)
+    # blocked dgemm over anchor GROUPS; top-(k+1) per group, self mask
+    # deferred to the expansion below
+    top_g, top_c, top_s = [], [], []
+    for lo in range(0, g_a, block):
+        hi = min(lo + block, g_a)
+        av = gvec[lo:hi]
         cosm = np.round(
             (av @ cv.T) / np.outer(np.linalg.norm(av, axis=1), c_norm), 6
         )
         ok = (
             (cosm >= band_lo)
             & (cosm < band_hi)
-            & (a_lbl[lo:hi, None] != c_lbl[None, :])
-            & (a_ids[lo:hi, None] != c_ids[None, :])
+            & (glbl[lo:hi, None] != c_lbl[None, :])
         )
         score = np.where(ok, cosm, -np.inf)
         top = np.argsort(-score, axis=1, kind="stable")[:, :kk]
         rows = np.arange(hi - lo)[:, None]
         sel_ok = ok[rows, top]
-        ai, kj = np.nonzero(sel_ok)
-        if len(ai) == 0:
+        gi, kj = np.nonzero(sel_ok)
+        if len(gi) == 0:
             continue
-        sel = top[ai, kj]
-        out_a.append(a_ids[lo:hi][ai].astype("int64"))
-        out_c.append(c_ids[sel].astype("int64"))
-        out_s.append(cosm[ai, sel])
-    if not out_a:
+        sel = top[gi, kj]
+        top_g.append((gi + lo).astype("int64"))
+        top_c.append(c_ids[sel])
+        top_s.append(cosm[gi, sel])
+    if not top_g:
+        return empty
+    # np.nonzero is row-major and `top` columns are rank-ordered, so the
+    # concatenated rows are (group asc, rank asc) — the prefix order the
+    # expansion below relies on
+    t_grp = np.concatenate(top_g)
+    t_cid = np.concatenate(top_c)
+    t_cos = np.concatenate(top_s)
+    glen = np.bincount(t_grp, minlength=g_a)
+    gstart = np.concatenate(([0], np.cumsum(glen)[:-1]))
+    # ---- expand group lists back to the member anchors: drop the
+    # member's own cand_id (at most one row), keep the first k
+    L = glen[a_ginv]
+    if L.sum() == 0:
+        return empty
+    rep_mem = np.repeat(np.arange(len(a_ids_all)), L)
+    seg_starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+    pos = np.arange(L.sum()) - np.repeat(seg_starts, L)
+    trow = gstart[a_ginv[rep_mem]] + pos
+    self_ok = t_cid[trow] != a_ids_all[rep_mem]
+    cs = np.cumsum(self_ok)
+    base = np.concatenate(([0], cs))[seg_starts]
+    kept_before = cs - self_ok - np.repeat(base, L)
+    keep = self_ok & (kept_before < k)
+    if not keep.any():
         return empty
     return pd.DataFrame(
-        {"anchor_id": np.concatenate(out_a),
-         "cand_id": np.concatenate(out_c),
-         "cos": np.concatenate(out_s)}
+        {"anchor_id": a_ids_all[rep_mem[keep]],
+         "cand_id": t_cid[trow[keep]],
+         "cos": t_cos[trow[keep]]}
     )
 
 
@@ -855,28 +941,54 @@ def _bucket_dropped_kernel(
 ) -> "pd.DataFrame":
     """Apply semdedup's drop rule to ONE (cell, sub) bucket of
     :func:`semdedup_cells2`: a vector is dropped iff some LOWER-ID
-    bucket member has rounded cosine ≥ ``threshold``.  Anchor rows are
-    blocked at ``block`` per dgemm (same budget as
-    :func:`_bucket_topk_kernel`; the drop rule is a blockwise OR, so
-    blocking is exact).  Module-level for the same direct-drive
-    skew-adversarial tests."""
+    bucket member has rounded cosine ≥ ``threshold``.
+
+    Exact-duplicate collapse (r14, guide §2.5 skew): the dgemm runs
+    over the DISTINCT unit vectors only — a hot bucket full of
+    boilerplate duplicates (the planted skew-spot scenario) pays
+    O(g²·d + m) instead of O(m²·d).  The member verdicts replay
+    exactly, because every pair's rounded cosine is a function of the
+    two distinct vectors alone:
+
+    * within a duplicate group G the pair cosine is round(u_G·u_G, 6),
+      so member b is dropped by a group mate iff that self-cosine ≥ τ
+      and b is not the group's minimum id;
+    * across groups H ≠ G the pair cosine is round(u_H·u_G, 6), so b
+      in G has a lower-id witness in H iff the groups hit and
+      min_id(H) < id_b — i.e. id_b exceeds m_G = min over hitting
+      H ≠ G of min_id(H).
+
+    Distinct rows are blocked at ``block`` per dgemm (same budget as
+    :func:`_bucket_topk_kernel`; min over blocks is exact), so peak
+    memory stays O(block · g) on an all-distinct bucket — identical to
+    the r13 bound, with g = m singleton groups.  Module-level for the
+    same direct-drive skew-adversarial tests."""
     if len(pdf) < 2:
         return pd.DataFrame({"id": pd.Series([], dtype="int64")})
-    order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-    ids = pdf["id"].to_numpy()[order]
-    um = np.stack(pdf["unit"].to_numpy())[order].astype("float64")
-    m = len(ids)
-    dropped = np.zeros(m, dtype=bool)
-    for lo in range(0, m, block):
-        hi = min(lo + block, m)
-        cos = np.round(um[lo:hi] @ um.T, 6)
-        # a_id < b_id ⇔ row index < column index (ids sorted asc);
-        # only columns strictly above the block's rows count
+    ids = pdf["id"].to_numpy().astype("int64")
+    um_all = np.stack(pdf["unit"].to_numpy()).astype("float64")
+    first, inv = _row_groups(um_all)
+    g = len(first)
+    du = um_all[first]
+    imax = np.iinfo(np.int64).max
+    minid = np.full(g, imax, dtype="int64")
+    np.minimum.at(minid, inv, ids)
+    selfcos = np.round(np.einsum("ij,ij->i", du, du), 6)
+    m_g = np.full(g, imax, dtype="int64")
+    for lo in range(0, g, block):
+        hi = min(lo + block, g)
+        cos = np.round(du[lo:hi] @ du.T, 6)
         hit = cos >= threshold
-        cols = np.arange(m)[None, :]
-        rows = np.arange(lo, hi)[:, None]
-        dropped |= (hit & (cols > rows)).any(axis=0)
-    return pd.DataFrame({"id": ids[dropped].astype("int64")})
+        # the within-group clause is handled via selfcos below: mask the
+        # H == G diagonal out of the cross-group witness minimum
+        hit[np.arange(hi - lo), np.arange(lo, hi)] = False
+        wit = np.where(hit, minid[lo:hi, None], imax)
+        np.minimum(m_g, wit.min(axis=0), out=m_g)
+    dropped = ((selfcos[inv] >= threshold) & (ids > minid[inv])) | (
+        ids > m_g[inv]
+    )
+    out = np.sort(ids[dropped])
+    return pd.DataFrame({"id": out})
 
 
 def _subcent_arrays(subcent: DataFrame) -> DataFrame:
@@ -904,7 +1016,12 @@ def _scored_subs(vec: Column) -> Column:
         F.col("subs"),
         lambda s: F.struct(
             F.round(cosine(vec, s["svec"]), 6).alias("scos"),
-            s["sub"].alias("sub"),
+            # cast to long on BOTH ranking paths (r14, ADVICE): _best_sub's
+            # accumulator is long-typed, so an int id_col would otherwise
+            # widen the argmax arm's `sub` while _top_subs (no accumulator)
+            # kept the source type — diverging cogroup key types.  A no-op
+            # for the driver's int64 ids.
+            s["sub"].cast("long").alias("sub"),
         ),
     )
 
@@ -917,7 +1034,16 @@ def _best_sub(scored: Column) -> Column:
     comparison semantics (NaN > any value, NaN > NaN false) reproduce
     descending-sort order (NaN first, ties by sub) should a NaN input
     component ever produce one (a zero-norm vector raises
-    DIVIDE_BY_ZERO under ANSI mode in fold and window alike)."""
+    DIVIDE_BY_ZERO under ANSI mode in fold and window alike).
+
+    NULL scores (r14, ADVICE): a null-scored element never takes the
+    accumulator — the replaced desc window ordered NULLs last, and
+    without the isNotNull guard a null-scored FIRST array element
+    would have won the fold forever (`x.scos > NULL` is null-falsy for
+    every later element).  Unreachable with non-null vectors (the
+    driver's data); if EVERY element scores null the fold returns
+    (null, null) where the window would pick the smallest sub — callers
+    require at least one non-null-scoring sub-centroid per cell."""
     return F.aggregate(
         scored,
         F.struct(
@@ -925,7 +1051,9 @@ def _best_sub(scored: Column) -> Column:
             F.lit(None).cast("long").alias("sub"),
         ),
         lambda acc, x: F.when(
-            acc["sub"].isNull() | (x["scos"] > acc["scos"]), x
+            x["scos"].isNotNull()
+            & (acc["sub"].isNull() | (x["scos"] > acc["scos"])),
+            x,
         ).otherwise(acc),
     )
 

@@ -3229,7 +3229,7 @@ def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (per-doc recursive CTE over the raw bytes) and the driver
     value-checks the whole codec every run.  Same Arrow-kernel
     executor-width shape as the other codec queries."""
-    from depositaja_spark.functions.multimodal import adpcm_decode, adpcm_encode
+    from depositaja_spark.functions.multimodal import adpcm_encode, adpcm_recon_stats
 
     docs = _docs(spark, sf_dir)
     body = F.expr("rpad(substring(encode(text, 'UTF-8'), 1, 192), 192, X'20')")
@@ -3242,20 +3242,11 @@ def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    @F.pandas_udf("array<long>")
-    def dec_adpcm(p: pd.Series) -> pd.Series:
-        return p.map(lambda x: adpcm_decode(bytes(x), 192).tolist())
-
     payloads = spread(
         docs, parallelism=spark.sparkContext.defaultParallelism
     ).select("doc_id", to_adpcm(body).alias("payload"))
-    dec = payloads.select("doc_id", dec_adpcm("payload").alias("samples"))
-    return dec.select(
-        "doc_id",
-        F.size("samples").cast("long").alias("n_samples"),
-        F.expr("aggregate(samples, 0L, (a, x) -> a + x)").alias("recon_sum"),
-        F.expr("aggregate(samples, 0L, (a, x) -> a + x * x)").alias("recon_sq_sum"),
-        F.expr("aggregate(samples, 0L, (a, x) -> greatest(a, abs(x)))").alias(
-            "recon_max_abs"
-        ),
-    )
+    # fused decode→stats kernel (r14, decode_media_stats' audio twin):
+    # the same int64 reductions the JVM aggregate folds computed, done
+    # beside the decoder — 4 longs/doc cross Arrow instead of the 192-
+    # element reconstructed sample array
+    return adpcm_recon_stats(payloads, n_samples=192)

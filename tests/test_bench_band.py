@@ -68,3 +68,28 @@ def test_agreeing_pair_prefers_smallest_confirmed_total():
     # at 7.4% and (1,2) at 3.0%; the pair containing the confirmed MIN
     # must win, not the later pair
     assert b._first_agreeing_pair([6.143, 6.797, 6.598], 0.08) == (0, 2)
+
+
+def test_steal_discipline_excludes_dirty_runs_from_pairing():
+    """r14: two runs inflated by the SAME co-tenant storm can agree
+    within the band (the r13 artifact banded 10.868 vs 11.515 with
+    5.3 steal-s blocks) — a run whose steal discipline failed must not
+    be band-eligible while a clean pair can still form around it."""
+    b = _load_bench()
+    totals = [10.868, 11.515, 6.5, 6.7]
+    clean = [False, False, True, True]
+    assert b._first_agreeing_pair(totals, 0.08, eligible=clean) == (2, 3)
+    # only dirty runs available: the unrestricted fallback still pairs
+    # them (band_ok=False on that path), min-total pair first
+    assert b._first_agreeing_pair(totals[:2], 0.08) == (0, 1)
+
+
+def test_steal_discipline_no_clean_pair():
+    b = _load_bench()
+    assert (
+        b._first_agreeing_pair([6.2, 6.3], 0.08, eligible=[True, False])
+        is None
+    )
+    # legacy children without the flag stay eligible via the caller's
+    # .get default — eligible=None keeps the r12 behavior byte-for-byte
+    assert b._first_agreeing_pair([6.2, 6.3], 0.08, eligible=None) == (0, 1)

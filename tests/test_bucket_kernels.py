@@ -301,3 +301,158 @@ def test_ivf2_hot_bucket_matches_exact_topk(spark):
         for j in range(len(ids)):
             want_keep = not any(bc[i, j] >= 0.95 for i in range(j))
             assert keep[int(ids[j])] == want_keep, int(ids[j])
+
+
+# ---------------------------------------------------------------------------
+# exact-duplicate collapse (r14): the kernels group byte-identical
+# vectors before any O(n²) step — a hot bucket full of boilerplate
+# embeddings (the SCALE_SPOT skew scenario: ×38/decade in r13) must pay
+# per DISTINCT vector, with member verdicts replicated exactly.
+
+
+def _dup_bucket(seed: int):
+    """Bucket where ~60% of both sides are exact copies of 3 hot
+    vectors, with labels MIXED inside each duplicate group (so the
+    (vec, label) group split matters), anchor ids overlapping cand ids
+    (so self-exclusion fires INSIDE a duplicate group), and k+1-sized
+    groups (so the deferred self mask is exercised at the boundary)."""
+    rng = np.random.default_rng(seed)
+    d = 6
+    hot = rng.normal(size=(3, d))
+    n_anchor, n_cand = 400, 350
+    av = rng.normal(size=(n_anchor, d))
+    cv = rng.normal(size=(n_cand, d))
+    for i in range(n_anchor):
+        if i % 5 < 3:
+            av[i] = hot[i % 3]
+    for j in range(n_cand):
+        if j % 5 < 3:
+            cv[j] = hot[j % 3]
+    # overlapping id spaces: anchors 0..399, cands 200..549 → ids
+    # 200..399 appear on both sides, many inside duplicate groups
+    anchors = pd.DataFrame(
+        {
+            "anchor_id": np.arange(n_anchor, dtype="int64"),
+            "avec": list(av),
+            "albl": rng.choice(["a", "b"], size=n_anchor),
+        }
+    )
+    cands = pd.DataFrame(
+        {
+            "cand_id": rng.permutation(np.arange(200, 200 + n_cand)).astype(
+                "int64"
+            ),
+            "cvec": list(cv),
+            "blbl": rng.choice(["a", "b"], size=n_cand),
+        }
+    )
+    # make the duplicate structure follow cand_id parity too, so some
+    # (vec, label) groups have exactly K+1 members
+    return anchors, cands
+
+
+def test_bucket_topk_duplicate_collapse_equivalence():
+    """Duplicate-heavy bucket == naive reference, wide band so the hot
+    self/cross pairs actually score, blocked and unblocked."""
+    anchors, cands = _dup_bucket(31)
+    for lo, hi in ((BAND_LO, BAND_HI), (-1.1, 1.1)):
+        blocked = _bucket_topk_kernel(anchors, cands, K, lo, hi, block=64)
+        unblocked = _bucket_topk_kernel(anchors, cands, K, lo, hi, block=10**9)
+        av = np.stack(anchors["avec"].to_numpy()).astype("float64")
+        cv = np.stack(cands["cvec"].to_numpy()).astype("float64")
+        cos = np.round(
+            (av @ cv.T)
+            / np.outer(np.linalg.norm(av, axis=1), np.linalg.norm(cv, axis=1)),
+            6,
+        )
+        c_ids = cands["cand_id"].to_numpy()
+        ref = set()
+        for i in range(len(av)):
+            rows = [
+                (float(cos[i, j]), int(c_ids[j]))
+                for j in range(len(c_ids))
+                if lo <= cos[i, j] < hi
+                and anchors["albl"].iat[i] != cands["blbl"].iat[j]
+                and int(anchors["anchor_id"].iat[i]) != int(c_ids[j])
+            ]
+            rows.sort(key=lambda t: (-t[0], t[1]))
+            for c, cid in rows[:K]:
+                ref.add((int(anchors["anchor_id"].iat[i]), cid, c))
+        assert len(ref) > 200
+        assert _as_set(blocked) == _as_set(unblocked) == ref
+
+
+def test_bucket_dropped_duplicate_collapse_equivalence():
+    """Exact-duplicate clusters (including a whole cluster below the
+    threshold vs distinct members above it) == naive lower-id rule."""
+    rng = np.random.default_rng(37)
+    n, d = 600, 6
+    vecs = rng.normal(size=(n, d))
+    hot = rng.normal(size=(2, d))
+    for i in range(n):
+        if i % 4 < 2:
+            vecs[i] = hot[i % 2]  # 50% exact duplicates of 2 vectors
+    for base in (5, 207):
+        for off in range(1, 6):
+            vecs[base + off * 4 + 3] = vecs[base] + rng.normal(
+                scale=0.01, size=d
+            )
+    units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = rng.permutation(n).astype("int64")
+    pdf = pd.DataFrame({"id": ids, "unit": list(units)})
+    thr = 0.95
+    blocked = set(_bucket_dropped_kernel(pdf, thr, block=64)["id"])
+    unblocked = set(_bucket_dropped_kernel(pdf, thr, block=10**9)["id"])
+    order = np.argsort(ids)
+    sid, su = ids[order], units[order]
+    cos = np.round(su @ su.T, 6)
+    ref = {
+        int(sid[j])
+        for j in range(n)
+        if any(cos[i, j] >= thr for i in range(j))
+    }
+    assert len(ref) > n // 2  # the duplicate clusters actually collapse
+    assert blocked == unblocked == ref
+
+
+def test_bucket_kernels_duplicate_collapse_is_structural():
+    """The collapse must change the WORK, not just pass tests: a bucket
+    of 8192 members with only 48 distinct vectors must run its dgemm
+    over the distinct rows — peak traced memory stays orders of
+    magnitude under one 8192×8192 row-block (the r13 kernel's floor was
+    block·m = 1024·8192·8 = 64 MiB; the collapsed kernel needs < 8 MiB
+    end to end, grouping included)."""
+    rng = np.random.default_rng(41)
+    n, g, d = 8192, 48, 8
+    distinct = rng.normal(size=(g, d))
+    vecs = distinct[np.arange(n) % g]
+    units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"id": np.arange(n, dtype="int64"), "unit": list(units)}
+    )
+    tracemalloc.start()
+    _bucket_dropped_kernel(pdf, 0.95)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 2**20, f"dropped kernel peaked at {peak/2**20:.1f} MiB"
+
+    anchors = pd.DataFrame(
+        {
+            "anchor_id": np.arange(n, dtype="int64"),
+            "avec": list(vecs),
+            "albl": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        }
+    )
+    cands = pd.DataFrame(
+        {
+            "cand_id": np.arange(n, 2 * n, dtype="int64"),
+            "cvec": list(vecs),
+            "blbl": np.where(np.arange(n) % 3 == 0, "a", "b"),
+        }
+    )
+    tracemalloc.start()
+    out = _bucket_topk_kernel(anchors, cands, K, -1.1, 1.1)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) > 0
+    assert peak < 8 * 2**20, f"topk kernel peaked at {peak/2**20:.1f} MiB"
